@@ -1,13 +1,280 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+
+/** Driver contract — the engine's public registry.
+  *
+  * Every operator from SURVEY.md §2 is exposed as a named
+  * `(SparkSession, sfDir) => DataFrame` query; where the semantics are
+  * ANSI-SQL-expressible, `oracleSql` carries the equivalent DuckDB SQL over the
+  * same parquet tables (the driver hash-compares both at sf0.01).
+  *
+  * Determinism conventions (mirrored in every oracle):
+  *  - deterministic total-order ORDER BY on every query;
+  *  - `round(x, n)` on all floating-point aggregates;
+  *  - identical output column names and types on both sides (explicit casts
+  *    where DuckDB's natural result type differs, e.g. BIGINT `year()`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001 — the reference's word count
+    * (StreamSocket.scala:15) over documents.text; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.wordCount(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "word_count"        -> Relational.wordCount _,
+    "q1_pricing_summary" -> Relational.q1PricingSummary _,
+    "q3_shipping_priority" -> Relational.q3ShippingPriority _,
+    "q5_local_supplier" -> Relational.q5LocalSupplier _,
+    "join_left"         -> Relational.joinLeft _,
+    "join_full_outer"   -> Relational.joinFullOuter _,
+    "join_semi"         -> Relational.joinSemi _,
+    "join_anti"         -> Relational.joinAnti _,
+    "join_cross"        -> Relational.joinCross _,
+    "join_range"        -> Relational.joinRange _,
+    "agg_stats"         -> Relational.aggStats _,
+    "distinct_counts"   -> Relational.distinctCounts _,
+    "rollup_sales"      -> Relational.rollupSales _,
+    "cube_sales"        -> Relational.cubeSales _,
+    "grouping_sets"     -> Relational.groupingSets _,
+    "window_funcs"      -> Relational.windowFuncs _,
+    "topk_per_group"    -> Relational.topkPerGroup _,
+    "order_limit"       -> Relational.orderLimit _,
+    "set_union"         -> Relational.setUnion _,
+    "set_intersect"     -> Relational.setIntersect _,
+    "set_except"        -> Relational.setExcept _,
+    "distinct_pairs"    -> Relational.distinctPairs _,
+    "string_funcs"      -> Relational.stringFuncs _,
+    "predicate_funcs"   -> Relational.predicateFuncs _,
+    "date_funcs"        -> Relational.dateFuncs _,
+    "math_funcs"        -> Relational.mathFuncs _,
+    "json_funcs"        -> Relational.jsonFuncs _,
+    "top_customers"     -> Relational.topCustomers _,
+    "approx_distinct"   -> Relational.approxDistinct _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "word_count" ->
+      """SELECT word, count(1) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY cnt DESC, word ASC""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "join_left" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_customers, n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(1) AS n_customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS nationkey, count(1) AS n_suppliers FROM supplier GROUP BY 1) s
+        |USING (nationkey)
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "join_range" ->
+      """SELECT s_suppkey, s_name, count(1) AS n_richer_customers,
+        |  round(avg(c_acctbal - s_acctbal), 4) AS avg_gap
+        |FROM customer JOIN supplier
+        |  ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT o_orderstatus, count(1) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "distinct_counts" ->
+      """SELECT count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "rollup_sales" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "cube_sales" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "window_funcs" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  lag(c_acctbal, 1) OVER w AS prev_bal,
+        |  lead(c_acctbal, 1) OVER w AS next_bal,
+        |  round(sum(c_acctbal) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rn
+        |  FROM part) WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+
+    "order_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "set_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+
+    "distinct_pairs" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT doc_id,
+        |  lower(substring(text, 1, 20)) AS head_lower,
+        |  upper(lang) AS lang_upper,
+        |  CAST(length(text) AS INTEGER) AS text_len,
+        |  source || '/' || lang AS src_lang,
+        |  replace(substring(text, 1, 40), ' ', '_') AS head_snake,
+        |  split_part(text, ' ', 1) AS first_word,
+        |  substring(text, 1, 1) AS first_char
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "predicate_funcs" ->
+      """SELECT p_partkey, p_brand, p_type, p_size,
+        |  CASE WHEN p_size < 20 THEN 'small'
+        |       WHEN p_size < 35 THEN 'medium'
+        |       ELSE 'large' END AS size_class,
+        |  NULLIF(p_size, 25) AS size_or_null,
+        |  (NULLIF(p_size, 25) IS NOT DISTINCT FROM CAST(NULL AS INTEGER)) AS is_25
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 40
+        |  AND (p_type IN ('ECONOMY', 'PROMO', 'STANDARD') OR p_type LIKE '%AR%')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  count(1) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY order_month""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS abs_dev,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(ln(l_extendedprice), 6) AS price_ln,
+        |  round(pow(l_discount + 1, 2), 6) AS disc_pow,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "json_funcs" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  count(1) AS n
+        |FROM events GROUP BY k ORDER BY k NULLS FIRST""".stripMargin,
+
+    "top_customers" ->
+      """SELECT c_custkey, c_name, n_orders, revenue FROM (
+        |  SELECT o_custkey, count(1) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY o_custkey) o
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+  )
 }

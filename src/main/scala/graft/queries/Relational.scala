@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Batch relational core — the declared Table-API/SQL surface of the reference
+  * (`/root/reference/study/pom.xml:147-166`, flink-table-planner et al.)
+  * re-expressed as declarative Spark DataFrame plans so Catalyst does the
+  * optimizing (pushdown, pruning, join selection, AQE).
+  *
+  * Conventions shared with the DuckDB oracle (driver correctness gate):
+  *  - every query ends in a deterministic total-order `orderBy`;
+  *  - double aggregates are wrapped in `round(_, n)` so ulp-level differences
+  *    in summation order between engines cannot flip the hash;
+  *  - every computed column is aliased identically in the Spark plan and the
+  *    oracle SQL.
+  *
+  * Scale notes are per-query in the Scaladoc: the tiny dimensions
+  * (region 5 / nation 25 / supplier 10 rows per sf0.001, FIXTURES.md) are
+  * broadcast explicitly; fact-fact joins shuffle on their join keys, which is
+  * the partitioning a 1000-executor cluster would want.
+  */
+object Relational {
+
+  /** Flagship — the reference's own computation (word count,
+    * `/root/reference/study/src/main/scala/group/xc/flink/stream/demo1/StreamSocket.scala:15`)
+    * on bounded data: scan → split → explode → hash-shuffle on word → count → sort.
+    * At 100 TB the shuffle key (word) is low-cardinality and skewed, but partial
+    * aggregation (map-side combine, automatic in HashAggregateExec) reduces the
+    * shuffle to |vocab| rows per partition, so the plan is scale-safe.
+    */
+  def wordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+
+  /** TPC-H Q1 shape: scan-heavy single-pass aggregation over the fact table.
+    * Filter + projection reach the parquet scan (PushedFilters/ReadSchema);
+    * one shuffle on the 2-column grouping key; partial agg keeps it tiny. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: selective dimension (customer, broadcast) → orders →
+    * lineitem, then top-10 unshipped orders by revenue. The only real shuffle
+    * is orders⋈lineitem on orderkey; customer fits in a broadcast at any SF
+    * where it's a true dimension. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li   = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way star join. region/nation/supplier/customer are
+    * broadcast; the fact-side shuffles are lineitem⋈orders (orderkey) and the
+    * re-key to custkey — exactly the two shuffles a distributed plan needs. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val r   = broadcast(Tables.region(s, d))
+    val n   = broadcast(Tables.nation(s, d))
+    val sup = broadcast(Tables.supplier(s, d))
+    val c   = Tables.customer(s, d)
+    val o   = Tables.orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
+    val li  = Tables.lineitem(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Left outer join: every order keeps its customer attributes (or null). */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select(o("o_orderkey"), o("o_custkey"), c("c_name"), c("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Full outer join of two aggregates — exercises null-producing sides.
+    * Both inputs are one-shuffle aggregates; join key is tiny (25 nations). */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val byNationC = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val byNationS = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    byNationC.join(byNationS, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"), col("n_customers"), col("n_suppliers"))
+      .orderBy(col("nationkey").asc_nulls_first)
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order since 2001. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderdate") >= lit("2001-01-01"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Cross join of the two tiny dimensions (5 × 25 rows) — semantics coverage;
+    * at scale a cross join is only ever valid against broadcast-sized inputs. */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(broadcast(Tables.nation(s, d)))
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+
+  /** Theta (non-equi) join: equi part on nationkey keeps the plan a hash join
+    * with the range predicate as a post-join filter — the scalable shape for
+    * band/range joins (never a pure cartesian). */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val sup = broadcast(Tables.supplier(s, d))
+    val c = Tables.customer(s, d)
+    c.join(sup, c("c_nationkey") === sup("s_nationkey") && c("c_acctbal") > sup("s_acctbal"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_richer_customers"),
+           round(avg(col("c_acctbal") - col("s_acctbal")), 4).as("avg_gap"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Aggregate family over orders: count/min/max/avg/sum + count distinct. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+
+  /** Global multi-column distinct counts (one row). Two count-distincts force
+    * an Expand — fine: each is a single shuffle on the counted key. */
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** ROLLUP: hierarchical subtotals (status → priority → grand total). */
+  def rollupSales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
+  def cubeSales(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Explicit GROUPING SETS via SQL (the Table-API surface D7 includes the SQL
+    * entry point, so the engine exposes it through spark.sql too). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Window-function family: ranking, offsets, running totals. The partition
+    * key (mktsegment) is the shuffle key; within-partition total order
+    * (acctbal desc, custkey) makes lag/lead/row_number deterministic. */
+  def windowFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag("c_acctbal", 1).over(w).as("prev_bal"),
+        lead("c_acctbal", 1).over(w).as("next_bal"),
+        round(sum("c_acctbal").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_bal"))
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Per-group top-k (k=3) via row_number + filter — the scalable top-k idiom
+    * (no global sort; one shuffle on the group key). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    Tables.part(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "rn", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rn")
+  }
+
+  /** Global top-N: orderBy+limit → Spark plans TakeOrderedAndProject, which is
+    * a per-partition top-N + driver merge (no full sort, no full shuffle). */
+  def orderLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  /** UNION (distinct) of two predicate-defined customer sets. */
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  /** INTERSECT of the same two sets. */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** EXCEPT of the same two sets. */
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  /** DISTINCT (dropDuplicates) over a projection. */
+  def distinctPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_linestatus")
+      .dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Scalar string-function surface (lower/upper/substring/concat/replace/
+    * split_part/regexp), evaluated inside whole-stage codegen. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        lower(substring(col("text"), 1, 20)).as("head_lower"),
+        upper(col("lang")).as("lang_upper"),
+        length(col("text")).as("text_len"),
+        concat(col("source"), lit("/"), col("lang")).as("src_lang"),
+        regexp_replace(substring(col("text"), 1, 40), " ", "_").as("head_snake"),
+        expr("split_part(text, ' ', 1)").as("first_word"),
+        substring(col("text"), 1, 1).as("first_char"))
+      .orderBy("doc_id")
+
+  /** Predicate surface: LIKE / IN / BETWEEN / CASE WHEN / null-safe equality. */
+  def predicateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_size").between(10, 40))
+      .filter(col("p_type").isin("ECONOMY", "PROMO", "STANDARD") || col("p_type").like("%AR%"))
+      .select(
+        col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"),
+        when(col("p_size") < 20, lit("small"))
+          .when(col("p_size") < 35, lit("medium"))
+          .otherwise(lit("large")).as("size_class"),
+        nullif(col("p_size").cast("int"), lit(25)).as("size_or_null"),
+        (nullif(col("p_size").cast("int"), lit(25)) <=> lit(null).cast("int")).as("is_25"))
+      .orderBy("p_partkey")
+
+  /** Date/time function surface over orders (month truncation, extract). */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("order_month")
+
+  /** Math-function surface (abs/ceil/floor/sqrt/ln/pow/mod), row-level. */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"),
+        round(pow(col("l_discount") + 1, 2), 6).as("disc_pow"),
+        (col("l_orderkey") % 7).as("key_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON surface (D8): extract typed values from the events.props JSON blob. */
+  def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first)
+
+  /** Top customers by total order value — customer⋈orders aggregate + top-20.
+    * orders shuffles on custkey once; customer side broadcasts. */
+  def topCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** HLL approximate distinct — oracle-omitted (sketch differs from DuckDB's);
+    * rows-only check. At 100 TB this replaces exact count-distinct wherever
+    * a ±2% answer is acceptable: no Expand, single pass, fixed-size state. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+}
