@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — the engine's public registry.
   *
@@ -53,6 +53,27 @@ object SparkEntry {
     "json_funcs"        -> Relational.jsonFuncs _,
     "top_customers"     -> Relational.topCustomers _,
     "approx_distinct"   -> Relational.approxDistinct _,
+    // text analysis (LLM-pipeline extension surface)
+    "text_stats"        -> TextAnalysis.textStats _,
+    "token_count"       -> TextAnalysis.tokenCount _,
+    "lang_id"           -> TextAnalysis.langId _,
+    "quality_score"     -> TextAnalysis.qualityScore _,
+    "doc_fingerprint"   -> TextAnalysis.docFingerprint _,
+    "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
+    // dedup family
+    "dedup_exact"       -> Dedup.dedupExact _,
+    "dedup_near_exact"  -> Dedup.dedupNearExact _,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
+    "dedup_minhash"     -> Dedup.dedupMinhash _,
+    "dedup_simhash"     -> Dedup.dedupSimhash _,
+    "dedup_embedding"   -> Dedup.dedupEmbedding _,
+    // similarity search
+    "knn_bruteforce"    -> Similarity.knnBruteForce _,
+    "knn_lsh"           -> Similarity.knnLsh _,
+    "vector_stats"      -> Similarity.vectorStats _,
+    // multimodal columns
+    "multimodal_join"   -> Multimodal.multimodalJoin _,
+    "multimodal_decode" -> Multimodal.multimodalDecode _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,5 +297,164 @@ object SparkEntry {
         |  FROM orders GROUP BY o_custkey) o
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, source, count(1) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es,
+        |  CASE WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+        |       WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+        |       WHEN score_fr >= score_es THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS INTEGER) AS score_en,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS score_de,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le','la','et','les','est'))) AS INTEGER) AS score_fr,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('el','los','las','es','y'))) AS INTEGER) AS score_es
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """SELECT doc_id, CAST(nt AS INTEGER) AS n_tokens,
+        |  round(p / cl, 4) AS punct_ratio,
+        |  round(stop / nt, 4) AS stopword_ratio,
+        |  round(least(nt / 100.0, 1.0) * 0.5 + (1.0 - p / cl) * 0.3
+        |        + least(stop / nt * 10.0, 1.0) * 0.2, 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS p,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE) AS stop,
+        |    CAST(length(text) AS DOUBLE) AS cl
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+        |  substring(md5(lower(trim(text))), 1, 8) AS fp_short
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(1) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(1) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term ASC) AS INTEGER) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+        |  count(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_near_exact" ->
+      """SELECT array_to_string((string_split(text, ' '))[1:10], ' ') AS prefix_key,
+        |  min(doc_id) AS keep_id, count(1) AS n_members,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |sh AS (
+        |  SELECT doc_id, lang, source, unnest(shingles) AS shingle FROM (
+        |    SELECT doc_id, lang, source,
+        |      list_distinct(list_transform(
+        |        range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i + 1] || ' ' ||
+        |             string_split(text, ' ')[i + 2])) AS shingles
+        |    FROM docs)),
+        |sizes AS (SELECT doc_id, count(1) AS n_shingles FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_common
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 16 = b.vec_id % 16 AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings),
+        |p AS (
+        |  SELECT q_id, c_id, label,
+        |    round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+        |       sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS score6
+        |  FROM q JOIN c ON q_id <> c_id),
+        |r AS (
+        |  SELECT q_id, c_id, label, score6,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
+        |  FROM p)
+        |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "vector_stats" ->
+      """SELECT label, count(1) AS n_vectors,
+        |  round(avg(norm), 4) AS avg_norm,
+        |  round(min(norm), 4) AS min_norm,
+        |  round(max(norm), 4) AS max_norm,
+        |  round(avg(dim1), 6) AS avg_dim1
+        |FROM (
+        |  SELECT label,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+        |    CAST(embedding[1] AS DOUBLE) AS dim1
+        |  FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(octet_length(unhex(md5(text))) AS INTEGER) AS image_bytes,
+        |  CAST(n_chars % 640 + 32 AS INTEGER) AS meta_width,
+        |  CAST((n_chars * 7) % 480 + 32 AS INTEGER) AS meta_height,
+        |  'fake/rgb8' AS meta_format, label,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+private object Shingles {
+  /** Distinct 3-token shingles of `text`; empty for docs under 3 tokens
+    * (mirrors the DuckDB oracle's empty `range`). ANSI-safe: indices only go
+    * up to size-2 so element_at never reads past the array. */
+  val expr: String =
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+      |    i -> concat(element_at(split(text, ' '), i), ' ',
+      |                element_at(split(text, ' '), i + 1), ' ',
+      |                element_at(split(text, ' '), i + 2))))
+      |ELSE array() END""".stripMargin
+}
+
+/** Deduplication family for LLM-training-data pipelines (driver-mandated,
+  * SURVEY.md §2.C): exact, normalized near-exact, n-gram Jaccard, MinHash-LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB story, common to all near-dup variants): never
+  * compare all pairs. Each variant first maps every document to one or more
+  * small BUCKET KEYS (content hash, normalized prefix, shared shingle, LSH
+  * band, simhash prefix, vector block), shuffles once on that key, and only
+  * forms candidate pairs WITHIN a bucket. Pair volume is then
+  * sum(|bucket|²) — controlled by bucket granularity — instead of N².
+  * The exact variants are pure one-shuffle groupBys.
+  */
+object Dedup {
+
+  /** Exact dedup: group by full normalized content, keep min doc_id.
+    * (The synthetic corpus has few full-text dups — sf0.1 has 8 — so most
+    * groups have n_copies=1; the keep-list is the operator's output.) */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Near-exact dedup on a normalized key (first 10 tokens): catches
+    * boilerplate-prefix families that full-hash dedup misses. One shuffle on
+    * the prefix key. */
+  def dedupNearExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(expr("array_join(slice(split(text, ' '), 1, 10), ' ')").as("prefix_key"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"),
+           round(avg("n_chars"), 4).as("avg_chars"))
+      .filter(col("n_members") >= 1)
+      .orderBy("keep_id")
+
+  /** N-gram (3-token shingle) Jaccard near-dup. Blocking: candidate pairs must
+    * share (lang, source) AND at least one shingle — the shingle join IS the
+    * inverted index, so pair formation is proportional to real overlap, not N².
+    * A 1-in-2 doc_id sample bounds the demo's pair volume; at 100 TB you'd
+    * instead shard the shingle index and cap postings-list length (drop
+    * ultra-common shingles — they only create noise pairs). */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+    val shingles = docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        explode(expr(Shingles.expr)).as("shingle"))
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val inter = a.join(b,
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b", "n_common", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signature + banded LSH candidate pairs (the standard large-scale
+    * near-dup algorithm: Broder '97 resemblance sketches + banding).
+    * 32 permutations h_i(x) = (a_i·x + b_i) mod p over xxhash64 token hashes,
+    * 8 bands × 4 rows: docs agreeing on any band become candidates; the
+    * estimated Jaccard is the fraction of matching signature positions.
+    * Oracle-omitted (xxhash64 has no DuckDB twin); property-tested in the
+    * suite against exact Jaccard. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 2147483647L // 2^31 - 1, Mersenne prime
+    // fixed coefficient families (deterministic; any fixed co-prime set works)
+    val coefs = (0 until 32).map(i => (i, 2L * i * i + 3L * i + 1L, 7L * i * i + 5L * i + 3L))
+    val coefDf = coefs.toDF("i", "a", "b")
+    // Shingle (3-gram) sets, not token sets: the synthetic corpus draws from a
+    // ~31-word vocabulary, so nearly every doc contains nearly every TOKEN and
+    // token-set resemblance is degenerately ≈1; 3-gram shingles restore a
+    // discriminative feature space (as in Broder's original shingling).
+    val tokenHashes = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(Shingles.expr)).as("shingle"))
+      .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("h"))
+    // h < 2^31 and a ≤ ~2k, so a·h + b stays far below Long overflow.
+    val minh = tokenHashes.crossJoin(broadcast(coefDf))
+      .select(col("doc_id"), col("i"), ((col("a") * col("h") + col("b")) % P).as("ph"))
+      .groupBy("doc_id", "i").agg(min("ph").as("mh"))
+    val sig = minh.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("pairs"))
+      .select(col("doc_id"), expr("transform(pairs, x -> x.mh)").as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))"))
+        .as(Seq("band", "bandsig")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard", round(
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 32.0, 4))
+      .filter(col("est_jaccard") >= 0.2)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup (Charikar '02): 64-bit signature from sign of per-bit
+    * weighted sums of token hashes; candidates block on the top-16-bit prefix,
+    * then filter by Hamming distance ≤ 12 (bit_count(xor), codegen'd).
+    * Oracle-omitted (xxhash64); property-tested in the suite. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val tokenCnt = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("token")))
+    val bits = tokenCnt
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .selectExpr("doc_id", "bit",
+        "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN cnt ELSE -cnt END AS contrib")
+      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
+    val sig = bits
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"))
+        .as("simhash"))
+    val a = sig.as("a"); val b = sig.as("b")
+    a.join(b,
+        shiftright(col("a.simhash"), 48) === shiftright(col("b.simhash"), 48) &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 12)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding-cosine near-dup. Blocking: vec_id mod 16 (a stand-in for the
+    * LSH/IVF bucket id Similarity.knnLsh computes) keeps pair volume at
+    * sum(|block|²) ≈ N²/16; the threshold is low (0.25) because the synthetic
+    * vectors are near-orthogonal random Gaussians — a real embedding corpus
+    * would use ~0.95 with LSH blocking. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") % 16 === col("id_b") % 16 && col("id_a") < col("id_b"))
+      .withColumn("cos", expr(
+        "vec_dot(va, vb) / (sqrt(vec_dot(va, va)) * sqrt(vec_dot(vb, vb)))"))
+      .filter(col("cos") >= 0.25)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+}

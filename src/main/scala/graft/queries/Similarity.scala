@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Vector-similarity search over the embeddings table (driver-mandated
+  * extension surface): brute-force cosine top-k as the correctness baseline,
+  * random-hyperplane LSH as the scale path, plus corpus-level vector stats.
+  *
+  * Scale design: brute force is O(Q·N) dot products — fine when Q is small or
+  * as the within-bucket reranker; the LSH variant bounds candidates per query
+  * to sum of shared-band bucket sizes, and its bucket id is exactly the
+  * partition key a 1000-executor layout would co-locate on. All dot products
+  * go through the codegen'd VecDot expression (graft.functions.VecDot).
+  */
+object Similarity {
+
+  private val cos =
+    "vec_dot(qv, cv) / (sqrt(vec_dot(qv, qv)) * sqrt(vec_dot(cv, cv)))"
+
+  /** Brute-force cosine top-5 neighbors for the first 10 query vectors.
+    * Query side is broadcast (tiny); candidates stream partition-parallel;
+    * per-query top-k via window on the rounded score (deterministic ties). */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
+    val w = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("score6", round(expr(cos), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
+        round(col("score6"), 4).as("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** ANN via random-hyperplane LSH (Charikar '02 SimHash for angles):
+    * 16 fixed hyperplanes → 16-bit signature → 4 bands × 4 bits; two vectors
+    * are candidates iff they share a band value; exact cosine reranks within
+    * candidates. Hyperplanes are generated from a fixed-seed PRNG, so the
+    * operator is deterministic run-to-run (oracle-omitted: the planes have no
+    * SQL twin; the suite property-tests recall against knnBruteForce). */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
+    val planesArr = array(planes.map(p => array(p.map(lit).toSeq: _*)).toSeq: _*)
+    val e = Tables.embeddings(s, d)
+      .withColumn("planes", planesArr)
+      .withColumn("sigbits", expr(
+        "transform(planes, p -> CASE WHEN vec_dot(embedding, p) > 0D THEN 1 ELSE 0 END)"))
+      .withColumn("bands", expr(
+        """transform(sequence(0, 3), b ->
+          |  sigbits[b*4] * 8 + sigbits[b*4+1] * 4 + sigbits[b*4+2] * 2 + sigbits[b*4+3])""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("band"), col("bucket"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("label"), col("band").as("cband"), col("bucket").as("cbucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    q.join(c, col("band") === col("cband") && col("bucket") === col("cbucket") &&
+        col("q_id") =!= col("c_id"))
+      .select("q_id", "qv", "c_id", "cv", "label").distinct()
+      .withColumn("score6", round(expr(cos), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
+        round(col("score6"), 4).as("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** Corpus vector statistics per cluster label: count and L2-norm spread —
+    * the cheap sanity pass before any ANN build (single scan, one shuffle on
+    * the 10-value label key). */
+  def vectorStats(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    Tables.embeddings(s, d)
+      .withColumn("norm", expr("sqrt(vec_dot(embedding, embedding))"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg("norm"), 4).as("avg_norm"),
+        round(min("norm"), 4).as("min_norm"),
+        round(max("norm"), 4).as("max_norm"),
+        round(avg(expr("element_at(embedding, 1)").cast("double")), 6).as("avg_dim1"))
+      .orderBy("label")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Text-analysis operators for an LLM-training-data pipeline (driver-mandated
+  * extension surface, SURVEY.md §2.C): per-corpus stats, token counting,
+  * language-ID heuristic, quality scoring, fingerprinting, TF-IDF.
+  *
+  * All are single-pass scan→(explode)→shuffle-on-small-key plans: the only
+  * shuffles are on (lang, source), doc_id, or token — each low-cardinality or
+  * uniformly distributed, so the shapes hold at 100 TB (partial aggregation
+  * bounds shuffle volume by |groups| per partition, and tokenization is
+  * whole-stage-codegen'd row work that scales linearly with input splits).
+  */
+object TextAnalysis {
+
+  private val tokens = split(col("text"), " ", -1)
+
+  /** Corpus statistics per (lang, source): doc counts, char/token volume. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        sum(size(tokens).cast("long")).as("total_tokens"))
+      .orderBy("lang", "source")
+
+  /** Per-document token counts: whitespace tokens, regex (BPE-ish word/number
+    * pieces) tokens, distinct tokens. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_re_tokens"),
+        size(array_distinct(tokens)).as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: count stopword markers per candidate language over
+    * the token array (higher-order `filter`, codegen'd — no UDF), pick argmax
+    * with a deterministic tie-break. A production pipeline would use character
+    * n-gram profiles; the operator shape (per-row scoring → argmax CASE) is
+    * identical and embarrassingly parallel. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val score = (langTokens: String) =>
+      size(expr(s"filter(split(text, ' '), t -> t IN ($langTokens))"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        score("'the','a','of','and','is'").as("score_en"),
+        score("'der','die','das','und','ist'").as("score_de"),
+        score("'le','la','et','les','est'").as("score_fr"),
+        score("'el','los','las','es','y'").as("score_es"))
+      .withColumn("predicted_lang",
+        when(col("score_en") >= greatest(col("score_de"), col("score_fr"), col("score_es")), lit("en"))
+          .when(col("score_de") >= greatest(col("score_fr"), col("score_es")), lit("de"))
+          .when(col("score_fr") >= col("score_es"), lit("fr"))
+          .otherwise(lit("es")))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/punctuation/stopword signals combined into a
+    * [0,1] score — the standard cheap pre-filter before expensive dedup. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val nTokens = size(tokens).cast("double")
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val stop = size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','is'))")).cast("double")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens).as("n_tokens"),
+        round((punct / length(col("text"))), 4).as("punct_ratio"),
+        round(stop / nTokens, 4).as("stopword_ratio"),
+        round(
+          least(nTokens / 100.0, lit(1.0)) * 0.5
+            + (lit(1.0) - punct / length(col("text"))) * 0.3
+            + least(stop / nTokens * 10.0, lit(1.0)) * 0.2, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: md5 content hash over normalized text
+    * (cross-engine-stable; the 64-bit xxhash64 variant lives in the dedup
+    * family where the fingerprint is consumed Spark-side only). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(lower(trim(col("text")))).as("fp_md5"),
+        substring(md5(lower(trim(col("text")))), 1, 8).as("fp_short"))
+      .orderBy("doc_id")
+
+  /** TF-IDF top-3 terms per document, computed relationally: term frequency
+    * per (doc, term), document frequency per term, idf = ln(N/df), top-k via
+    * row_number. Two shuffles (token, doc_id) — both well-distributed keys.
+    * MLlib's HashingTF/IDF gives the same result vectorized; the relational
+    * form keeps it oracle-checkable. */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = docs
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("score"))
+      .orderBy("doc_id", "rn")
+  }
+}
