@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, EventTime, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — the engine's public registry.
   *
@@ -74,6 +75,17 @@ object SparkEntry {
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
+    // batch event-time windows + typed rolling state
+    "tumbling_windows"  -> EventTime.tumblingWindows _,
+    "sliding_windows"   -> EventTime.slidingWindows _,
+    "session_windows"   -> EventTime.sessionWindows _,
+    "rolling_sum_typed" -> EventTime.rollingSumTyped _,
+    // Structured Streaming (file source → micro-batch → memory sink)
+    "stream_wordcount"  -> StreamingQueries.streamWordCount _,
+    "stream_tumbling"   -> StreamingQueries.streamTumbling _,
+    "stream_dedup"      -> StreamingQueries.streamDedup _,
+    "stream_static_join" -> StreamingQueries.streamStaticJoin _,
+    "stream_rolling_sum" -> StreamingQueries.streamRollingSum _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -456,5 +468,66 @@ object SparkEntry {
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+
+    "tumbling_windows" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(1) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "sliding_windows" ->
+      """WITH x AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events)
+        |SELECT ws, event_type, count(1) AS n, round(sum(value), 2) AS total
+        |FROM x GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "session_windows" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(1) AS n, round(sum(value), 2) AS total
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "rolling_sum_typed" ->
+      """SELECT user_id, count(1) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_wordcount" ->
+      """SELECT word, count(1) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY cnt DESC, word ASC""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(1) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_type, count(1) AS n
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(1) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "stream_rolling_sum" ->
+      """SELECT user_id, count(1) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

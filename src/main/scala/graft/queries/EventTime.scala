@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch event-time operators over the events table: tumbling / sliding /
+  * session windows and typed per-key rolling state. These are the bounded
+  * twins of the streaming queries in graft.streaming — same window semantics,
+  * same results — which is exactly Structured Streaming's model (a streaming
+  * query is an incrementalized batch query; the Dataflow-model equivalence the
+  * suite asserts).
+  */
+object EventTime {
+
+  /** Tumbling 1-hour windows per event type (batch `window()`). The window
+    * key is derived per-row, so this is scan → one shuffle on
+    * (window, event_type) — the same plan shape at any scale. */
+  def tumblingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+      .orderBy("ws", "event_type")
+
+  /** Sliding windows: 2-hour length, 1-hour hop — each event lands in two
+    * windows (Spark expands rows per overlapping window before the shuffle). */
+  def slidingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+      .orderBy("ws", "event_type")
+
+  /** Session windows per user (30-minute inactivity gap): Spark's
+    * `session_window` merges per-key overlapping [ts, ts+gap) intervals;
+    * session end = last event + gap. One shuffle on user_id. */
+  def sessionWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("total"))
+      .orderBy("user_id", "session_start")
+
+  /** The reference's I6 rolling keyed sum (StreamSocket.scala:15 `keyBy(0)
+    * .sum(1)`) through the TYPED arbitrary-state API shape: groupByKey +
+    * mapGroups folding a per-key accumulator. Batch twin of the
+    * flatMapGroupsWithState streaming variant in the suite. */
+  def rollingSumTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, rows) =>
+        var n = 0L
+        var total = 0.0
+        rows.foreach { r => n += 1; total += r._2 }
+        (uid, n, total)
+      }
+      .toDF("user_id", "n", "total0")
+      .select(col("user_id"), col("n"), round(col("total0"), 2).as("total"))
+      .orderBy("user_id")
+  }
+}

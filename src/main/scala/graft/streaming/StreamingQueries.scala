@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators — the north-star surface. Each registry
+  * query here actually RUNS a streaming query (file source → micro-batch
+  * engine → memory sink) and returns the final result table, so the driver's
+  * oracle gate checks true streaming execution, not a batch stand-in.
+  *
+  * Semantics note (SURVEY.md §2.A I6): the reference's rolling keyed
+  * aggregation emits a refreshed row per input record; Spark's update mode
+  * emits refreshed rows per micro-batch — identical state at every batch
+  * boundary. The registry queries use complete mode so the final table is the
+  * full aggregate state (deterministic, oracle-comparable); the suite
+  * exercises update mode and per-record semantics via flatMapGroupsWithState.
+  *
+  * Scale: state lives in the state store, partitioned by the grouping key
+  * across executors; with the RocksDB provider (exercised by
+  * streamRollingSum) keyed state may exceed memory — the declared-surface D6
+  * (RocksDB state backend) equivalent.
+  */
+object StreamingQueries {
+
+  /** Runs a streaming DataFrame to a memory sink, synchronously processes all
+    * available input, and returns the (batch) result table. */
+  private def runToMemory(s: SparkSession, stream: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming read of a test table. The file source requires a DIRECTORY
+    * (its basePath) while the test tables are single parquet files, so the
+    * file is exposed through a per-table temp directory via symlink — the
+    * shape a production deployment has anyway (a directory of files arriving
+    * over time). Needs an explicit schema; events additionally needs the
+    * ns→NTZ conversion from graft.Tables. */
+  private def readStreamTable(s: SparkSession, d: String, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val file = Paths.get(s"$d/$name.parquet")
+    val dir = Paths.get(s"/tmp/graft_stream_src/${d.replaceAll("[^A-Za-z0-9.]", "_")}/$name")
+    Files.createDirectories(dir)
+    val link = dir.resolve(s"$name.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, file)
+    val path = dir.toString
+    val raw = s.readStream.schema(s.read.parquet(path).schema).parquet(path)
+    if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    else raw
+  }
+
+  /** The reference program on bounded input: streaming word count
+    * (StreamSocket.scala:12-16 — source → tokenize → keyBy → rolling count),
+    * with the file source standing in for the socket. Final state equals the
+    * batch word count — asserted by the shared oracle. */
+  def streamWordCount(s: SparkSession, d: String): DataFrame = {
+    val counts = readStreamTable(s, d, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+    runToMemory(s, counts, "graft_stream_wordcount", "complete")
+      .orderBy(col("cnt").desc, col("word").asc)
+  }
+
+  /** Event-time tumbling windows (1 h) per event type over the events stream,
+    * with a watermark (late-data bound; complete mode keeps all windows). */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    // withWatermark demands TimestampType (instant), not NTZ: cast in, and
+    // cast the window bound back to NTZ for output — lossless under UTC.
+    val agg = readStreamTable(s, d, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"),
+        col("event_type"), col("n"), col("total"))
+    runToMemory(s, agg, "graft_stream_tumbling", "complete")
+      .orderBy("ws", "event_type")
+  }
+
+  /** Streaming dedup: dropDuplicates on (user_id, event_type) keeps the first
+    * arrival per pair in the state store; downstream counts distinct pairs
+    * per type. (With a watermark this would be dropDuplicatesWithinWatermark
+    * for bounded state — the suite covers that variant.) */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = readStreamTable(s, d, "events")
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, deduped, "graft_stream_dedup", "complete")
+      .orderBy("event_type")
+  }
+
+  /** Stream-static join: the events stream against the static customer
+    * dimension (broadcast per micro-batch), then a keyed aggregate. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val customers = broadcast(graft.Tables.customer(s, d))
+    val joined = readStreamTable(s, d, "events")
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    runToMemory(s, joined, "graft_stream_static_join", "complete")
+      .orderBy("c_mktsegment")
+  }
+
+  /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed
+    * stream (`keyBy(0).sum(1)`), running on the RocksDB state store provider
+    * (declared surface D6 — flink-statebackend-rocksdb, study/pom.xml:70-74). */
+  def streamRollingSum(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = readStreamTable(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      runToMemory(s, agg, "graft_stream_rolling_sum", "complete")
+        .orderBy("user_id")
+    } finally {
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+}
