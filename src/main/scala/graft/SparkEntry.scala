@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, EventTime, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, EventTime, Formats, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — the engine's public registry.
@@ -86,6 +86,8 @@ object SparkEntry {
     "stream_dedup"      -> StreamingQueries.streamDedup _,
     "stream_static_join" -> StreamingQueries.streamStaticJoin _,
     "stream_rolling_sum" -> StreamingQueries.streamRollingSum _,
+    // serde surface (D8)
+    "json_roundtrip"    -> Formats.jsonRoundtrip _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,5 +531,11 @@ object SparkEntry {
     "stream_rolling_sum" ->
       """SELECT user_id, count(1) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "json_roundtrip" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

