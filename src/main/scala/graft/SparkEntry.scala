@@ -88,6 +88,9 @@ object SparkEntry {
     "stream_rolling_sum" -> StreamingQueries.streamRollingSum _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
+    // UDF/UDAF registration surface (D7)
+    "udaf_geomean"      -> graft.functions.Udfs.udafGeomean _,
+    "udf_clip"          -> graft.functions.Udfs.udfClip _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -537,5 +540,15 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "udaf_geomean" ->
+      """SELECT o_orderstatus, count(1) AS n,
+        |  round(exp(avg(ln(o_totalprice))), 4) AS geo_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "udf_clip" ->
+      """SELECT event_type, count(1) AS n,
+        |  round(sum(least(greatest(value, 50), 150)), 2) AS clipped_total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -5,16 +5,25 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 private object Shingles {
-  /** Distinct 3-token shingles of `text`; empty for docs under 3 tokens
-    * (mirrors the DuckDB oracle's empty `range`). ANSI-safe: indices only go
-    * up to size-2 so element_at never reads past the array. */
-  val expr: String =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat(element_at(split(text, ' '), i), ' ',
-      |                element_at(split(text, ' '), i + 1), ' ',
-      |                element_at(split(text, ' '), i + 2))))
+  /** Distinct 3-token shingles over a pre-split `toks` array column; empty
+    * for docs under 3 tokens (mirrors the DuckDB oracle's empty `range`).
+    * ANSI-safe: indices only go up to size-2 so element_at never reads past
+    * the array. The tokenization MUST be hoisted into a column first —
+    * inlining `split(text)` here makes codegen re-split the string for every
+    * lambda element (O(tokens²) per doc; measured ~10× slower on the shingle
+    * queries at sf0.1). */
+  val fromToks: String =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(toks) - 2),
+      |    i -> concat(element_at(toks, i), ' ',
+      |                element_at(toks, i + 1), ' ',
+      |                element_at(toks, i + 2))))
       |ELSE array() END""".stripMargin
+
+  def shingled(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("toks", split(col("text"), " ", -1))
+      .withColumn("shingle", explode(expr(fromToks)))
+      .drop("toks")
 }
 
 /** Deduplication family for LLM-training-data pipelines (driver-mandated,
@@ -59,9 +68,9 @@ object Dedup {
     * ultra-common shingles — they only create noise pairs). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-    val shingles = docs.select(
-        col("doc_id"), col("lang"), col("source"),
-        explode(expr(Shingles.expr)).as("shingle"))
+    val shingles = Shingles.shingled(
+        docs.select(col("doc_id"), col("lang"), col("source"), col("text")))
+      .select("doc_id", "lang", "source", "shingle")
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = shingles.as("a")
     val b = shingles.as("b")
@@ -88,25 +97,32 @@ object Dedup {
     * Oracle-omitted (xxhash64 has no DuckDB twin); property-tested in the
     * suite against exact Jaccard. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val P = 2147483647L // 2^31 - 1, Mersenne prime
     // fixed coefficient families (deterministic; any fixed co-prime set works)
-    val coefs = (0 until 32).map(i => (i, 2L * i * i + 3L * i + 1L, 7L * i * i + 5L * i + 3L))
-    val coefDf = coefs.toDF("i", "a", "b")
+    val as = (0 until 32).map(i => 2L * i * i + 3L * i + 1L)
+    val bs = (0 until 32).map(i => 7L * i * i + 5L * i + 3L)
     // Shingle (3-gram) sets, not token sets: the synthetic corpus draws from a
     // ~31-word vocabulary, so nearly every doc contains nearly every TOKEN and
     // token-set resemblance is degenerately ≈1; 3-gram shingles restore a
     // discriminative feature space (as in Broder's original shingling).
-    val tokenHashes = Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(Shingles.expr)).as("shingle"))
+    //
+    // Plan shape: one row per (doc, shingle) carrying all 32 permuted hashes
+    // as an array column, then a single groupBy(doc_id) with 32 positional
+    // `min` aggregates — one shuffle whose payload is |docs|·32 longs. (The
+    // naive alternative — explode 32× or cross-join a coefficient table, then
+    // groupBy(doc, i) — moves 32× the rows through the shuffle; measured 9×
+    // slower at sf0.1.) h < 2^31 and a ≤ ~2k keep a·h + b far from overflow.
+    val tokenHashes = Shingles.shingled(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("h"))
-    // h < 2^31 and a ≤ ~2k, so a·h + b stays far below Long overflow.
-    val minh = tokenHashes.crossJoin(broadcast(coefDf))
-      .select(col("doc_id"), col("i"), ((col("a") * col("h") + col("b")) % P).as("ph"))
-      .groupBy("doc_id", "i").agg(min("ph").as("mh"))
-    val sig = minh.groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("pairs"))
-      .select(col("doc_id"), expr("transform(pairs, x -> x.mh)").as("sig"))
+      .withColumn("pa", array(as.map(lit): _*))
+      .withColumn("pb", array(bs.map(lit): _*))
+      .withColumn("ph", expr(
+        s"transform(sequence(1, 32), i -> (element_at(pa, i) * h + element_at(pb, i)) % ${P}L)"))
+    val sig = tokenHashes
+      .groupBy("doc_id")
+      .agg((0 until 32).map(i => min(expr(s"element_at(ph, ${i + 1})")).as(s"m$i")).head,
+        (1 until 32).map(i => min(expr(s"element_at(ph, ${i + 1})")).as(s"m$i")): _*)
+      .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))"))
         .as(Seq("band", "bandsig")))
@@ -134,17 +150,20 @@ object Dedup {
       .filter(length(col("token")) > 0)
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("token")))
-    val bits = tokenCnt
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .selectExpr("doc_id", "bit",
-        "CASE WHEN (shiftright(h, CAST(bit AS INT)) & 1) = 1 THEN cnt ELSE -cnt END AS contrib")
-      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
-    val sig = bits
+    // Same single-shuffle shape as dedupMinhash: per-bit contributions live in
+    // a 64-wide array column; 64 positional `sum` aggregates collapse them in
+    // one groupBy(doc_id) pass (vs exploding 64 rows per token).
+    val contribs = tokenCnt
+      .withColumn("contrib", expr(
+        """transform(sequence(0, 63), b ->
+          |  CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN cnt ELSE -cnt END)""".stripMargin))
+    val sig = contribs
       .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+      .agg((0 until 64).map(b => sum(expr(s"element_at(contrib, ${b + 1})")).as(s"s$b")).head,
+        (1 until 64).map(b => sum(expr(s"element_at(contrib, ${b + 1})")).as(s"s$b")): _*)
+      .select(col("doc_id"), expr(
+        (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")).as("simhash"))
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b,
         shiftright(col("a.simhash"), 48) === shiftright(col("b.simhash"), 48) &&
