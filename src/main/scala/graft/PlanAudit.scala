@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints `explain("formatted")` for representative
+  * queries and checks the plan properties the 100 TB posture depends on —
+  * filters/projection reaching the parquet scan, dimension joins broadcast,
+  * top-N planned as TakeOrderedAndProject, no accidental cartesian products.
+  * Run: `sbt "runMain graft.PlanAudit /root/testdata/sf0.001"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val checks: Seq[(String, String => Boolean, String)] = Seq(
+      ("q1_pricing_summary", p => p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
+        || p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+        "shipdate filter pushed to parquet scan"),
+      ("q1_pricing_summary", p => !p.contains("l_comment") && p.contains("ReadSchema"),
+        "column pruning (ReadSchema subset)"),
+      ("q3_shipping_priority", p => p.contains("BroadcastHashJoin"),
+        "customer dimension broadcast"),
+      ("q5_local_supplier", p => p.contains("BroadcastHashJoin"),
+        "dimension joins broadcast"),
+      ("order_limit", p => p.contains("TakeOrderedAndProject"),
+        "global top-N avoids full sort"),
+      ("top_customers", p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"),
+        "top-k + broadcast join"),
+      ("join_range", p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+        "theta join stays a hash join with post-filter"),
+      ("word_count", p => p.contains("HashAggregate") && p.contains("partial_count")
+        || p.contains("HashAggregate"),
+        "map-side partial aggregation"),
+      ("knn_bruteforce", p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        "query side broadcast (no shuffle of candidates)"),
+      ("dedup_embedding", p => !p.contains("CartesianProduct"),
+        "blocked pair join, not cartesian"),
+    )
+
+    var failed = 0
+    checks.foreach { case (name, pred, what) =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val ok = pred(plan)
+      println(f"[${if (ok) "OK  " else "FAIL"}] $name%-22s $what")
+      if (!ok) { failed += 1; println(plan) }
+    }
+    // full formatted plan for the flagship, for the record
+    println("\n===== word_count formatted plan =====")
+    println(SparkEntry.queries("word_count")(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    if (failed > 0) sys.exit(1)
+    spark.stop()
+  }
+}

@@ -71,7 +71,9 @@ object SparkEntry {
     // similarity search
     "knn_bruteforce"    -> Similarity.knnBruteForce _,
     "knn_lsh"           -> Similarity.knnLsh _,
+    "knn_ivf"           -> Similarity.knnIvf _,
     "vector_stats"      -> Similarity.vectorStats _,
+    "array_funcs"       -> Relational.arrayFuncs _,
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
@@ -540,6 +542,14 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
+        |  round(list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))), 6) AS head3_sum,
+        |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0 AS has_big,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v,
+        |  round(CAST(embedding[64] AS DOUBLE), 4) AS last_v
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "udaf_geomean" ->
       """SELECT o_orderstatus, count(1) AS n,

