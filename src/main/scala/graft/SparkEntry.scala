@@ -74,6 +74,8 @@ object SparkEntry {
     "knn_ivf"           -> Similarity.knnIvf _,
     "vector_stats"      -> Similarity.vectorStats _,
     "array_funcs"       -> Relational.arrayFuncs _,
+    "skew_safe_distinct" -> Relational.skewSafeDistinct _,
+    "subquery_correlated" -> Relational.subqueryCorrelated _,
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
@@ -542,6 +544,20 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "skew_safe_distinct" ->
+      """SELECT event_type, count(1) AS n_users
+        |FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "subquery_correlated" ->
+      """SELECT o_custkey, count(1) AS n_above,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders o1
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o1.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,

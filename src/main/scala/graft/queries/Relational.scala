@@ -344,6 +344,33 @@ object Relational {
       .limit(20)
   }
 
+  /** Skew-safe exact count-distinct: two-stage aggregation (group by
+    * (key, value) first, then count per key). Plain count(DISTINCT) funnels
+    * each key's whole value set through one reducer — the classic skew
+    * bottleneck when one key dominates; the two-stage shape spreads stage 1
+    * across (key, value) space, which is exactly the manual "salting" cure
+    * (the distinct value IS the salt). Results identical. */
+  def skewSafeDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * orders priced above their own customer's average. */
+  def subqueryCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_sq")
+    s.sql(
+      """SELECT o_custkey, count(1) AS n_above,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM graft_orders_sq o1
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5
+        |                      FROM graft_orders_sq o2
+        |                      WHERE o2.o_custkey = o1.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
   /** Array-function surface (size/slice/element_at + higher-order
     * transform/aggregate/exists) over the embedding vectors — all codegen'd
     * row-local compute. */
