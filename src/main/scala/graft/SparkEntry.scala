@@ -76,6 +76,8 @@ object SparkEntry {
     "array_funcs"       -> Relational.arrayFuncs _,
     "skew_safe_distinct" -> Relational.skewSafeDistinct _,
     "subquery_correlated" -> Relational.subqueryCorrelated _,
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
+    "map_funcs"         -> Relational.mapFuncs _,
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
@@ -543,6 +545,22 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(1) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "map_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  array_to_string(json_keys(props), ',') AS key_list
         |FROM events ORDER BY event_id""".stripMargin,
 
     "skew_safe_distinct" ->

@@ -344,6 +344,27 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q6 shape: pure filter + global aggregate — the fully-pushed-down
+    * scan benchmark (all three predicates reach the parquet reader). */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .filter(col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Map-function surface: parse the JSON props into a MAP column, then key
+    * lookup / key-set ops — MapType as a first-class column type. */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", expr("from_json(props, 'map<string,int>')"))
+      .select(
+        col("event_id"),
+        expr("m['k']").as("k_val"),
+        size(map_keys(col("m"))).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("key_list"))
+      .orderBy("event_id")
+
   /** Skew-safe exact count-distinct: two-stage aggregation (group by
     * (key, value) first, then count per key). Plain count(DISTINCT) funnels
     * each key's whole value set through one reducer — the classic skew
