@@ -60,6 +60,7 @@ object SparkEntry {
     "lang_id"           -> TextAnalysis.langId _,
     "quality_score"     -> TextAnalysis.qualityScore _,
     "doc_fingerprint"   -> TextAnalysis.docFingerprint _,
+    "doc_fingerprint_rolling" -> TextAnalysis.docFingerprintRolling _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
     // dedup family
     "dedup_exact"       -> Dedup.dedupExact _,

@@ -55,12 +55,49 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit polynomial rolling hash over a string's UTF-8 bytes
+  * (h ← h·31 + b, wrapping Long arithmetic) — the classic content
+  * fingerprint for near-duplicate pre-screening. Codegen'd tight loop, no
+  * allocation. Oracle-omitted: Java's wrapping overflow has no DuckDB twin
+  * (DuckDB raises on BIGINT overflow); pinned by a suite test instead. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  // called from generated code
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+    h
+  }
+}
+
 object VectorFunctions {
-  /** Idempotently registers vector functions in the session's function
-    * registry so queries can use them via `expr("vec_dot(a, b)")` / SQL. */
+  /** Idempotently registers the native functions in the session's function
+    * registry so queries can use them via `expr(...)` / SQL. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
   }
 }
 

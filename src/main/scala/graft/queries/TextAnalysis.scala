@@ -94,6 +94,28 @@ object TextAnalysis {
         substring(md5(lower(trim(col("text")))), 1, 8).as("fp_short"))
       .orderBy("doc_id")
 
+  /** Rolling-hash fingerprints (graft.functions.RollingHash, native codegen
+    * expression): per-doc 64-bit content hash plus per-window hashes of
+    * 16-token chunks — the winnowing-style shape used for partial-overlap
+    * detection. Rows-only (wrapping Long arithmetic has no DuckDB twin);
+    * the suite pins exact values. */
+  def docFingerprintRolling(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.documents(s, d)
+      .withColumn("toks", tokens)
+      .select(
+        col("doc_id"),
+        expr("rolling_hash(text)").as("fp_full"),
+        expr(
+          """transform(sequence(0, CAST(greatest(ceil(size(toks) / 16.0) - 1, 0) AS INT)),
+            |  w -> rolling_hash(array_join(slice(toks, w * 16 + 1, 16), ' ')))""".stripMargin)
+          .as("chunk_hashes"))
+      .select(col("doc_id"), col("fp_full"),
+        size(col("chunk_hashes")).as("n_chunks"),
+        expr("chunk_hashes[0]").as("first_chunk_hash"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top-3 terms per document, computed relationally: term frequency
     * per (doc, term), document frequency per term, idf = ln(N/df), top-k via
     * row_number. Two shuffles (token, doc_id) — both well-distributed keys.

@@ -80,6 +80,18 @@ class ExtensionSpec extends SparkSpec {
     new functions.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("rolling_hash matches a by-hand polynomial fold") {
+    functions.VectorFunctions.register(spark)
+    def ref(s: String): Long = {
+      var h = 1125899906842597L
+      s.getBytes("UTF-8").foreach(b => h = h * 31L + b)
+      h
+    }
+    val got = Seq("hello world", "", "graft").toDF("t")
+      .selectExpr("rolling_hash(t)").as[Long].collect().toSeq
+    assert(got == Seq(ref("hello world"), ref(""), ref("graft")))
+  }
+
   test("stub decoder features equal a by-hand recomputation") {
     val decoded = Multimodal.multimodalDecode(spark, sf)
       .filter(col("doc_id") === 0)
