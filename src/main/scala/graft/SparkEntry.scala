@@ -79,6 +79,8 @@ object SparkEntry {
     "subquery_correlated" -> Relational.subqueryCorrelated _,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "map_funcs"         -> Relational.mapFuncs _,
+    "pivot_status"      -> Relational.pivotStatus _,
+    "window_range"      -> Relational.windowRange _,
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
@@ -547,6 +549,19 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "window_range" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  count(1) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS peers_within_500
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -344,6 +344,29 @@ object Relational {
       .limit(20)
   }
 
+  /** Pivot: order counts per priority pivoted on status — groupBy().pivot()
+    * with an explicit value list (at scale the value list must be explicit:
+    * an implicit pivot scans the data twice to discover values). */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** RANGE-frame window aggregate: for each customer, how many peers in the
+    * same segment sit within ±500 of their balance (value-based frame, vs the
+    * row-based frames in windowFuncs). */
+  def windowRange(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        expr(
+          """count(1) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+            |  RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)""".stripMargin)
+          .as("peers_within_500"))
+      .orderBy("c_mktsegment", "c_custkey")
+
   /** TPC-H Q6 shape: pure filter + global aggregate — the fully-pushed-down
     * scan benchmark (all three predicates reach the parquet reader). */
   def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
