@@ -81,6 +81,10 @@ object SparkEntry {
     "map_funcs"         -> Relational.mapFuncs _,
     "pivot_status"      -> Relational.pivotStatus _,
     "window_range"      -> Relational.windowRange _,
+    "percentiles"       -> Relational.percentiles _,
+    "stats_aggs"        -> Relational.statsAggs _,
+    "grouped_arrays"    -> Relational.groupedArrays _,
+    "date_arith"        -> Relational.dateArith _,
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
@@ -549,6 +553,34 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "stats_aggs" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        |  round(var_samp(l_quantity), 4) AS qty_var,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "grouped_arrays" ->
+      """SELECT c_mktsegment, count(1) AS n,
+        |  array_to_string(list_sort(list(c_custkey)), ',') AS custkeys
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "pivot_status" ->
       """SELECT o_orderpriority,

@@ -344,6 +344,53 @@ object Relational {
       .limit(20)
   }
 
+  /** Ordered-set aggregates: exact interpolated percentiles (continuous
+    * quantile — at 100 TB you'd switch to approx_percentile's fixed-size
+    * sketch; the exact form is the correctness baseline). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderstatus")
+
+  /** Statistical aggregates: stddev/variance/correlation/covariance. */
+  def statsAggs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("qty_stddev"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("qty_disc_covar"))
+      .orderBy("l_returnflag")
+
+  /** Grouped collection: per-segment sorted key list via
+    * array_sort(collect_list) — joined to a string so the comparison is
+    * representation-stable across engines. */
+  def groupedArrays(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_custkey"))), ",").as("custkeys"))
+      .orderBy("c_mktsegment")
+
+  /** Date arithmetic: month-end, month addition, day difference — on DATE
+    * values derived from the NTZ order timestamps. */
+  def dateArith(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"))
+      .orderBy("o_orderkey")
+
   /** Pivot: order counts per priority pivoted on status — groupBy().pivot()
     * with an explicit value list (at scale the value list must be explicit:
     * an implicit pivot scans the data twice to discover values). */
