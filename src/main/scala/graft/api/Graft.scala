@@ -1,0 +1,134 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** The engine's user-facing API: every operator generalized over
+  * caller-supplied DataFrames and column names (the registry queries in
+  * `graft.queries` are these same operators bound to the driver's test
+  * tables). Columns conventions are documented per method; all results are
+  * plain DataFrames, so operators compose with any Spark pipeline.
+  *
+  * Everything here is declarative DataFrame construction — Catalyst owns
+  * optimization and the plans scale by partitioning, never by driver-side
+  * iteration.
+  */
+object Graft {
+
+  // ---------- text ----------
+
+  /** Single-space tokenization (the reference's `split(" ")` semantics,
+    * StreamSocket.scala:15) with empty tokens dropped: one row per token. */
+  def tokenize(df: DataFrame, textCol: String, out: String = "word"): DataFrame =
+    df.select(explode(split(col(textCol), " ", -1)).as(out))
+      .filter(length(col(out)) > 0)
+
+  /** Word count over any text column — the flagship computation. Works on
+    * batch AND streaming inputs (same plan, incrementalized by the engine). */
+  def wordCount(df: DataFrame, textCol: String): DataFrame =
+    tokenize(df, textCol)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Distinct n-token shingles per document: (idCol, "shingle") rows.
+    * Tokenization is hoisted into a column once — inlining split() in the
+    * lambda costs O(tokens²)/doc under codegen. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val shingleExpr =
+      s"""CASE WHEN size(__toks) >= $n THEN
+         |  array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
+         |    i -> array_join(slice(__toks, i, $n), ' ')))
+         |ELSE array() END""".stripMargin
+    df.withColumn("__toks", split(col(textCol), " ", -1))
+      .withColumn("shingle", explode(expr(shingleExpr)))
+      .drop("__toks", textCol)
+  }
+
+  // ---------- dedup ----------
+
+  /** Exact dedup on normalized content: one row per distinct fingerprint with
+    * the kept (minimum) id and the copy count. */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(lower(trim(col(textCol)))).as("fp"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures over n-gram shingle sets: (idCol, sig: array<long>).
+    * One shuffle of |docs|·numHashes longs (positional array aggregates). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    val P = 2147483647L
+    val as = (0 until numHashes).map(i => 2L * i * i + 3L * i + 1L)
+    val bs = (0 until numHashes).map(i => 7L * i * i + 5L * i + 3L)
+    val hashed = shingles(df.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
+      .select(col(idCol), (abs(xxhash64(col("shingle"))) % P).as("h"))
+      .withColumn("__pa", array(as.map(lit): _*))
+      .withColumn("__pb", array(bs.map(lit): _*))
+      .withColumn("__ph", expr(
+        s"transform(sequence(1, $numHashes), i -> (element_at(__pa, i) * h + element_at(__pb, i)) % ${P}L)"))
+    hashed.groupBy(idCol)
+      .agg((0 until numHashes).map(i => min(expr(s"element_at(__ph, ${i + 1})")).as(s"__m$i")).head,
+        (1 until numHashes).map(i => min(expr(s"element_at(__ph, ${i + 1})")).as(s"__m$i")): _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** Banded-LSH candidate pairs from MinHash signatures, with the estimated
+    * Jaccard (matching signature fraction). Pair volume is sum(|bucket|²)
+    * over band buckets — never N². */
+  def minhashCandidates(sig: DataFrame, idCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4, minEstJaccard: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val banded = sig.select(col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"))
+        .as(Seq("band", "bandsig")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", round(
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / numHashes.toDouble, 4))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---------- similarity ----------
+
+  /** Cosine similarity column between two float-vector columns (codegen'd
+    * VecDot under the hood; register via VectorFunctions.register / the
+    * GraftExtensions session hook). */
+  def cosine(a: String, b: String): Column =
+    expr(s"vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)))")
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest rows
+    * of `corpus` (excluding identical ids). Queries are broadcast — correct
+    * when |queries| is broadcast-sized; for large query sets use LSH/IVF
+    * blocking (Similarity.knnLsh / knnIvf show the shapes). */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("score6", round(cosine("qv", "cv"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("c_id"),
+        round(col("score6"), 4).as("cos_sim"))
+  }
+
+  // ---------- streaming ----------
+
+  /** The reference program as a reusable streaming transform: rolling word
+    * count over any streaming text DataFrame (attach to a socket/file/Kafka
+    * source and a sink of choice; update or complete output mode). */
+  def rollingWordCount(stream: DataFrame, textCol: String): DataFrame =
+    wordCount(stream, textCol)
+}

@@ -4,27 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-private object Shingles {
-  /** Distinct 3-token shingles over a pre-split `toks` array column; empty
-    * for docs under 3 tokens (mirrors the DuckDB oracle's empty `range`).
-    * ANSI-safe: indices only go up to size-2 so element_at never reads past
-    * the array. The tokenization MUST be hoisted into a column first —
-    * inlining `split(text)` here makes codegen re-split the string for every
-    * lambda element (O(tokens²) per doc; measured ~10× slower on the shingle
-    * queries at sf0.1). */
-  val fromToks: String =
-    """CASE WHEN size(toks) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(toks) - 2),
-      |    i -> concat(element_at(toks, i), ' ',
-      |                element_at(toks, i + 1), ' ',
-      |                element_at(toks, i + 2))))
-      |ELSE array() END""".stripMargin
-
-  def shingled(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.withColumn("toks", split(col("text"), " ", -1))
-      .withColumn("shingle", explode(expr(fromToks)))
-      .drop("toks")
-}
 
 /** Deduplication family for LLM-training-data pipelines (driver-mandated,
   * SURVEY.md §2.C): exact, normalized near-exact, n-gram Jaccard, MinHash-LSH,
@@ -44,9 +23,7 @@ object Dedup {
     * (The synthetic corpus has few full-text dups — sf0.1 has 8 — so most
     * groups have n_copies=1; the keep-list is the operator's output.) */
   def dedupExact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .groupBy(md5(lower(trim(col("text")))).as("fp"))
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    graft.api.Graft.dedupExact(Tables.documents(s, d), "doc_id", "text")
       .orderBy("keep_id")
 
   /** Near-exact dedup on a normalized key (first 10 tokens): catches
@@ -68,8 +45,9 @@ object Dedup {
     * ultra-common shingles — they only create noise pairs). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-    val shingles = Shingles.shingled(
-        docs.select(col("doc_id"), col("lang"), col("source"), col("text")))
+    val shingles = graft.api.Graft.shingles(
+        docs.select(col("doc_id"), col("lang"), col("source"), col("text")),
+        "doc_id", "text")
       .select("doc_id", "lang", "source", "shingle")
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = shingles.as("a")
@@ -97,50 +75,16 @@ object Dedup {
     * Oracle-omitted (xxhash64 has no DuckDB twin); property-tested in the
     * suite against exact Jaccard. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val P = 2147483647L // 2^31 - 1, Mersenne prime
-    // fixed coefficient families (deterministic; any fixed co-prime set works)
-    val as = (0 until 32).map(i => 2L * i * i + 3L * i + 1L)
-    val bs = (0 until 32).map(i => 7L * i * i + 5L * i + 3L)
     // Shingle (3-gram) sets, not token sets: the synthetic corpus draws from a
     // ~31-word vocabulary, so nearly every doc contains nearly every TOKEN and
     // token-set resemblance is degenerately ≈1; 3-gram shingles restore a
     // discriminative feature space (as in Broder's original shingling).
-    //
-    // Plan shape: one row per (doc, shingle) carrying all 32 permuted hashes
-    // as an array column, then a single groupBy(doc_id) with 32 positional
-    // `min` aggregates — one shuffle whose payload is |docs|·32 longs. (The
-    // naive alternative — explode 32× or cross-join a coefficient table, then
-    // groupBy(doc, i) — moves 32× the rows through the shuffle; measured 9×
-    // slower at sf0.1.) h < 2^31 and a ≤ ~2k keep a·h + b far from overflow.
-    val tokenHashes = Shingles.shingled(Tables.documents(s, d).select("doc_id", "text"))
-      .select(col("doc_id"), (abs(xxhash64(col("shingle"))) % P).as("h"))
-      .withColumn("pa", array(as.map(lit): _*))
-      .withColumn("pb", array(bs.map(lit): _*))
-      .withColumn("ph", expr(
-        s"transform(sequence(1, 32), i -> (element_at(pa, i) * h + element_at(pb, i)) % ${P}L)"))
-    val sig = tokenHashes
-      .groupBy("doc_id")
-      .agg((0 until 32).map(i => min(expr(s"element_at(ph, ${i + 1})")).as(s"m$i")).head,
-        (1 until 32).map(i => min(expr(s"element_at(ph, ${i + 1})")).as(s"m$i")): _*)
-      .select(col("doc_id"), array((0 until 32).map(i => col(s"m$i")): _*).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(expr("transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))"))
-        .as(Seq("band", "bandsig")))
-    val a = banded.as("a"); val b = banded.as("b")
-    // dedup candidate PAIRS (ids only — cheap), then re-attach signatures;
-    // distinct over the 32-wide signature arrays themselves is ~2× the bytes
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    pairs
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard", round(
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 32.0, 4))
-      .filter(col("est_jaccard") >= 0.2)
-      .select("id_a", "id_b", "est_jaccard")
+    // Implementation (one shuffle of |docs|·32 longs, banded candidates,
+    // id-pair dedup before signature re-attach) lives in graft.api.Graft.
+    val sig = graft.api.Graft.minhashSignatures(
+      Tables.documents(s, d), "doc_id", "text", numHashes = 32)
+    graft.api.Graft.minhashCandidates(sig, "doc_id",
+        bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
       .orderBy("id_a", "id_b")
   }
 

@@ -32,11 +32,7 @@ object Relational {
     * shuffle to |vocab| rows per partition, so the plan is scale-safe.
     */
   def wordCount(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(explode(split(col("text"), " ", -1)).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
+    graft.api.Graft.wordCount(Tables.documents(s, d), "text")
       .orderBy(col("cnt").desc, col("word").asc)
 
   /** TPC-H Q1 shape: scan-heavy single-pass aggregation over the fact table.

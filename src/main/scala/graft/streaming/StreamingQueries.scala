@@ -67,11 +67,8 @@ object StreamingQueries {
     * with the file source standing in for the socket. Final state equals the
     * batch word count — asserted by the shared oracle. */
   def streamWordCount(s: SparkSession, d: String): DataFrame = {
-    val counts = readStreamTable(s, d, "documents")
-      .select(explode(split(col("text"), " ", -1)).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
+    val counts = graft.api.Graft.rollingWordCount(
+      readStreamTable(s, d, "documents"), "text")
     runToMemory(s, counts, "graft_stream_wordcount", "complete")
       .orderBy(col("cnt").desc, col("word").asc)
   }

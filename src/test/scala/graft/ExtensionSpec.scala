@@ -109,4 +109,27 @@ class ExtensionSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("Graft facade word count equals a Scala-collections model") {
+    val got = api.Graft.wordCount(Tables.documents(spark, sf), "text")
+      .as[(String, Long)].collect().toMap
+    val model = Tables.documents(spark, sf).select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    assert(got == model)
+  }
+
+  test("Graft facade cosineTopK agrees with the registry brute-force query") {
+    val e = Tables.embeddings(spark, sf)
+    val facade = api.Graft.cosineTopK(
+        e.select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 5)
+      .select("q_id", "rn", "c_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val registry = queries.Similarity.knnBruteForce(spark, sf)
+      .select("q_id", "rn", "c_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(facade == registry)
+  }
 }
