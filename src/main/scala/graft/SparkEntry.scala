@@ -98,7 +98,9 @@ object SparkEntry {
     "stream_tumbling"   -> StreamingQueries.streamTumbling _,
     "stream_dedup"      -> StreamingQueries.streamDedup _,
     "stream_static_join" -> StreamingQueries.streamStaticJoin _,
+    "stream_stream_join" -> StreamingQueries.streamStreamJoin _,
     "stream_rolling_sum" -> StreamingQueries.streamRollingSum _,
+    "stream_rolling_sum_tws" -> StreamingQueries.streamRollingSumTws _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     // UDF/UDAF registration surface (D7)
@@ -545,6 +547,19 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "stream_rolling_sum" ->
+      """SELECT user_id, count(1) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, b.event_id AS purchase_id,
+        |  c.user_id AS user_id
+        |FROM events c JOIN events b
+        |  ON c.user_id = b.user_id
+        | AND c.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "stream_rolling_sum_tws" ->
       """SELECT user_id, count(1) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -1,7 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Per-key running count+sum on the Spark 4.x transformWithState API — the
+  * reference's I6 rolling keyed aggregate as typed arbitrary state, emitting a
+  * refreshed (n, total) per input batch. RocksDB-only (the API requires it). */
+class RunningAggProcessor extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var st: ValueState[(Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("agg",
+      Encoders.product[(Long, Double)], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val cur: (Long, Double) = if (st.exists()) st.get() else (0L, 0.0)
+    var n = cur._1
+    var total = cur._2
+    rows.foreach { r => n += 1; total += r._2 }
+    st.update((n, total))
+    Iterator((key, n, total))
+  }
+}
 
 /** Structured Streaming operators — the north-star surface. Each registry
   * query here actually RUNS a streaming query (file source → micro-batch
@@ -113,6 +133,52 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
     runToMemory(s, joined, "graft_stream_static_join", "complete")
       .orderBy("c_mktsegment")
+  }
+
+  /** Stream-stream time-interval join: clicks matched to same-user purchases
+    * within the following hour — both sides unbounded, state bounded by the
+    * watermarks (Spark evicts rows once they can no longer match). */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    def side(tpe: String, idAs: String, tsAs: String) =
+      readStreamTable(s, d, "events")
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(s"${idAs}_uid"),
+          col("ts").cast("timestamp").as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "click_id", "cts")
+    val buys = side("purchase", "purchase_id", "bts")
+    val joined = clicks.join(buys,
+        expr("click_id_uid = purchase_id_uid AND bts BETWEEN cts AND cts + INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("click_id_uid").as("user_id"))
+    runToMemory(s, joined, "graft_stream_stream_join", "append")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** The I6 rolling aggregate on the Spark 4.x transformWithState typed-state
+    * API (RocksDB-backed). The memory sink sees one refreshed row per key per
+    * batch; the monotone max per key is the final state — equal to the batch
+    * aggregate, which the shared oracle asserts. */
+  def streamRollingSumTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rolled = readStreamTable(s, d, "events")
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new RunningAggProcessor,
+          TimeMode.None(), OutputMode.Update(), Encoders.product[(Long, Long, Double)])
+        .toDF("user_id", "n", "total")
+      runToMemory(s, rolled, "graft_stream_rolling_sum_tws", "update")
+        .groupBy("user_id")
+        .agg(max("n").as("n"), round(max("total"), 2).as("total"))
+        .orderBy("user_id")
+    } finally {
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
   }
 
   /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed
