@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY.md §5.2.3): engine results equal
+  * Scala-collections models on generated inputs, and algebraic invariants
+  * (dedup idempotence, union additivity) hold. Generators run with fixed
+  * seeds so failures are reproducible. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("spark", "flink", "graft", "scan", "join", "sort")
+  private val docGen = Gen.listOfN(20, wordGen).map(_.mkString(" "))
+  private def sample[A](g: Gen[List[A]], seed: Long): List[A] =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("word count equals a Scala-collections model on generated corpora") {
+    for (seed <- 1L to 5L) {
+      val docs = sample(Gen.listOfN(50, docGen), seed)
+      val got = api.Graft.wordCount(docs.toDF("text"), "text")
+        .as[(String, Long)].collect().toMap
+      val model = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      assert(got == model, s"seed=$seed")
+    }
+  }
+
+  test("exact dedup is idempotent and complete on generated corpora") {
+    val docs = sample(Gen.listOfN(80, docGen), 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val once = api.Graft.dedupExact(df, "doc_id", "text")
+    val keepIds = once.select("keep_id").as[Long].collect().toSet
+    // keep-set covers every distinct text exactly once
+    assert(keepIds.size == docs.map(_._2.trim.toLowerCase).distinct.size)
+    // dedup of the deduped keep-set is the identity (all n_copies == 1)
+    val kept = df.filter(col("doc_id").isin(keepIds.toSeq: _*))
+    val twice = api.Graft.dedupExact(kept, "doc_id", "text")
+    assert(twice.filter(col("n_copies") =!= 1).count() == 0)
+    assert(twice.count() == once.count())
+  }
+
+  test("word count distributes over union (count(a ++ b) == count(a) + count(b))") {
+    val a = sample(Gen.listOfN(30, docGen), 11L)
+    val b = sample(Gen.listOfN(30, docGen), 13L)
+    val ca = api.Graft.wordCount(a.toDF("text"), "text").as[(String, Long)].collect().toMap
+    val cb = api.Graft.wordCount(b.toDF("text"), "text").as[(String, Long)].collect().toMap
+    val cu = api.Graft.wordCount((a ++ b).toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    val merged = (ca.keySet ++ cb.keySet)
+      .map(w => w -> (ca.getOrElse(w, 0L) + cb.getOrElse(w, 0L))).toMap
+    assert(cu == merged)
+  }
+
+  test("minhash candidate estimates are within tolerance of exact Jaccard") {
+    // near-duplicate corpus: base docs plus mutated copies
+    val base = sample(Gen.listOfN(15, Gen.listOfN(40, wordGen).map(_.mkString(" "))), 17L)
+    val docs = base.zipWithIndex.flatMap { case (t, i) =>
+      val toks = t.split(" ")
+      val mutated = (toks.take(36) ++ Array("x", "y", "z", "w")).mkString(" ")
+      Seq((i * 2L, t), (i * 2L + 1, mutated))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sig = api.Graft.minhashSignatures(df, "doc_id", "text")
+    val cands = api.Graft.minhashCandidates(sig, "doc_id", minEstJaccard = 0.1)
+      .as[(Long, Long, Double)].collect()
+    assert(cands.nonEmpty, "mutated near-dups should surface as candidates")
+    val byId = docs.toMap
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val errs = cands.map { case (ia, ib, est) =>
+      val sa = shingleSet(byId(ia)); val sb = shingleSet(byId(ib))
+      math.abs(est - sa.intersect(sb).size.toDouble / sa.union(sb).size)
+    }
+    assert(errs.sum / errs.length < 0.25,
+      s"mean minhash error ${errs.sum / errs.length}")
+  }
+}
