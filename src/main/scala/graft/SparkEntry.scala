@@ -81,6 +81,8 @@ object SparkEntry {
     "map_funcs"         -> Relational.mapFuncs _,
     "pivot_status"      -> Relational.pivotStatus _,
     "window_range"      -> Relational.windowRange _,
+    "window_distribution" -> Relational.windowDistribution _,
+    "array_setops"      -> Relational.arraySetOps _,
     "percentiles"       -> Relational.percentiles _,
     "stats_aggs"        -> Relational.statsAggs _,
     "grouped_arrays"    -> Relational.groupedArrays _,
@@ -568,6 +570,31 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  to_json(struct_pack(user_id := user_id, event_type := event_type)) AS packed
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_distribution" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(p_partkey) OVER w AS cheapest_key,
+        |  nth_value(p_partkey, 2) OVER w AS second_key
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC, p_partkey ASC)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "array_setops" ->
+      """SELECT doc_id,
+        |  CAST(len(head_set) AS INTEGER) AS n_head,
+        |  CAST(len(next_set) AS INTEGER) AS n_next,
+        |  CAST(len(list_intersect(head_set, next_set)) AS INTEGER) AS n_common,
+        |  CAST(len(list_distinct(list_concat(head_set, next_set))) AS INTEGER) AS n_union,
+        |  CAST(len(list_filter(head_set, x -> NOT list_contains(next_set, x))) AS INTEGER) AS n_only_head
+        |FROM (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(text, ' ')[1:10]) AS head_set,
+        |    list_distinct(string_split(text, ' ')[11:20]) AS next_set
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "percentiles" ->
       """SELECT o_orderstatus,

@@ -340,6 +340,39 @@ object Relational {
       .limit(20)
   }
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first_value / nth_value over a total within-partition order. */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+    Tables.part(s, d)
+      .select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first_value(col("p_partkey")).over(w).as("cheapest_key"),
+        nth_value(col("p_partkey"), 2).over(w).as("second_key"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** Array set operations: overlap between the first and second 10-token
+    * windows of each document (intersect as sets; sizes compared). */
+  def arraySetOps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " ", -1))
+      .select(
+        col("doc_id"),
+        expr("array_distinct(slice(toks, 1, 10))").as("head_set"),
+        expr("array_distinct(slice(toks, 11, 10))").as("next_set"))
+      .select(
+        col("doc_id"),
+        size(col("head_set")).as("n_head"),
+        size(col("next_set")).as("n_next"),
+        size(expr("array_intersect(head_set, next_set)")).as("n_common"),
+        size(expr("array_union(head_set, next_set)")).as("n_union"),
+        size(expr("array_except(head_set, next_set)")).as("n_only_head"))
+      .orderBy("doc_id")
+
   /** Ordered-set aggregates: exact interpolated percentiles (continuous
     * quantile — at 100 TB you'd switch to approx_percentile's fixed-size
     * sketch; the exact form is the correctness baseline). */
