@@ -20,8 +20,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val checks: Seq[(String, String => Boolean, String)] = Seq(
-      ("q1_pricing_summary", p => p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")
-        || p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      ("q1_pricing_summary", p => p.contains("PushedFilters: [IsNotNull(l_shipdate)")
+        && p.contains("LessThanOrEqual(l_shipdate"),
         "shipdate filter pushed to parquet scan"),
       ("q1_pricing_summary", p => !p.contains("l_comment") && p.contains("ReadSchema"),
         "column pruning (ReadSchema subset)"),
@@ -35,8 +35,7 @@ object PlanAudit {
         "top-k + broadcast join"),
       ("join_range", p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
         "theta join stays a hash join with post-filter"),
-      ("word_count", p => p.contains("HashAggregate") && p.contains("partial_count")
-        || p.contains("HashAggregate"),
+      ("word_count", p => p.contains("HashAggregate") && p.contains("partial_count"),
         "map-side partial aggregation"),
       ("knn_bruteforce", p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
         "query side broadcast (no shuffle of candidates)"),

@@ -55,7 +55,11 @@ object Graft {
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signatures over n-gram shingle sets: (idCol, sig: array<long>).
-    * One shuffle of |docs|·numHashes longs (positional array aggregates). */
+    * One shuffle of |docs|·numHashes longs (positional array aggregates).
+    * Documents with fewer than shingleN tokens have no shingle set; they are
+    * kept in the output with a NULL `sig` (so the signature table covers every
+    * input id) and are skipped by `minhashCandidates` — a doc too short to
+    * shingle has no MinHash identity and cannot be a near-dup candidate. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     val P = 2147483647L
@@ -67,10 +71,12 @@ object Graft {
       .withColumn("__pb", array(bs.map(lit): _*))
       .withColumn("__ph", expr(
         s"transform(sequence(1, $numHashes), i -> (element_at(__pa, i) * h + element_at(__pb, i)) % ${P}L)"))
-    hashed.groupBy(idCol)
+    val sigs = hashed.groupBy(idCol)
       .agg((0 until numHashes).map(i => min(expr(s"element_at(__ph, ${i + 1})")).as(s"__m$i")).head,
         (1 until numHashes).map(i => min(expr(s"element_at(__ph, ${i + 1})")).as(s"__m$i")): _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+    // Re-attach ids whose shingle set was empty (< shingleN tokens): NULL sig.
+    df.select(col(idCol)).join(sigs, Seq(idCol), "left")
   }
 
   /** Banded-LSH candidate pairs from MinHash signatures, with the estimated
@@ -79,7 +85,7 @@ object Graft {
   def minhashCandidates(sig: DataFrame, idCol: String,
       bands: Int = 8, rowsPerBand: Int = 4, minEstJaccard: Double = 0.2): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val banded = sig.select(col(idCol),
+    val banded = sig.filter(col("sig").isNotNull).select(col(idCol),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"))
         .as(Seq("band", "bandsig")))

@@ -156,8 +156,11 @@ object StreamingQueries {
 
   /** The I6 rolling aggregate on the Spark 4.x transformWithState typed-state
     * API (RocksDB-backed). The memory sink sees one refreshed row per key per
-    * batch; the monotone max per key is the final state — equal to the batch
-    * aggregate, which the shared oracle asserts. */
+    * batch; the row with the highest row-count n per key is the final state —
+    * equal to the batch aggregate, which the shared oracle asserts. (n is
+    * monotone by construction; total is recovered via max_by(total, n), NOT
+    * max(total), so correctness doesn't depend on event values being
+    * positive.) */
   def streamRollingSumTws(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -174,7 +177,7 @@ object StreamingQueries {
         .toDF("user_id", "n", "total")
       runToMemory(s, rolled, "graft_stream_rolling_sum_tws", "update")
         .groupBy("user_id")
-        .agg(max("n").as("n"), round(max("total"), 2).as("total"))
+        .agg(max("n").as("n"), round(expr("max_by(total, n)"), 2).as("total"))
         .orderBy("user_id")
     } finally {
       prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
