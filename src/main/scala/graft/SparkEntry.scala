@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, EventTime, Formats, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, EventTime, Extended, Formats, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — the engine's public registry.
@@ -87,6 +87,25 @@ object SparkEntry {
     "stats_aggs"        -> Relational.statsAggs _,
     "grouped_arrays"    -> Relational.groupedArrays _,
     "date_arith"        -> Relational.dateArith _,
+    // extended relational surface (round 2)
+    "unpivot_metrics"   -> Extended.unpivotMetrics _,
+    "generator_funcs"   -> Extended.generatorFuncs _,
+    "sample_hash"       -> Extended.sampleHash _,
+    "hash_funcs"        -> Extended.hashFuncs _,
+    "regex_funcs"       -> Extended.regexFuncs _,
+    "bitwise_funcs"     -> Extended.bitwiseFuncs _,
+    "conditional_aggs"  -> Extended.conditionalAggs _,
+    "argminmax"         -> Extended.argMinMax _,
+    "histogram_buckets" -> Extended.histogramBuckets _,
+    "time_funcs"        -> Extended.timeFuncs _,
+    // time-series joins / spine
+    "asof_join"         -> EventTime.asofJoin _,
+    "gap_fill"          -> EventTime.gapFill _,
+    // dedup (round 2)
+    "dedup_levenshtein" -> Dedup.dedupLevenshtein _,
+    "dedup_minhash_mllib" -> Dedup.dedupMinhashMllib _,
+    // fused top-k aggregate
+    "knn_topk_agg"      -> Similarity.knnTopkAgg _,
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
@@ -103,6 +122,8 @@ object SparkEntry {
     "stream_stream_join" -> StreamingQueries.streamStreamJoin _,
     "stream_rolling_sum" -> StreamingQueries.streamRollingSum _,
     "stream_rolling_sum_tws" -> StreamingQueries.streamRollingSumTws _,
+    "stream_sliding"    -> StreamingQueries.streamSliding _,
+    "stream_session"    -> StreamingQueries.streamSession _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     // UDF/UDAF registration surface (D7)
@@ -684,5 +705,162 @@ object SparkEntry {
       """SELECT event_type, count(1) AS n,
         |  round(sum(least(greatest(value, 50), 150)), 2) AS clipped_total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "unpivot_metrics" ->
+      """SELECT metric, count(1) AS n, round(sum(value), 2) AS total,
+        |  round(avg(value), 6) AS avg_v
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
+
+    "generator_funcs" ->
+      """SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+        |  unnest(toks) AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "hash_funcs" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        |  CAST(length(md5(text)) AS INTEGER) AS md5_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "regex_funcs" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([0-9]+)', 1) AS first_num,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+        |  substring(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS head_devowel,
+        |  regexp_matches(text, 'the .* key') AS has_pattern
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "bitwise_funcs" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 15 AS k_or,
+        |  xor(o_orderkey, 255) AS k_xor,
+        |  o_orderkey << 2 AS k_shl,
+        |  o_orderkey >> 2 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS k_bits
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "conditional_aggs" ->
+      """SELECT o_orderstatus,
+        |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN o_totalprice ELSE 0 END), 2) AS urgent_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "argminmax" ->
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS priciest_order,
+        |  min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS cheapest_order,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "histogram_buckets" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bucket,
+        |  count(1) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "time_funcs" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  CAST(extract(hour FROM ts) AS INTEGER) AS hr,
+        |  CAST(extract(minute FROM ts) AS INTEGER) AS minu,
+        |  CAST(extract(day FROM ts) AS INTEGER) AS dom,
+        |  CAST(extract(month FROM ts) AS INTEGER) AS mon,
+        |  CAST(quarter(ts) AS INTEGER) AS qtr
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, c.click_id, c.ts AS click_ts
+        |FROM purchases p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "gap_fill" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, event_type, value FROM events),
+        |hourly AS (SELECT h, event_type, count(1) AS n0, sum(value) AS total0
+        |           FROM ev GROUP BY h, event_type),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT h, event_type, COALESCE(n0, 0) AS n,
+        |  round(COALESCE(total0, 0), 2) AS total
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN hourly USING (h, event_type)
+        |ORDER BY h, event_type""".stripMargin,
+
+    "dedup_levenshtein" ->
+      """WITH d AS (SELECT doc_id, lang, source, substring(text, 1, 20) AS blk,
+        |                  substring(text, 1, 60) AS head FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.head, b.head) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_topk_agg" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings),
+        |p AS (
+        |  SELECT q_id, c_id, label,
+        |    round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+        |       sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS score6
+        |  FROM q JOIN c ON q_id <> c_id),
+        |r AS (
+        |  SELECT q_id, c_id, label, score6,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
+        |  FROM p)
+        |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH x AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events)
+        |SELECT ws, event_type, count(1) AS n, round(sum(value), 2) AS total
+        |FROM x GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(1) AS n, round(sum(value), 2) AS total
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -123,6 +123,53 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Edit-distance near-dup: Levenshtein over document heads, blocked on
+    * (lang, source, 20-char prefix) — the same bucket-then-compare contract as
+    * every other near-dup variant (pair volume sum(|block|²), never N²).
+    * Distance runs on the first 60 chars: O(60²) per pair, row-local,
+    * codegen'd. */
+  def dedupLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 20).as("blk"),
+        substring(col("text"), 1, 60).as("head"))
+    val a = docs.as("a"); val b = docs.as("b")
+    a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.head"), col("b.head")))
+      .filter(col("dist") <= 20)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("dist").cast("int").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash-LSH near-dup through Spark MLlib (`MinHashLSH` +
+    * `HashingTF` — SURVEY.md §2.C names this as the library path): shingle
+    * sets → sparse term-frequency vectors → 8 seeded hash tables →
+    * approxSimilarityJoin at Jaccard distance ≤ 0.8. Deterministic via the
+    * fixed seed, but the hash family has no SQL twin → rows-only; the
+    * hand-rolled banded variant (dedupMinhash) is property-tested against
+    * exact Jaccard and this one shares its candidate contract. */
+  def dedupMinhashMllib(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sh = graft.api.Graft.shingles(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val feat = tf.transform(sh)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    lsh.fit(feat).approxSimilarityJoin(feat, feat, 0.8, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        round(lit(1.0) - col("jaccard_dist"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-dup. Blocking: vec_id mod 16 (a stand-in for the
     * LSH/IVF bucket id Similarity.knnLsh computes) keeps pair volume at
     * sum(|block|²) ≈ N²/16; the threshold is low (0.25) because the synthetic

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Batch event-time operators over the events table: tumbling / sliding /
@@ -42,6 +43,57 @@ object EventTime {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n"), col("total"))
       .orderBy("user_id", "session_start")
+
+  /** AS-OF join: each purchase matched to the same user's most recent click
+    * at or before it (the time-series point-in-time join Spark has no native
+    * operator for). Implementation is the scale-correct shape: union both
+    * sides, ONE shuffle on user_id, and a running `last(click, ignoreNulls)`
+    * window — O(n log n) per user partition, no range self-join, no candidate
+    * blow-up. Clicks are pre-deduped to one per (user, ts) (max event_id) so
+    * ties are deterministic; at equal timestamps the click sorts first, i.e.
+    * "as of" is inclusive (purchase.ts >= click.ts — DuckDB ASOF semantics,
+    * which the oracle uses). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val u = clicks.select(col("user_id"), col("ts"), col("click_id"),
+        lit(null).cast("long").as("purchase_id"), lit(0).as("kind"))
+      .unionByName(purchases.select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("click_id"), col("purchase_id"), lit(1).as("kind")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), coalesce(col("purchase_id"), col("click_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("last_click").isNotNull)
+      .select(col("purchase_id"), col("user_id"),
+        col("last_click").as("click_id"), col("last_click_ts").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** Gap-filled hourly series: every (hour, event_type) cell in the data's
+    * span, zero-filled where no events landed — `sequence()` generates the
+    * time spine (driver-side-loop-free), the tiny type dimension is broadcast,
+    * and the left join against the hourly aggregate is the only shuffle. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("h", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
+    val hourly = ev.groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n0"), sum("value").as("total0"))
+    val hours = ev.agg(min("h").as("lo"), max("h").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val types = ev.select("event_type").distinct()
+    hours.crossJoin(broadcast(types))
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n0"), lit(0L)).as("n"),
+        round(coalesce(col("total0"), lit(0.0)), 2).as("total"))
+      .orderBy("h", "event_type")
+  }
 
   /** The reference's I6 rolling keyed sum (StreamSocket.scala:15 `keyBy(0)
     * .sum(1)`) through the TYPED arbitrary-state API shape: groupByKey +

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-2 widening of the relational surface (SURVEY.md §2.C "full relational
+  * algebra" — declared via the reference's Table-planner dependency,
+  * study/pom.xml:147-166): unpivot/melt, generator functions, deterministic
+  * hash sampling, cryptographic hash functions, regex functions, bitwise
+  * arithmetic, conditional/filtered aggregates, arg-min/max aggregates, and
+  * fixed-width histograms. All built-in Catalyst expressions — every query is
+  * scan → narrow codegen'd compute → at most one shuffle.
+  */
+object Extended {
+
+  /** Unpivot (melt): the four lineitem measures as (metric, value) rows, then
+    * per-metric stats — the wide→long reshape every feature pipeline needs.
+    * Spark's native `unpivot` expands rows before the aggregation shuffle;
+    * the expansion is row-local, so it scales with input splits. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        round(avg("value"), 6).as("avg_v"))
+      .orderBy("metric")
+
+  /** Generator function with ordinality: posexplode gives (position, token)
+    * per document token — the UDTF surface (D7) beyond plain explode. */
+  def generatorFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  /** Deterministic hash sampling: keep rows whose md5(key) falls in a fixed
+    * hex-prefix range — a 2/16 systematic sample that is reproducible across
+    * engines and runs (unlike TABLESAMPLE/rand()), composable per key, and
+    * shuffle-free. This is how a 100 TB pipeline carves held-out slices. */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Cryptographic hash functions: md5 / sha2-256 content digests — the
+    * fingerprint surface for exact dedup and cache keys. */
+  def hashFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex"),
+        length(md5(col("text"))).cast("int").as("md5_len"))
+      .orderBy("doc_id")
+
+  /** Regex surface: extract / extract-all-count / global replace / rlike. */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("int").as("n_nums"),
+        substring(regexp_replace(col("text"), "[aeiou]", "_"), 1, 40).as("head_devowel"),
+        col("text").rlike("the .* key").as("has_pattern"))
+      .orderBy("doc_id")
+
+  /** Bitwise arithmetic: and / or / xor / shifts / popcount over the key
+    * column — codegen'd primitive ops (the SimHash/Bloom building blocks). */
+  def bitwiseFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("o_orderkey").bitwiseOR(lit(15L)).as("k_or"),
+        col("o_orderkey").bitwiseXOR(lit(255L)).as("k_xor"),
+        shiftleft(col("o_orderkey"), 2).as("k_shl"),
+        shiftright(col("o_orderkey"), 2).as("k_shr"),
+        bit_count(col("o_orderkey")).cast("int").as("k_bits"))
+      .orderBy("o_orderkey")
+
+  /** Conditional aggregates: count_if / bool_and / bool_or / filtered sum —
+    * predicate-folded aggregation without a self-join. */
+  def conditionalAggs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("count_if(o_totalprice > 100000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(lit(0.0))), 2).as("urgent_total"))
+      .orderBy("o_orderstatus")
+
+  /** Arg-min/arg-max aggregates (max_by / min_by): the order key of the
+    * priciest / cheapest order per status. The ordering key adds a
+    * key-scaled epsilon (1e-9·orderkey, far below the 0.01 price
+    * granularity) so ties are broken deterministically in both engines. */
+  def argMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9)").as("priciest_order"),
+        expr("min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9)").as("cheapest_order"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(min("o_totalprice"), 2).as("min_price"))
+      .orderBy("o_orderstatus")
+
+  /** Fixed-width histogram: 50k-wide price buckets — single scan, bucket id
+    * computed row-local, one shuffle on the (small) bucket key. */
+  def histogramBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+
+  /** Timestamp field extraction: epoch seconds + calendar parts — the
+    * event-time bucketing primitives under every window operator. */
+  def timeFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("epoch_s"),
+        hour(col("ts")).cast("int").as("hr"),
+        minute(col("ts")).cast("int").as("minu"),
+        dayofmonth(col("ts")).cast("int").as("dom"),
+        month(col("ts")).cast("int").as("mon"),
+        quarter(col("ts")).cast("int").as("qtr"))
+      .orderBy("event_id")
+}

@@ -130,6 +130,31 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Brute-force top-k via the fused top-k AGGREGATE (graft.functions
+    * .TopKNeighbors) instead of a window sort: map-side partial aggregation
+    * keeps only k candidates per (query, partition), so the shuffle carries
+    * Q·k·partitions rows and no global per-key sort ever happens — the
+    * scale-optimal top-k shape (same results as knnBruteForce; the shared
+    * oracle asserts it). */
+  def knnTopkAgg(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
+    val topk = udaf(new graft.functions.TopKNeighbors(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Neighbor])
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("score6", round(expr(cos), 6))
+      .groupBy("q_id")
+      .agg(topk(col("c_id"), col("label"), col("score6")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rn"),
+        col("nb.c_id").as("c_id"), col("nb.label").as("label"),
+        round(col("nb.score"), 4).as("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Corpus vector statistics per cluster label: count and L2-norm spread —
     * the cheap sanity pass before any ANN build (single scan, one shuffle on
     * the 10-value label key). */

@@ -109,6 +109,39 @@ object StreamingQueries {
       .orderBy("ws", "event_type")
   }
 
+  /** Event-time sliding windows (2 h length, 1 h hop) per event type — each
+    * event contributes to two windows; state per open window in the store. */
+  def streamSliding(s: SparkSession, d: String): DataFrame = {
+    val agg = readStreamTable(s, d, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").cast("timestamp_ntz").as("ws"),
+        col("event_type"), col("n"), col("total"))
+    runToMemory(s, agg, "graft_stream_sliding", "complete")
+      .orderBy("ws", "event_type")
+  }
+
+  /** Event-time session windows per user (30-minute gap) on a stream:
+    * `session_window` merges overlapping per-key intervals in the state store.
+    * Complete mode keeps every closed-and-merged session in the result table,
+    * so the final state equals the batch session_windows aggregate (shared
+    * oracle). */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val agg = readStreamTable(s, d, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n"), col("total"))
+    runToMemory(s, agg, "graft_stream_session", "complete")
+      .orderBy("user_id", "session_start")
+  }
+
   /** Streaming dedup: dropDuplicates on (user_id, event_type) keeps the first
     * arrival per pair in the state store; downstream counts distinct pairs
     * per type. (With a watermark this would be dropDuplicatesWithinWatermark
