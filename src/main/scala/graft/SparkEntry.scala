@@ -98,6 +98,11 @@ object SparkEntry {
     "argminmax"         -> Extended.argMinMax _,
     "histogram_buckets" -> Extended.histogramBuckets _,
     "time_funcs"        -> Extended.timeFuncs _,
+    "inline_stack"      -> Extended.inlineStack _,
+    "try_funcs"         -> Extended.tryFuncs _,
+    "map_explode"       -> Extended.mapExplode _,
+    "join_salted"       -> Extended.joinSalted _,
+    "ngram_counts"      -> TextAnalysis.ngramCounts _,
     // time-series joins / spine
     "asof_join"         -> EventTime.asofJoin _,
     "gap_fill"          -> EventTime.gapFill _,
@@ -783,6 +788,48 @@ object SparkEntry {
         |  CAST(extract(month FROM ts) AS INTEGER) AS mon,
         |  CAST(quarter(ts) AS INTEGER) AS qtr
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "inline_stack" ->
+      """SELECT o_orderkey, u.kind AS kind, u.amt AS amt FROM (
+        |  SELECT o_orderkey, unnest([
+        |    {'kind': 'gross', 'amt': o_totalprice},
+        |    {'kind': 'twice', 'amt': o_totalprice * 2}]) AS u
+        |  FROM orders WHERE o_orderkey <= 100)
+        |ORDER BY o_orderkey, kind""".stripMargin,
+
+    "try_funcs" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CASE
+        |    WHEN COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) = 0
+        |    THEN NULL
+        |    ELSE value / TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+        |  END AS v_per_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "map_explode" ->
+      """SELECT event_id, k, json_extract_string(props, '$.' || k) AS v
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+        |ORDER BY event_id, k""".stripMargin,
+
+    "join_salted" ->
+      """SELECT o_orderpriority, count(1) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "ngram_counts" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT lang, unnest(list_transform(range(1, len(t)),
+        |         i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks),
+        |counts AS (SELECT lang, bigram, count(1) AS n FROM bg GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, bigram, n,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, bigram ASC) AS INTEGER) AS rn
+        |  FROM counts)
+        |SELECT lang, rn, bigram, n FROM ranked WHERE rn <= 5
+        |ORDER BY lang, rn""".stripMargin,
 
     "asof_join" ->
       """WITH clicks AS (

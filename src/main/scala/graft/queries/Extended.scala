@@ -120,6 +120,64 @@ object Extended {
         round(max("o_totalprice"), 2).as("hi"))
       .orderBy("bucket")
 
+  /** Generator over literal struct rows (`inline`): each order expanded into
+    * a (kind, amt) breakdown — the UDTF shape for emitting N typed rows per
+    * input row (row-local, codegen'd, no shuffle). */
+  def inlineStack(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"), inline(array(
+        struct(lit("gross").as("kind"), col("o_totalprice").as("amt")),
+        // ×2 is a binary-exact scale (exponent bump) — no rounding call, so
+        // no HALF_UP/HALF_EVEN divergence between engines
+        struct(lit("twice").as("kind"), (col("o_totalprice") * 2).as("amt")))))
+      .orderBy("o_orderkey", "kind")
+
+  /** Error-safe expressions: try_cast on untrusted JSON scalars and
+    * try_divide's NULL-on-zero-divisor — the ingest-hardening surface (a bad
+    * record yields NULL, never a task failure, at any scale). */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
+        // no round(): IEEE double division is bit-identical across engines,
+        // while rounding a quotient can land on a half-way tie and diverge
+        expr("try_divide(value, try_cast(get_json_object(props, '$.k') AS INT))")
+          .as("v_per_k"))
+      .orderBy("event_id")
+
+  /** Map generator: parse the JSON props column into MapType and explode to
+    * (key, value) rows — the dynamic-schema escape hatch for semi-structured
+    * columns. */
+  def mapExplode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))).as(Seq("k", "v")))
+      .orderBy("event_id", "k")
+
+  /** Skew-safe salted join: the fact side gets a deterministic salt in
+    * [0, 8), the (small) build side is replicated across all 8 salts, and the
+    * join key becomes (key, salt) — splitting any hot key's rows across 8
+    * reducers. Result is identical to the unsalted join (the oracle asserts
+    * it); this is the manual fallback when AQE's skew handling can't apply
+    * (e.g. a skewed aggregation feeding a join). */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val nSalts = 8
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_extendedprice")), lit(nSalts)))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Timestamp field extraction: epoch seconds + calendar parts — the
     * event-time bucketing primitives under every window operator. */
   def timeFuncs(s: SparkSession, d: String): DataFrame =

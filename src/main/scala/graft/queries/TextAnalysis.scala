@@ -141,4 +141,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("score"))
       .orderBy("doc_id", "rn")
   }
+
+  /** Top-5 token bigrams per language: adjacent-pair n-grams built row-locally
+    * from the hoisted token array (never re-splitting inside the lambda), one
+    * shuffle on the (lang, bigram) count key, top-k via row_number. The
+    * corpus-statistics pass behind phrase mining / tokenizer training. */
+  def ngramCounts(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " ", -1))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(t) >= 2 THEN
+          |  transform(sequence(1, size(t) - 1),
+          |    i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+          |ELSE array() END""".stripMargin)).as("bigram"))
+    val counts = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+    counts.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("bigram"), col("n"))
+      .orderBy("lang", "rn")
+  }
 }
