@@ -54,6 +54,10 @@ object SparkEntry {
     "json_funcs"        -> Relational.jsonFuncs _,
     "top_customers"     -> Relational.topCustomers _,
     "approx_distinct"   -> Relational.approxDistinct _,
+    "q4_priority_exists" -> Relational.q4PriorityExists _,
+    "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "higher_order_funcs" -> Extended.higherOrderFuncs _,
+    "multimodal_frames" -> Multimodal.multimodalFrames _,
     // text analysis (LLM-pipeline extension surface)
     "text_stats"        -> TextAnalysis.textStats _,
     "token_count"       -> TextAnalysis.tokenCount _,
@@ -788,6 +792,52 @@ object SparkEntry {
         |  CAST(extract(month FROM ts) AS INTEGER) AS mon,
         |  CAST(quarter(ts) AS INTEGER) AS qtr
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(1) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "higher_order_funcs" ->
+      """SELECT vec_id,
+        |  round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2),
+        |    (a, b) -> a + b), 6) AS sum_scaled,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    (a, b) -> a + b), 6) AS reduced_sum,
+        |  round(list_reduce(list_transform(list_zip(embedding, list_reverse(embedding)),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b), 6) AS dot_rev,
+        |  list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE) > 0.4), true) AS any_big,
+        |  (len(list_filter(embedding, x -> x IS NOT NULL)) = len(embedding)) AS all_nonnull
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  md5(payload_hex || '-' || frame_idx) AS frame_hash
+        |FROM (
+        |  SELECT doc_id, CAST(n_chars % 8 + 2 AS INTEGER) AS n_frames,
+        |    unnest(range(n_chars % 8 + 2)) AS frame_idx,
+        |    md5(text) AS payload_hex
+        |  FROM documents)
+        |WHERE frame_idx % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "inline_stack" ->
       """SELECT o_orderkey, u.kind AS kind, u.amt AS amt FROM (

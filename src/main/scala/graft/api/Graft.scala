@@ -130,6 +130,84 @@ object Graft {
         round(col("score6"), 4).as("cos_sim"))
   }
 
+  // ---------- time series ----------
+
+  /** AS-OF (point-in-time) join: for every `left` row, attach `rightValCol`
+    * from the `right` row with the greatest `tsCol` ≤ the left row's `tsCol`
+    * and the same `keyCol` (inclusive at equal timestamps — DuckDB ASOF
+    * semantics). Adds `<rightValCol>_asof` and `<tsCol>_asof` columns; left
+    * rows with no prior right row are dropped.
+    *
+    * Scale shape: union both sides, ONE shuffle on the key, and a running
+    * `last(_, ignoreNulls)` window per key — no range self-join, no candidate
+    * blow-up; O(n log n) per key partition. Right rows are pre-deduped to one
+    * per (key, ts) via max(rightValCol), which also makes ties deterministic. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightValCol: String): DataFrame = {
+    val payload = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val r = right.groupBy(col(keyCol), col(tsCol))
+      .agg(max(rightValCol).as(rightValCol))
+    val rValType = r.schema(rightValCol).dataType
+    val rightAligned = r.select(
+      Seq(col(keyCol), col(tsCol), col(rightValCol), lit(0).as("__kind")) ++
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftAligned = left.select(
+      Seq(col(keyCol), col(tsCol), lit(null).cast(rValType).as(rightValCol),
+        lit(1).as("__kind")) ++ payload.map(col): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightAligned.unionByName(leftAligned)
+      .withColumn(s"${rightValCol}_asof",
+        last(col(rightValCol), ignoreNulls = true).over(w))
+      .withColumn(s"${tsCol}_asof",
+        last(when(col("__kind") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1 && col(s"${rightValCol}_asof").isNotNull)
+      .select(Seq(col(keyCol), col(tsCol)) ++ payload.map(col) ++
+        Seq(col(s"${rightValCol}_asof"), col(s"${tsCol}_asof")): _*)
+  }
+
+  /** Gap-filled time series: truncate `tsCol` to `unit`, aggregate
+    * count/sum(valCol) per (bucket, dimCol), and left-join onto the complete
+    * bucket × dimension spine (`sequence()` between min and max bucket — no
+    * driver-side loop), zero-filling empty cells. Output columns:
+    * (`<tsCol>_bucket`, dimCol, n, total). */
+  def gapFill(df: DataFrame, tsCol: String, dimCol: String, valCol: String,
+      unit: String = "hour"): DataFrame = {
+    val bucket = s"${tsCol}_bucket"
+    val ev = df.withColumn(bucket,
+      date_trunc(unit, col(tsCol)).cast(df.schema(tsCol).dataType))
+    val agg = ev.groupBy(bucket, dimCol)
+      .agg(count(lit(1)).as("__n"), sum(valCol).as("__total"))
+    val spine = ev.agg(min(bucket).as("lo"), max(bucket).as("hi"))
+      .select(explode(expr(s"sequence(lo, hi, interval 1 $unit)")).as(bucket))
+    val dims = ev.select(dimCol).distinct()
+    spine.crossJoin(broadcast(dims))
+      .join(agg, Seq(bucket, dimCol), "left")
+      .select(col(bucket), col(dimCol),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__total"), lit(0.0)).as("total"))
+  }
+
+  // ---------- joins at scale ----------
+
+  /** Skew-safe salted equi-join: `fact` rows get a deterministic salt in
+    * [0, nSalts) derived from the join key plus a caller-chosen entropy
+    * column (something that varies WITHIN a hot key — a measure, a line
+    * number), the `dim` side is replicated once per salt, and the join key
+    * becomes (key, salt) — splitting any hot key across nSalts reducers.
+    * Results are identical to the plain join. Use when AQE's skew-join
+    * splitting can't apply (skewed agg feeding a join, non-AQE engines). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, entropy: Column, nSalts: Int = 8): DataFrame = {
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(col(factKey), entropy), lit(nSalts.toLong)))
+    val dr = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    f.join(dr, f(factKey) === dr(dimKey) && f("__salt") === dr("__salt"))
+      .drop("__salt")
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -56,22 +56,12 @@ object EventTime {
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
-      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
-    val u = clicks.select(col("user_id"), col("ts"), col("click_id"),
-        lit(null).cast("long").as("purchase_id"), lit(0).as("kind"))
-      .unionByName(purchases.select(col("user_id"), col("ts"),
-        lit(null).cast("long").as("click_id"), col("purchase_id"), lit(1).as("kind")))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("kind"), coalesce(col("purchase_id"), col("click_id")))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
-      .withColumn("last_click_ts",
-        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1 && col("last_click").isNotNull)
+    graft.api.Graft.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
       .select(col("purchase_id"), col("user_id"),
-        col("last_click").as("click_id"), col("last_click_ts").as("click_ts"))
+        col("click_id_asof").as("click_id"), col("ts_asof").as("click_ts"))
       .orderBy("purchase_id")
   }
 
@@ -79,21 +69,11 @@ object EventTime {
     * span, zero-filled where no events landed — `sequence()` generates the
     * time spine (driver-side-loop-free), the tiny type dimension is broadcast,
     * and the left join against the hourly aggregate is the only shuffle. */
-  def gapFill(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .withColumn("h", date_trunc("hour", col("ts")).cast("timestamp_ntz"))
-    val hourly = ev.groupBy("h", "event_type")
-      .agg(count(lit(1)).as("n0"), sum("value").as("total0"))
-    val hours = ev.agg(min("h").as("lo"), max("h").as("hi"))
-      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-    val types = ev.select("event_type").distinct()
-    hours.crossJoin(broadcast(types))
-      .join(hourly, Seq("h", "event_type"), "left")
-      .select(col("h"), col("event_type"),
-        coalesce(col("n0"), lit(0L)).as("n"),
-        round(coalesce(col("total0"), lit(0.0)), 2).as("total"))
+  def gapFill(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.gapFill(Tables.events(s, d), "ts", "event_type", "value")
+      .select(col("ts_bucket").as("h"), col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
       .orderBy("h", "event_type")
-  }
 
   /** The reference's I6 rolling keyed sum (StreamSocket.scala:15 `keyBy(0)
     * .sum(1)`) through the TYPED arbitrary-state API shape: groupByKey +

@@ -162,21 +162,34 @@ object Extended {
     * reducers. Result is identical to the unsalted join (the oracle asserts
     * it); this is the manual fallback when AQE's skew handling can't apply
     * (e.g. a skewed aggregation feeding a join). */
-  def joinSalted(s: SparkSession, d: String): DataFrame = {
-    val nSalts = 8
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_extendedprice"))
-      .withColumn("salt",
-        pmod(xxhash64(col("l_orderkey"), col("l_extendedprice")), lit(nSalts)))
-    val ord = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .withColumn("salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
-    li.join(ord,
-        col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+  def joinSalted(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey", col("l_extendedprice"), nSalts = 8)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
       .orderBy("o_orderpriority")
-  }
+
+  /** Higher-order array functions over the embedding vectors: transform /
+    * filter / aggregate (left fold) / zip_with / exists / forall — all
+    * row-local, codegen'd lambda compute (D7's scalar-function surface for
+    * ARRAY types). The fold-based sums are sequential left-to-right, which
+    * DuckDB's list_reduce mirrors exactly (bit-identical doubles). */
+  def higherOrderFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * 2)"), 6)
+          .as("sum_scaled"),
+        size(expr("filter(embedding, x -> x > 0)")).cast("int").as("n_pos"),
+        round(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6)
+          .as("reduced_sum"),
+        round(expr(
+          "aggregate(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"), 6)
+          .as("dot_rev"),
+        expr("exists(embedding, x -> x > 0.4)").as("any_big"),
+        expr("forall(embedding, x -> x IS NOT NULL)").as("all_nonnull"))
+      .orderBy("vec_id")
 
   /** Timestamp field extraction: epoch seconds + calendar parts — the
     * event-time bucketing primitives under every window operator. */

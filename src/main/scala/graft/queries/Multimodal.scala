@@ -51,6 +51,26 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Video-style frame sampling over an opaque binary payload: each asset
+    * carries a frame count in its metadata; `sequence()` + posexplode emit
+    * one row per SAMPLED frame (every 2nd — the stride a real pipeline uses
+    * to cap decode cost), and the per-frame "decode" is a deterministic stub
+    * (md5 over payload-hex + frame index standing in for the frame's pixel
+    * hash). The plumbing — metadata-driven fan-out, row-local generation, no
+    * payload bytes through the driver — is the real 100 TB shape; only the
+    * codec call is stubbed. */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload_hex", md5(col("text")))
+      .withColumn("n_frames", (col("n_chars") % 8 + 2).cast("int"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("pos", "frame_idx")),
+        col("payload_hex"))
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("doc_id"), col("n_frames"), col("frame_idx").cast("int").as("frame_idx"),
+        md5(concat(col("payload_hex"), lit("-"), col("frame_idx"))).as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Partition-batched decode + feature extraction over the binary column.
     * STUB DECODER: a real pipeline would decode image bytes here (JPEG →
     * pixel array) via a vectorized batch UDF; this container has no codec

@@ -517,4 +517,40 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter with an
+    * EXISTS-correlated lineitem condition, counted per priority. Catalyst
+    * rewrites the EXISTS into a left-semi join on orderkey — one fact-fact
+    * shuffle, then a tiny aggregation. (The synthetic schema has no
+    * commitdate/receiptdate, so the lineitem predicate is l_quantity > 45.) */
+  def q4PriorityExists(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returned
+    * lineitems per customer over a quarter, top 20. lineitem⋈orders shuffles
+    * on orderkey; customer/nation broadcast; top-k via TakeOrderedAndProject. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
 }
