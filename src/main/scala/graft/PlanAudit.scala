@@ -41,6 +41,21 @@ object PlanAudit {
         "query side broadcast (no shuffle of candidates)"),
       ("dedup_embedding", p => !p.contains("CartesianProduct"),
         "blocked pair join, not cartesian"),
+      ("asof_join", p => !p.contains("CartesianProduct") && p.contains("Window"),
+        "as-of join is union + window, no range self-join"),
+      ("join_salted", p => !p.contains("CartesianProduct") && p.contains("Join"),
+        "salted join stays an equi-join on (key, salt)"),
+      ("knn_topk_agg", p => p.contains("ObjectHashAggregate"),
+        "fused top-k runs as a typed aggregate (O(k) state, partial+final)"),
+      ("gap_fill", p => !p.contains("CartesianProduct"),
+        "time-spine cross join is broadcast, not cartesian"),
+      ("q10_returned_items", p => p.contains("TakeOrderedAndProject")
+        && p.contains("BroadcastHashJoin"),
+        "top-k + dimension broadcast"),
+      ("q4_priority_exists", p => p.contains("LeftSemi"),
+        "EXISTS decorrelated to a semi join"),
+      ("unpivot_metrics", p => p.contains("Expand") || p.contains("Generate"),
+        "melt expands row-locally before the shuffle"),
     )
 
     var failed = 0
