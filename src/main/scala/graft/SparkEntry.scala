@@ -56,6 +56,8 @@ object SparkEntry {
     "approx_distinct"   -> Relational.approxDistinct _,
     "q4_priority_exists" -> Relational.q4PriorityExists _,
     "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "lateral_join"      -> Relational.lateralJoin _,
+    "grouping_id_funcs" -> Relational.groupingIdFuncs _,
     "higher_order_funcs" -> Extended.higherOrderFuncs _,
     "multimodal_frames" -> Multimodal.multimodalFrames _,
     // text analysis (LLM-pipeline extension surface)
@@ -133,6 +135,7 @@ object SparkEntry {
     "stream_rolling_sum_tws" -> StreamingQueries.streamRollingSumTws _,
     "stream_sliding"    -> StreamingQueries.streamSliding _,
     "stream_session"    -> StreamingQueries.streamSession _,
+    "stream_kv_upsert"  -> StreamingQueries.streamKvUpsert _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     // UDF/UDAF registration surface (D7)
@@ -792,6 +795,25 @@ object SparkEntry {
         |  CAST(extract(month FROM ts) AS INTEGER) AS mon,
         |  CAST(quarter(ts) AS INTEGER) AS qtr
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "lateral_join" ->
+      """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_custkey < 50) c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "grouping_id_funcs" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |  count(1) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "stream_kv_upsert" ->
+      """SELECT user_id, count(1) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(1) AS order_count

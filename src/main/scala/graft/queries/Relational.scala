@@ -518,6 +518,33 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
+    * customer's two priciest orders (D7's lateral/table-function surface).
+    * Catalyst decorrelates the limit into a per-key window internally — the
+    * same one-shuffle plan topk_per_group writes by hand. */
+  def lateralJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).filter(col("c_custkey") < 50)
+      .createOrReplaceTempView("graft_cust_lat")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ord_lat")
+    s.sql(
+      """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_cust_lat, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_ord_lat
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** CUBE with the grouping_id() bitmask (MSB = first grouping column):
+    * distinguishes detail rows from each subtotal level — the indicator
+    * every rollup report needs to render NULL-as-"ALL" correctly. */
+  def groupingIdFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** TPC-H Q4 shape (order-priority checking): orders in a quarter with an
     * EXISTS-correlated lineitem condition, counted per priority. Catalyst
     * rewrites the EXISTS into a left-semi join on orderkey — one fact-fact

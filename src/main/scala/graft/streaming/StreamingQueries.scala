@@ -217,6 +217,36 @@ object StreamingQueries {
     }
   }
 
+  /** Keyed-upsert connector sink (declared surface D2/D3 — the Redis/HBase
+    * last-write-wins semantic): the rolling per-user aggregate streams through
+    * `foreachBatch` into the parquet-backed KeyValueStore, and the query
+    * returns the store's final snapshot — one row per key, equal to the batch
+    * aggregate (shared oracle). A real deployment swaps the store's `upsert`
+    * for a Redis/HBase client; the pipeline is unchanged. */
+  def streamKvUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_kv_upsert/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // clean slate per run so the snapshot reflects exactly this run
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val store = new graft.connectors.ParquetKeyValueStore(dir, "n")
+    val agg = readStreamTable(s, d, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val q = graft.connectors.KeyValueSink.start(agg, store, "user_id",
+        "graft_stream_kv_upsert")
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set(key, prev)
+    store.snapshot(s).orderBy("user_id")
+  }
+
   /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed
     * stream (`keyBy(0).sum(1)`), running on the RocksDB state store provider
     * (declared surface D6 — flink-statebackend-rocksdb, study/pom.xml:70-74). */
