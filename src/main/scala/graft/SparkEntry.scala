@@ -105,6 +105,10 @@ object SparkEntry {
     "histogram_buckets" -> Extended.histogramBuckets _,
     "time_funcs"        -> Extended.timeFuncs _,
     "inline_stack"      -> Extended.inlineStack _,
+    "set_intersect_all" -> Extended.setIntersectAll _,
+    "set_except_all"    -> Extended.setExceptAll _,
+    "union_by_name"     -> Extended.unionByNameEvolved _,
+    "window_ignore_nulls" -> Extended.windowIgnoreNulls _,
     "try_funcs"         -> Extended.tryFuncs _,
     "map_explode"       -> Extended.mapExplode _,
     "join_salted"       -> Extended.joinSalted _,
@@ -136,6 +140,7 @@ object SparkEntry {
     "stream_sliding"    -> StreamingQueries.streamSliding _,
     "stream_session"    -> StreamingQueries.streamSession _,
     "stream_kv_upsert"  -> StreamingQueries.streamKvUpsert _,
+    "stream_dedup_wm"   -> StreamingQueries.streamDedupWatermark _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     // UDF/UDAF registration surface (D7)
@@ -795,6 +800,39 @@ object SparkEntry {
         |  CAST(extract(month FROM ts) AS INTEGER) AS mon,
         |  CAST(quarter(ts) AS INTEGER) AS qtr
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+        |INTERSECT ALL
+        |SELECT c_mktsegment FROM customer WHERE c_acctbal > 8000
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+        |EXCEPT ALL
+        |SELECT c_mktsegment FROM customer WHERE c_acctbal > 8000
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_name, NULL AS extra
+        |  FROM customer WHERE c_custkey < 100
+        |  UNION ALL BY NAME
+        |  SELECT c_custkey, c_acctbal AS extra, c_name
+        |  FROM customer WHERE c_custkey < 100)
+        |ORDER BY c_custkey, extra NULLS FIRST""".stripMargin,
+
+    "window_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |    IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "stream_dedup_wm" ->
+      """SELECT event_type, count(1) AS n
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "lateral_join" ->
       """SELECT c_custkey, o.o_orderkey, o.o_totalprice

@@ -171,6 +171,51 @@ object Extended {
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
       .orderBy("o_orderpriority")
 
+  /** Multiset set-ops: INTERSECT ALL keeps duplicate multiplicity
+    * (min(count_a, count_b) per value) — Catalyst plans both as aggregates
+    * over counted rows, one shuffle each. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_acctbal") > 5000).select("c_mktsegment")
+      .intersectAll(c.filter(col("c_acctbal") > 8000).select("c_mktsegment"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** EXCEPT ALL: multiset difference (count_a − count_b per value). */
+  def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_acctbal") > 5000).select("c_mktsegment")
+      .exceptAll(c.filter(col("c_acctbal") > 8000).select("c_mktsegment"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Schema-evolving union: `unionByName(allowMissingColumns = true)` aligns
+    * by column NAME and null-fills columns absent on one side — the append
+    * path when upstream schemas drift. */
+  def unionByNameEvolved(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_custkey") < 100)
+    val a = c.select(col("c_custkey"), col("c_name"))
+    val b = c.select(col("c_custkey"), col("c_acctbal").as("extra"), col("c_name"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy(col("c_custkey"), col("extra").asc_nulls_first)
+  }
+
+  /** Window navigation with IGNORE NULLS: per event, the most recent
+    * purchase event id by the same user at or before it — the
+    * last-observation-carried-forward primitive (also the core of
+    * Graft.asofJoin). */
+  def windowIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_purchase",
+        last(when(col("event_type") === "purchase", col("event_id")),
+          ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "prev_purchase")
+      .orderBy("event_id")
+  }
+
   /** Higher-order array functions over the embedding vectors: transform /
     * filter / aggregate (left fold) / zip_with / exists / forall — all
     * row-local, codegen'd lambda compute (D7's scalar-function surface for

@@ -156,6 +156,24 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Watermark-bounded streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * one row per (user_id, event_type) and — unlike plain dropDuplicates —
+    * EVICTS each key's state once the watermark passes it, so state is
+    * bounded by the watermark horizon instead of growing forever (the
+    * production-correct form). The distinct pairs stream to the sink in
+    * append mode; the per-type count is a batch aggregate over the result. */
+  def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val deduped = readStreamTable(s, d, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type")
+    runToMemory(s, deduped, "graft_stream_dedup_wm", "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** Stream-static join: the events stream against the static customer
     * dimension (broadcast per micro-batch), then a keyed aggregate. */
   def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
