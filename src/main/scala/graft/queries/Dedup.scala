@@ -157,6 +157,10 @@ object Dedup {
     * exact Jaccard and this one shares its candidate contract. */
   def dedupMinhashMllib(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // The groupBy is semantically a no-op (doc_id is unique) but acts as a
+    // shuffle materialization barrier: approxSimilarityJoin self-joins the
+    // feature table, and without the barrier each branch would recompute the
+    // shingling from the scan.
     val sh = graft.api.Graft.shingles(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text")
