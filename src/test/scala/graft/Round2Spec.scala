@@ -51,6 +51,43 @@ class Round2Spec extends SparkSpec {
     assert(out.collect().map(_.toSeq).sameElements(naive.collect().map(_.toSeq)))
   }
 
+  test("Graft.asofJoin API: inclusive point-in-time semantics on synthetic data") {
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("key", "ts", "tag")
+    val quotes = Seq((1L, 8L, 100.0), (1L, 15L, 110.0), (1L, 20L, 120.0), (2L, 9L, 50.0))
+      .toDF("key", "ts", "px")
+    val out = graft.api.Graft.asofJoin(trades, quotes, "key", "ts", "px")
+      .select("key", "ts", "tag", "px_asof", "ts_asof")
+      .as[(Long, Long, String, Double, Long)].collect().toSet
+    // t1 at ts=10 sees the ts=8 quote; t2 at ts=20 sees the ts=20 quote
+    // (inclusive); t3 at ts=5 has no prior quote and is dropped
+    assert(out == Set((1L, 10L, "t1", 100.0, 8L), (1L, 20L, "t2", 120.0, 20L)))
+  }
+
+  test("Graft.gapFill API: complete bucket x dim spine with zero fill") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 02:20:00", "a", 2.0),
+        ("2024-01-01 00:30:00", "b", 3.0))
+      .toDF("ts0", "dim", "v")
+      .select(col("ts0").cast("timestamp").as("ts"), col("dim"), col("v"))
+    val out = graft.api.Graft.gapFill(df, "ts", "dim", "v").collect()
+    assert(out.length == 6) // hours 00..02 x dims {a, b}
+    assert(out.count(_.getAs[Long]("n") == 0L) == 3)
+    assert(out.filter(_.getAs[Long]("n") == 0L).forall(_.getAs[Double]("total") == 0.0))
+  }
+
+  test("Graft.saltedJoin API equals the plain join") {
+    import spark.implicits._
+    val fact = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0), (1L, 30.0)).toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("dk", "name")
+    val salted = graft.api.Graft.saltedJoin(fact, dim, "k", "dk", col("v"), 4)
+      .select("k", "v", "name").as[(Long, Double, String)].collect().sorted.toSeq
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "v", "name").as[(Long, Double, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
   test("gapFill covers every hour in the span with zero-filled cells") {
     val out = EventTime.gapFill(spark, sf).cache()
     val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
