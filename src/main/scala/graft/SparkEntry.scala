@@ -143,6 +143,7 @@ object SparkEntry {
     "stream_dedup_wm"   -> StreamingQueries.streamDedupWatermark _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
+    "format_roundtrip"  -> Formats.formatRoundtrip _,
     // UDF/UDAF registration surface (D7)
     "udaf_geomean"      -> graft.functions.Udfs.udafGeomean _,
     "udf_clip"          -> graft.functions.Udfs.udfClip _,
@@ -800,6 +801,13 @@ object SparkEntry {
         |  CAST(extract(month FROM ts) AS INTEGER) AS mon,
         |  CAST(quarter(ts) AS INTEGER) AS qtr
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "format_roundtrip" ->
+      """SELECT fmt, lang, count(1) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+        |GROUP BY fmt, lang ORDER BY fmt, lang""".stripMargin,
 
     "set_intersect_all" ->
       """SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000

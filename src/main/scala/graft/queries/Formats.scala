@@ -15,4 +15,33 @@ object Formats {
         expr("from_json(props, 'k INT').k").as("k"),
         to_json(struct(col("user_id"), col("event_type"))).as("packed"))
       .orderBy("event_id")
+
+  /** File-format round trip through the three batch interchange formats the
+    * engine writes (csv with header+quoting, json lines, orc): documents go
+    * out through each format and come back in, and the result proves
+    * losslessness by aggregating text lengths per (lang, format) — any
+    * mangled row would shift the sums off the parquet-direct oracle. */
+  def formatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_fmt_roundtrip/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val csv = s.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING, text STRING").csv(s"$base/csv")
+    val json = s.read.schema("doc_id LONG, lang STRING, text STRING")
+      .json(s"$base/json")
+    val orc = s.read.orc(s"$base/orc")
+    Seq("csv" -> csv, "json" -> json, "orc" -> orc)
+      .map { case (fmt, df) =>
+        df.withColumn("fmt", lit(fmt))
+          .groupBy("fmt", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("fmt", "lang")
+  }
 }
