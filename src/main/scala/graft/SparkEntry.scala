@@ -68,6 +68,7 @@ object SparkEntry {
     "doc_fingerprint"   -> TextAnalysis.docFingerprint _,
     "doc_fingerprint_rolling" -> TextAnalysis.docFingerprintRolling _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
+    "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpus _,
     // dedup family
     "dedup_exact"       -> Dedup.dedupExact _,
     "dedup_near_exact"  -> Dedup.dedupNearExact _,
@@ -440,6 +441,26 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    least(nt / 100.0, 1.0) * 0.5 + (1.0 - p / cl) * 0.3
+        |      + least(stop / nt * 10.0, 1.0) * 0.2 AS q
+        |  FROM (
+        |    SELECT doc_id, lang, n_chars, text,
+        |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+        |      CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS p,
+        |      CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE) AS stop,
+        |      CAST(length(text) AS DOUBLE) AS cl
+        |    FROM documents)),
+        |kept AS (SELECT * FROM scored WHERE q >= 0.5),
+        |keep_ids AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM kept GROUP BY md5(lower(trim(text))))
+        |SELECT doc_id, lang, n_chars, round(q, 4) AS quality
+        |FROM kept WHERE doc_id IN (SELECT doc_id FROM keep_ids)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,

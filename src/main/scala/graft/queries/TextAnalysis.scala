@@ -83,6 +83,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus cleaning — the composition this engine exists for:
+    * score every document (the qualityScore formula), keep those above
+    * threshold, exact-dedup the survivors on normalized content (keep the
+    * minimum id per fingerprint), and emit the cleaned keep-list. The
+    * threshold compares the UNROUNDED score (IEEE-identical in both engines);
+    * only the displayed column is rounded. One row-local scoring pass + one
+    * fingerprint groupBy + one semi-join back — three stages at any scale. */
+  def pipelineCleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val nTokens = size(tokens).cast("double")
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val stop = size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','is'))")).cast("double")
+    val scored = Tables.documents(s, d)
+      .withColumn("q",
+        least(nTokens / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - punct / length(col("text"))) * 0.3
+          + least(stop / nTokens * 10.0, lit(1.0)) * 0.2)
+    val kept = scored.filter(col("q") >= 0.5)
+    val keepIds = kept
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    kept.join(keepIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("q"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints: md5 content hash over normalized text
     * (cross-engine-stable; the 64-bit xxhash64 variant lives in the dedup
     * family where the fingerprint is consumed Spark-side only). */
