@@ -63,7 +63,44 @@ object Graft {
       .drop("__toks", textCol)
   }
 
+  /** Heuristic document quality in [0, 1]: length (50%), non-punctuation
+    * ratio (30%), stopword presence (20%) — the cheap row-local pre-filter a
+    * training-data pipeline applies before any expensive dedup. Appends
+    * `out` (unrounded double) to the input columns. */
+  def qualityScore(df: DataFrame, textCol: String, out: String = "quality"): DataFrame = {
+    val nTokens = size(split(col(textCol), " ", -1)).cast("double")
+    val punct = length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double")
+    val stop = size(expr(
+      s"filter(split($textCol, ' '), t -> t IN ('the','a','of','and','is'))")).cast("double")
+    df.withColumn(out,
+      least(nTokens / 100.0, lit(1.0)) * 0.5
+        + (lit(1.0) - punct / length(col(textCol))) * 0.3
+        + least(stop / nTokens * 10.0, lit(1.0)) * 0.2)
+  }
+
   // ---------- dedup ----------
+
+  /** 64-bit SimHash signature per document (Charikar '02): sign of per-bit
+    * sums of ±1 contributions from each token occurrence's xxhash64. One
+    * row-local contribution array + ONE groupBy(idCol) of 64 positional sums
+    * (map-side partials shrink the shuffle to |docs|·64 longs). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("h", xxhash64(col("token")))
+    val contribs = tokens
+      .withColumn("contrib", expr(
+        """transform(sequence(0, 63), b ->
+          |  CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1L ELSE -1L END)""".stripMargin))
+    contribs
+      .groupBy(idCol)
+      .agg((0 until 64).map(b => sum(expr(s"element_at(contrib, ${b + 1})")).as(s"s$b")).head,
+        (1 until 64).map(b => sum(expr(s"element_at(contrib, ${b + 1})")).as(s"s$b")): _*)
+      .select(col(idCol), expr(
+        (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")).as("simhash"))
+  }
 
   /** Exact dedup on normalized content: one row per distinct fingerprint with
     * the kept (minimum) id and the copy count. */

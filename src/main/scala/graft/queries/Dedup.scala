@@ -93,29 +93,10 @@ object Dedup {
     * then filter by Hamming distance ≤ 12 (bit_count(xor), codegen'd).
     * Oracle-omitted (xxhash64); property-tested in the suite. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // Per-OCCURRENCE ±1 contributions: summing ±1 over every token instance
-    // equals summing ±cnt over distinct tokens, so the per-(doc, token) count
-    // aggregate (a whole extra shuffle) is unnecessary — tokenize, hash and
-    // build the contribution array row-locally, then ONE groupBy(doc_id).
-    val tokens = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
-      .filter(length(col("token")) > 0)
-      .withColumn("h", xxhash64(col("token")))
-    // Single-shuffle shape as dedupMinhash: per-bit contributions live in
-    // a 64-wide array column; 64 positional `sum` aggregates collapse them in
-    // one groupBy(doc_id) pass (vs exploding 64 rows per token); map-side
-    // partial aggregation reduces the shuffle to |docs|·64 longs.
-    val contribs = tokens
-      .withColumn("contrib", expr(
-        """transform(sequence(0, 63), b ->
-          |  CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1L ELSE -1L END)""".stripMargin))
-    val sig = contribs
-      .groupBy("doc_id")
-      .agg((0 until 64).map(b => sum(expr(s"element_at(contrib, ${b + 1})")).as(s"s$b")).head,
-        (1 until 64).map(b => sum(expr(s"element_at(contrib, ${b + 1})")).as(s"s$b")): _*)
-      .select(col("doc_id"), expr(
-        (0 until 64).map(b => s"CASE WHEN s$b > 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END")
-          .mkString(" + ")).as("simhash"))
+    // Signature computation (one row-local contribution array + one
+    // groupBy(doc_id) of 64 positional sums) lives in graft.api.Graft.
+    val sig = graft.api.Graft.simhash64(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id", "text")
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b,
         shiftright(col("a.simhash"), 48) === shiftright(col("b.simhash"), 48) &&

@@ -91,14 +91,7 @@ object TextAnalysis {
     * only the displayed column is rounded. One row-local scoring pass + one
     * fingerprint groupBy + one semi-join back — three stages at any scale. */
   def pipelineCleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val nTokens = size(tokens).cast("double")
-    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
-    val stop = size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','is'))")).cast("double")
-    val scored = Tables.documents(s, d)
-      .withColumn("q",
-        least(nTokens / 100.0, lit(1.0)) * 0.5
-          + (lit(1.0) - punct / length(col("text"))) * 0.3
-          + least(stop / nTokens * 10.0, lit(1.0)) * 0.2)
+    val scored = graft.api.Graft.qualityScore(Tables.documents(s, d), "text", out = "q")
     val kept = scored.filter(col("q") >= 0.5)
     val keepIds = kept
       .groupBy(md5(lower(trim(col("text")))).as("fp"))
