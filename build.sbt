@@ -1,6 +1,13 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "flinkexpspark"
+// graft.Bench's contract is ONE JSON line on stdout; sbt's trailing
+// "[success] Total time" banner lands after it and breaks naive
+// last-line parsing of the bench output, so suppress it.
+Global / showSuccess := false
+// Forked run output goes straight to this process's stdout (no "[info] "
+// prefix), keeping the bench JSON line byte-exact for the harness.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
