@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, EventTime, Extended, Formats, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, EventTime, Extended, Formats, Modern, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — the engine's public registry.
@@ -148,6 +148,18 @@ object SparkEntry {
     // UDF/UDAF registration surface (D7)
     "udaf_geomean"      -> graft.functions.Udfs.udafGeomean _,
     "udf_clip"          -> graft.functions.Udfs.udfClip _,
+    // modern-SQL surface (Spark 4.x)
+    "variant_funcs"     -> Modern.variantFuncs _,
+    "recursive_cte"     -> Modern.recursiveCte _,
+    "listagg_groups"    -> Modern.listaggGroups _,
+    "mode_median"       -> Modern.modeMedian _,
+    "xml_roundtrip"     -> Modern.xmlRoundtrip _,
+    "aes_roundtrip"     -> Modern.aesRoundtrip _,
+    "collation_group"   -> Modern.collationGroup _,
+    "map_transform_funcs" -> Modern.mapTransformFuncs _,
+    "url_funcs"         -> Modern.urlFuncs _,
+    "bitmap_distinct"   -> Modern.bitmapDistinct _,
+    "hll_sketch"        -> Modern.hllSketch _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1048,5 +1060,86 @@ object SparkEntry {
         |  count(1) AS n, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "variant_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+        |  'OBJECT<k: BIGINT>' AS v_schema,
+        |  replace(props, ' ', '') AS v_json
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "recursive_cte" ->
+      """WITH RECURSIVE walk(depth, nk) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT depth + 1, (nk + 7) % 25 FROM walk WHERE depth < 24
+        |)
+        |SELECT w.depth, w.nk, n.n_name
+        |FROM walk w JOIN nation n ON n.n_nationkey = w.nk
+        |ORDER BY w.depth""".stripMargin,
+
+    "listagg_groups" ->
+      """SELECT r.r_name, count(1) AS n_nations,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS names
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    "mode_median" ->
+      """SELECT l_linestatus,
+        |  mode(CASE WHEN l_quantity < 20 THEN 'low' ELSE 'high' END) AS common_band,
+        |  round(median(l_quantity), 2) AS med_qty,
+        |  round(median(l_extendedprice), 2) AS med_price,
+        |  count(1) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "xml_roundtrip" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "aes_roundtrip" ->
+      """SELECT o_orderkey, o_orderpriority AS dec_priority,
+        |  CAST((length(o_orderpriority) // 16 + 1) * 16 AS INTEGER) AS cipher_len
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+
+    "collation_group" ->
+      """SELECT lower(p_brand) AS brand_ci, count(1) AS n,
+        |  round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY lower(p_brand) ORDER BY brand_ci""".stripMargin,
+
+    "map_transform_funcs" ->
+      """SELECT event_id,
+        |  concat_ws(',',
+        |    CASE WHEN 2 * length(event_type) >= 10
+        |         THEN 'T=' || (2 * length(event_type)) END,
+        |    CASE WHEN 2 * user_id >= 10 THEN 'U=' || (2 * user_id) END,
+        |    CASE WHEN 2 * CAST(floor(value) AS BIGINT) >= 10
+        |         THEN 'V=' || (2 * CAST(floor(value) AS BIGINT)) END) AS kept,
+        |  CAST((CASE WHEN 2 * length(event_type) >= 10 THEN 1 ELSE 0 END
+        |      + CASE WHEN 2 * user_id >= 10 THEN 1 ELSE 0 END
+        |      + CASE WHEN 2 * CAST(floor(value) AS BIGINT) >= 10 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS n_kept,
+        |  CAST(11 * user_id AS INTEGER) AS zip_u,
+        |  CAST(user_id AS VARCHAR) AS stm_u
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "url_funcs" ->
+      """SELECT n_nationkey,
+        |  lower(n_name) || '.example.com' AS host,
+        |  '/' || lower(r_name) || '/item' AS path,
+        |  'id=' || n_nationkey || '&tag=x' AS query,
+        |  CAST(n_nationkey AS VARCHAR) AS qid,
+        |  n_name || '+%26+' || r_name AS enc,
+        |  n_name AS dec
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "hll_sketch" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |  count(1) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

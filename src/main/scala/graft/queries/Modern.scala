@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Modern-SQL surface (Spark 4.x): semi-structured VARIANT, recursive CTEs,
+  * ordered-set string aggregation, mode/median, XML and AES round-trips,
+  * collations, map higher-order functions, URL functions, and the two
+  * sketch/bitmap exact-or-approximate distinct-count paths.
+  *
+  * These extend the reference's declared Table-API surface
+  * (study/pom.xml:147-166 — "full relational algebra") with the operations its
+  * Flink-1.11 planner generation lacked but any current engine is expected to
+  * carry. Everything is built-in Catalyst; each query is scan → codegen'd
+  * row-local compute → at most one shuffle, so the shapes hold at 100 TB.
+  */
+object Modern {
+
+  /** VARIANT (semi-structured) surface: parse the JSON props column once into
+    * a VARIANT, then typed path extraction + schema inference + canonical
+    * re-serialization. At scale VARIANT beats from_json-to-struct when schemas
+    * drift: the binary encoding is shredded/columnar-friendly and path reads
+    * don't re-parse text per access. */
+  def variantFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_variant")
+    s.sql(
+      """SELECT event_id,
+        |  variant_get(parse_json(props), '$.k', 'int') AS k_val,
+        |  schema_of_variant(parse_json(props)) AS v_schema,
+        |  to_json(parse_json(props)) AS v_json
+        |FROM graft_events_variant
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** Recursive CTE (Spark 4.x): a 25-step modular walk over the nation graph
+    * (step +7 mod 25 is coprime with 25, so the walk visits every nation
+    * exactly once from key 0). The recursion happens on the driver plan side
+    * (25 tiny iterations); the payload join to the nation table is a broadcast
+    * — the pattern for hierarchy/graph expansion seeded from small dimensions. */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_rec")
+    s.sql(
+      """WITH RECURSIVE walk(depth, nk) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT depth + 1, (nk + 7) % 25 FROM walk WHERE depth < 24
+        |)
+        |SELECT w.depth, w.nk, n.n_name
+        |FROM walk w JOIN graft_nation_rec n ON n.n_nationkey = w.nk
+        |ORDER BY w.depth""".stripMargin)
+  }
+
+  /** Ordered-set string aggregation: LISTAGG ... WITHIN GROUP (ORDER BY) —
+    * per-region sorted nation roster. The within-group sort is per-key and
+    * spills like any sort; the dimension join broadcasts. */
+  def listaggGroups(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_la")
+    Tables.region(s, d).createOrReplaceTempView("graft_region_la")
+    s.sql(
+      """SELECT r.r_name, count(1) AS n_nations,
+        |  listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS names
+        |FROM graft_nation_la n JOIN graft_region_la r
+        |  ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin)
+  }
+
+  /** mode() / median() aggregates. The mode input is engineered to have a
+    * clear majority class per group (qty >= 20 covers ~62% of a 1..50 uniform
+    * domain) so the answer is tie-free and stable across engines and scale
+    * factors; median is exact interpolated (quantile_cont semantics both
+    * sides). */
+  def modeMedian(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_mm")
+    s.sql(
+      """SELECT l_linestatus,
+        |  mode(CASE WHEN l_quantity < 20 THEN 'low' ELSE 'high' END) AS common_band,
+        |  round(median(l_quantity), 2) AS med_qty,
+        |  round(median(l_extendedprice), 2) AS med_price,
+        |  count(1) AS n
+        |FROM graft_lineitem_mm
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  /** XML round trip: struct → to_xml → from_xml → fields, proving lossless
+    * (de)serialization of the XML format surface — the XML sibling of
+    * json_roundtrip/format_roundtrip. Entirely row-local (zero shuffles). */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("graft_customer_xml")
+    s.sql(
+      """SELECT c_custkey, xs.c_name AS c_name, round(xs.c_acctbal, 2) AS acctbal
+        |FROM (
+        |  SELECT c_custkey,
+        |    from_xml(to_xml(named_struct('c_name', c_name, 'c_acctbal', c_acctbal)),
+        |             'c_name STRING, c_acctbal DOUBLE') AS xs
+        |  FROM graft_customer_xml)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** AES encrypt/decrypt round trip (ECB for a deterministic ciphertext →
+    * deterministic PKCS length; the column comes back intact). Row-local
+    * codegen'd crypto — the column-level-encryption surface. */
+  def aesRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_aes")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(aes_decrypt(aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB'),
+        |                   '0123456789abcdef', 'ECB') AS STRING) AS dec_priority,
+        |  CAST(octet_length(aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB')) AS INT)
+        |    AS cipher_len
+        |FROM graft_orders_aes
+        |WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Collated grouping: group case-mangled brand strings under UTF8_LCASE so
+    * binary-different spellings land in one group. The collation rides the
+    * grouping key through the shuffle — no pre-normalization column needed;
+    * the projected key is lower()ed only to render a stable representative. */
+  def collationGroup(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("graft_part_coll")
+    s.sql(
+      """SELECT lower(mixed_ci) AS brand_ci, count(1) AS n,
+        |  round(avg(p_retailprice), 2) AS avg_price
+        |FROM (
+        |  SELECT collate(CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+        |                      ELSE lower(p_brand) END, 'UTF8_LCASE') AS mixed_ci,
+        |         p_retailprice
+        |  FROM graft_part_coll)
+        |GROUP BY mixed_ci
+        |ORDER BY brand_ci""".stripMargin)
+  }
+
+  /** Map higher-order functions: build a map from columns, then
+    * transform_keys / transform_values / map_filter / map_zip_with /
+    * str_to_map, rendered through sorted map_entries so output order is
+    * engine-independent. All row-local lambda compute. */
+  def mapTransformFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_maps")
+    s.sql(
+      """SELECT event_id,
+        |  array_join(transform(sort_array(map_entries(m3)),
+        |                       e -> concat(e.key, '=', e.value)), ',') AS kept,
+        |  CAST(cardinality(m3) AS INT) AS n_kept,
+        |  element_at(mz, 'u') AS zip_u,
+        |  element_at(str_to_map(concat('t:', event_type, ',u:', user_id), ',', ':'), 'u')
+        |    AS stm_u
+        |FROM (
+        |  SELECT event_id,
+        |    map_filter(
+        |      transform_values(
+        |        transform_keys(m0, (k, v) -> upper(k)), (k, v) -> v * 2),
+        |      (k, v) -> v >= 10) AS m3,
+        |    map_zip_with(m0, transform_values(m0, (k, v) -> v * 10),
+        |                 (k, a, b) -> a + b) AS mz,
+        |    event_type, user_id
+        |  FROM (
+        |    SELECT event_id, event_type, user_id,
+        |      map('t', CAST(length(event_type) AS INT),
+        |          'u', CAST(user_id AS INT),
+        |          'v', CAST(floor(value) AS INT)) AS m0
+        |    FROM graft_events_maps))
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** URL functions: parse_url component extraction plus form-encode/decode
+    * over URLs synthesized from the dimension tables (broadcast join, then
+    * row-local parsing). */
+  def urlFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_url")
+    Tables.region(s, d).createOrReplaceTempView("graft_region_url")
+    s.sql(
+      """SELECT n_nationkey,
+        |  parse_url(url, 'HOST') AS host,
+        |  parse_url(url, 'PATH') AS path,
+        |  parse_url(url, 'QUERY') AS query,
+        |  parse_url(url, 'QUERY', 'id') AS qid,
+        |  url_encode(concat(n_name, ' & ', r_name)) AS enc,
+        |  url_decode(url_encode(n_name)) AS dec
+        |FROM (
+        |  SELECT n_nationkey, n_name, r_name,
+        |    concat('https://', lower(n_name), '.example.com/', lower(r_name),
+        |           '/item?id=', n_nationkey, '&tag=x') AS url
+        |  FROM graft_nation_url n JOIN graft_region_url r
+        |    ON n.n_regionkey = r.r_regionkey)
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  /** Exact distinct count via RoaringBitmap-style aggregation: position each
+    * key in a (bucket, bit) grid, OR the per-bucket bitmaps, count bits, sum
+    * over buckets. Identical answers to count(DISTINCT) but the shuffle
+    * carries fixed-width bitmaps instead of one row per distinct value — the
+    * scalable exact-distinct path when the distinct set per group is huge. */
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_bm")
+    s.sql(
+      """SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_users
+        |FROM (
+        |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+        |    bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id))) AS cnt
+        |  FROM graft_events_bm
+        |  GROUP BY event_type, bitmap_bucket_number(user_id))
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  /** Apache DataSketches HLL: mergeable approximate distinct count. lgK=14
+    * keeps the sketch in its exact (coupon) regime at verification scale while
+    * bounding state at 2^14 buckets per group at any scale — the
+    * sketch-merge pattern for countless-groups × huge-distinct-sets. */
+  def hllSketch(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_hll")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  CAST(round(hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))) AS BIGINT)
+        |    AS n_cust,
+        |  count(1) AS n_orders
+        |FROM graft_orders_hll
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+}
