@@ -113,6 +113,7 @@ object SparkEntry {
     "try_funcs"         -> Extended.tryFuncs _,
     "map_explode"       -> Extended.mapExplode _,
     "join_salted"       -> Extended.joinSalted _,
+    "join_range_binned" -> Extended.joinRangeBinned _,
     "ngram_counts"      -> TextAnalysis.ngramCounts _,
     // time-series joins / spine
     "asof_join"         -> EventTime.asofJoin _,
@@ -1060,6 +1061,15 @@ object SparkEntry {
         |  count(1) AS n, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "join_range_binned" ->
+      """SELECT o_orderkey, count(1) AS n_shipments,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderkey % 97 = 0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "variant_funcs" ->
       """SELECT event_id,

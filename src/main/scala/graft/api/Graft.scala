@@ -270,6 +270,30 @@ object Graft {
       .drop("__salt")
   }
 
+  /** Binned interval join: join point rows (`ptsTsCol`) to interval rows
+    * ([`loCol`, `hiCol`), half-open; intervals must be non-empty) WITHOUT a
+    * key equality. A naive theta join degenerates to nested-loop over the
+    * cross product; here both sides are bucketed into fixed `binSeconds`-wide
+    * time bins (intervals explode to every bin they overlap — with bins no
+    * narrower than typical interval width that's ≤2 rows per interval), the
+    * join becomes an equi-join on the bin, and the exact range predicate runs
+    * as a residual filter. Pair volume is sum over bins of
+    * |points/bin|·|intervals/bin| — linear in data for bounded interval
+    * density, where the theta join is quadratic. Output: point columns ++
+    * interval columns. */
+  def binnedIntervalJoin(points: DataFrame, intervals: DataFrame,
+      ptsTsCol: String, loCol: String, hiCol: String,
+      binSeconds: Long = 7L * 86400): DataFrame = {
+    val pb = points.withColumn("__pbin",
+      expr(s"floor(unix_seconds(CAST($ptsTsCol AS TIMESTAMP)) / ${binSeconds}L)"))
+    val ib = intervals.withColumn("__ibin", explode(expr(
+      s"""sequence(floor(unix_seconds(CAST($loCol AS TIMESTAMP)) / ${binSeconds}L),
+         |         floor((unix_seconds(CAST($hiCol AS TIMESTAMP)) - 1) / ${binSeconds}L))""".stripMargin)))
+    pb.join(ib, pb("__pbin") === ib("__ibin") &&
+        pb(ptsTsCol) >= ib(loCol) && pb(ptsTsCol) < ib(hiCol))
+      .drop("__pbin", "__ibin")
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -171,6 +171,23 @@ object Extended {
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
       .orderBy("o_orderpriority")
 
+  /** Keyless interval join via time-bin bucketing (`Graft.binnedIntervalJoin`):
+    * shipments falling inside sampled orders' 7-day fulfillment windows, with
+    * NO key equality — the pure temporal join a theta/nested-loop plan makes
+    * quadratic and binning makes linear (equi-join on the bin + residual
+    * range filter; each 7-day interval lands in ≤2 7-day bins). */
+  def joinRangeBinned(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.lineitem(s, d).select(col("l_shipdate"), col("l_quantity"))
+    val iv = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("lo"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("hi"))
+    graft.api.Graft.binnedIntervalJoin(pts, iv, "l_shipdate", "lo", "hi", 7L * 86400)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipments"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** Multiset set-ops: INTERSECT ALL keeps duplicate multiplicity
     * (min(count_a, count_b) per value) — Catalyst plans both as aggregates
     * over counted rows, one shuffle each. */
