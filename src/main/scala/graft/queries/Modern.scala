@@ -105,12 +105,13 @@ object Modern {
     Tables.orders(s, d).createOrReplaceTempView("graft_orders_aes")
     s.sql(
       """SELECT o_orderkey,
-        |  CAST(aes_decrypt(aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB'),
-        |                   '0123456789abcdef', 'ECB') AS STRING) AS dec_priority,
-        |  CAST(octet_length(aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB')) AS INT)
-        |    AS cipher_len
-        |FROM graft_orders_aes
-        |WHERE o_orderkey <= 500
+        |  CAST(aes_decrypt(ct, '0123456789abcdef', 'ECB') AS STRING) AS dec_priority,
+        |  CAST(octet_length(ct) AS INT) AS cipher_len
+        |FROM (
+        |  SELECT o_orderkey,
+        |    aes_encrypt(o_orderpriority, '0123456789abcdef', 'ECB') AS ct
+        |  FROM graft_orders_aes
+        |  WHERE o_orderkey <= 500)
         |ORDER BY o_orderkey""".stripMargin)
   }
 

@@ -52,7 +52,7 @@ object StreamingQueries {
     // whatever the session sets — state partitioning is the scale mechanism.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    val tuned = math.min(prev.toInt, 8).toString
+    val tuned = math.min(prev.toInt, 4).toString
     s.conf.set(key, tuned)
     try {
       val q = stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
