@@ -56,6 +56,21 @@ object PlanAudit {
         "EXISTS decorrelated to a semi join"),
       ("unpivot_metrics", p => p.contains("Expand") || p.contains("Generate"),
         "melt expands row-locally before the shuffle"),
+      ("join_range_binned", p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        "keyless interval join runs as an equi-join on the time bin"),
+      ("listagg_groups", p => p.contains("BroadcastHashJoin"),
+        "region dimension broadcast under listagg"),
+      ("url_funcs", p => p.contains("BroadcastHashJoin"),
+        "dimension join broadcast under parse_url"),
+      ("bitmap_distinct", p => p.contains("ObjectHashAggregate")
+        || p.contains("HashAggregate"),
+        "bitmap OR-aggregation is partial+final (fixed-width shuffle)"),
+      ("hll_sketch", p => p.contains("ObjectHashAggregate"),
+        "HLL sketch aggregates partial+final (mergeable state)"),
+      ("recursive_cte", p => !p.contains("CartesianProduct")
+        && p.contains("BroadcastHashJoin"),
+        "recursion payload joins nation via broadcast"),
     )
 
     var failed = 0
