@@ -71,6 +71,9 @@ object PlanAudit {
       ("recursive_cte", p => !p.contains("CartesianProduct")
         && p.contains("BroadcastHashJoin"),
         "recursion payload joins nation via broadcast"),
+      ("partitioned_write", p => p.contains("PartitionFilters")
+        && (p.contains("l_returnflag#") || p.contains("(l_returnflag")),
+        "readback filter prunes to one partition directory"),
     )
 
     var failed = 0

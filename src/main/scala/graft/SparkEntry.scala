@@ -146,6 +146,7 @@ object SparkEntry {
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
+    "partitioned_write" -> Formats.partitionedWrite _,
     // UDF/UDAF registration surface (D7)
     "udaf_geomean"      -> graft.functions.Udfs.udafGeomean _,
     "udf_clip"          -> graft.functions.Udfs.udfClip _,
@@ -1061,6 +1062,15 @@ object SparkEntry {
         |  count(1) AS n, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "partitioned_write" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "join_range_binned" ->
       """SELECT o_orderkey, count(1) AS n_shipments,

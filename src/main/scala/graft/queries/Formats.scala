@@ -44,4 +44,28 @@ object Formats {
       .reduce(_ unionByName _)
       .orderBy("fmt", "lang")
   }
+
+  /** Hive-style partitioned layout: write lineitem partitioned by
+    * (l_returnflag, l_linestatus), then read back ONE partition and
+    * aggregate. The readback filter matches only partition columns, so the
+    * scan lists a single directory (`PartitionFilters` in the plan, asserted
+    * by PlanAudit) — at 100 TB this is the difference between touching one
+    * partition's files and the whole table. Results oracle-checked against
+    * the unpartitioned parquet. */
+  def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+    val base = s"/tmp/graft_part_write/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"))
+      .write.mode("overwrite")
+      .partitionBy("l_returnflag", "l_linestatus")
+      .parquet(base)
+    s.read.parquet(base)
+      .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
 }
