@@ -74,6 +74,8 @@ object PlanAudit {
       ("partitioned_write", p => p.contains("PartitionFilters")
         && (p.contains("l_returnflag#") || p.contains("(l_returnflag")),
         "readback filter prunes to one partition directory"),
+      ("topk_per_group", p => p.contains("WindowGroupLimit"),
+        "rank<=k pushes a per-group limit below the window sort"),
     )
 
     var failed = 0

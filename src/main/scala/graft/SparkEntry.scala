@@ -114,6 +114,7 @@ object SparkEntry {
     "map_explode"       -> Extended.mapExplode _,
     "join_salted"       -> Extended.joinSalted _,
     "join_range_binned" -> Extended.joinRangeBinned _,
+    "na_funcs"          -> Extended.naFuncs _,
     "ngram_counts"      -> TextAnalysis.ngramCounts _,
     // time-series joins / spine
     "asof_join"         -> EventTime.asofJoin _,
@@ -1080,6 +1081,13 @@ object SparkEntry {
         | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "na_funcs" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' THEN 'tap' ELSE event_type END AS etype,
+        |  round(CASE WHEN value < 50 THEN 0.0 ELSE value END, 2) AS v_filled
+        |FROM events WHERE event_type <> 'view'
+        |ORDER BY event_id""".stripMargin,
 
     "variant_funcs" ->
       """SELECT event_id,

@@ -171,6 +171,21 @@ object Extended {
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
       .orderBy("o_orderpriority")
 
+  /** Null-handling surface (DataFrameNaFunctions): inject NULLs with nullif,
+    * then na.drop (row filter on a null key), na.replace (value remap) and
+    * na.fill (default) — the cleanup steps every ingestion pipeline runs
+    * first. All row-local. */
+  def naFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("nullif(event_type, 'view')").as("etype"),
+        expr("CASE WHEN value < 50 THEN CAST(NULL AS DOUBLE) ELSE value END").as("v"))
+      .na.drop(Seq("etype"))
+      .na.replace("etype", Map("click" -> "tap"))
+      .na.fill(Map("v" -> 0.0))
+      .select(col("event_id"), col("etype"), round(col("v"), 2).as("v_filled"))
+      .orderBy("event_id")
+
   /** Keyless interval join via time-bin bucketing (`Graft.binnedIntervalJoin`):
     * shipments falling inside sampled orders' 7-day fulfillment windows, with
     * NO key equality — the pure temporal join a theta/nested-loop plan makes
