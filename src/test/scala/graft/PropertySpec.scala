@@ -77,4 +77,28 @@ class PropertySpec extends SparkSpec {
     assert(errs.sum / errs.length < 0.25,
       s"mean minhash error ${errs.sum / errs.length}")
   }
+
+  test("binned interval join equals the naive theta join on generated data") {
+    import java.sql.Timestamp
+    val base = 1700000000000L // fixed epoch anchor
+    def ts(offsetMin: Long) = new Timestamp(base + offsetMin * 60000L)
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val points = Seq.tabulate(300)(i =>
+        (i.toLong, ts(rnd.nextInt(10000).toLong)))
+      val intervals = Seq.tabulate(40) { j =>
+        val lo = rnd.nextInt(9000).toLong
+        // widths from minutes up to several bins wide (bin = 1h below)
+        (j.toLong, ts(lo), ts(lo + 1 + rnd.nextInt(400).toLong))
+      }
+      val p = points.toDF("p_id", "p_ts")
+      val iv = intervals.toDF("iv_id", "lo", "hi")
+      val binned = api.Graft.binnedIntervalJoin(p, iv, "p_ts", "lo", "hi",
+          binSeconds = 3600)
+        .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+      val naive = p.join(iv, col("p_ts") >= col("lo") && col("p_ts") < col("hi"))
+        .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"seed=$seed")
+    }
+  }
 }
