@@ -157,6 +157,7 @@ object SparkEntry {
     "listagg_groups"    -> Modern.listaggGroups _,
     "mode_median"       -> Modern.modeMedian _,
     "xml_roundtrip"     -> Modern.xmlRoundtrip _,
+    "xpath_funcs"       -> Modern.xpathFuncs _,
     "aes_roundtrip"     -> Modern.aesRoundtrip _,
     "collation_group"   -> Modern.collationGroup _,
     "map_transform_funcs" -> Modern.mapTransformFuncs _,
@@ -1123,6 +1124,11 @@ object SparkEntry {
     "xml_roundtrip" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "xpath_funcs" ->
+      """SELECT n_nationkey, n_name AS xname,
+        |  n_regionkey AS xrk, 2 AS n_nodes
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "aes_roundtrip" ->
       """SELECT o_orderkey, o_orderpriority AS dec_priority,

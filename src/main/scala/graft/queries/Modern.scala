@@ -98,6 +98,23 @@ object Modern {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** XPath extraction over XML synthesized from columns: typed scalar
+    * extraction (xpath_string / xpath_int) plus node-set matching (xpath →
+    * array of text nodes) — the Hive-compat XML query surface, all row-local. */
+  def xpathFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_xp")
+    s.sql(
+      """SELECT n_nationkey,
+        |  xpath_string(xml, 'n/name') AS xname,
+        |  xpath_int(xml, 'n/rk') AS xrk,
+        |  CAST(size(xpath(xml, 'n/*/text()')) AS INT) AS n_nodes
+        |FROM (
+        |  SELECT n_nationkey,
+        |    concat('<n><name>', n_name, '</name><rk>', n_regionkey, '</rk></n>') AS xml
+        |  FROM graft_nation_xp)
+        |ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** AES encrypt/decrypt round trip (ECB for a deterministic ciphertext →
     * deterministic PKCS length; the column comes back intact). Row-local
     * codegen'd crypto — the column-level-encryption surface. */
