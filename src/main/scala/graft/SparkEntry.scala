@@ -148,6 +148,7 @@ object SparkEntry {
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
     "partitioned_write" -> Formats.partitionedWrite _,
+    "csv_funcs"         -> Formats.csvFuncs _,
     // UDF/UDAF registration surface (D7)
     "udaf_geomean"      -> graft.functions.Udfs.udafGeomean _,
     "udf_clip"          -> graft.functions.Udfs.udfClip _,
@@ -1064,6 +1065,12 @@ object SparkEntry {
         |  count(1) AS n, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "csv_funcs" ->
+      """SELECT event_id,
+        |  event_type || ',' || user_id AS packed,
+        |  user_id AS unpacked_u
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "partitioned_write" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS n,

@@ -45,6 +45,18 @@ object Formats {
       .orderBy("fmt", "lang")
   }
 
+  /** Row-level CSV serde functions (from_csv / to_csv): the per-record
+    * sibling of the file-level CSV round trip — what a pipeline uses when CSV
+    * payloads arrive inside another envelope (a message queue, a string
+    * column). Row-local, schema-checked both directions. */
+  def csvFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("to_csv(named_struct('t', event_type, 'u', user_id))").as("packed"),
+        expr("from_csv(concat(event_type, ',', user_id), 't STRING, u BIGINT').u")
+          .as("unpacked_u"))
+      .orderBy("event_id")
+
   /** Hive-style partitioned layout: write lineitem partitioned by
     * (l_returnflag, l_linestatus), then read back ONE partition and
     * aggregate. The readback filter matches only partition columns, so the

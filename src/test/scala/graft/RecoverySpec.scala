@@ -57,4 +57,23 @@ class RecoverySpec extends SparkSpec {
     assert(recovered == batch)
     assert(recovered == Map("spark" -> 14L, "flink" -> 2L, "beam" -> 5L))
   }
+
+  test("Trigger.AvailableNow drains all input then terminates on its own") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_availnow").toString
+    Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("word", "n")
+      .repartition(1).write.mode("append").json(s"$base/src")
+    val q = spark.readStream.schema("word STRING, n BIGINT").json(s"$base/src")
+      .groupBy("word").agg(sum("n").as("total"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("avail_now").start()
+    // the scheduled-batch ingestion pattern: process everything, then STOP
+    // without an external stop() — awaitTermination returns by itself
+    assert(q.awaitTermination(60000), "query should self-terminate")
+    val got = spark.table("avail_now").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L))
+  }
 }
