@@ -1179,8 +1179,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "hll_sketch" ->
-      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
-        |  count(1) AS n_orders
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -168,6 +168,33 @@ object Graft {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  // ---------- distinct counting at scale ----------
+
+  /** Exact distinct count of an integer key per group via RoaringBitmap-style
+    * aggregation: values position into a ((bucket, bit)) grid, per-bucket
+    * bitmaps OR together, bit-counts sum per group. Identical answers to
+    * count(DISTINCT) — but the shuffle carries fixed-width bitmaps, not one
+    * row per distinct value. Output: groupCols ++ (out: bigint). */
+  def distinctExactBitmap(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, out: String = "n_distinct"): DataFrame = {
+    val g = groupCols.map(col)
+    df.groupBy(g :+ expr(s"bitmap_bucket_number($valueCol)").as("__bkt"): _*)
+      .agg(expr(s"bitmap_count(bitmap_construct_agg(bitmap_bit_position($valueCol)))")
+        .as("__cnt"))
+      .groupBy(g: _*)
+      .agg(sum("__cnt").cast("bigint").as(out))
+  }
+
+  /** Mergeable approximate distinct count per group (Apache DataSketches
+    * HLL): 2^lgK bytes of state per group no matter the cardinality; exact in
+    * the sketch's coupon regime, ~1% error beyond. Output: groupCols ++
+    * (out: bigint). */
+  def distinctApproxHll(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, lgK: Int = 14, out: String = "n_distinct"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"CAST(round(hll_sketch_estimate(hll_sketch_agg($valueCol, $lgK))) AS BIGINT)")
+        .as(out))
+
   // ---------- similarity ----------
 
   /** Cosine similarity column between two float-vector columns (codegen'd

@@ -148,11 +148,12 @@ object Dedup {
       .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18)
-    // Cache the feature table: fit() probes it (first(), for the input dim)
-    // and approxSimilarityJoin scans both self-join branches — uncached, each
-    // pass re-runs shingling + TF hashing from the parquet scan. (CacheManager
-    // keys on the logical plan, so repeated calls share one cache entry.)
-    val feat = tf.transform(sh).persist()
+    // NOT persisted: caching the sparse feature vectors looked like a win
+    // (fit() probes the table and the self-join scans it twice) but the
+    // in-memory columnar build of ML SparseVectors measured SLOWER and less
+    // stable than recomputing through the groupBy barrier, whose exchange the
+    // self-join branches already reuse.
+    val feat = tf.transform(sh)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(8).setSeed(42L)
     lsh.fit(feat).approxSimilarityJoin(feat, feat, 0.8, "jaccard_dist")

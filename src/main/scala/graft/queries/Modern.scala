@@ -210,32 +210,17 @@ object Modern {
     * over buckets. Identical answers to count(DISTINCT) but the shuffle
     * carries fixed-width bitmaps instead of one row per distinct value — the
     * scalable exact-distinct path when the distinct set per group is huge. */
-  def bitmapDistinct(s: SparkSession, d: String): DataFrame = {
-    Tables.events(s, d).createOrReplaceTempView("graft_events_bm")
-    s.sql(
-      """SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_users
-        |FROM (
-        |  SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
-        |    bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id))) AS cnt
-        |  FROM graft_events_bm
-        |  GROUP BY event_type, bitmap_bucket_number(user_id))
-        |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
-  }
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.distinctExactBitmap(
+        Tables.events(s, d), Seq("event_type"), "user_id", out = "n_users")
+      .orderBy("event_type")
 
   /** Apache DataSketches HLL: mergeable approximate distinct count. lgK=14
     * keeps the sketch in its exact (coupon) regime at verification scale while
     * bounding state at 2^14 buckets per group at any scale — the
     * sketch-merge pattern for countless-groups × huge-distinct-sets. */
-  def hllSketch(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("graft_orders_hll")
-    s.sql(
-      """SELECT o_orderpriority,
-        |  CAST(round(hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))) AS BIGINT)
-        |    AS n_cust,
-        |  count(1) AS n_orders
-        |FROM graft_orders_hll
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
-  }
+  def hllSketch(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.distinctApproxHll(
+        Tables.orders(s, d), Seq("o_orderpriority"), "o_custkey", out = "n_cust")
+      .orderBy("o_orderpriority")
 }
