@@ -131,6 +131,8 @@ object SparkEntry {
     "tumbling_windows"  -> EventTime.tumblingWindows _,
     "sliding_windows"   -> EventTime.slidingWindows _,
     "session_windows"   -> EventTime.sessionWindows _,
+    "pattern_detect"    -> EventTime.patternDetect _,
+    "cumulate_windows"  -> EventTime.cumulateWindows _,
     "rolling_sum_typed" -> EventTime.rollingSumTyped _,
     // Structured Streaming (file source → micro-batch → memory sink)
     "stream_wordcount"  -> StreamingQueries.streamWordCount _,
@@ -1089,6 +1091,35 @@ object SparkEntry {
         | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "pattern_detect" ->
+      """SELECT user_id, event_id, round(value, 2) AS value,
+        |  v_shape, error_to_purchase
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    lag(value) OVER w > value AND lead(value) OVER w > value AS v_shape,
+        |    event_type = 'error' AND
+        |      (lead(event_type, 1) OVER w = 'purchase'
+        |       OR lead(event_type, 2) OVER w = 'purchase') AS error_to_purchase
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE v_shape OR error_to_purchase
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "cumulate_windows" ->
+      """WITH x AS (
+        |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |      + ((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) * INTERVAL 1 SECOND AS b,
+        |    ts, event_type, value
+        |  FROM events),
+        |e AS (
+        |  SELECT b, b + k * INTERVAL 1 HOUR AS window_end, event_type, value
+        |  FROM x, (SELECT unnest(range(1, 7)) AS k)
+        |  WHERE ts < b + k * INTERVAL 1 HOUR)
+        |SELECT b, window_end, event_type, count(1) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM e GROUP BY b, window_end, event_type
+        |ORDER BY b, window_end, event_type""".stripMargin,
 
     "na_funcs" ->
       """SELECT event_id,

@@ -75,6 +75,46 @@ object EventTime {
         round(col("total"), 2).as("total"))
       .orderBy("h", "event_type")
 
+  /** CEP-style event pattern matching (the Table-planner's MATCH_RECOGNIZE
+    * surface re-expressed Spark-first): per user in event-time order, match
+    * (a) local-minimum value patterns (down-then-up, the V shape) and
+    * (b) the sequence pattern `error` followed by a `purchase` within the
+    * next two events. lag/lead over one per-key window — one shuffle, no
+    * state machine; every pattern over a bounded lookahead compiles to this
+    * shape. */
+  def patternDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("pv", lag("value", 1).over(w))
+      .withColumn("nv", lead("value", 1).over(w))
+      .withColumn("n1", lead("event_type", 1).over(w))
+      .withColumn("n2", lead("event_type", 2).over(w))
+      .withColumn("v_shape", col("pv") > col("value") && col("nv") > col("value"))
+      .withColumn("error_to_purchase",
+        col("event_type") === "error" &&
+          (col("n1") === "purchase" || col("n2") === "purchase"))
+      .filter(col("v_shape") || col("error_to_purchase"))
+      .select(col("user_id"), col("event_id"), round(col("value"), 2).as("value"),
+        col("v_shape"), col("error_to_purchase"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Cumulative (expanding) windows — Flink's CUMULATE TVF shape: within each
+    * 6-hour bucket, emit hourly window-ends covering [bucket, bucket+k·1h),
+    * k = 1..6; each event expands row-locally to the window-ends that contain
+    * it (sequence + explode), then ONE shuffle aggregates per
+    * (bucket, window_end, type). The early-firing dashboard aggregate. */
+  def cumulateWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("b", expr(
+        "CAST(timestamp_seconds(floor(unix_seconds(CAST(ts AS TIMESTAMP)) / 21600) * 21600) AS TIMESTAMP_NTZ)"))
+      .withColumn("k", explode(expr(
+        "filter(sequence(1, 6), k -> ts < b + k * INTERVAL '1' HOUR)")))
+      .withColumn("window_end", expr("b + k * INTERVAL '1' HOUR"))
+      .groupBy("b", "window_end", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("b", "window_end", "event_type")
+
   /** The reference's I6 rolling keyed sum (StreamSocket.scala:15 `keyBy(0)
     * .sum(1)`) through the TYPED arbitrary-state API shape: groupByKey +
     * mapGroups folding a per-key accumulator. Batch twin of the
