@@ -115,6 +115,8 @@ object SparkEntry {
     "join_salted"       -> Extended.joinSalted _,
     "join_range_binned" -> Extended.joinRangeBinned _,
     "na_funcs"          -> Extended.naFuncs _,
+    "regression_aggs"   -> Extended.regressionAggs _,
+    "bit_aggs"          -> Extended.bitAggs _,
     "ngram_counts"      -> TextAnalysis.ngramCounts _,
     // time-series joins / spine
     "asof_join"         -> EventTime.asofJoin _,
@@ -1091,6 +1093,22 @@ object SparkEntry {
         | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "regression_aggs" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "bit_aggs" ->
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS k_and,
+        |  bit_or(o_orderkey) AS k_or,
+        |  bit_xor(o_orderkey) AS k_xor,
+        |  count(1) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "pattern_detect" ->
       """SELECT user_id, event_id, round(value, 2) AS value,

@@ -171,6 +171,36 @@ object Extended {
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
       .orderBy("o_orderpriority")
 
+  /** Linear-regression aggregates (regr_slope/intercept/r2/count): the
+    * one-pass OLS fit per group — partial-aggregable moments, so map-side
+    * combine keeps the shuffle at one moment-vector per (group, partition). */
+  def regressionAggs(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_regr")
+    s.sql(
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM graft_lineitem_regr
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor): the set-digest
+    * primitives (permission masks, feature flags, parity checks) — O(1)
+    * state per group. */
+  def bitAggs(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("graft_orders_bitagg")
+    s.sql(
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS k_and,
+        |  bit_or(o_orderkey) AS k_or,
+        |  bit_xor(o_orderkey) AS k_xor,
+        |  count(1) AS n
+        |FROM graft_orders_bitagg
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Null-handling surface (DataFrameNaFunctions): inject NULLs with nullif,
     * then na.drop (row filter on a null key), na.replace (value remap) and
     * na.fill (default) — the cleanup steps every ingestion pipeline runs
