@@ -1214,11 +1214,11 @@ object SparkEntry {
 
     "url_funcs" ->
       """SELECT n_nationkey,
-        |  lower(n_name) || '.example.com' AS host,
-        |  '/' || lower(r_name) || '/item' AS path,
+        |  replace(lower(n_name), '_', '-') || '.example.com' AS host,
+        |  '/' || replace(lower(r_name), ' ', '-') || '/item' AS path,
         |  'id=' || n_nationkey || '&tag=x' AS query,
         |  CAST(n_nationkey AS VARCHAR) AS qid,
-        |  n_name || '+%26+' || r_name AS enc,
+        |  n_name || '+%26+' || replace(r_name, ' ', '+') AS enc,
         |  n_name AS dec
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |ORDER BY n_nationkey""".stripMargin,

@@ -39,17 +39,28 @@ object StreamBench {
     // reference's socket lines, synthesized instead of TCP-read
     val lines = rate.selectExpr(
       "concat_ws(' ', transform(sequence(0, 7), i -> concat('w', pmod(value * 31 + i * 7, 1000)))) AS text")
+    // A listener tallies every progress event — q.recentProgress retains only
+    // the last ~100 updates, which under-reports long runs.
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val batchesSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        rowsSeen.addAndGet(e.progress.numInputRows)
+        batchesSeen.incrementAndGet()
+      }
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     val counts = graft.api.Graft.rollingWordCount(lines, "text")
     val q = counts.writeStream.outputMode("update").format("noop").start()
 
     val t0 = System.nanoTime()
     while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(200)
     val elapsed = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress
     q.stop()
-    val rows = progress.map(_.numInputRows).sum
+    val rows = rowsSeen.get()
     spark.stop()
-    println(f"""{"metric":"stream_wordcount_throughput","lines_per_sec":${rows / elapsed}%.0f,"words_per_sec":${8 * rows / elapsed}%.0f,"batches":${progress.length},"seconds":$elapsed%.1f}""")
+    println(f"""{"metric":"stream_wordcount_throughput","lines_per_sec":${rows / elapsed}%.0f,"words_per_sec":${8 * rows / elapsed}%.0f,"batches":${batchesSeen.get()},"seconds":$elapsed%.1f}""")
     Console.out.flush()
   }
 }

@@ -313,11 +313,17 @@ object Graft {
   def binnedIntervalJoin(points: DataFrame, intervals: DataFrame,
       ptsTsCol: String, loCol: String, hiCol: String,
       binSeconds: Long = 7L * 86400): DataFrame = {
+    // Bins are computed at MICROsecond resolution (Spark's timestamp
+    // precision): with second-truncated binning, a point at hh:mm:ss.200
+    // inside an interval ending hh:mm:ss.500 could land one bin past the
+    // interval's last bin and silently drop — the -1 below is exclusive-end
+    // arithmetic in micros, exact for any timestamp Spark can represent.
+    val binMicros = binSeconds * 1000000L
     val pb = points.withColumn("__pbin",
-      expr(s"floor(unix_seconds(CAST($ptsTsCol AS TIMESTAMP)) / ${binSeconds}L)"))
+      expr(s"floor(unix_micros(CAST($ptsTsCol AS TIMESTAMP)) / ${binMicros}L)"))
     val ib = intervals.withColumn("__ibin", explode(expr(
-      s"""sequence(floor(unix_seconds(CAST($loCol AS TIMESTAMP)) / ${binSeconds}L),
-         |         floor((unix_seconds(CAST($hiCol AS TIMESTAMP)) - 1) / ${binSeconds}L))""".stripMargin)))
+      s"""sequence(floor(unix_micros(CAST($loCol AS TIMESTAMP)) / ${binMicros}L),
+         |         floor((unix_micros(CAST($hiCol AS TIMESTAMP)) - 1) / ${binMicros}L))""".stripMargin)))
     pb.join(ib, pb("__pbin") === ib("__ibin") &&
         pb(ptsTsCol) >= ib(loCol) && pb(ptsTsCol) < ib(hiCol))
       .drop("__pbin", "__ibin")

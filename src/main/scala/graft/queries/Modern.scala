@@ -188,6 +188,9 @@ object Modern {
   def urlFuncs(s: SparkSession, d: String): DataFrame = {
     Tables.nation(s, d).createOrReplaceTempView("graft_nation_url")
     Tables.region(s, d).createOrReplaceTempView("graft_region_url")
+    // Hostname/path legality matters: java.net.URI (behind parse_url) returns
+    // a NULL host for '_' in hostnames, and ANSI parse_url throws on spaces —
+    // so the synthesized URL slugs both away ('_'/' ' → '-').
     s.sql(
       """SELECT n_nationkey,
         |  parse_url(url, 'HOST') AS host,
@@ -198,7 +201,8 @@ object Modern {
         |  url_decode(url_encode(n_name)) AS dec
         |FROM (
         |  SELECT n_nationkey, n_name, r_name,
-        |    concat('https://', lower(n_name), '.example.com/', lower(r_name),
+        |    concat('https://', replace(lower(n_name), '_', '-'), '.example.com/',
+        |           replace(lower(r_name), ' ', '-'),
         |           '/item?id=', n_nationkey, '&tag=x') AS url
         |  FROM graft_nation_url n JOIN graft_region_url r
         |    ON n.n_regionkey = r.r_regionkey)

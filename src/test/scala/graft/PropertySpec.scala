@@ -81,15 +81,19 @@ class PropertySpec extends SparkSpec {
   test("binned interval join equals the naive theta join on generated data") {
     import java.sql.Timestamp
     val base = 1700000000000L // fixed epoch anchor
-    def ts(offsetMin: Long) = new Timestamp(base + offsetMin * 60000L)
     for (seed <- 1L to 3L) {
       val rnd = new scala.util.Random(seed)
-      val points = Seq.tabulate(300)(i =>
-        (i.toLong, ts(rnd.nextInt(10000).toLong)))
+      // sub-second jitter on purpose: second-truncated binning dropped pairs
+      // whose interval end and point share a truncated second (regression)
+      def jitter() = new Timestamp(
+        base + rnd.nextInt(10000).toLong * 60000L + rnd.nextInt(1000))
+      val points = Seq.tabulate(300)(i => (i.toLong, jitter()))
       val intervals = Seq.tabulate(40) { j =>
         val lo = rnd.nextInt(9000).toLong
-        // widths from minutes up to several bins wide (bin = 1h below)
-        (j.toLong, ts(lo), ts(lo + 1 + rnd.nextInt(400).toLong))
+        // widths from sub-minute up to several bins wide (bin = 1h below)
+        val loTs = new Timestamp(base + lo * 60000L + rnd.nextInt(1000))
+        (j.toLong, loTs, new Timestamp(
+          loTs.getTime + 1 + rnd.nextInt(400 * 60000)))
       }
       val p = points.toDF("p_id", "p_ts")
       val iv = intervals.toDF("iv_id", "lo", "hi")

@@ -20,12 +20,12 @@ class RecoverySpec extends SparkSpec {
     val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
     Files.createDirectories(Paths.get(srcDir))
 
-    def writeFile(name: String, rows: Seq[(String, Long)]): Unit =
+    def writeSlice(rows: Seq[(String, Long)]): Unit =
       rows.toDF("word", "n").repartition(1)
         .write.mode("append").json(s"$srcDir")
 
     // phase 1: first slice of the input
-    writeFile("a", Seq(("spark", 1L), ("flink", 2L), ("spark", 3L)))
+    writeSlice(Seq(("spark", 1L), ("flink", 2L), ("spark", 3L)))
 
     def startQuery(sinkName: String) = {
       val stream = spark.readStream
@@ -43,7 +43,7 @@ class RecoverySpec extends SparkSpec {
     assert(afterPhase1 == Map("spark" -> 4L, "flink" -> 2L))
 
     // phase 2: more input lands while the query is DOWN; restart from ckpt
-    writeFile("b", Seq(("spark", 10L), ("beam", 5L)))
+    writeSlice(Seq(("spark", 10L), ("beam", 5L)))
     val q2 = startQuery("recovery_run2")
     try q2.processAllAvailable() finally q2.stop()
     val recovered = spark.table("recovery_run2").collect()

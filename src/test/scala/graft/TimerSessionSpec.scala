@@ -43,6 +43,10 @@ class SessionizeProcessor(gapMs: Long)
     val (closed, open) = sessions.partition(sess => sess.last + gapMs <= wm)
     buf.clear()
     open.flatten.foreach(t => buf.appendValue(t))
+    // keep a timer covering the EARLIEST still-open session's close, so open
+    // sessions drain as the watermark advances even if this key never sees
+    // another input row (input-batch timers alone would strand them)
+    open.headOption.foreach(sess => getHandle.registerTimer(sess.last + gapMs))
     closed.iterator.map(sess => (key, sess.head, sess.length))
   }
 }

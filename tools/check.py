@@ -24,6 +24,12 @@ def main(out_dir, sf_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    # An oracle entry whose query crashed in Verify leaves NO output dir —
+    # that must fail loudly, not silently drop out of the walk below.
+    for name in sorted(oracles):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"[FAIL] {name}: query produced no output (crashed in Verify?)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
