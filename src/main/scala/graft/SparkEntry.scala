@@ -153,6 +153,7 @@ object SparkEntry {
     "format_roundtrip"  -> Formats.formatRoundtrip _,
     "partitioned_write" -> Formats.partitionedWrite _,
     "csv_funcs"         -> Formats.csvFuncs _,
+    "json_tuple_funcs"  -> Formats.jsonTupleFuncs _,
     // UDF/UDAF registration surface (D7)
     "udaf_geomean"      -> graft.functions.Udfs.udafGeomean _,
     "udf_clip"          -> graft.functions.Udfs.udfClip _,
@@ -1069,6 +1070,12 @@ object SparkEntry {
         |  count(1) AS n, round(sum(value), 2) AS total
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "json_tuple_funcs" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS kv_tuple,
+        |  json_extract_string(props, '$.k') AS kv_path
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "csv_funcs" ->
       """SELECT event_id,

@@ -45,6 +45,19 @@ object Formats {
       .orderBy("fmt", "lang")
   }
 
+  /** Hive-style JSON path surface: json_tuple (generator form, LATERAL VIEW)
+    * and get_json_object (scalar path) — the pre-VARIANT JSON access idioms
+    * ported pipelines still carry. */
+  def jsonTupleFuncs(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("graft_events_jt")
+    s.sql(
+      """SELECT event_id, t.kv AS kv_tuple,
+        |  get_json_object(props, '$.k') AS kv_path
+        |FROM graft_events_jt
+        |LATERAL VIEW json_tuple(props, 'k') t AS kv
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Row-level CSV serde functions (from_csv / to_csv): the per-record
     * sibling of the file-level CSV round trip — what a pipeline uses when CSV
     * payloads arrive inside another envelope (a message queue, a string
