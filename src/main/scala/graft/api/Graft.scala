@@ -70,8 +70,10 @@ object Graft {
   def qualityScore(df: DataFrame, textCol: String, out: String = "quality"): DataFrame = {
     val nTokens = size(split(col(textCol), " ", -1)).cast("double")
     val punct = length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double")
+    // backticks: textCol is a caller-supplied name spliced into a SQL lambda
+    // (filter() needs expr); without quoting, names with spaces/dashes break
     val stop = size(expr(
-      s"filter(split($textCol, ' '), t -> t IN ('the','a','of','and','is'))")).cast("double")
+      s"filter(split(`$textCol`, ' '), t -> t IN ('the','a','of','and','is'))")).cast("double")
     df.withColumn(out,
       least(nTokens / 100.0, lit(1.0)) * 0.5
         + (lit(1.0) - punct / length(col(textCol))) * 0.3
@@ -248,14 +250,20 @@ object Graft {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__kind"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // (ts, value) travel together in ONE running struct: tracking them in two
+    // separate ignoreNulls windows could pair a value from one right row with
+    // the timestamp of a later NULL-valued right row — a (value, ts)
+    // observation that never existed. The struct is non-null for every right
+    // row (even a NULL value), matching ASOF semantics: the latest right row
+    // wins regardless of its value's nullness.
     rightAligned.unionByName(leftAligned)
-      .withColumn(s"${rightValCol}_asof",
-        last(col(rightValCol), ignoreNulls = true).over(w))
-      .withColumn(s"${tsCol}_asof",
-        last(when(col("__kind") === 0, col(tsCol)), ignoreNulls = true).over(w))
-      .filter(col("__kind") === 1 && col(s"${rightValCol}_asof").isNotNull)
+      .withColumn("__asof", last(
+        when(col("__kind") === 0, struct(col(tsCol).as("t"), col(rightValCol).as("v"))),
+        ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1 && col("__asof").isNotNull)
       .select(Seq(col(keyCol), col(tsCol)) ++ payload.map(col) ++
-        Seq(col(s"${rightValCol}_asof"), col(s"${tsCol}_asof")): _*)
+        Seq(col("__asof.v").as(s"${rightValCol}_asof"),
+          col("__asof.t").as(s"${tsCol}_asof")): _*)
   }
 
   /** Gap-filled time series: truncate `tsCol` to `unit`, aggregate

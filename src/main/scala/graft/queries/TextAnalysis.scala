@@ -70,16 +70,16 @@ object TextAnalysis {
     val nTokens = size(tokens).cast("double")
     val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
     val stop = size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','and','is'))")).cast("double")
-    Tables.documents(s, d)
+    // the combined score comes from the ONE formula in Graft.qualityScore
+    // (pipeline_clean_corpus thresholds the same column); only the display
+    // ratios are computed locally
+    graft.api.Graft.qualityScore(Tables.documents(s, d), "text", out = "__q")
       .select(
         col("doc_id"),
         size(tokens).as("n_tokens"),
         round((punct / length(col("text"))), 4).as("punct_ratio"),
         round(stop / nTokens, 4).as("stopword_ratio"),
-        round(
-          least(nTokens / 100.0, lit(1.0)) * 0.5
-            + (lit(1.0) - punct / length(col("text"))) * 0.3
-            + least(stop / nTokens * 10.0, lit(1.0)) * 0.2, 4).as("quality"))
+        round(col("__q"), 4).as("quality"))
       .orderBy("doc_id")
   }
 

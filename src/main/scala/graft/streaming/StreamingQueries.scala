@@ -242,13 +242,18 @@ object StreamingQueries {
     * aggregate (shared oracle). A real deployment swaps the store's `upsert`
     * for a Redis/HBase client; the pipeline is unchanged. */
   def streamKvUpsert(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_kv_upsert/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // Sanitizer must strip dots too: a relative dataset path like ".." would
+    // otherwise resolve the scratch dir to /tmp itself and the recursive
+    // delete below would eat unrelated files.
+    val dir = s"/tmp/graft_kv_upsert/${d.replaceAll("[^A-Za-z0-9]", "_")}"
     // clean slate per run so the snapshot reflects exactly this run
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
     val store = new graft.connectors.ParquetKeyValueStore(dir, "n")
     val agg = readStreamTable(s, d, "events")
