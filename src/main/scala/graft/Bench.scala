@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every query in SparkEntry.queries on SPARK_GRAFT_SF_DIR.
+  *
+  * Contract: the LAST stdout line is ONE JSON object. The driver captures only
+  * the last ~2000 chars of stdout, so that line must stay well under that —
+  * per-query detail for all 100+ queries (~3KB) goes to BENCH_DETAIL.json and
+  * to an earlier (non-contract) stdout line; the final line carries the total
+  * plus a headline subset of per-query seconds.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,13 +46,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    spark.stop()
-    // The contract is ONE JSON line as the last thing on stdout: print after
-    // spark.stop() so no shutdown chatter can trail it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def dict(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${dict(results)},"sf":"$sfDir"}"""
+    // Full per-query detail: a file plus an earlier stdout line (both outside
+    // the last-line contract, which only the compact line below satisfies).
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        fullJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"BENCH_FULL $fullJson")
+    // Headline subset: canonical representatives of each family plus the
+    // slowest queries this run — bounded so the final line stays < ~1500 chars.
+    val canonical = Seq("q1_pricing_summary", "q5_local_supplier", "word_count",
+      "dedup_minhash", "dedup_simhash", "knn_bruteforce", "tfidf_top_terms",
+      "asof_join", "window_funcs", "stream_wordcount", "stream_session")
+    val byName = results.toMap
+    val slowest = results.sortBy(-_._2).take(12).map(_._1)
+    val headlineNames = (canonical.filter(byName.contains) ++ slowest).distinct.take(20)
+    val headline = results.filter { case (k, _) => headlineNames.contains(k) }
+    // ADVICE r2: stop() may throw or hang shutdown chatter — never lose the line.
+    try spark.stop() catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(headline)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

@@ -56,9 +56,12 @@ object StreamBench {
 
     val t0 = System.nanoTime()
     while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(200)
+    // Snapshot rows AND elapsed at the same instant, before stop(): batches
+    // that complete during stop() would otherwise count toward rows but not
+    // time, inflating the reported rate by up to a full batch.
     val elapsed = (System.nanoTime() - t0) / 1e9
-    q.stop()
     val rows = rowsSeen.get()
+    q.stop()
     spark.stop()
     println(f"""{"metric":"stream_wordcount_throughput","lines_per_sec":${rows / elapsed}%.0f,"words_per_sec":${8 * rows / elapsed}%.0f,"batches":${batchesSeen.get()},"seconds":$elapsed%.1f}""")
     Console.out.flush()

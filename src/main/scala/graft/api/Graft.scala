@@ -180,8 +180,10 @@ object Graft {
   def distinctExactBitmap(df: DataFrame, groupCols: Seq[String],
       valueCol: String, out: String = "n_distinct"): DataFrame = {
     val g = groupCols.map(col)
-    df.groupBy(g :+ expr(s"bitmap_bucket_number($valueCol)").as("__bkt"): _*)
-      .agg(expr(s"bitmap_count(bitmap_construct_agg(bitmap_bit_position($valueCol)))")
+    // backticks: valueCol is a caller-supplied name spliced into SQL — quoted
+    // so names with spaces/dashes parse (same hazard qualityScore fixed)
+    df.groupBy(g :+ expr(s"bitmap_bucket_number(`$valueCol`)").as("__bkt"): _*)
+      .agg(expr(s"bitmap_count(bitmap_construct_agg(bitmap_bit_position(`$valueCol`)))")
         .as("__cnt"))
       .groupBy(g: _*)
       .agg(sum("__cnt").cast("bigint").as(out))
@@ -194,7 +196,7 @@ object Graft {
   def distinctApproxHll(df: DataFrame, groupCols: Seq[String],
       valueCol: String, lgK: Int = 14, out: String = "n_distinct"): DataFrame =
     df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"CAST(round(hll_sketch_estimate(hll_sketch_agg($valueCol, $lgK))) AS BIGINT)")
+      .agg(expr(s"CAST(round(hll_sketch_estimate(hll_sketch_agg(`$valueCol`, $lgK))) AS BIGINT)")
         .as(out))
 
   // ---------- similarity ----------
@@ -317,10 +319,17 @@ object Graft {
     * as a residual filter. Pair volume is sum over bins of
     * |points/bin|·|intervals/bin| — linear in data for bounded interval
     * density, where the theta join is quadratic. Output: point columns ++
-    * interval columns. */
+    * interval columns.
+    *
+    * Hard width limit: an interval may span at most `maxBinsPerInterval` bins
+    * (default 65536 — e.g. ~1250 years at the default 7-day bin). A wider
+    * interval would expand into an unbounded `sequence()` array (one
+    * pathological row could exceed Spark's max array length and kill the
+    * job); instead the expansion fails fast with a descriptive error —
+    * raise `binSeconds` or `maxBinsPerInterval` for genuinely wide spans. */
   def binnedIntervalJoin(points: DataFrame, intervals: DataFrame,
       ptsTsCol: String, loCol: String, hiCol: String,
-      binSeconds: Long = 7L * 86400): DataFrame = {
+      binSeconds: Long = 7L * 86400, maxBinsPerInterval: Long = 65536L): DataFrame = {
     // Bins are computed at MICROsecond resolution (Spark's timestamp
     // precision): with second-truncated binning, a point at hh:mm:ss.200
     // inside an interval ending hh:mm:ss.500 could land one bin past the
@@ -328,10 +337,18 @@ object Graft {
     // arithmetic in micros, exact for any timestamp Spark can represent.
     val binMicros = binSeconds * 1000000L
     val pb = points.withColumn("__pbin",
-      expr(s"floor(unix_micros(CAST($ptsTsCol AS TIMESTAMP)) / ${binMicros}L)"))
+      expr(s"floor(unix_micros(CAST(`$ptsTsCol` AS TIMESTAMP)) / ${binMicros}L)"))
+    // The width guard lives INSIDE the sequence bound expression (not a
+    // droppable side column), so it can't be pruned away: a too-wide interval
+    // evaluates assert_true(false) and fails the job with the message below
+    // rather than materializing a million-element bin array.
     val ib = intervals.withColumn("__ibin", explode(expr(
-      s"""sequence(floor(unix_micros(CAST($loCol AS TIMESTAMP)) / ${binMicros}L),
-         |         floor((unix_micros(CAST($hiCol AS TIMESTAMP)) - 1) / ${binMicros}L))""".stripMargin)))
+      s"""sequence(floor(unix_micros(CAST(`$loCol` AS TIMESTAMP)) / ${binMicros}L),
+         |  if(floor((unix_micros(CAST(`$hiCol` AS TIMESTAMP)) - 1) / ${binMicros}L)
+         |       - floor(unix_micros(CAST(`$loCol` AS TIMESTAMP)) / ${binMicros}L)
+         |       < ${maxBinsPerInterval}L,
+         |     floor((unix_micros(CAST(`$hiCol` AS TIMESTAMP)) - 1) / ${binMicros}L),
+         |     CAST(assert_true(false, 'binnedIntervalJoin: interval wider than maxBinsPerInterval*binSeconds; raise binSeconds or maxBinsPerInterval') AS BIGINT)))""".stripMargin)))
     pb.join(ib, pb("__pbin") === ib("__ibin") &&
         pb(ptsTsCol) >= ib(loCol) && pb(ptsTsCol) < ib(hiCol))
       .drop("__pbin", "__ibin")
