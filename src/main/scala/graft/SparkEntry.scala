@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, EventTime, Extended, Formats, Modern, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, EventTime, Extended, Formats, Modern, Multimodal, Relational, Similarity, TextAnalysis, TpchMore}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — the engine's public registry.
@@ -170,6 +170,23 @@ object SparkEntry {
     "url_funcs"         -> Modern.urlFuncs _,
     "bitmap_distinct"   -> Modern.bitmapDistinct _,
     "hll_sketch"        -> Modern.hllSketch _,
+    // the rest of the TPC-H decision-support shapes (round 3)
+    "q2_min_cost_supp"  -> TpchMore.q2MinCostSupp _,
+    "q7_volume_shipping" -> TpchMore.q7VolumeShipping _,
+    "q8_market_share"   -> TpchMore.q8MarketShare _,
+    "q9_product_profit" -> TpchMore.q9ProductProfit _,
+    "q11_important_stock" -> TpchMore.q11ImportantStock _,
+    "q12_late_priority" -> TpchMore.q12LatePriority _,
+    "q13_cust_distribution" -> TpchMore.q13CustDistribution _,
+    "q14_promo_revenue" -> TpchMore.q14PromoRevenue _,
+    "q15_top_supplier"  -> TpchMore.q15TopSupplier _,
+    "q16_supplier_cnt"  -> TpchMore.q16SupplierCnt _,
+    "q17_small_qty_revenue" -> TpchMore.q17SmallQtyRevenue _,
+    "q18_large_volume_cust" -> TpchMore.q18LargeVolumeCust _,
+    "q19_disjunctive"   -> TpchMore.q19Disjunctive _,
+    "q20_excess_supply" -> TpchMore.q20ExcessSupply _,
+    "q21_waiting_supplier" -> TpchMore.q21WaitingSupplier _,
+    "q22_global_sales_opp" -> TpchMore.q22GlobalSalesOpp _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1242,5 +1259,198 @@ object SparkEntry {
     "hll_sketch" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // ---- TPC-H decision-support shapes (round 3; see TpchMore.scala for the
+    // schema adaptations — derived partsupp, substituted filter columns) ----
+
+    "q2_min_cost_supp" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem),
+        |j AS (
+        |  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey
+        |  FROM ps
+        |  JOIN part p ON ps.ps_partkey = p.p_partkey
+        |    AND p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+        |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA')
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey
+        |FROM (SELECT *, max(s_acctbal) OVER (PARTITION BY p_partkey) AS mb FROM j)
+        |WHERE s_acctbal = mb
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         l_extendedprice * (1 - l_discount) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |              sum(l_quantity) AS ps_availqty FROM lineitem GROUP BY 1, 2),
+        |es AS (SELECT s_suppkey FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |v AS (SELECT ps_partkey, sum(ps_availqty * p_retailprice) AS value
+        |      FROM ps JOIN es ON ps_suppkey = s_suppkey
+        |      JOIN part ON ps_partkey = p_partkey GROUP BY 1)
+        |SELECT ps_partkey, round(value, 2) AS stock_value FROM v
+        |WHERE value > 4 * (SELECT avg(value) FROM v)
+        |ORDER BY stock_value DESC, ps_partkey""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM cc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM revenue JOIN supplier ON supplier_no = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q18_large_volume_cust" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, round(sum_qty, 2) AS sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 25 AND 40)""".stripMargin,
+
+    "q20_excess_supply" ->
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |              sum(l_quantity) AS ps_availqty FROM lineitem GROUP BY 1, 2),
+        |demand AS (
+        |  SELECT l_partkey AS dm_partkey, sum(l_quantity) AS dm_qty FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1),
+        |excess AS (
+        |  SELECT DISTINCT ps_suppkey FROM ps
+        |  JOIN demand ON ps_partkey = dm_partkey
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |    AND ps_availqty > 0.5 * dm_qty)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |l1 AS (SELECT DISTINCT l_orderkey AS o1, l_suppkey AS s1 FROM li WHERE late)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l1 JOIN supplier ON s1 = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li WHERE li.l_orderkey = o1 AND li.l_suppkey <> s1)
+        |  AND NOT EXISTS (SELECT 1 FROM li WHERE li.late AND li.l_orderkey = o1 AND li.l_suppkey <> s1)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q22_global_sales_opp" ->
+      """WITH c AS (SELECT * FROM customer
+        |           WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE', 'BUILDING'))
+        |SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
