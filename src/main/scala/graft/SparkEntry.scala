@@ -1319,7 +1319,8 @@ object SparkEntry {
 
     "q9_product_profit" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey

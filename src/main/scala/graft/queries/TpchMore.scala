@@ -122,18 +122,25 @@ object TpchMore {
   /** Q9 shape (product-type profit): profit on 'widget' parts by supplier
     * nation and order year. No supplycost column exists, so profit =
     * discounted extended price (the grouping/join shape is what Q9 tests:
-    * a 5-way join aggregated on a dimension attribute × a derived year). */
+    * a 5-way join aggregated on a dimension attribute × a derived year).
+    * The sum runs in DECIMAL space: the source doubles carry ≤2 decimal
+    * digits, so decimal(18,4) recovers them exactly and the sum becomes
+    * order-independent — a double sum over these many small groups lands
+    * on a round(.,2) half-cent boundary often enough to flake the oracle
+    * hash (observed in round 3). */
   def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).filter(col("p_name").contains("widget"))
     val sup = Tables.supplier(s, d)
     val n = Tables.nation(s, d)
+    val profit = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
     Tables.lineitem(s, d)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("bigint").as("o_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_profit"))
+      .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
