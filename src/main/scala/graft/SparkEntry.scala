@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, EventTime, Extended, Formats, Modern, Multimodal, Relational, Similarity, TextAnalysis, TpchMore}
+import graft.queries.{Dedup, EventTime, Extended, Formats, Modern, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis, TpchMore}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — the engine's public registry.
@@ -187,6 +187,15 @@ object SparkEntry {
     "q20_excess_supply" -> TpchMore.q20ExcessSupply _,
     "q21_waiting_supplier" -> TpchMore.q21WaitingSupplier _,
     "q22_global_sales_opp" -> TpchMore.q22GlobalSalesOpp _,
+
+    "dedup_clusters"    -> PipelineOps.dedupClusters _,
+    "sample_stratified" -> PipelineOps.sampleStratified _,
+    "sketch_top_k"      -> PipelineOps.sketchTopK _,
+    "hll_union"         -> PipelineOps.hllUnion _,
+    "merge_upsert"      -> PipelineOps.mergeUpsert _,
+    "funnel_analysis"   -> PipelineOps.funnelAnalysis _,
+    "retention_cohorts" -> PipelineOps.retentionCohorts _,
+    "join_bucketed"     -> PipelineOps.joinBucketed _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1453,5 +1462,98 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // ---- round-4 pipeline operators (PipelineOps.scala) ----
+
+    // Transitive closure over the same star-edge graph (head-8 / tail-8 token
+    // keys); DuckDB's recursive CTE computes min-reachable-id per node — the
+    // declarative twin of the distributed label-propagation loop.
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS k_head,
+        |        md5(array_to_string(list_slice(toks, greatest(1, len(toks) - 7), len(toks)), ' ')) AS k_tail
+        |      FROM t),
+        |e0 AS (
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_head) AS b FROM k
+        |  UNION ALL
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_tail) AS b FROM k),
+        |edges AS (
+        |  SELECT a, b FROM e0 WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM e0 WHERE a <> b),
+        |reach(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v),
+        |comp AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v)
+        |SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |       THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+        |       ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Exact while distinct event_types ≤ sketch capacity (5 ≤ 10000 at any sf
+    // of this data); ties at the k boundary could order differently, but
+    // event counts here are far apart.
+    "sketch_top_k" ->
+      """SELECT event_type AS item, count(*) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, item LIMIT 3""".stripMargin,
+
+    // Scale bound: exact only while each per-type sketch and their union stay
+    // in the lgK=14 coupon regime (same caveat as hll_sketch).
+    "hll_union" ->
+      """SELECT count(DISTINCT user_id) AS n_users FROM events""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, round(o_totalprice, 2) AS price, 'base' AS src
+        |              FROM orders WHERE o_orderkey % 4 <> 3),
+        |chg AS (SELECT o_orderkey, round(o_totalprice + 100.0, 2) AS price, 'update' AS src
+        |        FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM chg
+        |UNION ALL
+        |SELECT b.* FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.o_orderkey = b.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "funnel_analysis" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT CASE WHEN t1 IS NULL THEN 0
+        |        WHEN t2 IS NULL OR t2 < t1 THEN 1
+        |        WHEN t3 IS NULL OR t3 < t2 THEN 2
+        |        WHEN t4 IS NULL OR t4 < t3 THEN 3
+        |        ELSE 4 END AS stage FROM f)
+        |SELECT CAST(stage AS INTEGER) AS stage, count(*) AS n_users
+        |FROM s GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH weekly AS (SELECT DISTINCT user_id,
+        |                  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER) AS week_offset,
+        |       count(DISTINCT w.user_id) AS n_users
+        |FROM weekly w JOIN c USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // The oracle sees only the RESULT parity (same rows as a plain join); the
+    // no-shuffle property of the bucketed plan is pinned by AdvancedStateSpec.
+    "join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

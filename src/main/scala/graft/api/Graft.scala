@@ -354,6 +354,53 @@ object Graft {
       .drop("__pbin", "__ibin")
   }
 
+  /** Connected components over an undirected edge list: (node, comp) where
+    * comp is the minimum node id reachable from `node`. The dedup-clustering
+    * primitive: near-dup candidate PAIRS (minhashCandidates, simhash,
+    * embedding blocks) are edges; transitive closure turns them into groups,
+    * from which a pipeline keeps one representative per group.
+    *
+    * Algorithm: min-label propagation with pointer jumping — each round every
+    * node takes the min label among itself and its neighbors (one join +
+    * groupBy), then labels compress through their own parents
+    * (label := label(label), a second join), giving O(log n) rounds on path
+    * graphs instead of O(diameter). Each round is a pair of distributed
+    * hash joins on the edge list — nothing driver-side but the loop counter;
+    * `localCheckpoint` truncates lineage so plans stay flat across rounds
+    * (on a cluster with flaky executors prefer `checkpoint` to a reliable FS).
+    * Isolated nodes (no edges) are the caller's to union back if their input
+    * id set is wider than the edge list. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(sym("src").as("n")).agg(min("comp").as("nbr"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("n"), "left")
+        .select(col("node"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jump: comp := comp(comp) — comp is always an existing node id,
+      // so the self-join resolves; halves tree heights every round
+      val parents = stepped.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      val jumped = stepped.join(parents, stepped("comp") === parents("p_node"), "left")
+        .select(col("node"), col("old"),
+          coalesce(col("p_comp"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("comp") < col("old")).count()
+      labels = jumped.select("node", "comp")
+      i += 1
+    }
+    labels
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

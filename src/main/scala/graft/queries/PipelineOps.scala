@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Round-4 pipeline operators: the cross-document / cross-run machinery a
+  * training-data pipeline runs AFTER the per-document scoring and candidate
+  * generation that the Dedup/TextAnalysis/Similarity families provide —
+  * transitive dedup clustering, stratified corpus sampling, mergeable-sketch
+  * rollups, snapshot upserts, funnel/retention analytics, and bucketed
+  * (shuffle-free at rest) fact-fact joins.
+  */
+object PipelineOps {
+
+  /** Transitive near-dup CLUSTERS (the step after candidate pairs): documents
+    * sharing a head-8-token key OR a tail-8-token key are near-dup candidates;
+    * connected components over those edges collapse chains (A~B on head,
+    * B~C on tail ⇒ {A,B,C} one cluster) so a pipeline keeps one doc per
+    * cluster. Edges are STAR edges — each doc connects to the minimum doc_id
+    * of its bucket — so edge volume is 2·N, never sum(|bucket|²); components
+    * come from Graft.connectedComponents (min-label propagation + pointer
+    * jumping, O(log n) rounds of distributed joins).
+    * Output: (doc_id, cluster_id = min doc_id in cluster, cluster_size). */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val keyed = Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(array_join(slice(toks, 1, 8), " ")).as("k_head"),
+      md5(array_join(slice(toks, greatest(lit(1), size(toks) - 7), lit(8)), " ")).as("k_tail"))
+    val eHead = keyed.select(col("doc_id").as("a"),
+      min("doc_id").over(Window.partitionBy("k_head")).as("b"))
+    val eTail = keyed.select(col("doc_id").as("a"),
+      min("doc_id").over(Window.partitionBy("k_tail")).as("b"))
+    val edges = eHead.union(eTail).filter(col("a") =!= col("b"))
+    val comp = graft.api.Graft.connectedComponents(edges, "a", "b")
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
+  /** Stratified deterministic sampling: per-language keep rates (25% for the
+    * over-represented 'en' stratum, 6.25% for the rest) decided by the first
+    * hex digit of md5(doc_id) — reproducible across engines and runs, no RNG
+    * state, embarrassingly parallel (the filter runs inside the scan). The
+    * corpus-rebalancing primitive for training-data mixture control. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.documents(s, d)
+      .filter(when(col("lang") === "en", h.isin("0", "1", "2", "3"))
+        .otherwise(h === "0"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Heavy hitters via the approx_top_k sketch (Spark 4.x): mergeable
+    * frequent-items state, one pass, no per-key shuffle of the full key set.
+    * The sketch is EXACT while distinct items ≤ its capacity (default 10000 —
+    * event_type has 5), so the exact-count oracle holds at any sf of this
+    * data; for open-domain keys at 100 TB the same query returns
+    * ±capacity-bounded estimates. Re-sorted (count desc, item) for a
+    * deterministic output order. */
+  def sketchTopK(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
+  /** Mergeable-sketch rollup: per-event-type HLL sketches union into a global
+    * distinct-user count WITHOUT re-touching the raw data — the two-level
+    * aggregation pattern behind incremental/partitioned distinct counting
+    * (build sketches per partition/day, merge on demand). Scale bound: exact
+    * only in the lgK=14 coupon regime (same caveat as hll_sketch). */
+  def hllUnion(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("CAST(round(hll_sketch_estimate(hll_union_agg(sk))) AS BIGINT)")
+        .as("n_users"))
+
+  /** Snapshot MERGE (upsert): apply a change set to a base table — updates
+    * replace matching keys, inserts pass through, unmatched base rows
+    * survive. Expressed as change-set ∪ (base ⟕̸ change-set) — one anti join
+    * + one union, both shuffle-partitioned on the key; the incremental-
+    * snapshot primitive (SCD type 1) for keeping a 100 TB corpus current
+    * without rewriting unchanged rows' lineage. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val base = o.filter(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        lit("base").as("src"))
+    val changes = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") + 100.0, 2).as("price"),
+        lit("update").as("src"))
+    base.join(changes, Seq("o_orderkey"), "left_anti")
+      .unionByName(changes)
+      .orderBy("o_orderkey")
+  }
+
+  /** Ordered funnel: how far each user advances through
+    * signup → view → click → purchase, where each stage must occur at or
+    * after the previous stage's FIRST occurrence. One conditional-min
+    * aggregation per stage (a single shuffle on user_id), then a row-local
+    * stage decision — no self-joins, no per-user event sorting. */
+  def funnelAnalysis(s: SparkSession, d: String): DataFrame = {
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(firstTs("signup").as("t1"), firstTs("view").as("t2"),
+        firstTs("click").as("t3"), firstTs("purchase").as("t4"))
+      .withColumn("stage",
+        when(col("t1").isNull, 0)
+          .when(col("t2").isNull || col("t2") < col("t1"), 1)
+          .when(col("t3").isNull || col("t3") < col("t2"), 2)
+          .when(col("t4").isNull || col("t4") < col("t3"), 3)
+          .otherwise(4).cast("int"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Weekly retention cohorts: users grouped by first-activity week; each
+    * cell counts distinct users from cohort c still active k weeks later.
+    * Two shuffles (first-week per user, then cohort × offset cells); the
+    * distinct-user count per cell is the engagement-analytics shape that
+    * motivates sketch rollups (hllUnion) when cells stop fitting exact. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohort = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weekly.join(cohort, "user_id")
+      .withColumn("week_offset", (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Bucketed co-partitioned join: both fact tables are written bucketed on
+    * the join key (8 buckets, sorted), so the join runs WITHOUT a shuffle —
+    * bucket i joins bucket i in place (AdvancedStateSpec pins the no-Exchange
+    * plan). At 100 TB this is THE join strategy for repeatedly-joined fact
+    * pairs: pay the partitioning once at write time, never at query time.
+    * The query writes the bucketed tables to a temp warehouse dir, then
+    * joins them through the catalog. */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val wh = new java.io.File("/tmp/graft_bucketed_q")
+    for (t <- Seq("g_orders_bkt", "g_lineitem_bkt")) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (dir.exists()) rm(dir)
+    }
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").option("path", s"$wh/g_orders_bkt")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("g_orders_bkt")
+    Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").option("path", s"$wh/g_lineitem_bkt")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("g_lineitem_bkt")
+    s.table("g_lineitem_bkt")
+      .join(s.table("g_orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+}
