@@ -196,6 +196,9 @@ object SparkEntry {
     "funnel_analysis"   -> PipelineOps.funnelAnalysis _,
     "retention_cohorts" -> PipelineOps.retentionCohorts _,
     "join_bucketed"     -> PipelineOps.joinBucketed _,
+    "quality_repetition" -> PipelineOps.qualityRepetition _,
+    "decontaminate_ngrams" -> PipelineOps.decontaminateNgrams _,
+    "mixture_weights"   -> PipelineOps.mixtureWeights _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1555,5 +1558,36 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_ratio,
+        |  round((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_tok_len,
+        |  round(list_max(list_transform(list_distinct(toks),
+        |        t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) AS top_token_frac,
+        |  (round(1.0 - len(list_distinct(toks)) / len(toks), 4) <= 0.9
+        |   AND round((length(text) - (len(toks) - 1)) / len(toks), 4) BETWEEN 2.0 AND 12.0
+        |   AND round(list_max(list_transform(list_distinct(toks),
+        |         t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) <= 0.3) AS pass
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+        |      FROM t, UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),
+        |ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_hits,
+        |       count(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.gram = ev.gram
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "mixture_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  round(n_docs / sum(n_docs) OVER (), 6) AS frac,
+        |  round((1.0 / count(*) OVER ()) / (n_docs / sum(n_docs) OVER ()), 6) AS weight
+        |FROM c ORDER BY lang""".stripMargin,
   )
 }

@@ -142,6 +142,70 @@ object PipelineOps {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** C4/Gopher-style repetition-quality signals, entirely ROW-LOCAL (no
+    * shuffle — the filter a 100 TB pipeline runs inside the scan before
+    * anything pairwise): duplicate-token ratio, mean token length, and the
+    * most-frequent-token fraction (O(tokens·distinct) per doc via
+    * array lambdas, whole-stage codegen'd). `pass` applies the published
+    * thresholds-style rule (repetition ≤ 0.9, 2 ≤ mean length ≤ 12,
+    * top-token ≤ 0.3). */
+  def qualityRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        round(lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")), 4)
+          .as("dup_ratio"),
+        round((length(col("text")) - (size(col("toks")) - 1)) / size(col("toks")), 4)
+          .as("mean_tok_len"),
+        round(expr(
+          "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+          / size(col("toks")), 4).as("top_token_frac"))
+      .withColumn("pass",
+        col("dup_ratio") <= 0.9 && col("mean_tok_len").between(2.0, 12.0) &&
+          col("top_token_frac") <= 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any 6-token
+    * n-gram with a held-out eval set (doc_id % 97 == 0 stands in for the
+    * benchmark corpus). The eval side's distinct grams are broadcast-sized by
+    * construction (eval sets are small); the training side streams through
+    * the gram join without ever pairing doc×doc — the standard
+    * n-gram-overlap decontamination pass (as in public LM data pipelines)
+    * at inverted-index cost. Output: contaminated doc ids with hit counts. */
+  def decontaminateNgrams(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val evalGrams = graft.api.Graft.shingles(
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 6)
+      .select(col("shingle"), col("doc_id").as("eval_id")).distinct()
+    graft.api.Graft.shingles(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", n = 6)
+      .join(broadcast(evalGrams), "shingle")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("shingle")).as("n_hits"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus mixture weights: per-language resampling factors that would
+    * rebalance the corpus to a uniform language mix (weight = target share /
+    * actual share). One tiny aggregate + window — the numbers `sample_
+    * stratified`-style deterministic samplers consume as per-stratum rates. */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("frac", round(col("n_docs") / sum("n_docs").over(w), 6))
+      .withColumn("weight",
+        round((lit(1.0) / count(lit(1)).over(w)) / (col("n_docs") / sum("n_docs").over(w)), 6))
+      .select(col("lang"), col("n_docs"), col("frac"), col("weight"))
+      .orderBy("lang")
+  }
+
   /** Bucketed co-partitioned join: both fact tables are written bucketed on
     * the join key (8 buckets, sorted), so the join runs WITHOUT a shuffle —
     * bucket i joins bucket i in place (AdvancedStateSpec pins the no-Exchange
