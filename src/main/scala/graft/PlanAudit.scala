@@ -76,6 +76,19 @@ object PlanAudit {
         "readback filter prunes to one partition directory"),
       ("topk_per_group", p => p.contains("WindowGroupLimit"),
         "rank<=k pushes a per-group limit below the window sort"),
+      ("decontaminate_ngrams", p => p.contains("BroadcastHashJoin"),
+        "eval-set gram index broadcast (training side never shuffles on gram)"),
+      ("quality_repetition", p => !p.contains("Join") && !p.contains("HashAggregate"),
+        "repetition metrics are pure row-local compute (no join, no agg)"),
+      ("sample_stratified", p => !p.contains("Join") && !p.contains("HashAggregate")
+        && !p.contains("Sample"),
+        "stratified sampling is a deterministic scan-side filter, no RNG node"),
+      ("merge_upsert", p => p.contains("LeftAnti") && !p.contains("CartesianProduct"),
+        "snapshot merge plans as anti-join + union"),
+      ("sketch_top_k", p => p.contains("ObjectHashAggregate"),
+        "approx_top_k aggregates mergeable sketch state partial+final"),
+      ("hll_union", p => p.contains("ObjectHashAggregate"),
+        "two-level sketch rollup stays a mergeable aggregate"),
     )
 
     var failed = 0

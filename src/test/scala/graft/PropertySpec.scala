@@ -105,4 +105,28 @@ class PropertySpec extends SparkSpec {
       assert(binned == naive, s"seed=$seed")
     }
   }
+
+  test("connected components equal a union-find model on random graphs") {
+    val edgeGen = for {
+      a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L)
+    } yield (a, b)
+    for (seed <- 1L to 3L) {
+      val edges = sample(Gen.listOfN(60, edgeGen), seed).filter(e => e._1 != e._2)
+      val got = api.Graft.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // model: union-find where the root is always the component's min id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      assert(got == model, s"seed=$seed")
+    }
+  }
 }
