@@ -401,6 +401,79 @@ object Graft {
     labels
   }
 
+  // ---------- corpus curation ----------
+
+  /** C4/Gopher-style repetition-quality metrics appended to the input:
+    * `n_tokens`, `n_distinct`, `dup_ratio`, `mean_tok_len`, `top_token_frac`.
+    * Pure row-local array compute under whole-stage codegen (no shuffle) —
+    * run it inside the scan, before anything pairwise. */
+  def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    df.withColumn("__toks", toks)
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4))
+      .withColumn("mean_tok_len",
+        round((length(col(textCol)) - (col("n_tokens") - 1)) / col("n_tokens"), 4))
+      .withColumn("top_token_frac", round(expr(
+        "array_max(transform(array_distinct(__toks), t -> size(filter(__toks, x -> x = t))))")
+        / col("n_tokens"), 4))
+      .drop("__toks")
+  }
+
+  /** Benchmark decontamination: training rows sharing ≥1 n-token shingle
+    * with `evalSet` (same idCol/textCol schema), with hit counts. The eval
+    * side's distinct grams broadcast (eval sets are small by nature), so the
+    * pass streams linearly over training grams — never doc×doc. */
+  def ngramDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 6): DataFrame = {
+    val evalGrams = shingles(evalSet.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col("shingle"), col(idCol).as("__eval_id")).distinct()
+    shingles(train.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .join(broadcast(evalGrams), "shingle")
+      .groupBy(idCol)
+      .agg(count_distinct(col("shingle")).as("n_hits"),
+        count_distinct(col("__eval_id")).as("n_eval_docs"))
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff
+    * xxhash64(id) mod 10^6 < rate(stratum)·10^6 — reproducible, RNG-free,
+    * runs as a scan-side filter. Strata missing from `rates` keep
+    * `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val bucket = pmod(xxhash64(col(idCol)), lit(1000000L))
+    val threshold = rates.foldLeft(lit(defaultRate * 1e6)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r * 1e6)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** SCD1 snapshot merge: rows of `changes` replace same-key rows of `base`;
+    * unmatched base rows survive. One anti-join + union, both partitioned on
+    * the key (the change set broadcasts when small). Schemas must align. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame =
+    base.join(changes, Seq(keyCol), "left_anti").unionByName(changes)
+
+  /** Ordered funnel: the furthest stage each key reaches, where stage k's
+    * FIRST occurrence must be at-or-after stage k-1's first occurrence.
+    * One conditional-min aggregation pass (single shuffle on the key).
+    * Output: (keyCol, stage: int in [0, stages.length]). */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    val firsts = events.groupBy(keyCol)
+      .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("__t0"),
+        stages.tail.zipWithIndex.map { case (st, i) =>
+          min(when(col(typeCol) === st, col(tsCol))).as(s"__t${i + 1}")
+        }: _*)
+    val stage = stages.indices.tail.foldLeft(
+      when(col("__t0").isNull, 0)) { (acc, i) =>
+        acc.when(col(s"__t$i").isNull || col(s"__t$i") < col(s"__t${i - 1}"), i)
+      }.otherwise(stages.length).cast("int")
+    firsts.select(col(keyCol), stage.as("stage"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

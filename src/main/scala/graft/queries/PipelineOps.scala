@@ -98,8 +98,7 @@ object PipelineOps {
     val changes = o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), round(col("o_totalprice") + 100.0, 2).as("price"),
         lit("update").as("src"))
-    base.join(changes, Seq("o_orderkey"), "left_anti")
-      .unionByName(changes)
+    graft.api.Graft.mergeUpsert(base, changes, "o_orderkey")
       .orderBy("o_orderkey")
   }
 
@@ -108,22 +107,12 @@ object PipelineOps {
     * after the previous stage's FIRST occurrence. One conditional-min
     * aggregation per stage (a single shuffle on user_id), then a row-local
     * stage decision — no self-joins, no per-user event sorting. */
-  def funnelAnalysis(s: SparkSession, d: String): DataFrame = {
-    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
-    Tables.events(s, d)
-      .groupBy("user_id")
-      .agg(firstTs("signup").as("t1"), firstTs("view").as("t2"),
-        firstTs("click").as("t3"), firstTs("purchase").as("t4"))
-      .withColumn("stage",
-        when(col("t1").isNull, 0)
-          .when(col("t2").isNull || col("t2") < col("t1"), 1)
-          .when(col("t3").isNull || col("t3") < col("t2"), 2)
-          .when(col("t4").isNull || col("t4") < col("t3"), 3)
-          .otherwise(4).cast("int"))
+  def funnelAnalysis(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.funnel(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))
       .groupBy("stage")
       .agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
-  }
 
   /** Weekly retention cohorts: users grouped by first-activity week; each
     * cell counts distinct users from cohort c still active k weeks later.
@@ -149,25 +138,15 @@ object PipelineOps {
     * array lambdas, whole-stage codegen'd). `pass` applies the published
     * thresholds-style rule (repetition ≤ 0.9, 2 ≤ mean length ≤ 12,
     * top-token ≤ 0.3). */
-  def qualityRepetition(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ", -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), toks.as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        round(lit(1.0) - size(array_distinct(col("toks"))) / size(col("toks")), 4)
-          .as("dup_ratio"),
-        round((length(col("text")) - (size(col("toks")) - 1)) / size(col("toks")), 4)
-          .as("mean_tok_len"),
-        round(expr(
-          "array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
-          / size(col("toks")), 4).as("top_token_frac"))
+  def qualityRepetition(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.repetitionMetrics(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("dup_ratio"), col("mean_tok_len"), col("top_token_frac"))
       .withColumn("pass",
         col("dup_ratio") <= 0.9 && col("mean_tok_len").between(2.0, 12.0) &&
           col("top_token_frac") <= 0.3)
       .orderBy("doc_id")
-  }
 
   /** Benchmark decontamination: flag training documents sharing any 6-token
     * n-gram with a held-out eval set (doc_id % 97 == 0 stands in for the
@@ -178,15 +157,10 @@ object PipelineOps {
     * at inverted-index cost. Output: contaminated doc ids with hit counts. */
   def decontaminateNgrams(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val evalGrams = graft.api.Graft.shingles(
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 6)
-      .select(col("shingle"), col("doc_id").as("eval_id")).distinct()
-    graft.api.Graft.shingles(
-        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", n = 6)
-      .join(broadcast(evalGrams), "shingle")
-      .groupBy("doc_id")
-      .agg(count_distinct(col("shingle")).as("n_hits"),
-        count_distinct(col("eval_id")).as("n_eval_docs"))
+    graft.api.Graft.ngramDecontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 6)
       .orderBy("doc_id")
   }
 

@@ -80,6 +80,23 @@ class Round4Spec extends SparkSpec {
     assert(srcs("update") > 0 && srcs("base") > 0)
   }
 
+  test("stratifiedSample is deterministic and tracks per-stratum rates") {
+    val docs = Tables.documents(spark, sf)
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val a = Graft.stratifiedSample(docs, "doc_id", "lang", rates, defaultRate = 0.0)
+    val b = Graft.stratifiedSample(docs, "doc_id", "lang", rates, defaultRate = 0.0)
+    assert(a.select("doc_id").collect().toSet == b.select("doc_id").collect().toSet)
+    val kept = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(Set("en", "de")), s"defaultRate=0 leaked: $kept")
+    for ((lang, rate) <- rates) {
+      val frac = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      assert(math.abs(frac - rate) < 0.15, s"$lang kept $frac, wanted ~$rate")
+    }
+  }
+
   test("sketchTopK matches exact counts while items fit the sketch") {
     val exact = Tables.events(spark, sf)
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
