@@ -148,6 +148,7 @@ object SparkEntry {
     "stream_session"    -> StreamingQueries.streamSession _,
     "stream_kv_upsert"  -> StreamingQueries.streamKvUpsert _,
     "stream_dedup_wm"   -> StreamingQueries.streamDedupWatermark _,
+    "stream_hll"        -> StreamingQueries.streamHllDistinct _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -1582,6 +1583,12 @@ object SparkEntry {
         |       count(DISTINCT ev.eval_id) AS n_eval_docs
         |FROM tr JOIN ev ON tr.gram = ev.gram
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // Streaming HLL: final streaming state == batch exact distinct while the
+    // lgK=14 sketch is coupon-exact (same scale caveat as hll_sketch).
+    "stream_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)

@@ -93,6 +93,21 @@ object StreamingQueries {
       .orderBy(col("cnt").desc, col("word").asc)
   }
 
+  /** Streaming mergeable-sketch aggregation: per-event-type distinct users
+    * via HLL sketches maintained as streaming state — each micro-batch's
+    * partial sketches merge into the store's fixed-width state (2^lgK bytes
+    * per group FOREVER, however many users arrive). The streaming face of
+    * the hll_sketch / hll_union batch rollups; exact in the coupon regime,
+    * so the exact-count oracle holds at gate scale. */
+  def streamHllDistinct(s: SparkSession, d: String): DataFrame = {
+    val agg = readStreamTable(s, d, "events")
+      .groupBy("event_type")
+      .agg(expr("CAST(round(hll_sketch_estimate(hll_sketch_agg(user_id, 14))) AS BIGINT)")
+        .as("n_users"))
+    runToMemory(s, agg, "graft_stream_hll", "complete")
+      .orderBy("event_type")
+  }
+
   /** Event-time tumbling windows (1 h) per event type over the events stream,
     * with a watermark (late-data bound; complete mode keeps all windows). */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
