@@ -200,6 +200,7 @@ object SparkEntry {
     "quality_repetition" -> PipelineOps.qualityRepetition _,
     "decontaminate_ngrams" -> PipelineOps.decontaminateNgrams _,
     "mixture_weights"   -> PipelineOps.mixtureWeights _,
+    "pipeline_curate_corpus" -> PipelineOps.pipelineCurateCorpus _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1596,5 +1597,44 @@ object SparkEntry {
         |  round(n_docs / sum(n_docs) OVER (), 6) AS frac,
         |  round((1.0 / count(*) OVER ()) / (n_docs / sum(n_docs) OVER ()), 6) AS weight
         |FROM c ORDER BY lang""".stripMargin,
+
+    // The composed curation flow, mirrored stage by stage: eval holdout →
+    // repetition-quality gate → recursive-CTE cluster closure keeping the
+    // min-id representative → 6-gram decontamination → keep list.
+    "pipeline_curate_corpus" ->
+      """WITH RECURSIVE
+        |d0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |m AS (SELECT doc_id, text, lang, source, toks,
+        |        round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_ratio,
+        |        round((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_tok_len,
+        |        round(list_max(list_transform(list_distinct(toks),
+        |              t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) AS top_frac
+        |      FROM d0),
+        |k0 AS (SELECT doc_id, text, lang, source, toks FROM m
+        |       WHERE dup_ratio <= 0.9 AND mean_tok_len BETWEEN 2.0 AND 12.0 AND top_frac <= 0.3),
+        |k AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS k_head,
+        |        md5(array_to_string(list_slice(toks, greatest(1, len(toks) - 7), len(toks)), ' ')) AS k_tail
+        |      FROM k0),
+        |e0 AS (SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_head) AS b FROM k
+        |       UNION ALL
+        |       SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_tail) AS b FROM k),
+        |edges AS (SELECT a, b FROM e0 WHERE a <> b UNION SELECT b, a FROM e0 WHERE a <> b),
+        |reach(v, m2) AS (SELECT doc_id, doc_id FROM k0
+        |                 UNION
+        |                 SELECT e.a, r.m2 FROM edges e JOIN reach r ON e.b = r.v),
+        |comp AS (SELECT v AS doc_id, min(m2) AS cluster_id FROM reach GROUP BY v),
+        |reps AS (SELECT k0.* FROM k0 JOIN comp ON k0.doc_id = comp.doc_id
+        |         WHERE k0.doc_id = comp.cluster_id),
+        |eg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+        |       FROM (SELECT string_split(text, ' ') AS toks FROM documents
+        |             WHERE doc_id % 97 = 0) t,
+        |            UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+        |       FROM reps, UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),
+        |bad AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram))
+        |SELECT doc_id, lang, source FROM reps
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -23,9 +23,13 @@ object PipelineOps {
     * come from Graft.connectedComponents (min-label propagation + pointer
     * jumping, O(log n) rounds of distributed joins).
     * Output: (doc_id, cluster_id = min doc_id in cluster, cluster_size). */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, cluster_id) for any (doc_id, text, …) frame: star edges on
+    * head-8/tail-8 token keys → connected components; isolated docs are their
+    * own singleton clusters. Shared by dedupClusters and the composed
+    * curation pipeline. */
+  private def headTailClusters(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ", -1)
-    val keyed = Tables.documents(s, d).select(
+    val keyed = docs.select(
       col("doc_id"),
       md5(array_join(slice(toks, 1, 8), " ")).as("k_head"),
       md5(array_join(slice(toks, greatest(lit(1), size(toks) - 7), lit(8)), " ")).as("k_tail"))
@@ -35,12 +39,42 @@ object PipelineOps {
       min("doc_id").over(Window.partitionBy("k_tail")).as("b"))
     val edges = eHead.union(eTail).filter(col("a") =!= col("b"))
     val comp = graft.api.Graft.connectedComponents(edges, "a", "b")
-    Tables.documents(s, d).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+  }
+
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    headTailClusters(Tables.documents(s, d).select(col("doc_id"), col("text")))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+
+  /** The COMPOSED curation pipeline — what a training-data run actually
+    * executes, end to end: hold out the eval split → row-local
+    * repetition-quality gate → transitive near-dup clustering, keeping one
+    * representative per cluster → n-gram decontamination against the eval
+    * split → final keep list. Every stage is one of this engine's operators;
+    * the whole flow is a single lazy plan except the clustering rounds.
+    * (The earlier pipeline_clean_corpus is the round-1 quality+exact-dedup
+    * flow; this one exercises the round-4 cluster/decontaminate machinery.) */
+  def pipelineCurateCorpus(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val evalSet = all.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val quality = graft.api.Graft.repetitionMetrics(corpus, "text")
+      .filter(col("dup_ratio") <= 0.9 && col("mean_tok_len").between(2.0, 12.0) &&
+        col("top_token_frac") <= 0.3)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val reps = quality.join(headTailClusters(quality), "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val contaminated = graft.api.Graft.ngramDecontaminate(
+      reps.select(col("doc_id"), col("text")), evalSet, "doc_id", "text", n = 6)
+    reps.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
   }
 
