@@ -192,6 +192,7 @@ object SparkEntry {
     "dedup_clusters"    -> PipelineOps.dedupClusters _,
     "sample_stratified" -> PipelineOps.sampleStratified _,
     "sketch_top_k"      -> PipelineOps.sketchTopK _,
+    "sketch_count_min"  -> PipelineOps.sketchCountMin _,
     "hll_union"         -> PipelineOps.hllUnion _,
     "merge_upsert"      -> PipelineOps.mergeUpsert _,
     "funnel_analysis"   -> PipelineOps.funnelAnalysis _,
@@ -1510,6 +1511,12 @@ object SparkEntry {
     "sketch_top_k" ->
       """SELECT event_type AS item, count(*) AS cnt FROM events
         |GROUP BY event_type ORDER BY cnt DESC, item LIMIT 3""".stripMargin,
+
+    // Collision-free (hence exact) while the key domain ≪ the 2/eps sketch
+    // width; deterministic via the fixed seed either way.
+    "sketch_count_min" ->
+      """SELECT user_id, count(*) AS est_n FROM events
+        |WHERE user_id < 10 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Scale bound: exact only while each per-type sketch and their union stay
     // in the lgK=14 coupon regime (same caveat as hll_sketch).

@@ -118,6 +118,23 @@ object PipelineOps {
       .agg(expr("CAST(round(hll_sketch_estimate(hll_union_agg(sk))) AS BIGINT)")
         .as("n_users"))
 
+  /** Count-Min Sketch point-frequency estimates (spark-sketch, built
+    * distributed via df.stat with a fixed seed): the sketch is a fixed
+    * eps/confidence-sized grid regardless of key cardinality — the mergeable
+    * frequency twin of the HLL distinct sketch. With width 2/eps = 20000 ≫
+    * the key domain here, estimates are collision-free and the exact-count
+    * oracle holds; at open-domain scale the same call returns
+    * ε·N-overcount-bounded estimates. Deterministic via the seed. */
+  def sketchCountMin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cms = ev.stat.countMinSketch(col("user_id"), eps = 0.0001,
+      confidence = 0.999, seed = 42)
+    val users = ev.select(col("user_id")).where(col("user_id") < 10)
+      .distinct().as[Long].collect().sorted
+    users.toSeq.map(u => (u, cms.estimateCount(u))).toDF("user_id", "est_n")
+  }
+
   /** Snapshot MERGE (upsert): apply a change set to a base table — updates
     * replace matching keys, inserts pass through, unmatched base rows
     * survive. Expressed as change-set ∪ (base ⟕̸ change-set) — one anti join
