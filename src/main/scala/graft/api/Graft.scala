@@ -381,6 +381,8 @@ object Graft {
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
+    // the first round always changes labels on any non-empty edge set, so its
+    // convergence count is skipped — one fewer job per invocation
     while (changed > 0 && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(sym("src").as("n")).agg(min("comp").as("nbr"))
@@ -394,7 +396,7 @@ object Graft {
         .select(col("node"), col("old"),
           coalesce(col("p_comp"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      changed = jumped.filter(col("comp") < col("old")).count()
+      changed = if (i == 0) 1L else jumped.filter(col("comp") < col("old")).count()
       labels = jumped.select("node", "comp")
       i += 1
     }

@@ -80,6 +80,43 @@ class Round4Spec extends SparkSpec {
     assert(srcs("update") > 0 && srcs("base") > 0)
   }
 
+  test("connectedComponents agrees with GraphX on random graphs (library cross-check)") {
+    val rnd = new scala.util.Random(23L)
+    val edges = Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = Graft.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(spark.sparkContext.parallelize(edges), defaultValue = 0)
+      .connectedComponents().vertices.collect().toMap
+    // GraphX labels every vertex with the min reachable vertex id — the same
+    // canonical labeling this engine's DataFrame implementation uses
+    assert(got == gx.map { case (k, v) => k -> v }, s"sizes ${got.size} vs ${gx.size}")
+  }
+
+  test("ngramDecontaminate matches a Scala-collections 6-gram overlap model") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val evalSet = docs.filter(_._1 % 97 == 0)
+    val train = docs.filter(_._1 % 97 != 0)
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).sliding(6).filter(_.length == 6).map(_.mkString(" ")).toSet
+    val evalGrams = evalSet.flatMap(d => grams(d._2)).toSet
+    val evalByGram = evalSet.flatMap(d => grams(d._2).map(_ -> d._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val model = train.flatMap { case (id, t) =>
+      val hits = grams(t).intersect(evalGrams)
+      if (hits.isEmpty) None
+      else Some(id -> (hits.size.toLong, hits.flatMap(evalByGram).size.toLong))
+    }.toMap
+    val got = graft.api.Graft.ngramDecontaminate(
+        Tables.documents(spark, sf).filter(col("doc_id") % 97 =!= 0),
+        Tables.documents(spark, sf).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == model, s"sizes ${got.size} vs ${model.size}")
+  }
+
   test("stratifiedSample is deterministic and tracks per-stratum rates") {
     val docs = Tables.documents(spark, sf)
     val rates = Map("en" -> 0.5, "de" -> 0.1)
