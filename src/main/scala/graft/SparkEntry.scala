@@ -149,6 +149,7 @@ object SparkEntry {
     "stream_kv_upsert"  -> StreamingQueries.streamKvUpsert _,
     "stream_dedup_wm"   -> StreamingQueries.streamDedupWatermark _,
     "stream_hll"        -> StreamingQueries.streamHllDistinct _,
+    "stream_quality_filter" -> StreamingQueries.streamQualityFilter _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -1591,6 +1592,21 @@ object SparkEntry {
         |       count(DISTINCT ev.eval_id) AS n_eval_docs
         |FROM tr JOIN ev ON tr.gram = ev.gram
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // The streaming quality gate's final tally == the batch rule applied to
+    // the full table (row-local filter ⇒ stateless incrementalization).
+    "stream_quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT lang, len(toks) AS n_tokens,
+        |        round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_ratio,
+        |        round((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_tok_len,
+        |        round(list_max(list_transform(list_distinct(toks),
+        |              t2 -> len(list_filter(toks, x -> x = t2)))) / len(toks), 4) AS top_frac
+        |      FROM t)
+        |SELECT lang, count(*) AS n_pass, CAST(sum(n_tokens) AS BIGINT) AS tok_volume
+        |FROM m
+        |WHERE dup_ratio <= 0.9 AND mean_tok_len BETWEEN 2.0 AND 12.0 AND top_frac <= 0.3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Streaming HLL: final streaming state == batch exact distinct while the
     // lgK=14 sketch is coupon-exact (same scale caveat as hll_sketch).

@@ -108,6 +108,24 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** The curation quality gate running ON A STREAM: repetition metrics are
+    * pure row-local compute, so the same Graft.repetitionMetrics call
+    * incrementalizes with zero state — documents flow through the filter as
+    * they arrive (the shape of a continuously-ingesting corpus pipeline);
+    * only the per-language tally keeps (tiny) aggregate state. */
+  def streamQualityFilter(s: SparkSession, d: String): DataFrame = {
+    val agg = graft.api.Graft.repetitionMetrics(
+        readStreamTable(s, d, "documents"), "text")
+      .filter(col("dup_ratio") <= 0.9 && col("mean_tok_len").between(2.0, 12.0) &&
+        col("top_token_frac") <= 0.3)
+      .groupBy("lang")
+      // integer tally + exact long sum: no order-dependent float aggregation
+      // (a rounded double avg here would re-create the q9 half-cent flake)
+      .agg(count(lit(1)).as("n_pass"), sum("n_tokens").as("tok_volume"))
+    runToMemory(s, agg, "graft_stream_quality", "complete")
+      .orderBy("lang")
+  }
+
   /** Event-time tumbling windows (1 h) per event type over the events stream,
     * with a watermark (late-data bound; complete mode keeps all windows). */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
