@@ -215,12 +215,13 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(1), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(1), 4) AS avg_disc,
         |  count(1) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -229,7 +230,7 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -242,7 +243,7 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -297,8 +298,8 @@ object SparkEntry {
       """SELECT o_orderstatus, count(1) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_customers,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-        |  round(avg(o_totalprice), 4) AS avg_price,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(1), 4) AS avg_price,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "distinct_counts" ->
@@ -309,7 +310,7 @@ object SparkEntry {
 
     "rollup_sales" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
@@ -399,7 +400,7 @@ object SparkEntry {
     "date_funcs" ->
       """SELECT date_trunc('month', o_orderdate) AS order_month,
         |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
-        |  count(1) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(1) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY order_month""".stripMargin,
 
     "math_funcs" ->
@@ -422,7 +423,7 @@ object SparkEntry {
     "top_customers" ->
       """SELECT c_custkey, c_name, n_orders, revenue FROM (
         |  SELECT o_custkey, count(1) AS n_orders,
-        |    round(sum(o_totalprice), 2) AS revenue
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |  FROM orders GROUP BY o_custkey) o
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
@@ -753,7 +754,7 @@ object SparkEntry {
         |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  count(1) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -801,8 +802,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "unpivot_metrics" ->
-      """SELECT metric, count(1) AS n, round(sum(value), 2) AS total,
-        |  round(avg(value), 6) AS avg_v
+      """SELECT metric, count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(1), 6) AS avg_v
         |FROM (
         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
         |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
@@ -850,8 +851,9 @@ object SparkEntry {
         |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
         |  bool_and(o_totalprice > 0) AS all_positive,
         |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |                 THEN o_totalprice ELSE 0 END), 2) AS urgent_total
+        |  CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN CAST(o_totalprice AS DECIMAL(18,4))
+        |                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS urgent_total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "argminmax" ->
@@ -948,7 +950,7 @@ object SparkEntry {
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1008,7 +1010,7 @@ object SparkEntry {
 
     "join_salted" ->
       """SELECT o_orderpriority, count(1) AS n,
-        |  round(sum(l_extendedprice), 2) AS total
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -1119,7 +1121,7 @@ object SparkEntry {
     "partitioned_write" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linestatus = 'F'
         |GROUP BY l_returnflag, l_linestatus
@@ -1296,10 +1298,10 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
 
     "q7_volume_shipping" ->
-      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+      """SELECT supp_nation, cust_nation, l_year, CAST(round(sum(volume), 2) AS DOUBLE) AS revenue FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |         year(l_shipdate) AS l_year,
-        |         l_extendedprice * (1 - l_discount) AS volume
+        |         CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -1387,7 +1389,7 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -1408,7 +1410,7 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q17_small_qty_revenue" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
@@ -1425,7 +1427,7 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q19_disjunctive" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 25)

@@ -25,8 +25,10 @@ object Extended {
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "metric", "value")
       .groupBy("metric")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
-        round(avg("value"), 6).as("avg_v"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumRound2(Exact.dec(col("value"))).as("total"),
+        round(sum(Exact.dec(col("value"))).cast("double") / count(lit(1)), 6)
+          .as("avg_v"))
       .orderBy("metric")
 
   /** Generator function with ordinality: posexplode gives (position, token)
@@ -91,8 +93,9 @@ object Extended {
         expr("count_if(o_totalprice > 100000)").as("n_big"),
         expr("bool_and(o_totalprice > 0)").as("all_positive"),
         expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
-        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
-          .otherwise(lit(0.0))), 2).as("urgent_total"))
+        Exact.sumRound2(when(col("o_orderpriority") === "1-URGENT",
+          Exact.dec(col("o_totalprice"))).otherwise(lit(0).cast("decimal(18,4)")))
+          .as("urgent_total"))
       .orderBy("o_orderstatus")
 
   /** Arg-min/arg-max aggregates (max_by / min_by): the order key of the
@@ -168,7 +171,8 @@ object Extended {
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
         "l_orderkey", "o_orderkey", col("l_extendedprice"), nSalts = 8)
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumRound2(Exact.dec(col("l_extendedprice"))).as("total"))
       .orderBy("o_orderpriority")
 
   /** Linear-regression aggregates (regr_slope/intercept/r2/count): the

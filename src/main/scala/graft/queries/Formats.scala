@@ -90,7 +90,7 @@ object Formats {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"))
+        Exact.sumRound2(Exact.dec(col("l_extendedprice"))).as("sum_price"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 }

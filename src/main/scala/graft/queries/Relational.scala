@@ -44,12 +44,18 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        Exact.sumRound2(Exact.dec(col("l_extendedprice"))).as("sum_base_price"),
+        Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+          * Exact.dec(lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+          * Exact.dec((lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        // exact decimal sum cast to double BEFORE the divide: both engines
+        // then perform the identical IEEE division → identical rounding input
+        round(sum(Exact.dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4)
+          .as("avg_price"),
+        round(sum(Exact.dec(col("l_discount"))).cast("double") / count(lit(1)), 4)
+          .as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -64,7 +70,8 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+        * Exact.dec(lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -85,7 +92,8 @@ object Relational {
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+        * Exact.dec(lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
@@ -157,8 +165,9 @@ object Relational {
         countDistinct(col("o_custkey")).as("n_customers"),
         min("o_totalprice").as("min_price"),
         max("o_totalprice").as("max_price"),
-        round(avg("o_totalprice"), 4).as("avg_price"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
+        round(sum(Exact.dec(col("o_totalprice"))).cast("double") / count(lit(1)), 4)
+          .as("avg_price"),
+        Exact.sumRound2(Exact.dec(col("o_totalprice"))).as("sum_price"))
       .orderBy("o_orderstatus")
 
   /** Global multi-column distinct counts (one row). Two count-distincts force
@@ -174,7 +183,8 @@ object Relational {
   def rollupSales(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumRound2(Exact.dec(col("o_totalprice"))).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
@@ -299,7 +309,8 @@ object Relational {
       .groupBy(
         date_trunc("month", col("o_orderdate")).as("order_month"),
         year(col("o_orderdate")).cast("int").as("order_year"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumRound2(Exact.dec(col("o_totalprice"))).as("total"))
       .orderBy("order_month")
 
   /** Math-function surface (abs/ceil/floor/sqrt/ln/pow/mod), row-level. */
@@ -333,7 +344,8 @@ object Relational {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d)
     o.groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumRound2(Exact.dec(col("o_totalprice"))).as("revenue"))
       .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("n_orders"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -449,7 +461,8 @@ object Relational {
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
       .filter(col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+          * Exact.dec(col("l_discount"))).as("revenue"),
         count(lit(1)).as("n"))
 
   /** Map-function surface: parse the JSON props into a MAP column, then key
@@ -575,8 +588,8 @@ object Relational {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+        * Exact.dec(lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }

@@ -86,7 +86,8 @@ object TpchMore {
               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("bigint").as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+        * Exact.dec(lit(1) - col("l_discount"))).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -222,7 +223,8 @@ object TpchMore {
     val revenue = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+      .agg(Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+        * Exact.dec(lit(1) - col("l_discount"))).as("total_revenue"))
     val maxRev = revenue.agg(max("total_revenue").as("__max"))
     revenue.crossJoin(broadcast(maxRev))
       .filter(col("total_revenue") === col("__max"))
@@ -260,7 +262,8 @@ object TpchMore {
       .agg(avg("l_quantity").as("aq_avg"))
     branded.join(broadcast(avgQty), col("l_partkey") === col("aq_partkey"))
       .filter(col("l_quantity") < col("aq_avg") * 0.5)
-      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+      .agg(round(sum(Exact.dec(col("l_extendedprice"))).cast("double") / 7.0, 2)
+        .as("avg_yearly"))
   }
 
   /** Q18 shape (large-volume customers): orders whose total quantity exceeds
@@ -296,7 +299,8 @@ object TpchMore {
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) && col("l_quantity").between(1, 15)) ||
         (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) && col("l_quantity").between(10, 25)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) && col("l_quantity").between(25, 40)))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.sumRound2(Exact.dec(col("l_extendedprice"))
+        * Exact.dec(lit(1) - col("l_discount"))).as("revenue"))
   }
 
   /** Q20 shape (excess inventory suppliers): suppliers holding more than 50%
