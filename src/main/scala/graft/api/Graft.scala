@@ -360,7 +360,10 @@ object Graft {
     * embedding blocks) are edges; transitive closure turns them into groups,
     * from which a pipeline keeps one representative per group.
     *
-    * Algorithm: min-label propagation with pointer jumping — each round every
+    * Algorithm: min-label propagation with pointer jumping (the logarithmic-
+    * round MapReduce CC family — Rastogi et al., ICDE '13 "Finding Connected
+    * Components in MapReduce in Logarithmic Rounds"; Kiveris et al.,
+    * SoCC '14) — each round every
     * node takes the min label among itself and its neighbors (one join +
     * groupBy), then labels compress through their own parents
     * (label := label(label), a second join), giving O(log n) rounds on path
@@ -405,7 +408,8 @@ object Graft {
 
   // ---------- corpus curation ----------
 
-  /** C4/Gopher-style repetition-quality metrics appended to the input:
+  /** Repetition-quality metrics in the C4 (Raffel et al., JMLR '20) /
+    * Gopher (Rae et al., '21) rule style, appended to the input:
     * `n_tokens`, `n_distinct`, `dup_ratio`, `mean_tok_len`, `top_token_frac`.
     * Pure row-local array compute under whole-stage codegen (no shuffle) —
     * run it inside the scan, before anything pairwise. */
@@ -424,8 +428,10 @@ object Graft {
       .drop("__toks")
   }
 
-  /** Benchmark decontamination: training rows sharing ≥1 n-token shingle
-    * with `evalSet` (same idCol/textCol schema), with hit counts. The eval
+  /** Benchmark decontamination (the n-gram-overlap pass of Brown et al.
+    * '20 §C / most public LM data pipelines): training rows sharing ≥1
+    * n-token shingle with `evalSet` (same idCol/textCol schema), with hit
+    * counts. The eval
     * side's distinct grams broadcast (eval sets are small by nature), so the
     * pass streams linearly over training grams — never doc×doc. */
   def ngramDecontaminate(train: DataFrame, evalSet: DataFrame,
