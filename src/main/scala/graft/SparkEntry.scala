@@ -150,6 +150,7 @@ object SparkEntry {
     "stream_dedup_wm"   -> StreamingQueries.streamDedupWatermark _,
     "stream_hll"        -> StreamingQueries.streamHllDistinct _,
     "stream_quality_filter" -> StreamingQueries.streamQualityFilter _,
+    "stream_funnel"     -> StreamingQueries.streamFunnel _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -1609,6 +1610,24 @@ object SparkEntry {
         |FROM m
         |WHERE dup_ratio <= 0.9 AND mean_tok_len BETWEEN 2.0 AND 12.0 AND top_frac <= 0.3
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Streaming funnel: final per-user stage == the batch funnel rule (the
+    // same Graft.funnel plan, incrementalized).
+    "stream_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t1 IS NULL THEN 0
+        |    WHEN t2 IS NULL OR t2 < t1 THEN 1
+        |    WHEN t3 IS NULL OR t3 < t2 THEN 2
+        |    WHEN t4 IS NULL OR t4 < t3 THEN 3
+        |    ELSE 4 END AS INTEGER) AS stage
+        |FROM f ORDER BY user_id""".stripMargin,
 
     // Streaming HLL: final streaming state == batch exact distinct while the
     // lgK=14 sketch is coupon-exact (same scale caveat as hll_sketch).

@@ -126,6 +126,19 @@ object StreamingQueries {
       .orderBy("lang")
   }
 
+  /** The ordered funnel running ON A STREAM — the exact same Graft.funnel
+    * call as the batch funnel_analysis query, unchanged: its one
+    * conditional-min aggregation incrementalizes (per-user firsts are
+    * streaming state), and the stage derivation is a stateless projection
+    * over the aggregate. Batch/stream polymorphism is the engine's core
+    * design claim; this query pins it on a real operator. */
+  def streamFunnel(s: SparkSession, d: String): DataFrame = {
+    val staged = graft.api.Graft.funnel(readStreamTable(s, d, "events"),
+      "user_id", "event_type", "ts", Seq("signup", "view", "click", "purchase"))
+    runToMemory(s, staged, "graft_stream_funnel", "complete")
+      .orderBy("user_id")
+  }
+
   /** Event-time tumbling windows (1 h) per event type over the events stream,
     * with a watermark (late-data bound; complete mode keeps all windows). */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
