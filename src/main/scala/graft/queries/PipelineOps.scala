@@ -33,11 +33,17 @@ object PipelineOps {
       col("doc_id"),
       md5(array_join(slice(toks, 1, 8), " ")).as("k_head"),
       md5(array_join(slice(toks, greatest(lit(1), size(toks) - 7), lit(8)), " ")).as("k_tail"))
-    val eHead = keyed.select(col("doc_id").as("a"),
-      min("doc_id").over(Window.partitionBy("k_head")).as("b"))
-    val eTail = keyed.select(col("doc_id").as("a"),
-      min("doc_id").over(Window.partitionBy("k_tail")).as("b"))
-    val edges = eHead.union(eTail).filter(col("a") =!= col("b"))
+    // groupBy + join, NOT a partition-wide window min: a window buffers every
+    // row of a bucket in one task (a hot boilerplate key at 100 TB would
+    // spill or OOM it), while the aggregate streams with map-side combine and
+    // the join redistributes — both shuffles bounded by |bucket keys|.
+    def starEdges(key: String): DataFrame = {
+      val mins = keyed.groupBy(key).agg(min("doc_id").as("b"))
+      keyed.select(col("doc_id").as("a"), col(key))
+        .join(mins, key).select(col("a"), col("b"))
+    }
+    val edges = starEdges("k_head").union(starEdges("k_tail"))
+      .filter(col("a") =!= col("b"))
     val comp = graft.api.Graft.connectedComponents(edges, "a", "b")
     docs.select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
