@@ -51,11 +51,17 @@ object PipelineOps {
         coalesce(col("comp"), col("doc_id")).as("cluster_id"))
   }
 
-  def dedupClusters(s: SparkSession, d: String): DataFrame =
-    headTailClusters(Tables.documents(s, d).select(col("doc_id"), col("text")))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("cluster_id")))
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val clustered =
+      headTailClusters(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    // sizes by aggregate + join (not a partition-window count) for the same
+    // hot-bucket reason as the star edges
+    clustered
+      .join(clustered.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
+  }
 
   /** The COMPOSED curation pipeline — what a training-data run actually
     * executes, end to end: hold out the eval split → row-local
