@@ -482,6 +482,23 @@ object Graft {
     firsts.select(col(keyCol), stage.as("stage"))
   }
 
+  /** Cohort retention grid: keys grouped by first-activity period (truncated
+    * to `unit`), each cell counting distinct keys from cohort c still active
+    * k periods later. Two shuffles on the key; `periodDays` must match the
+    * truncation unit (7 for "week", 1 for "day"). */
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+      unit: String = "week", periodDays: Int = 7): DataFrame = {
+    val active = events
+      .select(col(keyCol), date_trunc(unit, col(tsCol)).cast("date").as("period"))
+      .distinct()
+    val cohort = active.groupBy(keyCol).agg(min("period").as("cohort_period"))
+    active.join(cohort, keyCol)
+      .withColumn("period_offset",
+        (datediff(col("period"), col("cohort_period")) / periodDays).cast("int"))
+      .groupBy("cohort_period", "period_offset")
+      .agg(count_distinct(col(keyCol)).as("n_active"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

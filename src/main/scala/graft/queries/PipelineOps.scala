@@ -182,17 +182,11 @@ object PipelineOps {
     * Two shuffles (first-week per user, then cohort × offset cells); the
     * distinct-user count per cell is the engagement-analytics shape that
     * motivates sketch rollups (hllUnion) when cells stop fitting exact. */
-  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
-    val weekly = Tables.events(s, d)
-      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
-      .distinct()
-    val cohort = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
-    weekly.join(cohort, "user_id")
-      .withColumn("week_offset", (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
-      .groupBy("cohort_week", "week_offset")
-      .agg(count_distinct(col("user_id")).as("n_users"))
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.retention(Tables.events(s, d), "user_id", "ts")
+      .select(col("cohort_period").as("cohort_week"),
+        col("period_offset").as("week_offset"), col("n_active").as("n_users"))
       .orderBy("cohort_week", "week_offset")
-  }
 
   /** C4/Gopher-style repetition-quality signals, entirely ROW-LOCAL (no
     * shuffle — the filter a 100 TB pipeline runs inside the scan before
