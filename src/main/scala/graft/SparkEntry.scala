@@ -206,6 +206,45 @@ object SparkEntry {
     "pipeline_curate_corpus" -> PipelineOps.pipelineCurateCorpus _,
   )
 
+  /** DuckDB twin of Dedup.dedupEmbedding, generated from the SAME plane
+    * constants (Dedup.embedPlanes, values k/1024 → exact finite decimals):
+    * 32 sign bits via list_dot_product over DOUBLE[] (bit-identical to the
+    * codegen'd VecDot — both accumulate left-to-right in double), 8 bands of
+    * 4 bits, DISTINCT candidate pairs sharing any band, exact cosine ≥ 0.25
+    * residual. The Spark side dedups pairs row-locally (first-shared-band
+    * filter); the oracle uses DISTINCT — same pair set either way. */
+  private def dedupEmbeddingOracleSql: String = {
+    val planes = graft.queries.Dedup.embedPlanes
+    def planeLit(p: Array[Double]): String =
+      p.map(v => new java.math.BigDecimal(v).toPlainString).mkString("[", ", ", "]")
+    val bits = planes.indices.map { i =>
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(planes(i))}::DOUBLE[]) > 0 THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n      ")
+    val bands = (0 until 8).map { k =>
+      s"b${4 * k} * 8 + b${4 * k + 1} * 4 + b${4 * k + 2} * 2 + b${4 * k + 3}"
+    }.mkString("[", ", ", "]")
+    val cos =
+      """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))""".stripMargin
+    s"""WITH bits AS (
+       |  SELECT vec_id,
+       |      $bits
+       |  FROM embeddings),
+       |sig AS (SELECT vec_id, $bands AS bands FROM bits),
+       |ex AS (SELECT vec_id, i, bands[i + 1] AS bucket FROM sig, range(8) t(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round($cos, 4) AS cos_sim
+       |FROM cand
+       |JOIN embeddings ea ON ea.vec_id = id_a
+       |JOIN embeddings eb ON eb.vec_id = id_b
+       |WHERE $cos >= 0.25
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "word_count" ->
       """SELECT word, count(1) AS cnt
@@ -556,17 +595,7 @@ object SparkEntry {
         |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_embedding" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id % 16 = b.vec_id % 16 AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.25
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" -> dedupEmbeddingOracleSql,
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1518,9 +1547,13 @@ object SparkEntry {
 
     // Collision-free (hence exact) while the key domain ≪ the 2/eps sketch
     // width; deterministic via the fixed seed either way.
+    // probe keys are the query's explicit argument (0..9), not data-derived:
+    // the oracle mirrors that with a VALUES spine (0 for an absent key)
     "sketch_count_min" ->
-      """SELECT user_id, count(*) AS est_n FROM events
-        |WHERE user_id < 10 GROUP BY user_id ORDER BY user_id""".stripMargin,
+      """SELECT CAST(p.u AS BIGINT) AS user_id, count(e.user_id) AS est_n
+        |FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) p(u)
+        |LEFT JOIN events e ON e.user_id = p.u
+        |GROUP BY p.u ORDER BY user_id""".stripMargin,
 
     // Scale bound: exact only while each per-type sketch and their union stay
     // in the lgK=14 coupon regime (same caveat as hll_sketch).
@@ -1572,18 +1605,20 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // ratios via exact integer HALF_UP rounding — (20000p+q)//(2q)/10000 —
+    // mirroring Graft.repetitionMetrics (no round(double) boundary flakes)
     "quality_repetition" ->
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
-        |  round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_ratio,
-        |  round((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_tok_len,
-        |  round(list_max(list_transform(list_distinct(toks),
-        |        t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) AS top_token_frac,
-        |  (round(1.0 - len(list_distinct(toks)) / len(toks), 4) <= 0.9
-        |   AND round((length(text) - (len(toks) - 1)) / len(toks), 4) BETWEEN 2.0 AND 12.0
-        |   AND round(list_max(list_transform(list_distinct(toks),
-        |         t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) <= 0.3) AS pass
-        |FROM t ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+        |  CAST((20000*(len(toks) - len(list_distinct(toks))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS dup_ratio,
+        |  CAST((20000*(length(text) - (len(toks) - 1)) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS mean_tok_len,
+        |  CAST((20000*list_max(list_transform(list_distinct(toks),
+        |        t -> len(list_filter(toks, x -> x = t)))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS top_token_frac
+        |FROM t)
+        |SELECT doc_id, n_tokens, n_distinct, dup_ratio, mean_tok_len, top_token_frac,
+        |  (dup_ratio <= 0.9 AND mean_tok_len BETWEEN 2.0 AND 12.0
+        |   AND top_token_frac <= 0.3) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "decontaminate_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1601,10 +1636,10 @@ object SparkEntry {
     "stream_quality_filter" ->
       """WITH t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT lang, len(toks) AS n_tokens,
-        |        round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_ratio,
-        |        round((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_tok_len,
-        |        round(list_max(list_transform(list_distinct(toks),
-        |              t2 -> len(list_filter(toks, x -> x = t2)))) / len(toks), 4) AS top_frac
+        |        CAST((20000*(len(toks) - len(list_distinct(toks))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS dup_ratio,
+        |        CAST((20000*(length(text) - (len(toks) - 1)) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS mean_tok_len,
+        |        CAST((20000*list_max(list_transform(list_distinct(toks),
+        |              t2 -> len(list_filter(toks, x -> x = t2)))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS top_frac
         |      FROM t)
         |SELECT lang, count(*) AS n_pass, CAST(sum(n_tokens) AS BIGINT) AS tok_volume
         |FROM m
@@ -1650,10 +1685,10 @@ object SparkEntry {
         |d0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks
         |       FROM documents WHERE doc_id % 97 <> 0),
         |m AS (SELECT doc_id, text, lang, source, toks,
-        |        round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_ratio,
-        |        round((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_tok_len,
-        |        round(list_max(list_transform(list_distinct(toks),
-        |              t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) AS top_frac
+        |        CAST((20000*(len(toks) - len(list_distinct(toks))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS dup_ratio,
+        |        CAST((20000*(length(text) - (len(toks) - 1)) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS mean_tok_len,
+        |        CAST((20000*list_max(list_transform(list_distinct(toks),
+        |              t -> len(list_filter(toks, x -> x = t)))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS top_frac
         |      FROM d0),
         |k0 AS (SELECT doc_id, text, lang, source, toks FROM m
         |       WHERE dup_ratio <= 0.9 AND mean_tok_len BETWEEN 2.0 AND 12.0 AND top_frac <= 0.3),

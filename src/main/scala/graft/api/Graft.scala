@@ -225,6 +225,114 @@ object Graft {
         round(col("score6"), 4).as("cos_sim"))
   }
 
+  /** Fixed random-hyperplane set for sign-projection LSH (Charikar '02).
+    * Entries are discretized Gaussians `round(g·256)/1024` — exactly
+    * representable as FLOAT, DOUBLE, and finite decimal strings, so the SAME
+    * constants can be emitted into DuckDB oracle SQL and both engines compute
+    * bit-identical projections (VecDot and list_dot_product both accumulate
+    * left-to-right in double). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(math.round(rnd.nextGaussian() * 256).toDouble / 1024.0)
+  }
+
+  /** Embedding near-dup via random-hyperplane LSH blocking: each vector gets
+    * a sign bit per plane, bits group into `planes.length / bitsPerBand`
+    * bands, candidates are pairs sharing ANY band bucket, and exact cosine
+    * ≥ `tau` is the residual filter. Pair volume is sum(|bucket|²) over band
+    * buckets — similarity-preserving (collision probability rises with
+    * cosine), unlike id-based blocking which is both quadratic and
+    * similarity-blind.
+    *
+    * Pair dedup (a pair sharing k bands would surface k times) is ROW-LOCAL:
+    * both sides carry their full band array, and a candidate row survives only
+    * when its band index is the FIRST index where the two arrays agree — no
+    * second shuffle; the band join is the only exchange after the signature
+    * projection. Output: (id_a, id_b, cos_sim) with id_a < id_b. */
+  def cosineDedupLsh(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bitsPerBand: Int = 4,
+      tau: Double = 0.25): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val nBands = planes.length / bitsPerBand
+    val planesArr = array(planes.map(p =>
+      array(p.map(v => lit(v.toFloat)).toSeq: _*)).toSeq: _*)
+    // Pair generation is SLIM — the band self-join shuffles only (id, 8-int
+    // band array) rows, never the vectors (carrying the 64-float embeddings
+    // through the ×nBands explode measured ~4× slower end-to-end); vectors
+    // re-attach to the deduped candidate pairs by id join — broadcast-sized
+    // at gate scale, a candidate-volume-bounded shuffle at 100 TB.
+    val sig = df.select(col(idCol), col(vecCol))
+      .withColumn("__planes", planesArr)
+      .withColumn("__bits", expr(
+        s"transform(__planes, p -> CASE WHEN vec_dot(`$vecCol`, p) > 0D THEN 1 ELSE 0 END)"))
+      .withColumn("__bands", expr(
+        s"""transform(sequence(0, ${nBands - 1}),
+           |  b -> aggregate(slice(__bits, b * $bitsPerBand + 1, $bitsPerBand),
+           |                 0, (acc, x) -> acc * 2 + x))""".stripMargin))
+      .select(col(idCol), col(vecCol), col("__bands"))
+    val a = sig.select(col(idCol).as("id_a"), col("__bands").as("__ba"),
+      posexplode(col("__bands")).as(Seq("__bi", "__bka")))
+    val b = sig.select(col(idCol).as("id_b"), col("__bands").as("__bb"),
+      posexplode(col("__bands")).as(Seq("__bj", "__bkb")))
+    val pairs = a.join(b,
+        col("__bi") === col("__bj") && col("__bka") === col("__bkb") &&
+        col("id_a") < col("id_b"))
+      .filter(expr(
+        "NOT exists(zip_with(slice(__ba, 1, __bi), slice(__bb, 1, __bi), (x, y) -> x = y), p -> p)"))
+      .select("id_a", "id_b")
+    pairs
+      .join(sig.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
+      .withColumn("__cos", cosine("__va", "__vb"))
+      .filter(col("__cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cos_sim"))
+  }
+
+  // ---------- joins at rest ----------
+
+  /** Handle to a bucketed co-partitioned join: `joined` is the lazy
+    * shuffle-free join of the two bucketed catalog tables; `drop()` removes
+    * the catalog entries and their files once the result is consumed (or
+    * keep them — the bucketed layout is the reusable at-rest artifact). */
+  final case class BucketedJoin(joined: DataFrame, leftTable: String,
+      rightTable: String, warehouseDir: String) {
+    def drop(): Unit = {
+      val s = joined.sparkSession
+      Seq(leftTable, rightTable).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        val dir = new java.io.File(warehouseDir, t)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        if (dir.exists()) rm(dir)
+      }
+    }
+  }
+
+  /** Co-partitioned bucketed join — THE join strategy for repeatedly-joined
+    * fact pairs at scale: both sides are written bucketed + sorted on their
+    * join keys (pay the partitioning once at write time), after which bucket
+    * i joins bucket i with no Exchange before the join (AdvancedStateSpec
+    * pins the plan). Table names are run-unique and the warehouse dir is
+    * caller-supplied, so concurrent sessions never clobber each other's
+    * tables or leak catalog state (the round-4 hazard of the fixed
+    * /tmp path + fixed names this replaces). */
+  def bucketedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, nBuckets: Int, warehouseDir: String): BucketedJoin = {
+    val s = left.sparkSession
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val lt = s"g_bkt_l_$run"
+    val rt = s"g_bkt_r_$run"
+    new java.io.File(warehouseDir).mkdirs()
+    left.write.mode("overwrite").option("path", s"$warehouseDir/$lt")
+      .bucketBy(nBuckets, leftKey).sortBy(leftKey).saveAsTable(lt)
+    right.write.mode("overwrite").option("path", s"$warehouseDir/$rt")
+      .bucketBy(nBuckets, rightKey).sortBy(rightKey).saveAsTable(rt)
+    BucketedJoin(s.table(lt).join(s.table(rt), col(leftKey) === col(rightKey)),
+      lt, rt, warehouseDir)
+  }
+
   // ---------- time series ----------
 
   /** AS-OF (point-in-time) join: for every `left` row, attach `rightValCol`
@@ -382,6 +490,16 @@ object Graft {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint(true)
+    // handle to the checkpointed frame backing `labels`: Dataset.unpersist()
+    // does NOT free localCheckpoint blocks (they live in the checkpointed RDD
+    // behind the LogicalRDD, not the cache manager), so each round releases
+    // the previous round's RDD storage explicitly (ADVICE r4 — otherwise up
+    // to maxIter label snapshots accumulate in executor storage)
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      }
+    var prevCkpt = labels
     var changed = 1L
     var i = 0
     // the first round always changes labels on any non-empty edge set, so its
@@ -400,9 +518,18 @@ object Graft {
           coalesce(col("p_comp"), col("comp")).as("comp"))
         .localCheckpoint(true)
       changed = if (i == 0) 1L else jumped.filter(col("comp") < col("old")).count()
+      releaseCheckpoint(prevCkpt)
+      prevCkpt = jumped
       labels = jumped.select("node", "comp")
       i += 1
     }
+    // exhausting maxIter with changes still flowing means the labels are NOT
+    // components yet — callers must not treat them as such silently (ADVICE r4)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter — with pointer " +
+        "jumping, rounds needed grow ~log(diameter)")
     labels
   }
 
@@ -415,16 +542,22 @@ object Graft {
     * run it inside the scan, before anything pairwise. */
   def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ", -1)
+    // Every ratio here is integer/integer, so 4-decimal HALF_UP rounding is
+    // computed in PURE INTEGER arithmetic — round4(p/q) = (20000p + q) DIV
+    // (2q) / 10000 — which is bit-identical in any engine. round(double, 4)
+    // flaked when a ratio landed on a representation boundary (ADVICE r4;
+    // same cross-engine class as the q9 money sums the Exact helper fixed).
+    def ratio4(p: String, q: String): String =
+      s"CAST((20000L * ($p) + ($q)) DIV (2L * ($q)) AS DOUBLE) / 10000.0"
     df.withColumn("__toks", toks)
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
-      .withColumn("dup_ratio",
-        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4))
-      .withColumn("mean_tok_len",
-        round((length(col(textCol)) - (col("n_tokens") - 1)) / col("n_tokens"), 4))
-      .withColumn("top_token_frac", round(expr(
-        "array_max(transform(array_distinct(__toks), t -> size(filter(__toks, x -> x = t))))")
-        / col("n_tokens"), 4))
+      .withColumn("dup_ratio", expr(ratio4("n_tokens - n_distinct", "n_tokens")))
+      .withColumn("mean_tok_len", expr(
+        ratio4(s"length(`$textCol`) - (n_tokens - 1)", "n_tokens")))
+      .withColumn("top_token_frac", expr(ratio4(
+        "CAST(array_max(transform(array_distinct(__toks), t -> size(filter(__toks, x -> x = t)))) AS BIGINT)",
+        "n_tokens")))
       .drop("__toks")
   }
 
@@ -460,9 +593,23 @@ object Graft {
 
   /** SCD1 snapshot merge: rows of `changes` replace same-key rows of `base`;
     * unmatched base rows survive. One anti-join + union, both partitioned on
-    * the key (the change set broadcasts when small). Schemas must align. */
+    * the key (the change set broadcasts when small). Schemas must align.
+    *
+    * PRECONDITION: `changes` must be unique on `keyCol` — a change set with
+    * duplicate keys would yield duplicate keys in the merged snapshot
+    * (violating the SCD1 keys-unique contract). Callers with multi-version
+    * change feeds should pre-collapse with `latestPerKey` (below). */
   def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame =
     base.join(changes, Seq(keyCol), "left_anti").unionByName(changes)
+
+  /** Collapses a multi-version change feed to the latest row per key (max
+    * `orderCol` wins, deterministic) — the pre-step that makes any change set
+    * satisfy mergeUpsert's unique-key precondition. One shuffle on the key. */
+  def latestPerKey(changes: DataFrame, keyCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol).desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** Ordered funnel: the furthest stage each key reaches, where stage k's
     * FIRST occurrence must be at-or-after stage k-1's first occurrence.

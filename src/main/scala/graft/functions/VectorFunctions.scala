@@ -40,13 +40,19 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: several vec_dot calls can land in ONE generated method
+      // (e.g. a cosine ratio pushed into a join's bound condition) — fixed
+      // local names would collide ("Redefinition of local variable")
+      val n = ctx.freshName("vdN")
+      val acc = ctx.freshName("vdAcc")
+      val i = ctx.freshName("vdI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

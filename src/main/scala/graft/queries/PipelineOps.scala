@@ -137,14 +137,19 @@ object PipelineOps {
     * the key domain here, estimates are collision-free and the exact-count
     * oracle holds; at open-domain scale the same call returns
     * ε·N-overcount-bounded estimates. Deterministic via the seed. */
-  def sketchCountMin(s: SparkSession, d: String): DataFrame = {
+  def sketchCountMin(s: SparkSession, d: String): DataFrame =
+    sketchCountMinProbe(s, d, 0L until 10L)
+
+  /** Point-query contract (ADVICE r4): CMS lookups are a driver/serving-side
+    * operation, so the keys to probe are an explicit SMALL argument — never
+    * collected from the data (a collect-from-data shape could silently grow
+    * with the input). The sketch build itself is fully distributed. */
+  def sketchCountMinProbe(s: SparkSession, d: String,
+      probeKeys: Seq[Long]): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d)
-    val cms = ev.stat.countMinSketch(col("user_id"), eps = 0.0001,
-      confidence = 0.999, seed = 42)
-    val users = ev.select(col("user_id")).where(col("user_id") < 10)
-      .distinct().as[Long].collect().sorted
-    users.toSeq.map(u => (u, cms.estimateCount(u))).toDF("user_id", "est_n")
+    val cms = Tables.events(s, d).stat.countMinSketch(col("user_id"),
+      eps = 0.0001, confidence = 0.999, seed = 42)
+    probeKeys.sorted.map(u => (u, cms.estimateCount(u))).toDF("user_id", "est_n")
   }
 
   /** Snapshot MERGE (upsert): apply a change set to a base table — updates
@@ -245,26 +250,20 @@ object PipelineOps {
     * The query writes the bucketed tables to a temp warehouse dir, then
     * joins them through the catalog. */
   def joinBucketed(s: SparkSession, d: String): DataFrame = {
-    val wh = new java.io.File("/tmp/graft_bucketed_q")
-    for (t <- Seq("g_orders_bkt", "g_lineitem_bkt")) {
-      s.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(wh, t)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      if (dir.exists()) rm(dir)
-    }
-    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
-      .write.mode("overwrite").option("path", s"$wh/g_orders_bkt")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("g_orders_bkt")
-    Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
-      .write.mode("overwrite").option("path", s"$wh/g_lineitem_bkt")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("g_lineitem_bkt")
-    s.table("g_lineitem_bkt")
-      .join(s.table("g_orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+    // per-run temp warehouse + run-unique table names (Graft.bucketedJoin):
+    // concurrent sessions never collide, and nothing leaks into the catalog —
+    // the aggregate is materialized before the tables are dropped
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed_q").toString
+    val bj = graft.api.Graft.bucketedJoin(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "l_orderkey", "o_orderkey", nBuckets = 8, warehouseDir = wh)
+    val out = bj.joined
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("sum_qty"))
-      .orderBy("o_orderpriority")
+      .localCheckpoint(true)
+    bj.drop()
+    new java.io.File(wh).delete()
+    out.orderBy("o_orderpriority")
   }
 }

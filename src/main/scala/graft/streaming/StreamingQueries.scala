@@ -47,9 +47,10 @@ object StreamingQueries {
   private def runToMemory(s: SparkSession, stream: DataFrame, name: String,
       mode: String): DataFrame = {
     // Local-mode knob: each streaming query initializes one state store per
-    // shuffle partition; for the small bounded test tables 8 partitions cut
-    // the fixed startup cost roughly in half vs 32. On a cluster this stays
-    // whatever the session sets — state partitioning is the scale mechanism.
+    // shuffle partition; for the small bounded test tables capping partitions
+    // cuts the fixed startup cost (round-5 A/B at sf0.1: 4 ≈ 8 within noise,
+    // both ~2× faster than 32 — 4 kept). On a cluster this stays whatever the
+    // session sets — state partitioning is the scale mechanism.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val tuned = math.min(prev.toInt, 4).toString

@@ -41,6 +41,41 @@ class ConnectorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JDBC write→read round trip on embedded Derby (incl. partitioned read)") {
+    val db = Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val src = Tables.nation(spark, sf).select("n_nationkey", "n_name", "n_regionkey")
+    Jdbc.write(src, url, "nation_rt", org.apache.spark.sql.SaveMode.Overwrite)
+    val back = Jdbc.read(spark, url, "nation_rt")
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toSet
+    val want = src.select("n_nationkey", "n_name").as[(Long, String)].collect().toSet
+    assert(back == want)
+    // sharded read: 4 partition predicates over the key range
+    val sharded = Jdbc.read(spark, url, "nation_rt",
+      partitionColumn = Some("n_nationkey"), bounds = Some((0L, 24L)), numPartitions = 4)
+    assert(sharded.rdd.getNumPartitions == 4)
+    assert(sharded.count() == src.count())
+  }
+
+  test("streaming foreachBatch JDBC upsert keeps last write per key (Derby)") {
+    implicit val sqlCtx = spark.sqlContext
+    val db = Files.createTempDirectory("graft_derby_kv").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val store = new JdbcKeyValueStore(url, "kv_rt", orderCol = "version")
+    val input = MemoryStream[(String, Long, Double)]
+    val q = KeyValueSink.start(
+      input.toDF().toDF("key", "version", "value"), store, "key", "kv_jdbc_test")
+    try {
+      input.addData(("a", 1L, 10.0), ("b", 1L, 20.0))
+      q.processAllAvailable()
+      input.addData(("a", 2L, 99.0), ("c", 1L, 7.0))
+      q.processAllAvailable()
+      val snap = store.snapshot(spark)
+        .select("key", "value").as[(String, Double)].collect().toMap
+      assert(snap == Map("a" -> 99.0, "b" -> 20.0, "c" -> 7.0), s"got $snap")
+    } finally q.stop()
+  }
+
   test("JDBC wrappers validate url plumbing") {
     intercept[IllegalArgumentException] {
       Jdbc.read(spark, "not-a-jdbc-url", "t")

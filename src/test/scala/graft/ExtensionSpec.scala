@@ -58,6 +58,27 @@ class ExtensionSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("embedding dedup LSH blocking: perfect precision, usable recall vs exact all-pairs") {
+    functions.VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", expr(
+        "vec_dot(va, vb) / (sqrt(vec_dot(va, va)) * sqrt(vec_dot(vb, vb)))"))
+      .filter(col("cos") >= 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.dedupEmbedding(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exactly 1 by construction (exact-cosine residual filter)
+    assert(lsh.subsetOf(exact), "every returned pair must be a true near-dup")
+    val recall = lsh.size.toDouble / exact.size
+    // these vectors are random near-orthogonal Gaussians, so τ=0.25 pairs are
+    // the weak-similarity tail — the hardest case for hyperplane LSH; the old
+    // id-modulo blocking recalled exactly 1/16 ≈ 0.0625 regardless of τ
+    assert(recall >= 0.5, s"hyperplane-LSH recall = $recall")
+  }
+
   test("IVF kNN recalls most brute-force neighbors with nprobe=3 of 10 lists") {
     val bf = Similarity.knnBruteForce(spark, sf)
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
