@@ -270,16 +270,21 @@ object Graft {
            |  b -> aggregate(slice(__bits, b * $bitsPerBand + 1, $bitsPerBand),
            |                 0, (acc, x) -> acc * 2 + x))""".stripMargin))
       .select(col(idCol), col(vecCol), col("__bands"))
-    val a = sig.select(col(idCol).as("id_a"), col("__bands").as("__ba"),
+    val a = sig.select(col(idCol).as("id_a"),
       posexplode(col("__bands")).as(Seq("__bi", "__bka")))
-    val b = sig.select(col(idCol).as("id_b"), col("__bands").as("__bb"),
+    val b = sig.select(col(idCol).as("id_b"),
       posexplode(col("__bands")).as(Seq("__bj", "__bkb")))
+    // pair dedup (a pair sharing k bands surfaces k times) via scalar
+    // distinct: a codegen'd hash aggregate on two longs. The row-local
+    // alternative — keep only the FIRST shared band via an exists(zip_with)
+    // filter over the carried band arrays — saves this shuffle but measured
+    // ~2× slower end-to-end: the higher-order-function predicate runs
+    // interpreted per candidate row, while the distinct's exchange carries
+    // only 16 bytes/row and stays in whole-stage codegen.
     val pairs = a.join(b,
         col("__bi") === col("__bj") && col("__bka") === col("__bkb") &&
         col("id_a") < col("id_b"))
-      .filter(expr(
-        "NOT exists(zip_with(slice(__ba, 1, __bi), slice(__bb, 1, __bi), (x, y) -> x = y), p -> p)"))
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
     pairs
       .join(sig.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
       .join(sig.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
