@@ -274,23 +274,37 @@ object Graft {
       posexplode(col("__bands")).as(Seq("__bi", "__bka")))
     val b = sig.select(col(idCol).as("id_b"),
       posexplode(col("__bands")).as(Seq("__bj", "__bkb")))
-    // pair dedup (a pair sharing k bands surfaces k times) via scalar
-    // distinct: a codegen'd hash aggregate on two longs. The row-local
-    // alternative — keep only the FIRST shared band via an exists(zip_with)
-    // filter over the carried band arrays — saves this shuffle but measured
-    // ~2× slower end-to-end: the higher-order-function predicate runs
-    // interpreted per candidate row, while the distinct's exchange carries
-    // only 16 bytes/row and stays in whole-stage codegen.
+    // Residual BEFORE dedup: a pair sharing k bands surfaces k times, but the
+    // exact-cosine filter is row-local once vectors re-attach (the vector
+    // side auto-broadcasts at gate scale; at 100 TB the planner shuffles it
+    // bounded by candidate volume), so computing cos on the duplicated
+    // candidate stream and deduping only the SURVIVORS shrinks the distinct's
+    // exchange by the residual's selectivity. The alternatives both measured
+    // slower: distinct on all candidates first (the full Σ|bucket|² pair
+    // volume through a hash aggregate — 104× sf0.1→sf1 wall-time blow-up at
+    // 10× data before this reorder), and a row-local first-shared-band
+    // exists(zip_with) filter (interpreted HOF predicate, ~2× slower than
+    // any codegen'd distinct). Duplicated survivors carry identical rounded
+    // cos, so distinct over the final row is exact dedup.
     val pairs = a.join(b,
         col("__bi") === col("__bj") && col("__bka") === col("__bkb") &&
         col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    // norms precompute ONCE per vector and travel with the re-attach —
+    // cos on the candidate stream is then a single vec_dot per pair
+    // instead of three (the candidate stream is Σ|bucket|² long; the norm
+    // pass is N long)
+    val withNorm = sig.select(col(idCol), col(vecCol),
+      sqrt(expr(s"vec_dot(`$vecCol`, `$vecCol`)")).as("__n"))
     pairs
-      .join(sig.select(col(idCol).as("id_a"), col(vecCol).as("__va")), "id_a")
-      .join(sig.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), "id_b")
-      .withColumn("__cos", cosine("__va", "__vb"))
+      .join(withNorm.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        col("__n").as("__na")), "id_a")
+      .join(withNorm.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("__cos", expr("vec_dot(__va, __vb)") / (col("__na") * col("__nb")))
       .filter(col("__cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cos_sim"))
+      .distinct()
   }
 
   // ---------- joins at rest ----------

@@ -122,6 +122,11 @@ object Dedup {
     a.join(b, col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      // plain 2-arg form: the thresholded levenshtein(l, r, 20) variant
+      // MEASURED ~60% SLOWER here (26.3 vs 16.3 s at sf1) despite its
+      // better asymptotics — the banded DP's bookkeeping loses to the dense
+      // O(60²) loop at these short fixed-width heads. Within-block pair
+      // volume (the block key granularity) stays the scale knob.
       .withColumn("dist", levenshtein(col("a.head"), col("b.head")))
       .filter(col("dist") <= 20)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -48,9 +48,11 @@ object StreamingQueries {
       mode: String): DataFrame = {
     // Local-mode knob: each streaming query initializes one state store per
     // shuffle partition; for the small bounded test tables capping partitions
-    // cuts the fixed startup cost (round-5 A/B at sf0.1: 4 ≈ 8 within noise,
-    // both ~2× faster than 32 — 4 kept). On a cluster this stays whatever the
-    // session sets — state partitioning is the scale mechanism.
+    // cuts the fixed startup cost. Round-5 A/B (min-of-3 per query, 14-query
+    // family at sf0.1): 4 partitions = 17.5 s, 8 partitions = 19.8 s — 4
+    // kept (this resolves the r4 comment/code drift that said 8). On a
+    // cluster this stays whatever the session sets — state partitioning is
+    // the scale mechanism.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val tuned = math.min(prev.toInt, 4).toString
