@@ -200,6 +200,7 @@ object SparkEntry {
     "funnel_analysis"   -> PipelineOps.funnelAnalysis _,
     "retention_cohorts" -> PipelineOps.retentionCohorts _,
     "join_bucketed"     -> PipelineOps.joinBucketed _,
+    "pack_sequences"    -> PipelineOps.packSequencesRollup _,
     "quality_repetition" -> PipelineOps.qualityRepetition _,
     "decontaminate_ngrams" -> PipelineOps.decontaminateNgrams _,
     "mixture_weights"   -> PipelineOps.mixtureWeights _,
@@ -1597,6 +1598,19 @@ object SparkEntry {
         |FROM weekly w JOIN c USING (user_id)
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // The distributed two-phase prefix sum must equal the oracle's single
+    // global window cumsum — partition-boundary invariance is the claim.
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens AS strt
+        |      FROM t)
+        |SELECT CAST(strt // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     // The oracle sees only the RESULT parity (same rows as a plain join); the
     // no-shuffle property of the bucketed plan is pinned by AdvancedStateSpec.

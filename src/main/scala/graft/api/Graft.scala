@@ -307,6 +307,40 @@ object Graft {
       .distinct()
   }
 
+  /** Sequence packing for LLM pretraining batches: documents concatenate in
+    * id order and cut every `seqLen` tokens; each document is assigned to
+    * the training sequence its FIRST token lands in (the standard
+    * chunked-concatenation loader shape). Output: (idCol, n_tokens, seq_id,
+    * seq_offset).
+    *
+    * The global running token count is a DISTRIBUTED two-phase prefix sum —
+    * never a single-partition window (the hot-bucket shape a global
+    * orderBy window would be): range-partition by id, per-partition local
+    * cumsum (window keyed by the physical partition id), then a
+    * partition-count-sized offset table (its window runs over ~#partitions
+    * rows, bounded by cluster size not data size) broadcast back. Two
+    * shuffles total, both data-parallel. The result is invariant to the
+    * partition boundaries (global prefix sums don't depend on where the
+    * cuts fall), so the output is deterministic. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    val withTok = docs.select(col(idCol),
+      size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"))
+    val parts = withTok.repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(idCol)
+    val local = parts.withColumn("__local_cum", sum("n_tokens").over(wLocal))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid").agg(sum("n_tokens").as("__ptotal"))
+      .withColumn("__offset", coalesce(sum("__ptotal").over(wOff), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("__start", col("__local_cum") + col("__offset") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"__start DIV $seqLen"))
+      .withColumn("seq_offset", expr(s"__start % $seqLen"))
+      .select(col(idCol), col("n_tokens"), col("seq_id"), col("seq_offset"))
+  }
+
   // ---------- joins at rest ----------
 
   /** Handle to a bucketed co-partitioned join: `joined` is the lazy

@@ -242,6 +242,22 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Training-sequence packing rollup: documents chunk-concatenate into
+    * 2048-token sequences (Graft.packSequences — distributed two-phase
+    * prefix sum, no single-partition window), then one aggregate per
+    * sequence. The batch-construction step between a curated corpus and a
+    * training run; seq_tokens > 2048 happens exactly when a document
+    * STARTS in the sequence and overflows it — the loader's
+    * continuation-across-boundary case. */
+  def packSequencesRollup(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", seqLen = 2048)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("seq_id")
+
   /** Bucketed co-partitioned join: both fact tables are written bucketed on
     * the join key (8 buckets, sorted), so the join runs WITHOUT a shuffle —
     * bucket i joins bucket i in place (AdvancedStateSpec pins the no-Exchange

@@ -51,24 +51,33 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     val planes = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
     val planesArr = array(planes.map(p => array(p.map(lit).toSeq: _*)).toSeq: _*)
-    val e = Tables.embeddings(s, d)
+    // Candidate generation is SLIM (ids through the band join, never the
+    // vectors) and the pair dedup is a 16-byte/row distinct — the same
+    // shape cosineDedupLsh landed on after the round-5 sf1 scaling study
+    // (vectors re-attach to the deduped pairs by id join, bounded by
+    // candidate volume).
+    val banded = Tables.embeddings(s, d)
       .withColumn("planes", planesArr)
       .withColumn("sigbits", expr(
         "transform(planes, p -> CASE WHEN vec_dot(embedding, p) > 0D THEN 1 ELSE 0 END)"))
       .withColumn("bands", expr(
         """transform(sequence(0, 3), b ->
           |  sigbits[b*4] * 8 + sigbits[b*4+1] * 4 + sigbits[b*4+2] * 2 + sigbits[b*4+3])""".stripMargin))
-      .select(col("vec_id"), col("embedding"), col("label"),
-        posexplode(col("bands")).as(Seq("band", "bucket")))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("band"), col("bucket"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
-      col("label"), col("band").as("cband"), col("bucket").as("cbucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
-    q.join(c, col("band") === col("cband") && col("bucket") === col("cbucket") &&
+      .select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val qb = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band"), col("bucket"))
+    val cb = banded.select(col("vec_id").as("c_id"),
+      col("band").as("cband"), col("bucket").as("cbucket"))
+    val pairs = qb.join(cb,
+        col("band") === col("cband") && col("bucket") === col("cbucket") &&
         col("q_id") =!= col("c_id"))
-      .select("q_id", "qv", "c_id", "cv", "label").distinct()
+      .select("q_id", "c_id").distinct()
+    val e = Tables.embeddings(s, d)
+    val w = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    pairs
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+        col("label")), "c_id")
       .withColumn("score6", round(expr(cos), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
