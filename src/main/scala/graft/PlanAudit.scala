@@ -89,6 +89,15 @@ object PlanAudit {
         "approx_top_k aggregates mergeable sketch state partial+final"),
       ("hll_union", p => p.contains("ObjectHashAggregate"),
         "two-level sketch rollup stays a mergeable aggregate"),
+      // round-5 pins
+      ("dedup_embedding", p => p.contains("BroadcastHashJoin"),
+        "vectors re-attach to slim candidate pairs via broadcast (residual before dedup)"),
+      ("pack_sequences", p =>
+        "hashpartitioning\\(__pid".r.findFirstIn(p).isDefined &&
+        !p.contains("CartesianProduct"),
+        "prefix sum windows partition by physical pid (the only global window is the #partitions-sized offset table)"),
+      ("knn_lsh", p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+        "LSH candidates slim through the band join; vectors re-attach broadcast"),
     )
 
     var failed = 0

@@ -307,6 +307,52 @@ object Graft {
       .distinct()
   }
 
+  // ---------- clustering ----------
+
+  /** K-means result: the broadcast-sized `centroids` (c_id, centroid) and
+    * per-row `assignments` (the original id column, list_id). */
+  final case class KMeansResult(centroids: DataFrame, assignments: DataFrame)
+
+  /** Lloyd's k-means over a float-vector column as pure DataFrame ops —
+    * deterministic end to end: init = the k lowest-id vectors, assignment
+    * ties break to the lowest centroid id, and per-dimension means aggregate
+    * in DECIMAL so results are independent of partial-aggregation order.
+    * Each iteration costs one broadcast crossJoin + argmin window + two
+    * shuffles; the tiny centroid table localCheckpoints per round so the
+    * plan never grows. This is the training loop behind Similarity.knnIvf's
+    * inverted lists, exposed for corpus clustering (topic bucketing, dedup
+    * blocking, IVF index builds). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3): KMeansResult = {
+    VectorFunctions.register(df.sparkSession)
+    val vecs = df.select(col(idCol), col(vecCol))
+    def nearest(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("c_id").asc)
+      vecs.crossJoin(broadcast(cent))
+        .withColumn("__dist", expr(
+          s"vec_dot(`$vecCol`, `$vecCol`) - 2 * vec_dot(`$vecCol`, centroid) + vec_dot(centroid, centroid)"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__dist", "centroid")
+    }
+    var centroids = vecs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      centroids = nearest(centroids)
+        .select(col("c_id"), posexplode(col(vecCol)).as(Seq("__i", "__v")))
+        .groupBy("c_id", "__i")
+        .agg(avg(col("__v").cast("decimal(28,12)")).as("__m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__pairs"))
+        .select(col("c_id"),
+          expr("transform(__pairs, x -> CAST(x.__m AS FLOAT))").as("centroid"))
+        .localCheckpoint(true)
+    }
+    KMeansResult(centroids,
+      nearest(centroids).select(col(idCol), col("c_id").as("list_id")))
+  }
+
   /** Sequence packing for LLM pretraining batches: documents concatenate in
     * id order and cut every `seqLen` tokens; each document is assigned to
     * the training sequence its FIRST token lands in (the standard

@@ -86,28 +86,10 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    * squared-L2 via three codegen'd dot products, keep the argmin (ties to
-    * the lowest centroid id — deterministic). */
-  private def assignNearest(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("c_id").asc)
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("dist", expr(
-        "vec_dot(embedding, embedding) - 2 * vec_dot(embedding, centroid) + vec_dot(centroid, centroid)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "dist")
-  }
-
   /** ANN via IVF (inverted-file) coarse quantization with centroids trained
-    * by LLOYD'S K-MEANS as pure DataFrame ops — 3 iterations of
-    * (assign-to-nearest, recompute elementwise means), k=10 lists,
-    * deterministic throughout: init is the k lowest vec_ids, assignment ties
-    * break to the lowest centroid id, and the per-dimension means aggregate
-    * in DECIMAL so the result is independent of partial-aggregation order
-    * (a double avg could flip a borderline assignment run-to-run). The tiny
-    * centroid table is localCheckpoint'ed per round — the plan stays 2
-    * shuffles per iteration, never a growing lineage.
+    * by LLOYD'S K-MEANS (Graft.kmeans — 3 deterministic iterations as pure
+    * DataFrame ops, k=10 lists; decimal means keep results independent of
+    * partial-aggregation order).
     *
     * Query path is the standard billion-scale layout: every vector sits in
     * its nearest-centroid list (the partition key at scale), queries probe
@@ -118,22 +100,12 @@ object Similarity {
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    val k = 10
-    var centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("c_id"), col("embedding").as("centroid"))
-      .localCheckpoint(true)
-    for (_ <- 1 to 3) {
-      centroids = assignNearest(e.select(col("vec_id"), col("embedding")), centroids)
-        .select(col("c_id"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy("c_id", "i")
-        .agg(avg(col("v").cast("decimal(28,12)")).as("m"))
-        .groupBy("c_id")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
-        .select(col("c_id"), expr("transform(pairs, x -> CAST(x.m AS FLOAT))").as("centroid"))
-        .localCheckpoint(true)
-    }
-    val assigned = assignNearest(e, centroids)
-      .select(col("vec_id"), col("embedding"), col("label"), col("c_id").as("list_id"))
+    val km = graft.api.Graft.kmeans(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k = 10, iters = 3)
+    val centroids = km.centroids
+    val assigned = e.join(km.assignments, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("label"), col("list_id"))
     // queries probe their 3 nearest lists
     val wProbe = Window.partitionBy("q_id").orderBy(col("dist").asc, col("c_id").asc)
     val probes = e.filter(col("vec_id") < 10)
