@@ -63,6 +63,7 @@ object SparkEntry {
     // text analysis (LLM-pipeline extension surface)
     "text_stats"        -> TextAnalysis.textStats _,
     "token_count"       -> TextAnalysis.tokenCount _,
+    "pii_scrub"         -> TextAnalysis.piiScrub _,
     "lang_id"           -> TextAnalysis.langId _,
     "quality_score"     -> TextAnalysis.qualityScore _,
     "doc_fingerprint"   -> TextAnalysis.docFingerprint _,
@@ -482,6 +483,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // redaction byte-for-byte: same patterns, same rule order, 'g' flag =
+    // Spark regexp_replace's replace-all semantics
+    "pii_scrub" ->
+      """WITH b AS (
+        |  SELECT doc_id, text || ' user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com or call 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(body, '[a-z0-9._]+@[a-z0-9.-]+')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(body, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(body, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
       """SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es,

@@ -307,6 +307,17 @@ object Graft {
       .distinct()
   }
 
+  /** PII redaction pass: applies (pattern → replacement) rules in order to
+    * a text column. A chain of regexp_replace calls — pure row-local compute
+    * under whole-stage codegen, so the scrub runs inside the scan (the
+    * curation step before any text leaves the pipeline). Rule order matters
+    * and is preserved. */
+  def redact(df: DataFrame, textCol: String, rules: Seq[(String, String)],
+      out: String = "redacted"): DataFrame =
+    df.withColumn(out, rules.foldLeft(col(textCol)) {
+      case (c, (pattern, replacement)) => regexp_replace(c, pattern, replacement)
+    })
+
   // ---------- clustering ----------
 
   /** K-means result: the broadcast-sized `centroids` (c_id, centroid) and

@@ -41,6 +41,27 @@ object TextAnalysis {
         size(array_distinct(tokens)).as("n_distinct_tokens"))
       .orderBy("doc_id")
 
+  /** PII redaction over the corpus (Graft.redact): deterministic synthetic
+    * contact strings are appended per document (the driver corpus contains
+    * no real PII, so the scrub must provably FIRE — the oracle checks the
+    * fully redacted text byte-for-byte), then email/phone patterns replace
+    * with typed placeholder tokens. Row-local regexp chain inside the scan;
+    * per-doc match counts come from the same patterns pre-redaction. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("body", concat(col("text"), lit(" user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+    graft.api.Graft.redact(docs, "body", Seq(
+        "[a-z0-9._]+@[a-z0-9.-]+" -> "<EMAIL>",
+        "[0-9]{3}-[0-9]{4}" -> "<PHONE>"), out = "clean")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(body, '[a-z0-9._]+@[a-z0-9.-]+', 0)")).as("n_emails"),
+        size(expr("regexp_extract_all(body, '[0-9]{3}-[0-9]{4}', 0)")).as("n_phones"),
+        col("clean"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic: count stopword markers per candidate language over
     * the token array (higher-order `filter`, codegen'd — no UDF), pick argmax
     * with a deterministic tie-break. A production pipeline would use character
