@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_minhash"     -> Dedup.dedupMinhash _,
     "dedup_simhash"     -> Dedup.dedupSimhash _,
     "dedup_embedding"   -> Dedup.dedupEmbedding _,
+    "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
     // similarity search
     "knn_bruteforce"    -> Similarity.knnBruteForce _,
     "knn_lsh"           -> Similarity.knnLsh _,
@@ -213,9 +214,20 @@ object SparkEntry {
     * 32 sign bits via list_dot_product over DOUBLE[] (bit-identical to the
     * codegen'd VecDot — both accumulate left-to-right in double), 8 bands of
     * 4 bits, DISTINCT candidate pairs sharing any band, exact cosine ≥ 0.25
-    * residual. The Spark side dedups pairs row-locally (first-shared-band
-    * filter); the oracle uses DISTINCT — same pair set either way. */
-  private def dedupEmbeddingOracleSql: String = {
+    * residual. The Spark side runs the residual filter on the duplicated
+    * candidate stream and dedups only the SURVIVORS with a distinct
+    * (residual-before-distinct — see cosineDedupLsh); the oracle applies
+    * DISTINCT before the residual — same final pair set either way, because
+    * duplicated survivors carry identical rounded cosine. */
+  /** Shared exact-cosine expression over two embeddings-table aliases. */
+  private val embedCos =
+    """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+      |    (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))""".stripMargin
+
+  /** Shared CTE chain (bits → sig → ex → cand) of the embedding-dedup
+    * oracles, generated from the Dedup.embedPlanes constants. */
+  private def embedCandidateCtes: String = {
     val planes = graft.queries.Dedup.embedPlanes
     def planeLit(p: Array[Double]): String =
       p.map(v => new java.math.BigDecimal(v).toPlainString).mkString("[", ", ", "]")
@@ -225,11 +237,7 @@ object SparkEntry {
     val bands = (0 until 8).map { k =>
       s"b${4 * k} * 8 + b${4 * k + 1} * 4 + b${4 * k + 2} * 2 + b${4 * k + 3}"
     }.mkString("[", ", ", "]")
-    val cos =
-      """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))""".stripMargin
-    s"""WITH bits AS (
+    s"""bits AS (
        |  SELECT vec_id,
        |      $bits
        |  FROM embeddings),
@@ -238,13 +246,107 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM ex a JOIN ex b
-       |    ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, round($cos, 4) AS cos_sim
+       |    ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  private def dedupEmbeddingOracleSql: String =
+    s"""WITH $embedCandidateCtes
+       |SELECT id_a, id_b, round($embedCos, 4) AS cos_sim
        |FROM cand
        |JOIN embeddings ea ON ea.vec_id = id_a
        |JOIN embeddings eb ON eb.vec_id = id_b
-       |WHERE $cos >= 0.25
+       |WHERE $embedCos >= 0.25
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupEmbeddingKeep: the same LSH candidate + exact
+    * cosine pair SQL, then a recursive CTE computes min-reachable-id
+    * connected components (the declarative twin of the distributed
+    * label-propagation loop, as in dedup_clusters) and one representative
+    * survives per cluster. */
+  private def dedupEmbeddingKeepOracleSql: String =
+    s"""WITH RECURSIVE $embedCandidateCtes,
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = id_a
+       |  JOIN embeddings eb ON eb.vec_id = id_b
+       |  WHERE $embedCos >= 0.25),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION
+       |  SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(v, m) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v),
+       |comp AS (SELECT v AS vec_id, min(m) AS cluster_id FROM reach GROUP BY v)
+       |SELECT cluster_id AS keep_id, count(1) AS n_members
+       |FROM comp GROUP BY cluster_id ORDER BY keep_id""".stripMargin
+
+  /** DuckDB twin of Similarity.knnLsh, generated from the SAME discretized
+    * plane constants (Similarity.knnPlanes — the machinery
+    * dedupEmbeddingOracleSql proved): 16 sign bits, 4 bands × 4 bits,
+    * DISTINCT directional candidates (query side vec_id < 10) sharing any
+    * band, exact-cosine rerank to top-5 per query. */
+  private def knnLshOracleSql: String = {
+    val planes = graft.queries.Similarity.knnPlanes
+    def planeLit(p: Array[Double]): String =
+      p.map(v => new java.math.BigDecimal(v).toPlainString).mkString("[", ", ", "]")
+    val bits = planes.indices.map { i =>
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(planes(i))}::DOUBLE[]) > 0 THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n      ")
+    val bands = (0 until 4).map { k =>
+      s"b${4 * k} * 8 + b${4 * k + 1} * 4 + b${4 * k + 2} * 2 + b${4 * k + 3}"
+    }.mkString("[", ", ", "]")
+    s"""WITH bits AS (
+       |  SELECT vec_id,
+       |      $bits
+       |  FROM embeddings),
+       |sig AS (SELECT vec_id, $bands AS bands FROM bits),
+       |ex AS (SELECT vec_id, i, bands[i + 1] AS bucket FROM sig, range(4) t(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < 10),
+       |sc AS (
+       |  SELECT q_id, c_id, eb.label,
+       |    round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) /
+       |      (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))), 6) AS score6
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = q_id
+       |  JOIN embeddings eb ON eb.vec_id = c_id),
+       |r AS (
+       |  SELECT q_id, c_id, label, score6,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
+       |  FROM sc)
+       |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** DuckDB twin of TextAnalysis.docFingerprintRolling. The polynomial
+    * rolling hash (h ← h·31 + byte, WRAPPING 64-bit) looks inexpressible in
+    * DuckDB (BIGINT overflow raises there), but wrapping arithmetic is just
+    * arithmetic mod 2^64 — so the oracle reduces in HUGEINT (128-bit: h·31+b
+    * never overflows for h < 2^64), takes `% 2^64` each step, and maps the
+    * result back to signed BIGINT at the end. Bytes come from `ord()` per
+    * char, which equals the UTF-8 byte for this all-ASCII corpus (the
+    * generator would need a real byte explode for multi-byte text). */
+  private def docFingerprintRollingOracleSql: String = {
+    def rh(s: String): String =
+      s"""CAST(CASE WHEN __u >= 9223372036854775808::HUGEINT
+         |       THEN __u - 18446744073709551616::HUGEINT ELSE __u END AS BIGINT)
+         |FROM (SELECT list_reduce(
+         |  [1125899906842597::HUGEINT] ||
+         |    list_transform(range(1, length($s) + 1), i -> CAST(ord($s[i]) AS HUGEINT)),
+         |  (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS __u)""".stripMargin
+    s"""SELECT doc_id,
+       |  (SELECT ${rh("text")}) AS fp_full,
+       |  CAST(greatest(CAST(ceil(len(string_split(text, ' ')) / 16.0) AS BIGINT) - 1, 0) + 1 AS INTEGER) AS n_chunks,
+       |  (SELECT ${rh("array_to_string(string_split(text, ' ')[1:16], ' ')")}) AS first_chunk_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -535,6 +637,8 @@ object SparkEntry {
         |  substring(md5(lower(trim(text))), 1, 8) AS fp_short
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "doc_fingerprint_rolling" -> docFingerprintRollingOracleSql,
+
     "tfidf_top_terms" ->
       """WITH t AS (
         |  SELECT doc_id, term FROM (
@@ -587,6 +691,9 @@ object SparkEntry {
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
+    // Mirrors Graft.ngramJaccardCandidates' capped inverted index: shingles
+    // whose postings list exceeds maxPostings=128 are dropped from CANDIDATE
+    // GENERATION only; exact Jaccard recomputes over the full shingle sets.
     "dedup_ngram_jaccard" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
         |sh AS (
@@ -599,11 +706,23 @@ object SparkEntry {
         |             string_split(text, ' ')[i + 2])) AS shingles
         |    FROM docs)),
         |sizes AS (SELECT doc_id, count(1) AS n_shingles FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_common
-        |  FROM sh a JOIN sh b
+        |postings AS (
+        |  SELECT lang, source, shingle, count(1) AS df
+        |  FROM sh GROUP BY 1, 2, 3),
+        |idx AS (
+        |  SELECT sh.doc_id, sh.lang, sh.source, sh.shingle
+        |  FROM sh JOIN postings USING (lang, source, shingle)
+        |  WHERE df <= 128),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM idx a JOIN idx b
         |    ON a.lang = b.lang AND a.source = b.source
-        |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT id_a, id_b, count(1) AS n_common
+        |  FROM cand
+        |  JOIN sh a ON a.doc_id = id_a
+        |  JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, n_common,
         |  round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
@@ -614,6 +733,10 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" -> dedupEmbeddingOracleSql,
+
+    "dedup_embedding_keep" -> dedupEmbeddingKeepOracleSql,
+
+    "knn_lsh" -> knnLshOracleSql,
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

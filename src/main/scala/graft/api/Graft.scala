@@ -112,6 +112,96 @@ object Graft {
     df.groupBy(md5(lower(trim(col(textCol)))).as("fp"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** N-gram Jaccard near-dup via a capped inverted shingle index: candidate
+    * pairs must share every `blockCols` value AND at least one shingle whose
+    * postings list (within the block) is no longer than `maxPostings`; exact
+    * Jaccard over the FULL shingle sets then filters the survivors. Output:
+    * (id_a, id_b, n_common, jaccard) with id_a < id_b.
+    *
+    * The cap is the scale control the plain inverted-index join lacks: pair
+    * volume is Σ|postings|² over shingles, and ONE viral boilerplate shingle
+    * (or a dense synthetic vocabulary) makes that quadratic. Dropping
+    * ultra-common shingles from the INDEX bounds it by
+    * maxPostings·Σ|postings| — linear in data — while the Jaccard numerator
+    * stays exact (it re-joins the full shingle sets, candidates-bounded).
+    * Recall caveat: a pair whose every shared shingle exceeds the cap is
+    * missed — that's the LSH-family tradeoff; raise the cap or add blockCols
+    * granularity when precision of the index matters more than its size. */
+  def ngramJaccardCandidates(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Nil, n: Int = 3, minJaccard: Double = 0.2,
+      maxPostings: Long = 128L): DataFrame = {
+    val sh = shingles(df.select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*),
+      idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
+    // postings length per (block, shingle); the index keeps only short lists
+    val postingKey = blockCols :+ "shingle"
+    val postings = sh.groupBy(postingKey.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+    val idx = sh.join(postings, postingKey).filter(col("__df") <= maxPostings)
+      .drop("__df")
+    val a = idx.as("a"); val b = idx.as("b")
+    val cond = blockCols.foldLeft(
+      col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol")) {
+        (acc, c) => acc && col(s"a.$c") === col(s"b.$c") }
+    val cand = a.join(b, cond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // exact Jaccard on surviving candidates from the FULL (uncapped) shingle
+    // sets: explode id_a's shingles onto the pair, inner-join on (id_b,
+    // shingle) — work bounded by |candidates|·shingles/doc, never doc×doc
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n_sh").as("__sa")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n_sh").as("__sb")), "id_b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("__sa") + col("__sb") - col("n_common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** Edit-distance near-dup with parameterized blocking: pairs must agree on
+    * every `blockCols` value and on the first `blockPrefixLen` chars, then
+    * Levenshtein over the first `headLen` chars ≤ `maxDist` decides. Output:
+    * (id_a, id_b, dist) with id_a < id_b.
+    *
+    * `blockPrefixLen` is the scale knob — within-block pair volume is
+    * Σ|block|², so block granularity must grow with data density. The
+    * `maxBlockOccupancy` guard makes that contract FAIL-FAST instead of
+    * silent: if any block's occupancy exceeds it, the job aborts with a
+    * descriptive error (the assert_true pattern binnedIntervalJoin uses)
+    * rather than quietly going quadratic. The plain 2-arg levenshtein is
+    * deliberate: the thresholded 3-arg form measured ~60% slower on short
+    * fixed-width heads (banded-DP bookkeeping loses to the dense O(len²)
+    * loop). */
+  def editDistanceDedup(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Nil, blockPrefixLen: Int = 20, headLen: Int = 60,
+      maxDist: Int = 20, maxBlockOccupancy: Long = 100000L): DataFrame = {
+    val docs = df.select(col(idCol) +: blockCols.map(col) :+
+      substring(col(textCol), 1, blockPrefixLen).as("__blk") :+
+      substring(col(textCol), 1, headLen).as("__head"): _*)
+    // occupancy guard: a window count on the block key (its exchange is the
+    // same partitioning the self-join needs); the filter is always-true when
+    // the guard passes and throws when it doesn't — not prunable, data-driven
+    val wOcc = Window.partitionBy((blockCols :+ "__blk").map(col): _*)
+    val guarded = docs.withColumn("__bcnt", count(lit(1)).over(wOcc))
+      .filter(expr(
+        s"""assert_true(__bcnt <= ${maxBlockOccupancy}L,
+           |  'editDistanceDedup: a block exceeds maxBlockOccupancy=$maxBlockOccupancy rows; lengthen blockPrefixLen or add blockCols') IS NULL""".stripMargin))
+      .drop("__bcnt")
+    val a = guarded.as("a"); val b = guarded.as("b")
+    val cond = blockCols.foldLeft(
+      col("a.__blk") === col("b.__blk") && col(s"a.$idCol") < col(s"b.$idCol")) {
+        (acc, c) => acc && col(s"a.$c") === col(s"b.$c") }
+    a.join(b, cond)
+      .withColumn("dist", levenshtein(col("a.__head"), col("b.__head")))
+      .filter(col("dist") <= maxDist)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("dist").cast("int").as("dist"))
+  }
+
   /** MinHash signatures over n-gram shingle sets: (idCol, sig: array<long>).
     * One shuffle of |docs|·numHashes longs (positional array aggregates).
     * Documents with fewer than shingleN tokens have no shingle set; they are
@@ -244,11 +334,14 @@ object Graft {
     * cosine), unlike id-based blocking which is both quadratic and
     * similarity-blind.
     *
-    * Pair dedup (a pair sharing k bands would surface k times) is ROW-LOCAL:
-    * both sides carry their full band array, and a candidate row survives only
-    * when its band index is the FIRST index where the two arrays agree — no
-    * second shuffle; the band join is the only exchange after the signature
-    * projection. Output: (id_a, id_b, cos_sim) with id_a < id_b. */
+    * Pair dedup (a pair sharing k bands surfaces k times) runs AFTER the
+    * residual: the exact-cosine filter evaluates row-locally on the
+    * duplicated candidate stream once the vectors re-attach, and only the
+    * SURVIVORS go through a distinct — so the dedup exchange is shrunk by
+    * the residual's selectivity. (A row-local first-shared-band filter was
+    * measured and rejected: interpreted HOF predicate, ~2× slower than the
+    * codegen'd distinct — see the inline notes.) Output: (id_a, id_b,
+    * cos_sim) with id_a < id_b. */
   def cosineDedupLsh(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Double]], bitsPerBand: Int = 4,
       tau: Double = 0.25): DataFrame = {
@@ -350,7 +443,7 @@ object Graft {
       .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      centroids = nearest(centroids)
+      val means = nearest(centroids)
         .select(col("c_id"), posexplode(col(vecCol)).as(Seq("__i", "__v")))
         .groupBy("c_id", "__i")
         .agg(avg(col("__v").cast("decimal(28,12)")).as("__m"))
@@ -358,6 +451,14 @@ object Graft {
         .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__pairs"))
         .select(col("c_id"),
           expr("transform(__pairs, x -> CAST(x.__m AS FLOAT))").as("centroid"))
+      // a centroid that attracted no vectors this round vanishes from the
+      // groupBy output — without this left join the model would silently run
+      // with k-1 lists from then on. Empty clusters KEEP their previous
+      // centroid (deterministic, count stays exactly k every round; when no
+      // cluster is empty the coalesce is a no-op and results are unchanged).
+      centroids = centroids.select(col("c_id"), col("centroid").as("__prev"))
+        .join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("centroid"), col("__prev")).as("centroid"))
         .localCheckpoint(true)
     }
     KMeansResult(centroids,
@@ -385,7 +486,13 @@ object Graft {
       size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"))
     val parts = withTok.repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(idCol)
+    // explicit ROWS frame: the default RANGE frame would give duplicate id
+    // values one shared cumulative total, silently corrupting positions; with
+    // ROWS each row accumulates separately (ties between equal ids then order
+    // arbitrarily — ids SHOULD be unique for a meaningful packing, but the
+    // failure mode is no longer silent corruption of every later offset)
+    val wLocal = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("__local_cum", sum("n_tokens").over(wLocal))
     val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("__pid").agg(sum("n_tokens").as("__ptotal"))
@@ -713,10 +820,14 @@ object Graft {
     base.join(changes, Seq(keyCol), "left_anti").unionByName(changes)
 
   /** Collapses a multi-version change feed to the latest row per key (max
-    * `orderCol` wins, deterministic) — the pre-step that makes any change set
-    * satisfy mergeUpsert's unique-key precondition. One shuffle on the key. */
+    * `orderCol` wins) — the pre-step that makes any change set satisfy
+    * mergeUpsert's unique-key precondition. One shuffle on the key.
+    * Deterministic even when two rows tie on (key, orderCol): the tie breaks
+    * on a content hash of the whole row, so reruns and replays pick the same
+    * winner (fully identical rows are interchangeable either way). */
   def latestPerKey(changes: DataFrame, keyCol: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(orderCol).desc)
+    val w = Window.partitionBy(keyCol).orderBy(col(orderCol).desc,
+      xxhash64(struct(changes.columns.map(col): _*)).asc)
     changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -62,13 +62,19 @@ trait KeyValueStore {
 }
 
 /** Parquet-backed KV store: keeps exactly one row per key (max version wins
-  * within a batch by `orderCol` desc). Not concurrent — a test/demo stub. */
+  * within a batch by `orderCol` desc; exact (key, orderCol) ties break on a
+  * row-content hash so replays pick the same winner). Not concurrent — a
+  * test/demo stub. */
 class ParquetKeyValueStore(dir: String, orderCol: String) extends KeyValueStore {
   override def upsert(batch: DataFrame, keyCol: String): Unit = {
     val s = batch.sparkSession
-    val current = scala.util.Try(s.read.parquet(dir)).getOrElse(batch.limit(0))
+    // only ABSENCE of prior state may fall back to empty: a transient read
+    // failure must fail the micro-batch, not silently drop all stored keys
+    val current =
+      if (new java.io.File(dir).exists()) s.read.parquet(dir) else batch.limit(0)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(orderCol).desc)
+      .partitionBy(keyCol).orderBy(col(orderCol).desc,
+        xxhash64(struct(batch.columns.map(col): _*)).asc)
     val merged = current.unionByName(batch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -92,11 +98,35 @@ class ParquetKeyValueStore(dir: String, orderCol: String) extends KeyValueStore 
   * Spark-planned operations. */
 class JdbcKeyValueStore(url: String, table: String, orderCol: String)
     extends KeyValueStore {
+
+  /** JDBC-metadata table-existence probe. Unquoted identifiers are stored
+    * case-folded (Derby/Oracle upper, Postgres lower), so all three case
+    * variants are checked. Connection failures PROPAGATE — only confirmed
+    * absence may initialize empty state. */
+  private def tableExists(): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
   override def upsert(batch: DataFrame, keyCol: String): Unit = {
     val s = batch.sparkSession
-    val current = scala.util.Try(Jdbc.read(s, url, table)).getOrElse(batch.limit(0))
+    // Explicit existence check, NOT a Try around the read: swallowing every
+    // read failure (lock timeout, dropped connection) as "table missing"
+    // would make the subsequent Overwrite rewrite the table with only this
+    // batch's keys — destroying all previously stored state. Now a transient
+    // failure fails the micro-batch (retryable); only genuine first-batch
+    // absence initializes empty.
+    val current =
+      if (tableExists()) Jdbc.read(s, url, table) else batch.limit(0)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(orderCol).desc)
+      .partitionBy(keyCol).orderBy(col(orderCol).desc,
+        xxhash64(struct(batch.columns.map(col): _*)).asc)
     val merged = current.unionByName(batch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -64,8 +64,9 @@ case class VecDot(left: Expression, right: Expression)
 /** 64-bit polynomial rolling hash over a string's UTF-8 bytes
   * (h ← h·31 + b, wrapping Long arithmetic) — the classic content
   * fingerprint for near-duplicate pre-screening. Codegen'd tight loop, no
-  * allocation. Oracle-omitted: Java's wrapping overflow has no DuckDB twin
-  * (DuckDB raises on BIGINT overflow); pinned by a suite test instead. */
+  * allocation. Oracled cross-engine: wrapping overflow is arithmetic mod
+  * 2^64, which the DuckDB twin emulates in HUGEINT (see
+  * SparkEntry.docFingerprintRollingOracleSql); also pinned by a suite test. */
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"

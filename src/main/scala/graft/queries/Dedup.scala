@@ -37,33 +37,20 @@ object Dedup {
       .filter(col("n_members") >= 1)
       .orderBy("keep_id")
 
-  /** N-gram (3-token shingle) Jaccard near-dup. Blocking: candidate pairs must
-    * share (lang, source) AND at least one shingle — the shingle join IS the
-    * inverted index, so pair formation is proportional to real overlap, not N².
-    * A 1-in-2 doc_id sample bounds the demo's pair volume; at 100 TB you'd
-    * instead shard the shingle index and cap postings-list length (drop
-    * ultra-common shingles — they only create noise pairs). */
+  /** N-gram (3-token shingle) Jaccard near-dup (Graft.ngramJaccardCandidates):
+    * candidate pairs must share (lang, source) AND at least one shingle whose
+    * postings list is ≤ maxPostings — the capped inverted index bounds pair
+    * volume by maxPostings·|postings| (linear in data) where the uncapped
+    * join was Σ|postings|² (14× super-linear at 10× data on this corpus's
+    * dense synthetic vocabulary). Exact Jaccard over the FULL shingle sets
+    * filters the survivors, so the cap affects only candidate RECALL, never
+    * the reported score. A 1-in-2 doc_id sample additionally bounds the demo. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-    val shingles = graft.api.Graft.shingles(
-        docs.select(col("doc_id"), col("lang"), col("source"), col("text")),
-        "doc_id", "text")
-      .select("doc_id", "lang", "source", "shingle")
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
-    val inter = a.join(b,
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
-      .withColumn("jaccard", round(col("n_common").cast("double") /
-        (col("size_a") + col("size_b") - col("n_common")), 4))
-      .filter(col("jaccard") >= 0.2)
-      .select("id_a", "id_b", "n_common", "jaccard")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    graft.api.Graft.ngramJaccardCandidates(docs, "doc_id", "text",
+        blockCols = Seq("lang", "source"), n = 3, minJaccard = 0.2,
+        maxPostings = 128L)
       .orderBy("id_a", "id_b")
   }
 
@@ -108,31 +95,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Edit-distance near-dup: Levenshtein over document heads, blocked on
-    * (lang, source, 20-char prefix) — the same bucket-then-compare contract as
-    * every other near-dup variant (pair volume sum(|block|²), never N²).
-    * Distance runs on the first 60 chars: O(60²) per pair, row-local,
-    * codegen'd. */
-  def dedupLevenshtein(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        substring(col("text"), 1, 20).as("blk"),
-        substring(col("text"), 1, 60).as("head"))
-    val a = docs.as("a"); val b = docs.as("b")
-    a.join(b, col("a.lang") === col("b.lang") &&
-        col("a.source") === col("b.source") &&
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      // plain 2-arg form: the thresholded levenshtein(l, r, 20) variant
-      // MEASURED ~60% SLOWER here (26.3 vs 16.3 s at sf1) despite its
-      // better asymptotics — the banded DP's bookkeeping loses to the dense
-      // O(60²) loop at these short fixed-width heads. Within-block pair
-      // volume (the block key granularity) stays the scale knob.
-      .withColumn("dist", levenshtein(col("a.head"), col("b.head")))
-      .filter(col("dist") <= 20)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("dist").cast("int").as("dist"))
+  /** Edit-distance near-dup (Graft.editDistanceDedup): Levenshtein over
+    * 60-char document heads, blocked on (lang, source, 20-char prefix) — the
+    * same bucket-then-compare contract as every other near-dup variant.
+    * Block granularity (blockPrefixLen) is now a parameter — the scale knob
+    * the round-5 sf1 study identified — and the operator fail-fasts when any
+    * block's occupancy exceeds the declared bound instead of silently going
+    * quadratic. (Perf note lives at the operator: the thresholded 3-arg
+    * levenshtein measured ~60% slower than the plain form here.) */
+  def dedupLevenshtein(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.editDistanceDedup(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"), col("text")),
+        "doc_id", "text", blockCols = Seq("lang", "source"),
+        blockPrefixLen = 20, headLen = 60, maxDist = 20)
       .orderBy("id_a", "id_b")
-  }
 
   /** MinHash-LSH near-dup through Spark MLlib (`MinHashLSH` +
     * `HashingTF` — SURVEY.md §2.C names this as the library path): shingle
@@ -190,4 +166,29 @@ object Dedup {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", embedPlanes, bitsPerBand = 4, tau = 0.25)
       .orderBy("id_a", "id_b")
+
+  /** The PIPELINE-SHAPED output of embedding dedup — what a curation run
+    * actually consumes: the LSH near-dup pairs become edges, transitive
+    * closure (Graft.connectedComponents) groups them, and ONE representative
+    * (minimum vec_id) survives per cluster; vectors with no near-dup are
+    * their own singleton clusters. Output: (keep_id, n_members).
+    *
+    * This is the scale-safe variant of the dedupEmbedding pair listing: the
+    * pair list's output is Θ(true pairs) — provably quadratic on this
+    * synthetic corpus at τ=0.25 (SCALE.md) — while the keep list is ≤N rows
+    * no matter how dense the duplicate graph gets, the same ~linear shape
+    * dedup_clusters measured (2.1× at 10× data). */
+  def dedupEmbeddingKeep(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val pairs = graft.api.Graft.cosineDedupLsh(
+      emb, "vec_id", "embedding", embedPlanes, bitsPerBand = 4, tau = 0.25)
+    val comp = graft.api.Graft.connectedComponents(pairs, "id_a", "id_b")
+    emb.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("keep_id"), col("n_members"))
+      .orderBy("keep_id")
+  }
 }

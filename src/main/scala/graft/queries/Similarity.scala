@@ -40,17 +40,24 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Hyperplane set shared by knnLsh and its DuckDB oracle (SparkEntry emits
+    * these exact constants into the oracle SQL — the same discretized-plane
+    * machinery Dedup.embedPlanes proved out): 16 planes of 64 dims → 4 bands
+    * × 4 bits. Entries are k/1024 discretized Gaussians — exact in FLOAT,
+    * DOUBLE, and decimal strings, so both engines agree on every sign bit. */
+  val knnPlanes: Array[Array[Double]] = graft.api.Graft.hyperplanes(16, 64, seed = 42L)
+
   /** ANN via random-hyperplane LSH (Charikar '02 SimHash for angles):
     * 16 fixed hyperplanes → 16-bit signature → 4 bands × 4 bits; two vectors
     * are candidates iff they share a band value; exact cosine reranks within
-    * candidates. Hyperplanes are generated from a fixed-seed PRNG, so the
-    * operator is deterministic run-to-run (oracle-omitted: the planes have no
-    * SQL twin; the suite property-tests recall against knnBruteForce). */
+    * candidates. The planes are `knnPlanes` discretized constants, so the
+    * query is FULLY ORACLED (SparkEntry mirrors them into DuckDB SQL) and the
+    * suite additionally property-tests recall against knnBruteForce. */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val rnd = new scala.util.Random(42)
-    val planes = Array.fill(16, 64)(rnd.nextGaussian().toFloat)
-    val planesArr = array(planes.map(p => array(p.map(lit).toSeq: _*)).toSeq: _*)
+    val planes = knnPlanes
+    val planesArr = array(planes.map(p =>
+      array(p.map(v => lit(v.toFloat)).toSeq: _*)).toSeq: _*)
     // Candidate generation is SLIM (ids through the band join, never the
     // vectors) and the pair dedup is a 16-byte/row distinct — the same
     // shape cosineDedupLsh landed on after the round-5 sf1 scaling study

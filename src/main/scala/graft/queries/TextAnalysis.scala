@@ -138,8 +138,10 @@ object TextAnalysis {
   /** Rolling-hash fingerprints (graft.functions.RollingHash, native codegen
     * expression): per-doc 64-bit content hash plus per-window hashes of
     * 16-token chunks — the winnowing-style shape used for partial-overlap
-    * detection. Rows-only (wrapping Long arithmetic has no DuckDB twin);
-    * the suite pins exact values. */
+    * detection. FULLY ORACLED since round 6: wrapping Long arithmetic is
+    * arithmetic mod 2^64, which DuckDB's 128-bit HUGEINT reduce emulates
+    * bit-exactly (SparkEntry.docFingerprintRollingOracleSql); the suite
+    * additionally pins exact values. */
   def docFingerprintRolling(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     Tables.documents(s, d)

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 additions: the parameterized dedup knobs (postings cap, block
+  * occupancy guard), the k-means empty-cluster fix, and the deterministic
+  * latestPerKey tie-break. */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- ngramJaccardCandidates: the postings cap ----------
+
+  test("ngramJaccardCandidates: cap prunes candidates but never changes scores") {
+    // docs 1/2 share a RARE shingle ("alpha beta gamma"); docs 3..8 all share
+    // a COMMON one ("x x x", postings length 6)
+    val rare = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, rare + " one"), (2L, rare + " two"),
+      (3L, "x x x p q"), (4L, "x x x r s"), (5L, "x x x t u"),
+      (6L, "x x x v w"), (7L, "x x x y z"), (8L, "x x x q r")
+    ).toDF("doc_id", "text")
+    val uncapped = api.Graft.ngramJaccardCandidates(docs, "doc_id", "text",
+      minJaccard = 0.1, maxPostings = 1000L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val capped = api.Graft.ngramJaccardCandidates(docs, "doc_id", "text",
+      minJaccard = 0.1, maxPostings = 5L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // the cap drops the common-shingle bucket from the INDEX: pairs found
+    // only through it disappear; pairs that survive keep their exact score
+    assert(capped.subsetOf(uncapped))
+    assert(capped.exists { case (a, b, _, _) => (a, b) == (1L, 2L) },
+      "rare-shingle pair must survive the cap")
+    assert(!capped.exists { case (a, _, _, _) => a >= 3L },
+      "common-shingle-only pairs must be pruned from the capped index")
+    // exact Jaccard sanity on the rare pair: 6 tokens → 4 shingles each,
+    // 3 shared → 3 / (4 + 4 - 3) = 0.6
+    val j = uncapped.collectFirst { case (1L, 2L, n, s) => (n, s) }.get
+    assert(j == ((3L, 0.6)))
+  }
+
+  // ---------- editDistanceDedup: parameterized blocking + guard ----------
+
+  test("editDistanceDedup finds near-identical heads within a block") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the meadow today"),
+      (2L, "the quick brown fox jumps over the lazy cat in the meadow today"),
+      (3L, "completely different text that shares no prefix with the others")
+    ).toDF("doc_id", "text")
+    val got = api.Graft.editDistanceDedup(docs, "doc_id", "text",
+      blockPrefixLen = 20, headLen = 60, maxDist = 20)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(got.head._3 === 3) // dog -> cat: three substitutions
+  }
+
+  test("editDistanceDedup fail-fasts when a block exceeds maxBlockOccupancy") {
+    val boiler = "identical prefix text for every row here padding padding"
+    val docs = (1L to 5L).map(i => (i, boiler + " " + i)).toDF("doc_id", "text")
+    val guarded = api.Graft.editDistanceDedup(docs, "doc_id", "text",
+      blockPrefixLen = 20, headLen = 60, maxDist = 20, maxBlockOccupancy = 3L)
+    val ex = intercept[Exception](guarded.count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("maxBlockOccupancy")),
+      s"expected the guard's message, got: ${ex.getMessage}")
+    // and the same data passes with the bound raised
+    assert(api.Graft.editDistanceDedup(docs, "doc_id", "text",
+      blockPrefixLen = 20, headLen = 60, maxDist = 20,
+      maxBlockOccupancy = 10L).count() == 10L) // C(5,2) pairs
+  }
+
+  // ---------- kmeans: empty clusters must not shrink k ----------
+
+  test("kmeans keeps exactly k centroids under an adversarial init") {
+    // the 6 lowest ids are IDENTICAL vectors → 5 of the 6 init centroids
+    // attract nothing in round 1 (ties break to the lowest c_id); without
+    // the keep-previous join the model would silently continue with k=1
+    val dup = Array(1.0f, 0.0f, 0.0f)
+    val rows = (1L to 6L).map(i => (i, dup)) ++ Seq(
+      (7L, Array(0.0f, 1.0f, 0.0f)), (8L, Array(0.0f, 0.9f, 0.1f)),
+      (9L, Array(0.0f, 0.0f, 1.0f)), (10L, Array(0.1f, 0.0f, 0.9f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val km = api.Graft.kmeans(df, "vec_id", "embedding", k = 6, iters = 3)
+    assert(km.centroids.count() == 6L,
+      "centroid count must stay k even when clusters empty out")
+    assert(km.assignments.count() == 10L)
+    // every assignment still points at one of the k centroid ids
+    val cids = km.centroids.select("c_id").as[Long].collect().toSet
+    val used = km.assignments.select("list_id").as[Long].collect().toSet
+    assert(used.subsetOf(cids))
+  }
+
+  test("kmeans keep-previous is a no-op when no cluster is empty") {
+    // well-separated data, k=2: the fixed point must be the plain Lloyd
+    // result — the empty-cluster join must not perturb values
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val km = api.Graft.kmeans(df, "vec_id", "embedding", k = 2, iters = 3)
+    // init = the two lowest ids (1, 2); Lloyd converges to the two
+    // well-separated means with those c_ids
+    val cents = km.centroids.orderBy("c_id")
+      .as[(Long, Array[Float])].collect().toMap
+    assert(cents(1L).toSeq == Seq(0.95f, 0.05f))
+    assert(cents(2L).toSeq == Seq(0.05f, 0.95f))
+    val asg = km.assignments.as[(Long, Long)].collect().toMap
+    assert(asg == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+  }
+
+  // ---------- latestPerKey: deterministic ties ----------
+
+  test("latestPerKey breaks exact (key, orderCol) ties deterministically") {
+    val a = Seq(("k1", 5L, "va"), ("k1", 5L, "vb"), ("k2", 1L, "x")).toDF("k", "ts", "v")
+    val b = Seq(("k1", 5L, "vb"), ("k2", 1L, "x"), ("k1", 5L, "va")).toDF("k", "ts", "v")
+    val ra = api.Graft.latestPerKey(a, "k", "ts").as[(String, Long, String)].collect().toSet
+    val rb = api.Graft.latestPerKey(b.repartition(7), "k", "ts")
+      .as[(String, Long, String)].collect().toSet
+    assert(ra == rb, "same winner regardless of input order/partitioning")
+    assert(ra.size == 2)
+  }
+}
