@@ -98,6 +98,17 @@ object PlanAudit {
         "prefix sum windows partition by physical pid (the only global window is the #partitions-sized offset table)"),
       ("knn_lsh", p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
         "LSH candidates slim through the band join; vectors re-attach broadcast"),
+      // round-6 pins
+      // assert_true desugars to `if(cond) ... else raise_error(...)` at
+      // optimization time — the raise_error + message is what must survive
+      ("dedup_levenshtein", p => p.contains("raise_error")
+        && p.contains("maxBlockOccupancy") && !p.contains("CartesianProduct"),
+        "block-occupancy guard survives optimization (fail-fast is in the plan)"),
+      ("dedup_ngram_jaccard", p => !p.contains("CartesianProduct")
+        && p.contains("HashAggregate"),
+        "capped inverted index: postings counted+filtered, pairs never doc×doc"),
+      ("dedup_embedding_keep", p => !p.contains("CartesianProduct"),
+        "keep-list clusters from blocked pairs, never all-pairs"),
     )
 
     var failed = 0

@@ -226,23 +226,28 @@ object SparkEntry {
       |     sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))""".stripMargin
 
   /** Shared CTE chain (bits → sig → ex → cand) of the embedding-dedup
-    * oracles, generated from the Dedup.embedPlanes constants. */
-  private def embedCandidateCtes: String = {
+    * oracles, generated from the Dedup.embedPlanes constants; bands group
+    * the 32 sign bits MSB-first, `bitsPerBand` at a time (mirroring
+    * Graft.cosineDedupLsh's aggregate(acc*2+x) packing). */
+  private def embedCandidateCtes(bitsPerBand: Int): String = {
     val planes = graft.queries.Dedup.embedPlanes
+    val nBands = planes.length / bitsPerBand
     def planeLit(p: Array[Double]): String =
       p.map(v => new java.math.BigDecimal(v).toPlainString).mkString("[", ", ", "]")
     val bits = planes.indices.map { i =>
       s"CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeLit(planes(i))}::DOUBLE[]) > 0 THEN 1 ELSE 0 END AS b$i"
     }.mkString(",\n      ")
-    val bands = (0 until 8).map { k =>
-      s"b${4 * k} * 8 + b${4 * k + 1} * 4 + b${4 * k + 2} * 2 + b${4 * k + 3}"
+    val bands = (0 until nBands).map { k =>
+      (0 until bitsPerBand)
+        .map(j => s"b${bitsPerBand * k + j} * ${1 << (bitsPerBand - 1 - j)}")
+        .mkString(" + ")
     }.mkString("[", ", ", "]")
     s"""bits AS (
        |  SELECT vec_id,
        |      $bits
        |  FROM embeddings),
        |sig AS (SELECT vec_id, $bands AS bands FROM bits),
-       |ex AS (SELECT vec_id, i, bands[i + 1] AS bucket FROM sig, range(8) t(i)),
+       |ex AS (SELECT vec_id, i, bands[i + 1] AS bucket FROM sig, range($nBands) t(i)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM ex a JOIN ex b
@@ -250,7 +255,7 @@ object SparkEntry {
   }
 
   private def dedupEmbeddingOracleSql: String =
-    s"""WITH $embedCandidateCtes
+    s"""WITH ${embedCandidateCtes(4)}
        |SELECT id_a, id_b, round($embedCos, 4) AS cos_sim
        |FROM cand
        |JOIN embeddings ea ON ea.vec_id = id_a
@@ -262,9 +267,10 @@ object SparkEntry {
     * cosine pair SQL, then a recursive CTE computes min-reachable-id
     * connected components (the declarative twin of the distributed
     * label-propagation loop, as in dedup_clusters) and one representative
-    * survives per cluster. */
+    * survives per cluster. The keep variant groups the planes 4 bands × 8
+    * bits (the scale configuration — see Dedup.dedupEmbeddingKeep). */
   private def dedupEmbeddingKeepOracleSql: String =
-    s"""WITH RECURSIVE $embedCandidateCtes,
+    s"""WITH RECURSIVE ${embedCandidateCtes(8)},
        |pairs AS (
        |  SELECT id_a, id_b
        |  FROM cand

@@ -173,15 +173,18 @@ object Dedup {
     * (minimum vec_id) survives per cluster; vectors with no near-dup are
     * their own singleton clusters. Output: (keep_id, n_members).
     *
-    * This is the scale-safe variant of the dedupEmbedding pair listing: the
-    * pair list's output is Θ(true pairs) — provably quadratic on this
-    * synthetic corpus at τ=0.25 (SCALE.md) — while the keep list is ≤N rows
-    * no matter how dense the duplicate graph gets, the same ~linear shape
-    * dedup_clusters measured (2.1× at 10× data). */
+    * This is the scale-safe variant of the dedupEmbedding pair listing on
+    * BOTH axes: the output is ≤N rows no matter how dense the duplicate
+    * graph gets (a pair list is Θ(true pairs) — provably quadratic on this
+    * synthetic corpus at τ=0.25, SCALE.md), and the CANDIDATE volume is cut
+    * 32× by grouping the same 32 planes as 4 bands × 8 bits (256 buckets
+    * per band vs the demo's 16) — the bits-per-band knob is how hyperplane
+    * LSH trades recall on the weak-similarity tail for per-bucket occupancy
+    * as the corpus grows. */
   def dedupEmbeddingKeep(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val pairs = graft.api.Graft.cosineDedupLsh(
-      emb, "vec_id", "embedding", embedPlanes, bitsPerBand = 4, tau = 0.25)
+      emb, "vec_id", "embedding", embedPlanes, bitsPerBand = 8, tau = 0.25)
     val comp = graft.api.Graft.connectedComponents(pairs, "id_a", "id_b")
     emb.select(col("vec_id"))
       .join(comp, col("vec_id") === col("node"), "left")
