@@ -355,6 +355,79 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of the cross-engine base hash Graft.md5Hash60. */
+  private def md5h60(c: String): String =
+    s"('0x' || substring(md5($c), 1, 15))::BIGINT"
+
+  /** DuckDB twin of Dedup.dedupMinhash: identical shingles, the md5Hash60
+    * base hash mod P, the same 32 (a_i·h + b_i) mod P permutation mins,
+    * 8 bands × 4 rows banding, and the matching-position Jaccard estimate. */
+  private def dedupMinhashOracleSql: String = {
+    val P = 2147483647L
+    val n = 32
+    val mins = (0 until n).map { i =>
+      val a = 2L * i * i + 3L * i + 1L
+      val b = 7L * i * i + 5L * i + 3L
+      s"min(($a::BIGINT * h + $b::BIGINT) % $P::BIGINT) AS m$i"
+    }.mkString(",\n    ")
+    val sigList = (0 until n).map(i => s"m$i").mkString("[", ", ", "]")
+    val bands = (0 until 8).map(k => s"sig[${4 * k + 1}:${4 * k + 4}]")
+      .mkString("([", ", ", "])")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(shingles) AS shingle FROM (
+       |    SELECT doc_id,
+       |      list_distinct(list_transform(
+       |        range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+       |        i -> string_split(text, ' ')[i] || ' ' ||
+       |             string_split(text, ' ')[i + 1] || ' ' ||
+       |             string_split(text, ' ')[i + 2])) AS shingles
+       |    FROM documents)),
+       |h AS (SELECT doc_id, ${md5h60("shingle")} % $P::BIGINT AS h FROM sh),
+       |m AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM m),
+       |ex AS (SELECT doc_id, i, $bands[i + 1] AS band FROM sig, range(8) t(i)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    round(list_sum(list_transform(range($n),
+       |      i -> CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END)) / $n.0, 4)
+       |      AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = id_a
+       |  JOIN sig sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.dedupSimhash: per-token-occurrence md5Hash60,
+    * 60 positional bit-count sums, majority-sign signature, top-bit prefix
+    * blocking, bit_count(xor) Hamming residual. */
+  private def dedupSimhashOracleSql: String = {
+    val bitSums = (0 until 60).map(b => s"sum((h >> $b) & 1) AS c$b")
+      .mkString(",\n    ")
+    val sig = (0 until 60).map(b =>
+      s"CASE WHEN 2 * c$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString("\n      + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${md5h60("tok")} AS h FROM toks WHERE length(tok) > 0),
+       |agg AS (SELECT doc_id, count(1) AS n,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sig AS simhash FROM agg)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sig_a,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b
+       |  ON (a.simhash >> 48) = (b.simhash >> 48) AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "word_count" ->
       """SELECT word, count(1) AS cnt
@@ -741,6 +814,10 @@ object SparkEntry {
     "dedup_embedding" -> dedupEmbeddingOracleSql,
 
     "dedup_embedding_keep" -> dedupEmbeddingKeepOracleSql,
+
+    "dedup_minhash" -> dedupMinhashOracleSql,
+
+    "dedup_simhash" -> dedupSimhashOracleSql,
 
     "knn_lsh" -> knnLshOracleSql,
 

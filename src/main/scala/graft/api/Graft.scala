@@ -82,15 +82,34 @@ object Graft {
 
   // ---------- dedup ----------
 
+  /** Default base hash for sketch operators: abs(xxhash64) — the fastest
+    * 63-bit content hash Spark codegens, Spark-only (no DuckDB twin). */
+  def xxHash63(c: Column): Column = abs(xxhash64(c))
+
+  /** CROSS-ENGINE 60-bit content hash: the integer value of the first 15
+    * hex chars of md5. DuckDB computes the identical value as
+    * `('0x' || substring(md5(x), 1, 15))::BIGINT`, so any sketch built on
+    * this hash (MinHash, SimHash) is fully oracle-able — the reason the
+    * registry's dedup_minhash/dedup_simhash queries use it. Costs ~2-3× the
+    * per-byte work of xxhash64: keep the default for production pipelines
+    * that don't need cross-engine verification. Always non-negative
+    * (< 2^60), so downstream shift/mod arithmetic never sees a sign. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
   /** 64-bit SimHash signature per document (Charikar '02): sign of per-bit
-    * sums of ±1 contributions from each token occurrence's xxhash64. One
+    * sums of ±1 contributions from each token occurrence's base hash. One
     * row-local contribution array + ONE groupBy(idCol) of 64 positional sums
-    * (map-side partials shrink the shuffle to |docs|·64 longs). */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (map-side partials shrink the shuffle to |docs|·64 longs). With the
+    * default raw-xxhash64 base all 64 bits carry signal; with `md5Hash60`
+    * the top 4 bits are structurally 0 (a 60-bit SimHash — same semantics,
+    * cross-engine verifiable). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
     val tokens = df
       .select(col(idCol), explode(split(col(textCol), " ", -1)).as("token"))
       .filter(length(col("token")) > 0)
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", baseHash(col("token")))
     // Per bit b, sum of ±1 contributions over token occurrences is positive
     // iff 2·(count of set bits) > n_tokens — so aggregate 64 plain bit-counts
     // plus one row count, all direct codegen'd expressions. (An earlier form
@@ -209,7 +228,8 @@ object Graft {
     * input id) and are skipped by `minhashCandidates` — a doc too short to
     * shingle has no MinHash identity and cannot be a near-dup candidate. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+      numHashes: Int = 32, shingleN: Int = 3,
+      baseHash: Column => Column = xxHash63): DataFrame = {
     val P = 2147483647L
     val as = (0 until numHashes).map(i => 2L * i * i + 3L * i + 1L)
     val bs = (0 until numHashes).map(i => 7L * i * i + 5L * i + 3L)
@@ -223,7 +243,7 @@ object Graft {
     // expression — no per-row hash ARRAY is materialized (same rationale as
     // simhash64: the per-token allocation dominated the signature pass).
     val hashed = shingles(df.select(col(idCol), col(textCol)), idCol, textCol, shingleN)
-      .select(col(idCol), (abs(xxhash64(col("shingle"))) % P).as("h"))
+      .select(col(idCol), (baseHash(col("shingle")) % P).as("h"))
     val sigs = hashed.groupBy(idCol)
       .agg(min(expr(s"(${as(0)}L * h + ${bs(0)}L) % ${P}L")).as("__m0"),
         (1 until numHashes).map(i =>

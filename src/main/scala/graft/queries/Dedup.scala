@@ -56,11 +56,14 @@ object Dedup {
 
   /** MinHash signature + banded LSH candidate pairs (the standard large-scale
     * near-dup algorithm: Broder '97 resemblance sketches + banding).
-    * 32 permutations h_i(x) = (a_i·x + b_i) mod p over xxhash64 token hashes,
+    * 32 permutations h_i(x) = (a_i·x + b_i) mod p over the shingle hashes,
     * 8 bands × 4 rows: docs agreeing on any band become candidates; the
     * estimated Jaccard is the fraction of matching signature positions.
-    * Oracle-omitted (xxhash64 has no DuckDB twin); property-tested in the
-    * suite against exact Jaccard. */
+    * FULLY ORACLED since round 6: the base hash is Graft.md5Hash60 (the
+    * first 15 hex chars of md5 as a BIGINT — bit-identical in DuckDB), so
+    * the whole sketch, banding, and estimate mirror in SQL; the production
+    * default stays the faster xxhash64. Also property-tested in the suite
+    * against exact Jaccard. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     // Shingle (3-gram) sets, not token sets: the synthetic corpus draws from a
     // ~31-word vocabulary, so nearly every doc contains nearly every TOKEN and
@@ -69,21 +72,26 @@ object Dedup {
     // Implementation (one shuffle of |docs|·32 longs, banded candidates,
     // id-pair dedup before signature re-attach) lives in graft.api.Graft.
     val sig = graft.api.Graft.minhashSignatures(
-      Tables.documents(s, d), "doc_id", "text", numHashes = 32)
+      Tables.documents(s, d), "doc_id", "text", numHashes = 32,
+      baseHash = graft.api.Graft.md5Hash60)
     graft.api.Graft.minhashCandidates(sig, "doc_id",
         bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup (Charikar '02): 64-bit signature from sign of per-bit
-    * weighted sums of token hashes; candidates block on the top-16-bit prefix,
+  /** SimHash near-dup (Charikar '02): signature from sign of per-bit
+    * weighted sums of token hashes; candidates block on a high-bit prefix,
     * then filter by Hamming distance ≤ 12 (bit_count(xor), codegen'd).
-    * Oracle-omitted (xxhash64); property-tested in the suite. */
+    * FULLY ORACLED since round 6 via the Graft.md5Hash60 base hash (a
+    * 60-bit SimHash whose every sum, sign bit, and Hamming distance mirrors
+    * in DuckDB SQL); the production default stays raw xxhash64. Also
+    * property-tested in the suite. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // Signature computation (one row-local contribution array + one
     // groupBy(doc_id) of 64 positional sums) lives in graft.api.Graft.
     val sig = graft.api.Graft.simhash64(
-      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id", "text",
+      baseHash = graft.api.Graft.md5Hash60)
     val a = sig.as("a"); val b = sig.as("b")
     a.join(b,
         shiftright(col("a.simhash"), 48) === shiftright(col("b.simhash"), 48) &&
