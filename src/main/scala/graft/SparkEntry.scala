@@ -428,6 +428,84 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.knnIvf — the 3 Lloyd iterations of
+    * Graft.kmeans UNROLLED as generated CTE pairs (assignN → centroidsN).
+    * Possible because every training step is cross-engine exact: distances
+    * are left-to-right double dot products over float inputs (VecDot ≡
+    * list_dot_product), assignment ties break on c_id, and the per-dim mean
+    * is fixed-point — sum(floor(v·2^20)) is integer-exact, the single
+    * divide is correctly-rounded IEEE, /2^20 is an exponent shift, and the
+    * final FLOAT cast is round-to-nearest-even in both engines. Init = the
+    * k lowest-id vectors; empty clusters keep the previous centroid (the
+    * same left-join + coalesce as the Scala). */
+  private def knnIvfOracleSql: String = {
+    val k = 10
+    val dims = 64
+    val dist = (c: String) =>
+      s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
+         |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+    def assignCte(n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dist("c")} ASC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c${n - 1} c)
+         |  WHERE rn = 1)""".stripMargin
+    def meansCte(n: Int): String = {
+      val meanExprs = (1 to dims).map(d =>
+        s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+        .mkString("[\n      ", ",\n      ", "]")
+      s"""m$n AS (
+         |  SELECT c_id, $meanExprs AS centroid
+         |  FROM a$n JOIN embeddings e USING (vec_id) GROUP BY c_id),
+         |c$n AS (
+         |  SELECT p.c_id, coalesce(m.centroid, p.centroid) AS centroid
+         |  FROM c${n - 1} p LEFT JOIN m$n m USING (c_id))""".stripMargin
+    }
+    val iterations = (1 to 3).map(n => s"${assignCte(n)},\n${meansCte(n)}").mkString(",\n")
+    val cos =
+      """list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[])))""".stripMargin
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS c_id, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |$iterations,
+       |assigned AS (
+       |  SELECT vec_id, c_id AS list_id FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dist("c")} ASC, c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, list_id FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id AS list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dist("c")} ASC, c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c3 c
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= 3),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM probes p JOIN assigned a ON a.list_id = p.list_id
+       |  WHERE p.q_id <> a.vec_id),
+       |sc AS (
+       |  SELECT q_id, c_id, ec.label, round($cos, 6) AS score6
+       |  FROM cand
+       |  JOIN embeddings eq ON eq.vec_id = q_id
+       |  JOIN embeddings ec ON ec.vec_id = c_id),
+       |r AS (
+       |  SELECT q_id, c_id, label, score6,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
+       |  FROM sc)
+       |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "word_count" ->
       """SELECT word, count(1) AS cnt
@@ -820,6 +898,8 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracleSql,
 
     "knn_lsh" -> knnLshOracleSql,
+
+    "knn_ivf" -> knnIvfOracleSql,
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

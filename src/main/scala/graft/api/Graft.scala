@@ -440,12 +440,19 @@ object Graft {
   /** Lloyd's k-means over a float-vector column as pure DataFrame ops —
     * deterministic end to end: init = the k lowest-id vectors, assignment
     * ties break to the lowest centroid id, and per-dimension means aggregate
-    * in DECIMAL so results are independent of partial-aggregation order.
-    * Each iteration costs one broadcast crossJoin + argmin window + two
-    * shuffles; the tiny centroid table localCheckpoints per round so the
-    * plan never grows. This is the training loop behind Similarity.knnIvf's
-    * inverted lists, exposed for corpus clustering (topic bucketing, dedup
-    * blocking, IVF index builds). */
+    * in FIXED-POINT integer space — sum(floor(v·2^20)) per dimension, then
+    * one IEEE double division by the cluster size — so results are
+    * independent of partial-aggregation order AND bit-identical in any
+    * engine (every step is exact integer arithmetic or a single correctly-
+    * rounded divide; scaling by 2^20 is an exponent shift, never a rounding
+    * — this is what lets SparkEntry mirror the whole training loop into a
+    * DuckDB oracle for knn_ivf; quantization perturbs each mean by <2^-20,
+    * irrelevant at k-means convergence scales). Each iteration costs one
+    * broadcast crossJoin + argmin window + two shuffles; the tiny centroid
+    * table localCheckpoints per round so the plan never grows. This is the
+    * training loop behind Similarity.knnIvf's inverted lists, exposed for
+    * corpus clustering (topic bucketing, dedup blocking, IVF index
+    * builds). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 3): KMeansResult = {
     VectorFunctions.register(df.sparkSession)
@@ -466,7 +473,8 @@ object Graft {
       val means = nearest(centroids)
         .select(col("c_id"), posexplode(col(vecCol)).as(Seq("__i", "__v")))
         .groupBy("c_id", "__i")
-        .agg(avg(col("__v").cast("decimal(28,12)")).as("__m"))
+        .agg((sum(floor(col("__v").cast("double") * 1048576.0)).cast("double")
+          / count(lit(1)).cast("double") / 1048576.0).as("__m"))
         .groupBy("c_id")
         .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__pairs"))
         .select(col("c_id"),

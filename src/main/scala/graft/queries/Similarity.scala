@@ -101,9 +101,10 @@ object Similarity {
     * Query path is the standard billion-scale layout: every vector sits in
     * its nearest-centroid list (the partition key at scale), queries probe
     * the nprobe=3 nearest lists and rerank exactly within them — touching
-    * nprobe/k of the data. Oracle-omitted (iterative training has no
-    * tractable SQL twin); determinism is pinned by the two-run audit and
-    * recall vs knnBruteForce by the suite. */
+    * nprobe/k of the data. FULLY ORACLED since round 6: kmeans' fixed-point
+    * means are cross-engine exact, so SparkEntry unrolls the 3 training
+    * iterations into DuckDB CTEs and hash-matches the end-to-end result;
+    * recall vs knnBruteForce stays property-tested in the suite. */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)

@@ -98,12 +98,16 @@ class Round6Spec extends SparkSpec {
       (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
     ).toDF("vec_id", "embedding")
     val km = api.Graft.kmeans(df, "vec_id", "embedding", k = 2, iters = 3)
+    // the operator's exact fixed-point mean: sum(floor(v·2^20)) / n / 2^20,
+    // one IEEE divide, cast to float — mirrored here as the by-hand model
+    def mean(vs: Float*): Float =
+      (vs.map(v => math.floor(v.toDouble * 1048576.0)).sum / vs.size / 1048576.0).toFloat
     // init = the two lowest ids (1, 2); Lloyd converges to the two
     // well-separated means with those c_ids
     val cents = km.centroids.orderBy("c_id")
       .as[(Long, Array[Float])].collect().toMap
-    assert(cents(1L).toSeq == Seq(0.95f, 0.05f))
-    assert(cents(2L).toSeq == Seq(0.05f, 0.95f))
+    assert(cents(1L).toSeq == Seq(mean(1.0f, 0.9f), mean(0.0f, 0.1f)))
+    assert(cents(2L).toSeq == Seq(mean(0.0f, 0.1f), mean(1.0f, 0.9f)))
     val asg = km.assignments.as[(Long, Long)].collect().toMap
     assert(asg == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
   }
