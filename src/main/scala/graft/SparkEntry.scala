@@ -68,6 +68,8 @@ object SparkEntry {
     "quality_score"     -> TextAnalysis.qualityScore _,
     "doc_fingerprint"   -> TextAnalysis.docFingerprint _,
     "doc_fingerprint_rolling" -> TextAnalysis.docFingerprintRolling _,
+    "chunk_documents"   -> TextAnalysis.chunkDocuments _,
+    "vector_quantize"   -> Similarity.vectorQuantize _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpus _,
     // dedup family
@@ -795,6 +797,40 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint_rolling" -> docFingerprintRollingOracleSql,
+
+    // Mirrors Graft.chunkDocuments(32, 8): stride 24, window w covers
+    // tokens [w*24+1, w*24+32], final window clamped by the list slice.
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(0, CAST(greatest(ceil((len(toks) - 32) / 24.0), 0) AS BIGINT) + 1),
+        |      w -> struct_pack(
+        |        chunk_id := CAST(w AS INTEGER),
+        |        tok_start := CAST(w * 24 + 1 AS INTEGER),
+        |        chunk_text := array_to_string(
+        |          toks[(CAST(w AS INTEGER) * 24 + 1):(CAST(w AS INTEGER) * 24 + 32)], ' ')))) AS ch
+        |  FROM t)
+        |SELECT doc_id, ch['chunk_id'] AS chunk_id, ch['tok_start'] AS tok_start,
+        |  ch['chunk_text'] AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Mirrors Graft.quantizeVectors: every step is cross-engine exact
+    // (max, one IEEE divide, floor, clamp, dequant multiply), so the
+    // comparison runs on UNROUNDED doubles.
+    "vector_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS qvec_scale
+        |  FROM embeddings)
+        |SELECT vec_id, qvec_scale,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(least(greatest(floor(CAST(x AS DOUBLE) / qvec_scale + 0.5), -127), 127) AS INTEGER)), ',') AS qvec_csv,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)
+        |             - least(greatest(floor(CAST(x AS DOUBLE) / qvec_scale + 0.5), -127), 127) * qvec_scale))) AS qvec_max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "tfidf_top_terms" ->
       """WITH t AS (

@@ -420,6 +420,50 @@ object Graft {
       .distinct()
   }
 
+  /** RAG-style document chunking: splits each document's token stream into
+    * overlapping fixed-size windows — chunk w covers tokens
+    * [w·stride + 1, w·stride + chunkTokens] with stride = chunkTokens −
+    * overlapTokens; the final window may be shorter. Output: (idCol,
+    * chunk_id, tok_start, chunk_text), one row per chunk. Pure row-local
+    * explode under whole-stage codegen — no shuffle, scales with input
+    * splits; the retrieval-corpus preparation step before embedding. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlapTokens: Int = 16): DataFrame = {
+    require(overlapTokens < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlapTokens
+    df.withColumn("__toks", split(col(textCol), " ", -1))
+      .select(col(idCol), explode(expr(
+        s"""transform(
+           |  sequence(0, CAST(greatest(ceil((size(__toks) - $chunkTokens) / $stride.0), 0) AS INT)),
+           |  w -> struct(w AS chunk_id,
+           |              w * $stride + 1 AS tok_start,
+           |              array_join(slice(__toks, w * $stride + 1, $chunkTokens), ' ') AS chunk_text))""".stripMargin))
+        .as("__c"))
+      .select(col(idCol), col("__c.chunk_id"), col("__c.tok_start"), col("__c.chunk_text"))
+  }
+
+  /** Symmetric int8 scalar quantization of a float-vector column — the
+    * standard at-rest compression for billion-vector ANN corpora (4× smaller
+    * than float32, dot products in integer SIMD on real serving hardware).
+    * Per-vector scale = max|v| / 127; q = clamp(floor(v/scale + 0.5), ±127).
+    * Appends (`<out>_scale`: double, `<out>`: array<int>,
+    * `<out>_max_err`: double — the reconstruction sup-norm, ≤ scale/2).
+    * Every step (max, one IEEE divide, floor, clamp, dequant multiply) is
+    * cross-engine exact, so the registry query is fully DuckDB-oracled with
+    * NO display rounding. Row-local; runs inside the scan. */
+  def quantizeVectors(df: DataFrame, vecCol: String,
+      out: String = "qvec"): DataFrame = {
+    val scaleCol = s"${out}_scale"
+    df.withColumn(scaleCol, expr(
+        s"greatest(array_max(transform(`$vecCol`, x -> abs(CAST(x AS DOUBLE)))), 1e-12d) / 127.0d"))
+      .withColumn(out, expr(
+        s"""transform(`$vecCol`, x ->
+           |  CAST(least(greatest(floor(CAST(x AS DOUBLE) / `$scaleCol` + 0.5d), -127L), 127L) AS INT))""".stripMargin))
+      .withColumn(s"${out}_max_err", expr(
+        s"""array_max(zip_with(`$vecCol`, `$out`,
+           |  (x, q) -> abs(CAST(x AS DOUBLE) - q * `$scaleCol`)))""".stripMargin))
+  }
+
   /** PII redaction pass: applies (pattern → replacement) rules in order to
     * a text column. A chain of regexp_replace calls — pure row-local compute
     * under whole-stage codegen, so the scrub runs inside the scan (the

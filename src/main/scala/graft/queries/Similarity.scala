@@ -164,6 +164,21 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Symmetric int8 scalar quantization of the embedding corpus
+    * (Graft.quantizeVectors): per-vector scale, quantized codes, and the
+    * reconstruction sup-norm — the 4× at-rest compression step of a
+    * billion-vector ANN layout. Every arithmetic step is cross-engine
+    * exact, so the oracle compares UNROUNDED doubles. */
+  def vectorQuantize(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.quantizeVectors(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "embedding")
+      // the API returns the int8 codes as array<int>; the registry row
+      // serializes them (house convention for oracle-compared lists)
+      .select(col("vec_id"), col("qvec_scale"),
+        array_join(col("qvec"), ",").as("qvec_csv"), col("qvec_max_err"))
+      .orderBy("vec_id")
+
   /** Corpus vector statistics per cluster label: count and L2-norm spread —
     * the cheap sanity pass before any ANN build (single scan, one shuffle on
     * the 10-value label key). */

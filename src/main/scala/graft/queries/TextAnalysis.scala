@@ -159,6 +159,16 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** RAG-corpus chunking (Graft.chunkDocuments): 32-token windows with
+    * 8-token overlap, one row per chunk with its token offset — the
+    * retrieval-preparation step before embedding. Row-local explode, fully
+    * DuckDB-oracled. */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.chunkDocuments(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+
   /** TF-IDF top-3 terms per document, computed relationally: term frequency
     * per (doc, term), document frequency per term, idf = ln(N/df), top-k via
     * row_number. Two shuffles (token, doc_id) — both well-distributed keys.

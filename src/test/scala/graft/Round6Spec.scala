@@ -112,6 +112,50 @@ class Round6Spec extends SparkSpec {
     assert(asg == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
   }
 
+  // ---------- chunkDocuments ----------
+
+  test("chunkDocuments produces overlapping windows matching the by-hand model") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
+    val got = api.Graft.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 4, overlapTokens = 1)
+      .as[(Long, Int, Int, String)].collect().toSet
+    // stride 3: windows start at tokens 1, 4, 7 (last clamps to 7..10)
+    assert(got == Set(
+      (1L, 0, 1, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 7, "t7 t8 t9 t10"),
+      (2L, 0, 1, "a b")))                 // short doc -> one clamped chunk
+    // token conservation with overlap: every token appears in >= 1 chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  // ---------- quantizeVectors ----------
+
+  test("quantizeVectors: codes clamp at ±127 and reconstruction error <= scale/2") {
+    val df = Seq(
+      (1L, Array(1.27f, -1.27f, 0.635f, 0.0f)),
+      (2L, Array(0.001f, -0.002f, 0.0005f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = api.Graft.quantizeVectors(df, "embedding")
+      .select("vec_id", "qvec_scale", "qvec", "qvec_max_err")
+      .as[(Long, Double, Array[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s1, q1, e1) = got(1L)
+    assert(q1.head == 127 && q1(1) == -127, "extremes hit the clamp")
+    assert(math.abs(q1(2)) <= 64)
+    assert(e1 <= s1 / 2 + 1e-15, "sup-norm error bounded by half a step")
+    val (_, s2, _, e2) = got(2L)
+    assert(e2 <= s2 / 2 + 1e-15)
+    // dequantized dot product stays close to the float dot product
+    val v = Array(1.27, -1.27, 0.635, 0.0)
+    val deq = q1.map(_ * s1)
+    val dot = v.zip(v).map { case (a, b) => a * b }.sum
+    val qdot = deq.zip(v).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot - qdot) / dot < 0.01)
+  }
+
   // ---------- latestPerKey: deterministic ties ----------
 
   test("latestPerKey breaks exact (key, orderCol) ties deterministically") {
