@@ -70,6 +70,7 @@ object SparkEntry {
     "doc_fingerprint_rolling" -> TextAnalysis.docFingerprintRolling _,
     "chunk_documents"   -> TextAnalysis.chunkDocuments _,
     "vector_quantize"   -> Similarity.vectorQuantize _,
+    "zorder_layout"     -> Formats.zorderLayout _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpus _,
     // dedup family
@@ -508,6 +509,36 @@ object SparkEntry {
        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** DuckDB twin of Formats.zorderLayout (Graft.zorderKey, bits=16):
+    * identical min/max grid normalization (exact IEEE arithmetic), the same
+    * 16-level Morton bit interleave, identical top-4-bit bucketing. */
+  private def zorderLayoutOracleSql: String = {
+    val bits = 16
+    val scale = (1L << bits) - 1
+    val interleave = (0 until bits).map(b =>
+      s"(((na >> $b) & 1) << ${2 * b + 1}) + (((nb >> $b) & 1) << ${2 * b})")
+      .mkString("\n      + ")
+    s"""WITH b AS (
+       |  SELECT min(CAST(user_id AS DOUBLE)) AS amin, max(CAST(user_id AS DOUBLE)) AS amax,
+       |         min(value) AS bmin, max(value) AS bmax
+       |  FROM events),
+       |n AS (
+       |  SELECT user_id, value,
+       |    CAST(floor(CASE WHEN amax = amin THEN 0.0
+       |      ELSE (CAST(user_id AS DOUBLE) - amin) / (amax - amin) * $scale.0 END) AS BIGINT) AS na,
+       |    CAST(floor(CASE WHEN bmax = bmin THEN 0.0
+       |      ELSE (value - bmin) / (bmax - bmin) * $scale.0 END) AS BIGINT) AS nb
+       |  FROM events, b),
+       |z AS (
+       |  SELECT user_id, value,
+       |      $interleave AS zkey
+       |  FROM n)
+       |SELECT CAST(zkey >> 28 AS INTEGER) AS bucket, count(1) AS n,
+       |  min(user_id) AS min_u, max(user_id) AS max_u,
+       |  round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "word_count" ->
       """SELECT word, count(1) AS cnt
@@ -797,6 +828,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint_rolling" -> docFingerprintRollingOracleSql,
+
+    "zorder_layout" -> zorderLayoutOracleSql,
 
     // Mirrors Graft.chunkDocuments(32, 8): stride 24, window w covers
     // tokens [w*24+1, w*24+32], final window clamped by the list slice.

@@ -622,6 +622,36 @@ object Graft {
       lt, rt, warehouseDir)
   }
 
+  /** Z-order (Morton) sort key over two columns — the data-LAYOUT operator
+    * for multi-dimensional scan pruning at rest: writing files sorted by
+    * `out` keeps BOTH columns' min/max spans tight per file, so parquet
+    * row-group statistics prune selective predicates on either dimension
+    * (a single-column sort only prunes that column). Each column is
+    * normalized to a [0, 2^bits) grid against its global min/max (one tiny
+    * aggregate, broadcast back), and the grid cells' bits interleave into a
+    * 2·bits-wide key. Every step is exact integer arithmetic or a single
+    * IEEE divide, so the registry demo is fully DuckDB-oracled.
+    * Appends `out` (bigint) to the input columns. */
+  def zorderKey(df: DataFrame, colA: String, colB: String, bits: Int = 16,
+      out: String = "zkey"): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val scale = (1L << bits) - 1
+    val bounds = df.agg(
+      min(col(colA).cast("double")).as("__amin"), max(col(colA).cast("double")).as("__amax"),
+      min(col(colB).cast("double")).as("__bmin"), max(col(colB).cast("double")).as("__bmax"))
+    def norm(c: String, lo: String, hi: String): String =
+      s"""CAST(floor(CASE WHEN `$hi` = `$lo` THEN 0.0D
+         |  ELSE (CAST(`$c` AS DOUBLE) - `$lo`) / (`$hi` - `$lo`) * ${scale}.0D END) AS BIGINT)""".stripMargin
+    val interleave = (0 until bits).map(b =>
+      s"shiftleft(shiftright(__na, $b) & 1L, ${2 * b + 1}) + shiftleft(shiftright(__nb, $b) & 1L, ${2 * b})")
+      .mkString(" + ")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__na", expr(norm(colA, "__amin", "__amax")))
+      .withColumn("__nb", expr(norm(colB, "__bmin", "__bmax")))
+      .withColumn(out, expr(interleave))
+      .drop("__na", "__nb", "__amin", "__amax", "__bmin", "__bmax")
+  }
+
   // ---------- time series ----------
 
   /** AS-OF (point-in-time) join: for every `left` row, attach `rightValCol`

@@ -93,4 +93,21 @@ object Formats {
         Exact.sumRound2(Exact.dec(col("l_extendedprice"))).as("sum_price"))
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** Z-order layout demo (Graft.zorderKey): events keyed by the Morton
+    * interleave of (user_id, value), then bucketed by the key's top 4 bits —
+    * the 16 "files" a z-ordered write would produce. The per-bucket min/max
+    * spans of BOTH dimensions stay tight (that's the point: parquet
+    * row-group stats then prune predicates on either column), which the
+    * oracle verifies bucket by bucket. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.zorderKey(
+        Tables.events(s, d).select(col("user_id"), col("value")),
+        "user_id", "value", bits = 16)
+      .withColumn("bucket", expr("CAST(shiftright(zkey, 28) AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("min_u"), max("user_id").as("max_u"),
+        round(min("value"), 2).as("min_v"), round(max("value"), 2).as("max_v"))
+      .orderBy("bucket")
 }

@@ -156,6 +156,23 @@ class Round6Spec extends SparkSpec {
     assert(math.abs(dot - qdot) / dot < 0.01)
   }
 
+  // ---------- zorderKey ----------
+
+  test("zorderKey interleaves grid bits per the by-hand Morton model") {
+    // a full 4x4 grid over [0,3]x[0,3] with bits=2: normalization maps each
+    // coordinate to itself, so zkey must equal the classic Morton number
+    val pts = for { a <- 0 to 3; b <- 0 to 3 } yield (a.toLong, b.toLong)
+    val df = pts.toDF("a", "b")
+    val got = api.Graft.zorderKey(df, "a", "b", bits = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, z) => (a, b) -> z }.toMap
+    def morton(a: Long, b: Long): Long =
+      (0 until 2).map(i => (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))).sum
+    pts.foreach { case (a, b) => assert(got((a, b)) == morton(a, b), s"($a,$b)") }
+    // locality: the 2x2 sub-squares occupy contiguous key ranges
+    assert(Set(got((0L, 0L)), got((0L, 1L)), got((1L, 0L)), got((1L, 1L))) == Set(0L, 1L, 2L, 3L))
+  }
+
   // ---------- latestPerKey: deterministic ties ----------
 
   test("latestPerKey breaks exact (key, orderCol) ties deterministically") {
