@@ -201,11 +201,15 @@ object Graft {
     val docs = df.select(col(idCol) +: blockCols.map(col) :+
       substring(col(textCol), 1, blockPrefixLen).as("__blk") :+
       substring(col(textCol), 1, headLen).as("__head"): _*)
-    // occupancy guard: a window count on the block key (its exchange is the
-    // same partitioning the self-join needs); the filter is always-true when
-    // the guard passes and throws when it doesn't — not prunable, data-driven
-    val wOcc = Window.partitionBy((blockCols :+ "__blk").map(col): _*)
-    val guarded = docs.withColumn("__bcnt", count(lit(1)).over(wOcc))
+    // occupancy guard via aggregate + join, NOT a partition-wide window: a
+    // window count would buffer the whole block in one task — the hot-bucket
+    // shape this guard exists to catch — while the aggregate streams with
+    // map-side combine and its exchange co-partitions with the self-join.
+    // The filter is always-true when the guard passes and throws when it
+    // doesn't — data-driven, not prunable.
+    val occKey = blockCols :+ "__blk"
+    val occ = docs.groupBy(occKey.map(col): _*).agg(count(lit(1)).as("__bcnt"))
+    val guarded = docs.join(occ, occKey)
       .filter(expr(
         s"""assert_true(__bcnt <= ${maxBlockOccupancy}L,
            |  'editDistanceDedup: a block exceeds maxBlockOccupancy=$maxBlockOccupancy rows; lengthen blockPrefixLen or add blockCols') IS NULL""".stripMargin))
