@@ -95,8 +95,8 @@ object Similarity {
 
   /** ANN via IVF (inverted-file) coarse quantization with centroids trained
     * by LLOYD'S K-MEANS (Graft.kmeans — 3 deterministic iterations as pure
-    * DataFrame ops, k=10 lists; decimal means keep results independent of
-    * partial-aggregation order).
+    * DataFrame ops, k=10 lists; fixed-point means keep results independent
+    * of partial-aggregation order AND bit-identical cross-engine).
     *
     * Query path is the standard billion-scale layout: every vector sits in
     * its nearest-centroid list (the partition key at scale), queries probe

@@ -1,6 +1,9 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
 
 /** Round-6 additions: the parameterized dedup knobs (postings cap, block
   * occupancy guard), the k-means empty-cluster fix, and the deterministic
@@ -171,6 +174,47 @@ class Round6Spec extends SparkSpec {
     pts.foreach { case (a, b) => assert(got((a, b)) == morton(a, b), s"($a,$b)") }
     // locality: the 2x2 sub-squares occupy contiguous key ranges
     assert(Set(got((0L, 0L)), got((0L, 1L)), got((1L, 0L)), got((1L, 1L))) == Set(0L, 1L, 2L, 3L))
+  }
+
+  // ---------- stream-stream LEFT OUTER join semantics ----------
+
+  test("left-outer stream-stream join emits matches eagerly and nulls at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(String, Long, Timestamp)]
+    val buys = MemoryStream[(String, Long, Timestamp)]
+    val left = clicks.toDF().toDF("click_id", "uid", "cts")
+      .withWatermark("cts", "1 hour")
+    val right = buys.toDF().toDF("purchase_id", "buid", "bts")
+      .withWatermark("bts", "1 hour")
+    val joined = left.join(right,
+      expr("uid = buid AND bts BETWEEN cts AND cts + INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lo_join_test").start()
+    try {
+      // batch 1: c1 matches p1 inside its 30-min window; c2 has no purchase
+      clicks.addData(("c1", 1L, ts("2024-01-01 10:00:00")),
+        ("c2", 2L, ts("2024-01-01 10:05:00")))
+      buys.addData(("p1", 1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // batch 2: both sides advance far past c2's window end + watermark
+      // delay, so c2's join state expires and the NULL row must emit
+      clicks.addData(("c9", 99L, ts("2024-01-01 14:00:00")))
+      buys.addData(("p9", 99L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // one more trigger so the expiry computed from batch 2's watermark fires
+      clicks.addData(("c10", 98L, ts("2024-01-01 14:00:01")))
+      buys.addData(("p10", 98L, ts("2024-01-01 14:00:01")))
+      q.processAllAvailable()
+      val rows = spark.table("lo_join_test")
+        .as[(String, Option[String])].collect().toSet
+      assert(rows.contains(("c1", Some("p1"))), s"eager match missing: $rows")
+      assert(rows.contains(("c2", None)),
+        s"watermark-expired unmatched left must emit with NULL right: $rows")
+      assert(!rows.contains(("c1", None)), "matched left must not also emit a null row")
+    } finally q.stop()
   }
 
   // ---------- latestPerKey: deterministic ties ----------
