@@ -71,6 +71,7 @@ object SparkEntry {
     "chunk_documents"   -> TextAnalysis.chunkDocuments _,
     "vector_quantize"   -> Similarity.vectorQuantize _,
     "zorder_layout"     -> Formats.zorderLayout _,
+    "vocab_coverage"    -> TextAnalysis.vocabCoverage _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpus _,
     // dedup family
@@ -830,6 +831,25 @@ object SparkEntry {
     "doc_fingerprint_rolling" -> docFingerprintRollingOracleSql,
 
     "zorder_layout" -> zorderLayoutOracleSql,
+
+    // Mirrors Graft.vocabCoverage(20): frequency-ranked vocab with the
+    // lexicographic tie-break, left-join OOV counting, integer-exact ratio4.
+    "vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(1) AS cnt FROM t GROUP BY tok
+        |    ORDER BY cnt DESC, tok ASC LIMIT 20)),
+        |j AS (
+        |  SELECT doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, count(1) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  CAST((20000*sum(oov) + count(1)) // (2*count(1)) AS DOUBLE)/10000.0 AS oov_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Mirrors Graft.chunkDocuments(32, 8): stride 24, window w covers
     // tokens [w*24+1, w*24+32], final window clamped by the list slice.

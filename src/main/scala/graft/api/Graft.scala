@@ -63,6 +63,36 @@ object Graft {
       .drop("__toks", textCol)
   }
 
+  /** Vocabulary coverage — the tokenizer-prep question "how much of the
+    * corpus does a `vocabSize`-entry word vocabulary cover?": builds the
+    * top-`vocabSize` tokens by corpus frequency (ties break to the
+    * lexicographically smaller token, so the vocab is deterministic), then
+    * reports per document the token count, out-of-vocabulary occurrence
+    * count, and the OOV ratio (4-decimal, computed in PURE INTEGER
+    * arithmetic — the cross-engine-exact ratio4 trick repetitionMetrics
+    * uses). Output: (idCol, n_tokens, n_oov, oov_ratio).
+    *
+    * Scale shape: the vocab is a top-K over the token-type COUNTS table
+    * (|types| ≪ corpus; planned as TakeOrderedAndProject, never a global
+    * window) and broadcasts back; the per-doc pass is one aggregation over
+    * the token stream. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok").asc)
+      .limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_ratio", expr(
+        "CAST((20000L * n_oov + n_tokens) DIV (2L * n_tokens) AS DOUBLE) / 10000.0"))
+  }
+
   /** Heuristic document quality in [0, 1]: length (50%), non-punctuation
     * ratio (30%), stopword presence (20%) — the cheap row-local pre-filter a
     * training-data pipeline applies before any expensive dedup. Appends

@@ -169,6 +169,17 @@ object TextAnalysis {
         "doc_id", "text", chunkTokens = 32, overlapTokens = 8)
       .orderBy("doc_id", "chunk_id")
 
+  /** Vocabulary coverage at vocabSize=20 (Graft.vocabCoverage): the
+    * tokenizer-prep OOV study — the synthetic corpus has ~30 token types, so
+    * a 20-entry vocab leaves a measurable OOV tail. Fully oracled (the
+    * frequency-ranked vocab is deterministic via the token tie-break; the
+    * ratio is integer-exact). */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.vocabCoverage(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", vocabSize = 20)
+      .orderBy("doc_id")
+
   /** TF-IDF top-3 terms per document, computed relationally: term frequency
     * per (doc, term), document frequency per term, idf = ln(N/df), top-k via
     * row_number. Two shuffles (token, doc_id) — both well-distributed keys.

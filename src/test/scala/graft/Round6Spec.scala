@@ -176,6 +176,23 @@ class Round6Spec extends SparkSpec {
     assert(Set(got((0L, 0L)), got((0L, 1L)), got((1L, 0L)), got((1L, 1L))) == Set(0L, 1L, 2L, 3L))
   }
 
+  // ---------- vocabCoverage ----------
+
+  test("vocabCoverage matches a by-hand OOV model with deterministic vocab ties") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b x y"),
+      (3L, "c c c")
+    ).toDF("doc_id", "text")
+    // corpus freq: a=4, c=4, b=3, x=1, y=1; vocabSize=2 with the (cnt desc,
+    // tok asc) tie-break picks {a, c} — b is OOV despite beating c per-doc 1
+    val got = api.Graft.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 2L, 0.3333)))   // b,b OOV of 6
+    assert(got(2L) == ((2L, 4L, 3L, 0.75)))     // b,x,y OOV of 4
+    assert(got(3L) == ((3L, 3L, 0L, 0.0)))      // all in vocab
+  }
+
   // ---------- stream-stream LEFT OUTER join semantics ----------
 
   test("left-outer stream-stream join emits matches eagerly and nulls at the watermark") {
