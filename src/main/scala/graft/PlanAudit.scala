@@ -109,6 +109,17 @@ object PlanAudit {
         "capped inverted index: postings counted+filtered, pairs never doc×doc"),
       ("dedup_embedding_keep", p => !p.contains("CartesianProduct"),
         "keep-list clusters from blocked pairs, never all-pairs"),
+      ("chunk_documents", p => p.contains("Generate") && !p.contains("Join")
+        && !p.contains("HashAggregate"),
+        "chunking is a row-local generate — no join, no aggregation"),
+      ("vector_quantize", p => !p.contains("Join") && !p.contains("HashAggregate"),
+        "quantization is row-local transform inside the scan"),
+      ("vocab_coverage", p => p.contains("TakeOrderedAndProject")
+        && p.contains("BroadcastHashJoin"),
+        "vocab top-K is TakeOrdered (never a global window); vocab broadcast back"),
+      ("zorder_layout", p => !p.contains("CartesianProduct")
+        && p.contains("BroadcastNestedLoopJoin"),
+        "min/max bounds broadcast to the scan; interleave is row-local"),
     )
 
     var failed = 0
