@@ -72,6 +72,7 @@ object SparkEntry {
     "vector_quantize"   -> Similarity.vectorQuantize _,
     "zorder_layout"     -> Formats.zorderLayout _,
     "vocab_coverage"    -> TextAnalysis.vocabCoverage _,
+    "split_leakage_free" -> PipelineOps.splitLeakageFree _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpus _,
     // dedup family
@@ -1923,6 +1924,33 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // The same recursive-CTE transitive closure as dedup_clusters, then the
+    // per-CLUSTER md5 split rule — near-dups cannot straddle by construction.
+    "split_leakage_free" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS k_head,
+        |        md5(array_to_string(list_slice(toks, greatest(1, len(toks) - 7), len(toks)), ' ')) AS k_tail
+        |      FROM t),
+        |e0 AS (
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_head) AS b FROM k
+        |  UNION ALL
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_tail) AS b FROM k),
+        |edges AS (
+        |  SELECT a, b FROM e0 WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM e0 WHERE a <> b),
+        |reach(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v),
+        |comp AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v)
+        |SELECT CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '0'
+        |            THEN 'eval' ELSE 'train' END AS split,
+        |  count(1) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+        |FROM comp GROUP BY 1 ORDER BY split""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -104,6 +104,25 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/eval split: near-dup CLUSTERS (the same head/tail
+    * star edges → connected components as dedup_clusters) are the unit of
+    * assignment — a cluster lands wholly in eval iff the first hex digit of
+    * md5(cluster_id) is '0' (~1/16), so near-duplicate documents can NEVER
+    * straddle the split. This is decontamination BY CONSTRUCTION — the
+    * complement of the post-hoc n-gram check (decontaminate_ngrams), and
+    * what a real pretraining pipeline does before holding out eval data.
+    * Deterministic and RNG-free (same rule family as sample_stratified).
+    * Output: one row per split with document and cluster counts. */
+  def splitLeakageFree(s: SparkSession, d: String): DataFrame =
+    headTailClusters(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 1) === "0", lit("eval"))
+          .otherwise(lit("train")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster_id")).as("n_clusters"))
+      .orderBy("split")
+
   /** Heavy hitters via the approx_top_k sketch (Spark 4.x): mergeable
     * frequent-items state, one pass, no per-key shuffle of the full key set.
     * The sketch is EXACT while distinct items ≤ its capacity (default 10000 —

@@ -176,6 +176,31 @@ class Round6Spec extends SparkSpec {
     assert(Set(got((0L, 0L)), got((0L, 1L)), got((1L, 0L)), got((1L, 1L))) == Set(0L, 1L, 2L, 3L))
   }
 
+  // ---------- leakage-free split ----------
+
+  test("splitLeakageFree assigns whole clusters and conserves documents") {
+    val out = queries.PipelineOps.splitLeakageFree(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(out.values.map(_._1).sum == total, "every document lands in exactly one split")
+    assert(out.keySet.subsetOf(Set("train", "eval")))
+    // the split rule is per CLUSTER: recompute clusters independently and
+    // assert no cluster straddles (decontamination by construction)
+    val clusters = queries.PipelineOps.dedupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 1) === "0",
+          lit("eval")).otherwise(lit("train")))
+    val straddling = clusters.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(straddling == 0L)
+    // and the per-split doc counts agree with the independent recomputation
+    val recounted = clusters.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (s, (nDocs, _)) => assert(recounted(s) == nDocs) }
+  }
+
   // ---------- vocabCoverage ----------
 
   test("vocabCoverage matches a by-hand OOV model with deterministic vocab ties") {
