@@ -120,6 +120,17 @@ object PlanAudit {
       ("zorder_layout", p => !p.contains("CartesianProduct")
         && p.contains("BroadcastNestedLoopJoin"),
         "min/max bounds broadcast to the scan; interleave is row-local"),
+      // round-7 pins
+      ("zorder_prune_readback", p =>
+        p.contains("PushedFilters: [IsNotNull(user_id), IsNotNull(value), " +
+          "LessThanOrEqual(user_id,30), LessThanOrEqual(value,100.0)]"),
+        "2-D box predicate reaches the written z-ordered parquet as pushed filters"),
+      ("split_assignments", p => !p.contains("CartesianProduct")
+        && !p.contains("Window"),
+        "per-doc split: star edges via groupBy+join + CC — no cartesian, no window at all"),
+      ("pipeline_curate_multimodal", p => !p.contains("CartesianProduct")
+        && p.contains("BroadcastHashJoin"),
+        "multimodal curation: blocked edges both modalities, broadcast decontamination"),
     )
 
     var failed = 0

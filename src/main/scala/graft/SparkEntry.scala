@@ -71,8 +71,10 @@ object SparkEntry {
     "chunk_documents"   -> TextAnalysis.chunkDocuments _,
     "vector_quantize"   -> Similarity.vectorQuantize _,
     "zorder_layout"     -> Formats.zorderLayout _,
+    "zorder_prune_readback" -> Formats.zorderPruneReadback _,
     "vocab_coverage"    -> TextAnalysis.vocabCoverage _,
     "split_leakage_free" -> PipelineOps.splitLeakageFree _,
+    "split_assignments" -> PipelineOps.splitAssignments _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpus _,
     // dedup family
@@ -149,6 +151,7 @@ object SparkEntry {
     "stream_dedup"      -> StreamingQueries.streamDedup _,
     "stream_static_join" -> StreamingQueries.streamStaticJoin _,
     "stream_stream_join" -> StreamingQueries.streamStreamJoin _,
+    "stream_stream_join_left" -> StreamingQueries.streamStreamJoinLeft _,
     "stream_rolling_sum" -> StreamingQueries.streamRollingSum _,
     "stream_rolling_sum_tws" -> StreamingQueries.streamRollingSumTws _,
     "stream_sliding"    -> StreamingQueries.streamSliding _,
@@ -212,7 +215,61 @@ object SparkEntry {
     "decontaminate_ngrams" -> PipelineOps.decontaminateNgrams _,
     "mixture_weights"   -> PipelineOps.mixtureWeights _,
     "pipeline_curate_corpus" -> PipelineOps.pipelineCurateCorpus _,
+    "pipeline_curate_multimodal" -> PipelineOps.pipelineCurateMultimodal _,
   )
+
+  /** DuckDB twin of PipelineOps.pipelineCurateMultimodal: the
+    * pipeline_curate_corpus CTE chain with the embedding LSH pair CTEs
+    * (embedCandidateCtes(8), as dedup_embedding_keep) spliced in; both
+    * modalities' edges union into ONE transitive closure. Restricting
+    * embedding pairs to quality survivors happens after candidate
+    * generation here (equivalent: band candidacy is pairwise). */
+  private def pipelineCurateMultimodalOracleSql: String =
+    s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, text, lang, source, string_split(text, ' ') AS toks
+       |       FROM documents WHERE doc_id % 97 <> 0),
+       |m AS (SELECT doc_id, text, lang, source, toks,
+       |        CAST((20000*(len(toks) - len(list_distinct(toks))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS dup_ratio,
+       |        CAST((20000*(length(text) - (len(toks) - 1)) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS mean_tok_len,
+       |        CAST((20000*list_max(list_transform(list_distinct(toks),
+       |              t -> len(list_filter(toks, x -> x = t)))) + len(toks)) // (2*len(toks)) AS DOUBLE)/10000.0 AS top_frac
+       |      FROM d0),
+       |k0 AS (SELECT doc_id, text, lang, source, toks FROM m
+       |       WHERE dup_ratio <= 0.9 AND mean_tok_len BETWEEN 2.0 AND 12.0 AND top_frac <= 0.3),
+       |k AS (SELECT doc_id,
+       |        md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS k_head,
+       |        md5(array_to_string(list_slice(toks, greatest(1, len(toks) - 7), len(toks)), ' ')) AS k_tail
+       |      FROM k0),
+       |e0 AS (SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_head) AS b FROM k
+       |       UNION ALL
+       |       SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_tail) AS b FROM k),
+       |${embedCandidateCtes(8)},
+       |epairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = id_a
+       |  JOIN embeddings eb ON eb.vec_id = id_b
+       |  WHERE $embedCos >= 0.25
+       |    AND id_a IN (SELECT doc_id FROM k0)
+       |    AND id_b IN (SELECT doc_id FROM k0)),
+       |edges AS (SELECT a, b FROM e0 WHERE a <> b
+       |          UNION SELECT b, a FROM e0 WHERE a <> b
+       |          UNION SELECT id_a AS a, id_b AS b FROM epairs
+       |          UNION SELECT id_b AS a, id_a AS b FROM epairs),
+       |reach(v, m2) AS (SELECT doc_id, doc_id FROM k0
+       |                 UNION
+       |                 SELECT e.a, r.m2 FROM edges e JOIN reach r ON e.b = r.v),
+       |comp AS (SELECT v AS doc_id, min(m2) AS cluster_id FROM reach GROUP BY v),
+       |reps AS (SELECT k0.* FROM k0 JOIN comp ON k0.doc_id = comp.doc_id
+       |         WHERE k0.doc_id = comp.cluster_id),
+       |eg AS (SELECT DISTINCT array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+       |       FROM (SELECT string_split(text, ' ') AS toks FROM documents
+       |             WHERE doc_id % 97 = 0) t,
+       |            UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),
+       |tg AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+       |       FROM reps, UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),
+       |bad AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram))
+       |SELECT doc_id, lang, source FROM reps
+       |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of Dedup.dedupEmbedding, generated from the SAME plane
     * constants (Dedup.embedPlanes, values k/1024 → exact finite decimals):
@@ -541,6 +598,43 @@ object SparkEntry {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Mirrors Formats.zorderPruneReadback: the same zkey model as
+    * zorderLayoutOracleSql, the same corner-box predicate, and the
+    * bucket-touch counts for the z-order vs hash_mod16 layouts. The write +
+    * readback on the Spark side is a parquet identity, so the oracle models
+    * it directly on the base table. */
+  private def zorderPruneReadbackOracleSql: String = {
+    val bits = 16
+    val scale = (1L << bits) - 1
+    val interleave = (0 until bits).map(b =>
+      s"(((na >> $b) & 1) << ${2 * b + 1}) + (((nb >> $b) & 1) << ${2 * b})")
+      .mkString("\n      + ")
+    s"""WITH b AS (
+       |  SELECT min(CAST(user_id AS DOUBLE)) AS amin, max(CAST(user_id AS DOUBLE)) AS amax,
+       |         min(value) AS bmin, max(value) AS bmax
+       |  FROM events),
+       |n AS (
+       |  SELECT user_id, value,
+       |    CAST(floor(CASE WHEN amax = amin THEN 0.0
+       |      ELSE (CAST(user_id AS DOUBLE) - amin) / (amax - amin) * $scale.0 END) AS BIGINT) AS na,
+       |    CAST(floor(CASE WHEN bmax = bmin THEN 0.0
+       |      ELSE (value - bmin) / (bmax - bmin) * $scale.0 END) AS BIGINT) AS nb
+       |  FROM events, b),
+       |z AS (
+       |  SELECT user_id, value,
+       |      $interleave AS zkey
+       |  FROM n),
+       |m AS (
+       |  SELECT user_id, CAST(zkey >> 28 AS INTEGER) AS zbucket
+       |  FROM z WHERE user_id <= 30 AND value <= 100.0)
+       |SELECT 'hash_mod16' AS layout, count(1) AS n_rows_matched,
+       |       count(DISTINCT user_id % 16) AS n_buckets_touched FROM m
+       |UNION ALL
+       |SELECT 'zorder' AS layout, count(1) AS n_rows_matched,
+       |       count(DISTINCT zbucket) AS n_buckets_touched FROM m
+       |ORDER BY layout""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "word_count" ->
       """SELECT word, count(1) AS cnt
@@ -832,6 +926,7 @@ object SparkEntry {
     "doc_fingerprint_rolling" -> docFingerprintRollingOracleSql,
 
     "zorder_layout" -> zorderLayoutOracleSql,
+    "zorder_prune_readback" -> zorderPruneReadbackOracleSql,
 
     // Mirrors Graft.vocabCoverage(20): frequency-ranked vocab with the
     // lexicographic tie-break, left-join OOV counting, integer-exact ratio4.
@@ -1099,6 +1194,31 @@ object SparkEntry {
         |  ON c.user_id = b.user_id
         | AND c.event_type = 'click' AND b.event_type = 'purchase'
         | AND b.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // Left-outer online semantics, mirrored exactly: matched pairs emit
+    // eagerly; an unmatched click emits with NULL purchase only once the
+    // FINAL watermark (min over both sides of max event time - 2 h delay)
+    // strictly passes its 1-hour match window — clicks in the last 3 hours
+    // of the bounded input are still in state when the stream ends and do
+    // not emit (verified batch-for-batch against the engine at sf0.001).
+    "stream_stream_join_left" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |           FROM events WHERE event_type = 'click'),
+        |b AS (SELECT event_id AS purchase_id, user_id, ts AS bts
+        |      FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(cts) FROM c), (SELECT max(bts) FROM b))
+        |              - INTERVAL 2 HOUR AS w),
+        |matched AS (
+        |  SELECT c.click_id, b.purchase_id, c.user_id
+        |  FROM c JOIN b ON c.user_id = b.user_id
+        |   AND b.bts BETWEEN c.cts AND c.cts + INTERVAL 1 HOUR),
+        |unmatched AS (
+        |  SELECT c.click_id, NULL AS purchase_id, c.user_id FROM c, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+        |    AND c.cts + INTERVAL 1 HOUR < wm.w)
+        |SELECT click_id, purchase_id, user_id FROM matched
+        |UNION ALL SELECT click_id, purchase_id, user_id FROM unmatched
         |ORDER BY click_id, purchase_id""".stripMargin,
 
     "stream_rolling_sum_tws" ->
@@ -1952,6 +2072,33 @@ object SparkEntry {
         |  count(1) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
         |FROM comp GROUP BY 1 ORDER BY split""".stripMargin,
 
+    // Per-document view of the same construction (VERDICT r6 #2): the
+    // assignment a training run consumes, one row per doc.
+    "split_assignments" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS k_head,
+        |        md5(array_to_string(list_slice(toks, greatest(1, len(toks) - 7), len(toks)), ' ')) AS k_tail
+        |      FROM t),
+        |e0 AS (
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_head) AS b FROM k
+        |  UNION ALL
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_tail) AS b FROM k),
+        |edges AS (
+        |  SELECT a, b FROM e0 WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM e0 WHERE a <> b),
+        |reach(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v),
+        |comp AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1) = '0'
+        |            THEN 'eval' ELSE 'train' END AS split
+        |FROM comp ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE CASE WHEN lang = 'en'
@@ -2149,5 +2296,7 @@ object SparkEntry {
         |bad AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram))
         |SELECT doc_id, lang, source FROM reps
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate_multimodal" -> pipelineCurateMultimodalOracleSql,
   )
 }

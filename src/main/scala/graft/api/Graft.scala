@@ -931,6 +931,70 @@ object Graft {
         count_distinct(col("__eval_id")).as("n_eval_docs"))
   }
 
+  /** Transitive near-dup clusters for any (id, text) frame: documents sharing
+    * a head-`keyTokens` OR tail-`keyTokens` token key are candidates; star
+    * edges (each doc → its bucket's min id, edge volume 2·N — never
+    * Σ|bucket|²) feed `connectedComponents` (min-label + pointer jumping,
+    * O(log n) rounds), so chains collapse (A~B on head, B~C on tail ⇒ one
+    * cluster). Bucket mins come from groupBy+join, NOT a partition window —
+    * a hot boilerplate key at 100 TB would buffer a whole bucket in one
+    * window task, while the aggregate streams with map-side combine.
+    * Isolated docs are their own singleton clusters.
+    * Output: (idCol, cluster_id = min id in cluster). */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      keyTokens: Int = 8): DataFrame =
+    clustersFromEdges(docs, idCol,
+      nearDupStarEdges(docs, idCol, textCol, keyTokens))
+
+  /** The star candidate EDGES of `nearDupClusters`, exposed so pipelines can
+    * union them with other edge sources (e.g. embedding-cosine LSH pairs)
+    * before ONE connected-components pass — the multimodal composition the
+    * curation pipeline runs. Output: (a, b) id pairs, volume ≤ 2·N. */
+  def nearDupStarEdges(docs: DataFrame, idCol: String, textCol: String,
+      keyTokens: Int = 8): DataFrame = {
+    val toks = split(col(textCol), " ", -1)
+    val keyed = docs.select(
+      col(idCol),
+      md5(array_join(slice(toks, 1, keyTokens), " ")).as("__k_head"),
+      md5(array_join(
+        slice(toks, greatest(lit(1), size(toks) - (keyTokens - 1)), lit(keyTokens)),
+        " ")).as("__k_tail"))
+    def starEdges(key: String): DataFrame = {
+      val mins = keyed.groupBy(key).agg(min(idCol).as("b"))
+      keyed.select(col(idCol).as("a"), col(key))
+        .join(mins, key).select(col("a"), col("b"))
+    }
+    starEdges("__k_head").union(starEdges("__k_tail"))
+      .filter(col("a") =!= col("b"))
+  }
+
+  /** (id, cluster_id) from an arbitrary (a, b) edge set over `docs`' ids:
+    * connected components label every node on an edge; isolated docs are
+    * their own singleton clusters. */
+  def clustersFromEdges(docs: DataFrame, idCol: String,
+      edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(edges, "a", "b")
+    docs.select(col(idCol))
+      .join(comp, col(idCol) === col("node"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Leakage-free train/eval split at the granularity a training run consumes:
+    * near-dup CLUSTERS (`nearDupClusters`) are the unit of assignment — a
+    * cluster lands wholly in eval iff the first hex digit of
+    * md5(cluster_id) is in `evalHexDigits` (default '0' ⇒ ~1/16 of
+    * clusters), so near-duplicate documents can NEVER straddle the split:
+    * decontamination by construction, the complement of the post-hoc n-gram
+    * check (`ngramDecontaminate`). Deterministic and RNG-free.
+    * Output: one row per document — (idCol, cluster_id, split). */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, textCol: String,
+      keyTokens: Int = 8, evalHexDigits: Seq[String] = Seq("0")): DataFrame =
+    nearDupClusters(docs, idCol, textCol, keyTokens)
+      .withColumn("split",
+        when(substring(md5(col("cluster_id").cast("string")), 1, 1)
+            .isin(evalHexDigits: _*), lit("eval"))
+          .otherwise(lit("train")))
+
   /** Deterministic per-stratum sampling: keep a row iff
     * xxhash64(id) mod 10^6 < rate(stratum)·10^6 — reproducible, RNG-free,
     * runs as a scan-side filter. Strata missing from `rates` keep
@@ -963,9 +1027,29 @@ object Graft {
     * winner (fully identical rows are interchangeable either way). */
   def latestPerKey(changes: DataFrame, keyCol: String, orderCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(orderCol).desc,
-      xxhash64(struct(changes.columns.map(col): _*)).asc)
+      rowContentHash(changes).asc)
     changes.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Deterministic row-content hash over every hashable column, for tie-breaks
+    * in latestPerKey / KV upserts. Columns whose type contains a MapType are
+    * excluded — Spark disallows hash expressions on maps ([DATATYPE_MISMATCH.
+    * HASH_MAP_TYPE]), and a map column rarely carries the tie. If EVERY column
+    * is map-bearing the hash degenerates to a constant (ties then break
+    * arbitrarily but the rows are equal on all hashable content anyway). */
+  def rowContentHash(df: DataFrame): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType  => containsMap(a.elementType)
+      case _             => false
+    }
+    val hashable = df.schema.fields.collect {
+      case f if !containsMap(f.dataType) => col(f.name)
+    }
+    if (hashable.isEmpty) lit(0L) else xxhash64(struct(hashable.toSeq: _*))
   }
 
   /** Ordered funnel: the furthest stage each key reaches, where stage k's

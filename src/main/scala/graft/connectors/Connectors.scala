@@ -69,12 +69,17 @@ class ParquetKeyValueStore(dir: String, orderCol: String) extends KeyValueStore 
   override def upsert(batch: DataFrame, keyCol: String): Unit = {
     val s = batch.sparkSession
     // only ABSENCE of prior state may fall back to empty: a transient read
-    // failure must fail the micro-batch, not silently drop all stored keys
-    val current =
-      if (new java.io.File(dir).exists()) s.read.parquet(dir) else batch.limit(0)
+    // failure must fail the micro-batch, not silently drop all stored keys.
+    // The probe goes through the Hadoop filesystem API so it resolves the
+    // same schemes the parquet reader does (file:/, hdfs://, s3a://) — a
+    // java.io.File check is local-only and would report every remote store
+    // absent, overwriting it with just this batch's keys.
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val exists = p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    val current = if (exists) s.read.parquet(dir) else batch.limit(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col(orderCol).desc,
-        xxhash64(struct(batch.columns.map(col): _*)).asc)
+        graft.api.Graft.rowContentHash(batch).asc)
     val merged = current.unionByName(batch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -101,15 +106,32 @@ class JdbcKeyValueStore(url: String, table: String, orderCol: String)
 
   /** JDBC-metadata table-existence probe. Unquoted identifiers are stored
     * case-folded (Derby/Oracle upper, Postgres lower), so all three case
-    * variants are checked. Connection failures PROPAGATE — only confirmed
-    * absence may initialize empty state. */
+    * variants are checked. A schema-qualified name ('app.kv' — valid as a
+    * Spark dbtable) is split so the prefix goes into getTables'
+    * schemaPattern argument, and '_'/'%' in either part are escaped with the
+    * driver's search-string escape so they match literally instead of as
+    * pattern wildcards ('kv_state' must not match 'kv1state'). Connection
+    * failures PROPAGATE — only confirmed absence may initialize empty
+    * state. */
   private def tableExists(): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val md = conn.getMetaData
-      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-        val rs = md.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def literal(s: String): String =
+        s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      val (schemaPart, tablePart) = table.split("\\.", 2) match {
+        case Array(sch, t) => (Some(sch), t)
+        case _             => (None, table)
+      }
+      def caseVariants(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
+      val schemaPats = schemaPart.map(caseVariants(_).map(literal))
+        .getOrElse(Seq(null: String))
+      schemaPats.exists { sp =>
+        caseVariants(tablePart).map(literal).exists { tp =>
+          val rs = md.getTables(null, sp, tp, null)
+          try rs.next() finally rs.close()
+        }
       }
     } finally conn.close()
   }
@@ -126,7 +148,7 @@ class JdbcKeyValueStore(url: String, table: String, orderCol: String)
       if (tableExists()) Jdbc.read(s, url, table) else batch.limit(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col(orderCol).desc,
-        xxhash64(struct(batch.columns.map(col): _*)).asc)
+        graft.api.Graft.rowContentHash(batch).asc)
     val merged = current.unionByName(batch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

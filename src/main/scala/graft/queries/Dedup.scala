@@ -34,7 +34,6 @@ object Dedup {
       .groupBy(expr("array_join(slice(split(text, ' '), 1, 10), ' ')").as("prefix_key"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"),
            round(avg("n_chars"), 4).as("avg_chars"))
-      .filter(col("n_members") >= 1)
       .orderBy("keep_id")
 
   /** N-gram (3-token shingle) Jaccard near-dup (Graft.ngramJaccardCandidates):

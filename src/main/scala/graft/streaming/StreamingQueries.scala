@@ -254,6 +254,31 @@ object StreamingQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** LEFT-OUTER stream-stream join (the registry row for the semantics
+    * Round6Spec pins): matches emit eagerly; a click with no purchase in its
+    * hour emits with NULL purchase once the watermark proves no match can
+    * still arrive (state eviction in a no-data micro-batch). Clicks whose
+    * match window is not yet closed by the final watermark (the last 3 hours
+    * of the bounded input: 2 h delay + 1 h join upper bound) are still in
+    * state when the stream ends and do NOT emit — exactly the online
+    * semantics, which the oracle mirrors with the same watermark cutoff. */
+  def streamStreamJoinLeft(s: SparkSession, d: String): DataFrame = {
+    def side(tpe: String, idAs: String, tsAs: String) =
+      readStreamTable(s, d, "events")
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs), col("user_id").as(s"${idAs}_uid"),
+          col("ts").cast("timestamp").as(tsAs))
+        .withWatermark(tsAs, "2 hours")
+    val clicks = side("click", "click_id", "cts")
+    val buys = side("purchase", "purchase_id", "bts")
+    val joined = clicks.join(buys,
+        expr("click_id_uid = purchase_id_uid AND bts BETWEEN cts AND cts + INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("click_id_uid").as("user_id"))
+    runToMemory(s, joined, "graft_stream_stream_join_left", "append")
+      .orderBy("click_id", "purchase_id")
+  }
+
   /** The I6 rolling aggregate on the Spark 4.x transformWithState typed-state
     * API (RocksDB-backed). The memory sink sees one refreshed row per key per
     * batch; the row with the highest row-count n per key is the final state —
