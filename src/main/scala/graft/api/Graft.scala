@@ -532,20 +532,50 @@ object Graft {
     * corpus clustering (topic bucketing, dedup blocking, IVF index
     * builds). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 3): KMeansResult = {
+      iters: Int = 3, init: String = "first-k"): KMeansResult = {
     VectorFunctions.register(df.sparkSession)
     val vecs = df.select(col(idCol), col(vecCol))
+    val distExpr =
+      s"vec_dot(`$vecCol`, `$vecCol`) - 2 * vec_dot(`$vecCol`, centroid) + vec_dot(centroid, centroid)"
     def nearest(cent: DataFrame): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("c_id").asc)
       vecs.crossJoin(broadcast(cent))
-        .withColumn("__dist", expr(
-          s"vec_dot(`$vecCol`, `$vecCol`) - 2 * vec_dot(`$vecCol`, centroid) + vec_dot(centroid, centroid)"))
+        .withColumn("__dist", expr(distExpr))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn", "__dist", "centroid")
     }
-    var centroids = vecs.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
+    // "first-k": the k lowest-id vectors — the byte-stable default the
+    // knn_ivf oracle freezes. "farthest-first": kmeans++-style spread
+    // seeding WITHOUT RNG (Gonzalez's k-center greedy, the deterministic
+    // limit of D²-weighted sampling): seed with the lowest-id vector, then
+    // k-1 rounds each take the point FARTHEST from its nearest chosen
+    // centroid (ties to the lowest id). Each round is one broadcast
+    // crossJoin + min-aggregate + TakeOrdered(1) — distributed, never a
+    // driver-side scan; cost k rounds over the data, bought when first-k's
+    // seeds land in one true cluster and Lloyd can't escape (suite shows
+    // the separation win on a two-cluster set).
+    var centroids = (init match {
+      case "first-k" =>
+        vecs.orderBy(col(idCol)).limit(k)
+          .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
+      case "farthest-first" =>
+        var cent = vecs.orderBy(col(idCol)).limit(1)
+          .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
+          .localCheckpoint(true)
+        for (_ <- 2 to k) {
+          val minD = vecs.crossJoin(broadcast(cent))
+            .withColumn("__dist", expr(distExpr))
+            .groupBy(col(idCol)).agg(min("__dist").as("__d"))
+          val next = minD.orderBy(col("__d").desc, col(idCol).asc).limit(1)
+            .select(col(idCol)).join(vecs, idCol)
+            .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
+          cent = cent.unionByName(next).localCheckpoint(true)
+        }
+        cent
+      case other => throw new IllegalArgumentException(
+        s"unknown init mode '$other' (first-k | farthest-first)")
+    })
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val means = nearest(centroids)

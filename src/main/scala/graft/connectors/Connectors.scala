@@ -104,35 +104,28 @@ class ParquetKeyValueStore(dir: String, orderCol: String) extends KeyValueStore 
 class JdbcKeyValueStore(url: String, table: String, orderCol: String)
     extends KeyValueStore {
 
-  /** JDBC-metadata table-existence probe. Unquoted identifiers are stored
-    * case-folded (Derby/Oracle upper, Postgres lower), so all three case
-    * variants are checked. A schema-qualified name ('app.kv' — valid as a
-    * Spark dbtable) is split so the prefix goes into getTables'
-    * schemaPattern argument, and '_'/'%' in either part are escaped with the
-    * driver's search-string escape so they match literally instead of as
-    * pattern wildcards ('kv_state' must not match 'kv1state'). Connection
-    * failures PROPAGATE — only confirmed absence may initialize empty
-    * state. */
+  /** Table-existence probe via a zero-row query, NOT getTables patterns: a
+    * metadata pattern treats '_'/'%' as wildcards ('kv_state' matches
+    * 'kv1state'), a schema-qualified name ('app.kv', valid as a Spark
+    * dbtable) never matches the table-name pattern, and the standard
+    * escape is unusable in practice (Derby returns "" from
+    * getSearchStringEscape and honors no escape). `SELECT 1 FROM <table>
+    * WHERE 1=0` resolves the name exactly the way the reads/writes will.
+    * Only a table-not-found SQLState means absence; any OTHER failure
+    * (lock timeout, dropped connection, permissions) PROPAGATES — only
+    * confirmed absence may initialize empty state. */
   private def tableExists(): Boolean = {
+    // table-not-found SQLStates: Derby 42X05, MySQL/ANSI 42S02,
+    // Postgres 42P01, DB2 42704, ODBC-era S0002
+    val notFound = Set("42X05", "42S02", "42P01", "42704", "S0002")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val md = conn.getMetaData
-      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-      def literal(s: String): String =
-        s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
-      val (schemaPart, tablePart) = table.split("\\.", 2) match {
-        case Array(sch, t) => (Some(sch), t)
-        case _             => (None, table)
-      }
-      def caseVariants(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
-      val schemaPats = schemaPart.map(caseVariants(_).map(literal))
-        .getOrElse(Seq(null: String))
-      schemaPats.exists { sp =>
-        caseVariants(tablePart).map(literal).exists { tp =>
-          val rs = md.getTables(null, sp, tp, null)
-          try rs.next() finally rs.close()
-        }
-      }
+      val st = conn.createStatement()
+      try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+      catch {
+        case e: java.sql.SQLException if notFound.contains(e.getSQLState) =>
+          false
+      } finally st.close()
     } finally conn.close()
   }
 
