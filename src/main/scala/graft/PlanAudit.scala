@@ -131,6 +131,19 @@ object PlanAudit {
       ("pipeline_curate_multimodal", p => !p.contains("CartesianProduct")
         && p.contains("BroadcastHashJoin"),
         "multimodal curation: blocked edges both modalities, broadcast decontamination"),
+      ("bm25_rank", p => p.contains("TakeOrderedAndProject")
+        && p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+        "BM25: df/stats broadcast, top-K is TakeOrdered (never a global sort)"),
+      ("dedup_containment", p => !p.contains("CartesianProduct")
+        && p.contains("HashAggregate"),
+        "containment: capped inverted index, pairs never doc×doc"),
+      ("select_token_budget", p =>
+        "hashpartitioning\\(__pid".r.findFirstIn(p).isDefined
+        && !p.contains("CartesianProduct"),
+        "budget cut: two-phase prefix sum partitioned by pid, no data-sized global window"),
+      ("mixture_temperature", p => !p.contains("CartesianProduct")
+        && p.contains("HashAggregate"),
+        "temperature mixture: tiny per-stratum aggregate; normalizer broadcast"),
     )
 
     var failed = 0

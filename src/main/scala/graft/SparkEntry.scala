@@ -76,11 +76,13 @@ object SparkEntry {
     "split_leakage_free" -> PipelineOps.splitLeakageFree _,
     "split_assignments" -> PipelineOps.splitAssignments _,
     "tfidf_top_terms"   -> TextAnalysis.tfidfTopTerms _,
+    "bm25_rank"         -> TextAnalysis.bm25Rank _,
     "pipeline_clean_corpus" -> TextAnalysis.pipelineCleanCorpus _,
     // dedup family
     "dedup_exact"       -> Dedup.dedupExact _,
     "dedup_near_exact"  -> Dedup.dedupNearExact _,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard _,
+    "dedup_containment" -> Dedup.dedupContainment _,
     "dedup_minhash"     -> Dedup.dedupMinhash _,
     "dedup_simhash"     -> Dedup.dedupSimhash _,
     "dedup_embedding"   -> Dedup.dedupEmbedding _,
@@ -214,6 +216,8 @@ object SparkEntry {
     "quality_repetition" -> PipelineOps.qualityRepetition _,
     "decontaminate_ngrams" -> PipelineOps.decontaminateNgrams _,
     "mixture_weights"   -> PipelineOps.mixtureWeights _,
+    "mixture_temperature" -> PipelineOps.mixtureTemperature _,
+    "select_token_budget" -> PipelineOps.selectTokenBudget _,
     "pipeline_curate_corpus" -> PipelineOps.pipelineCurateCorpus _,
     "pipeline_curate_multimodal" -> PipelineOps.pipelineCurateMultimodal _,
   )
@@ -2298,5 +2302,101 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id""".stripMargin,
 
     "pipeline_curate_multimodal" -> pipelineCurateMultimodalOracleSql,
+
+    // Mirrors Graft.bm25Rank("stream","window","shuffle", k1=1.2, b=0.75):
+    // idf quantized fixed-point (floor·2^20 — libm ln is last-ulp unstable
+    // across engines, everything after the floor is IEEE basic ops), score
+    // folded in sorted term order (list_reduce over ORDER BY term ≡ Spark
+    // aggregate over array_sort; 0.0-init vs no-init fold agree because
+    // x + 0.0 = x exactly), ranked by the UNROUNDED score.
+    "bm25_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |dl AS (SELECT doc_id, count(1) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(1) AS n, sum(dl) AS tot FROM dl),
+        |tf AS (SELECT doc_id, tok AS term, count(1) AS tf FROM toks
+        |       WHERE tok IN ('stream', 'window', 'shuffle') GROUP BY doc_id, tok),
+        |dfc AS (SELECT term, count(1) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (floor(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * 1048576.0) / 1048576.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + (1.2 * ((1.0 - 0.75) + ((0.75 * dl) / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))) AS c
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id), stats),
+        |s AS (SELECT doc_id, count(1) AS n_terms,
+        |        list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS score
+        |      FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_terms, round(score, 4) AS bm25
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Mirrors Dedup.dedupContainment: the dedup_ngram_jaccard candidate SQL
+    // with the integer-exact ratio4 containment score over min(|A|,|B|).
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source, unnest(shingles) AS shingle FROM (
+        |    SELECT doc_id, lang, source,
+        |      list_distinct(list_transform(
+        |        range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i + 1] || ' ' ||
+        |             string_split(text, ' ')[i + 2])) AS shingles
+        |    FROM documents)),
+        |sizes AS (SELECT doc_id, count(1) AS n_shingles FROM sh GROUP BY 1),
+        |postings AS (
+        |  SELECT lang, source, shingle, count(1) AS df
+        |  FROM sh GROUP BY 1, 2, 3),
+        |idx AS (
+        |  SELECT sh.doc_id, sh.lang, sh.source, sh.shingle
+        |  FROM sh JOIN postings USING (lang, source, shingle)
+        |  WHERE df <= 128),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM idx a JOIN idx b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT id_a, id_b, count(1) AS n_common
+        |  FROM cand
+        |  JOIN sh a ON a.doc_id = id_a
+        |  JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id_a, id_b, n_common,
+        |    CAST((20000 * n_common + least(sa.n_shingles, sb.n_shingles))
+        |         // (2 * least(sa.n_shingles, sb.n_shingles)) AS DOUBLE) / 10000.0 AS containment,
+        |    CASE WHEN sa.n_shingles <= sb.n_shingles THEN id_a ELSE id_b END AS contained_id
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, n_common, containment, contained_id
+        |FROM scored WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Mirrors Graft.selectByTokenBudget(10000): integer-exact dup_ratio rank,
+    // running token total as a window cumsum (the distributed two-phase
+    // prefix sum is invariant to partition boundaries, so one window is its
+    // declarative twin), kept while ≤ budget. HUGEINT window sum → BIGINT.
+    "select_token_budget" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |        CAST((20000*(len(toks) - len(list_distinct(toks))) + len(toks))
+        |             // (2*len(toks)) AS DOUBLE)/10000.0 AS dup_ratio
+        |      FROM t),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY dup_ratio, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM m)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Graft.temperatureMixture(T=2): √n weights (correctly-rounded
+    // IEEE sqrt), normalizer folded in sorted stratum order.
+    "mixture_temperature" ->
+      """WITH counts AS (SELECT lang, count(1) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM counts),
+        |tot AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS tot FROM w)
+        |SELECT lang, n_docs, round(w / tot, 6) AS rate
+        |FROM w, tot ORDER BY lang""".stripMargin,
   )
 }

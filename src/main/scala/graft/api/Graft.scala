@@ -93,6 +93,57 @@ object Graft {
         "CAST((20000L * n_oov + n_tokens) DIV (2L * n_tokens) AS DOUBLE) / 10000.0"))
   }
 
+  /** Okapi BM25 ranking of documents against a fixed term set (Robertson &
+    * Walker '94) — the lexical retrieval scorer of a RAG/search pipeline:
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)).
+    * Deterministic and cross-engine exact by construction: idf = ln((N−df+
+    * 0.5)/(df+0.5)+1) is quantized fixed-point (floor·2^20 — libm ln differs
+    * in the last ulp between engines; everything after the quantization is
+    * IEEE basic ops, bit-identical), and the per-document sum folds the
+    * term contributions in SORTED term order (a grouped double sum in
+    * shuffle order would not be reproducible). Output: top-`topK`
+    * (idCol, n_terms, bm25) by unrounded score desc, id asc.
+    *
+    * Scale shape: df/N/avgdl are tiny aggregates broadcast back; the tf
+    * stream is one shuffle of (doc, term) for the handful of query terms
+    * (the IN filter runs inside the token scan); top-K is TakeOrdered. */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    // shortest round-trip literals: Double.toString re-parses to the SAME
+    // double in any engine (including via an intermediate exact decimal),
+    // so the generated expression and any oracle generated from the same
+    // constants agree bit-for-bit
+    def dlit(v: Double): String = v.toString
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum("__dl").as("__tot"))
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val tf = toks.filter(expr(s"__tok IN ($termList)"))
+      .groupBy(col(idCol), col("__tok").as("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val contrib = tf
+      .join(broadcast(dfc), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", expr(
+        s"""(floor(ln((CAST(__n AS DOUBLE) - __df + 0.5) / (__df + 0.5) + 1.0) * 1048576.0) / 1048576.0)
+           |  * (__tf * (${dlit(k1)} + 1.0))
+           |  / (__tf + (${dlit(k1)} * ((1.0 - ${dlit(b)}) + ((${dlit(b)} * __dl) / (CAST(__tot AS DOUBLE) / CAST(__n AS DOUBLE))))))""".stripMargin))
+    contrib
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"),
+        expr("aggregate(array_sort(collect_list(struct(term, __c))), 0.0D, (acc, e) -> acc + e.__c)")
+          .as("__score"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), col("n_terms"), round(col("__score"), 4).as("bm25"))
+  }
+
   /** Heuristic document quality in [0, 1]: length (50%), non-punctuation
     * ratio (30%), stopword presence (20%) — the cheap row-local pre-filter a
     * training-data pipeline applies before any expensive dedup. Appends
@@ -209,6 +260,49 @@ object Graft {
         (col("__sa") + col("__sb") - col("n_common")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** N-gram CONTAINMENT near-dup — the quote/subset detector Jaccard misses:
+    * when a short document is wholly embedded in a long one, Jaccard
+    * |∩|/|∪| stays small (the union is dominated by the long side) while
+    * containment |∩|/min(|A|,|B|) → 1. Same capped-inverted-index candidate
+    * core as `ngramJaccardCandidates` (shared scale bound: index keeps only
+    * postings ≤ maxPostings, pair volume linear, exact scores on the FULL
+    * shingle sets), with the score computed by the integer-exact ratio4
+    * rule. Output: (id_a, id_b, n_common, containment, contained_id) with
+    * id_a < id_b; contained_id is the smaller-set side (ties → id_a), the
+    * document a dedup pass would drop. */
+  def ngramContainmentCandidates(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Nil, n: Int = 3, minContainment: Double = 0.8,
+      maxPostings: Long = 128L): DataFrame = {
+    val sh = shingles(df.select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*),
+      idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
+    val postingKey = blockCols :+ "shingle"
+    val postings = sh.groupBy(postingKey.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+    val idx = sh.join(postings, postingKey).filter(col("__df") <= maxPostings)
+      .drop("__df")
+    val a = idx.as("a"); val b = idx.as("b")
+    val cond = blockCols.foldLeft(
+      col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol")) {
+        (acc, c) => acc && col(s"a.$c") === col(s"b.$c") }
+    val cand = a.join(b, cond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__n_sh").as("__sa")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n_sh").as("__sb")), "id_b")
+      .withColumn("containment", expr(
+        "CAST((20000L * n_common + least(__sa, __sb)) DIV (2L * least(__sa, __sb)) AS DOUBLE) / 10000.0"))
+      .filter(col("containment") >= minContainment)
+      .withColumn("contained_id",
+        when(col("__sa") <= col("__sb"), col("id_a")).otherwise(col("id_b")))
+      .select("id_a", "id_b", "n_common", "containment", "contained_id")
   }
 
   /** Edit-distance near-dup with parameterized blocking: pairs must agree on
@@ -1036,6 +1130,61 @@ object Graft {
       when(col(strataCol) === k, lit(r * 1e6)).otherwise(acc)
     }
     df.filter(bucket < threshold)
+  }
+
+  /** Token-budget corpus selection — "give me the best `budgetTokens` worth
+    * of data": documents rank by an integer-exact quality key (dup_ratio
+    * ascending — least-repetitive first — then id), and the selection keeps
+    * the ranked prefix whose RUNNING token total stays ≤ the budget. The
+    * running total is the same distributed two-phase prefix sum as
+    * `packSequences` (range-partition by the rank key, per-partition cumsum
+    * windows keyed by physical pid, a #partitions-sized offset table
+    * broadcast back — never a data-sized global window). Deterministic and
+    * cross-engine exact: ordering keys and token counts are integers/exact
+    * 4-decimal ratios. Output: (idCol, n_tokens, cum_tokens) for kept docs. */
+  def selectByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val scored = repetitionMetrics(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("n_tokens"), col("dup_ratio"))
+    val parts = scored.repartitionByRange(col("dup_ratio").asc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid")
+      .orderBy(col("dup_ratio").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("__cum_local", sum("n_tokens").over(wLocal))
+    val offsets = local.groupBy("__pid")
+      .agg(sum("n_tokens").as("__part_total"))
+      .withColumn("__offset",
+        coalesce(sum("__part_total").over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("cum_tokens", col("__cum_local") + col("__offset"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Temperature-scaled mixture rates (the multinomial-sampling rebalance of
+    * multilingual pretraining, Conneau & Lample '19 §3): stratum s samples
+    * with p_s ∝ n_s^(1/T), flattening the head and boosting the tail as T
+    * grows. Output per stratum: (strataCol, n_docs, rate). T = 2 (the
+    * common √-flattening) computes via the correctly-rounded IEEE sqrt
+    * primitive, and the normalizing sum folds in sorted stratum order — so
+    * the T=2 path is bit-reproducible in any engine (libm pow is not
+    * correctly rounded, so other temperatures are engine-exact only). */
+  def temperatureMixture(df: DataFrame, strataCol: String,
+      temperature: Double = 2.0): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn("__w",
+      if (temperature == 2.0) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), 1.0 / temperature))
+    val total = weighted
+      .agg(expr(s"aggregate(array_sort(collect_list(struct(`$strataCol`, __w))), 0.0D, (acc, e) -> acc + e.__w)")
+        .as("__tot"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(strataCol), col("n_docs"),
+        round(col("__w") / col("__tot"), 6).as("rate"))
   }
 
   /** SCD1 snapshot merge: rows of `changes` replace same-key rows of `base`;

@@ -53,6 +53,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** N-gram CONTAINMENT near-dup (Graft.ngramContainmentCandidates): flags
+    * quote/subset pairs — a document embedded in a longer one scores
+    * containment |∩|/min(|A|,|B|) → 1 while its Jaccard stays small (the
+    * union is dominated by the long side; this corpus's one true subset
+    * pair scores containment 1.0 vs Jaccard 0.17, below the 0.2 gate).
+    * Same (lang, source) blocking + postings cap as dedupNgramJaccard. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.ngramContainmentCandidates(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text")),
+        "doc_id", "text", blockCols = Seq("lang", "source"), n = 3,
+        minContainment = 0.5, maxPostings = 128L)
+      .orderBy("id_a", "id_b")
+
   /** MinHash signature + banded LSH candidate pairs (the standard large-scale
     * near-dup algorithm: Broder '97 resemblance sketches + banding).
     * 32 permutations h_i(x) = (a_i·x + b_i) mod p over the shingle hashes,

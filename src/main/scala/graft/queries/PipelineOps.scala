@@ -152,6 +152,25 @@ object PipelineOps {
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy("doc_id")
 
+  /** Token-budget corpus selection (Graft.selectByTokenBudget): the best
+    * 10000 tokens of the corpus by the integer-exact repetition-quality
+    * rank — the "data diet" step between scoring and training when the
+    * compute budget, not the corpus, is the binding constraint. */
+  def selectTokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.selectByTokenBudget(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", budgetTokens = 10000L)
+      .orderBy("doc_id")
+
+  /** Temperature-scaled language mixture (Graft.temperatureMixture, T = 2):
+    * sampling rates ∝ √n_lang — the multilingual rebalance that flattens
+    * the head languages and boosts the tail, next to the uniform-target
+    * mixture_weights. */
+  def mixtureTemperature(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.temperatureMixture(
+        Tables.documents(s, d), "lang", temperature = 2.0)
+      .orderBy("lang")
+
   /** Heavy hitters via the approx_top_k sketch (Spark 4.x): mergeable
     * frequent-items state, one pass, no per-key shuffle of the full key set.
     * The sketch is EXACT while distinct items ≤ its capacity (default 10000 —

@@ -225,4 +225,13 @@ object TextAnalysis {
       .select(col("lang"), col("rn"), col("bigram"), col("n"))
       .orderBy("lang", "rn")
   }
+
+  /** Okapi BM25 retrieval (Graft.bm25Rank) for the fixed query
+    * "stream window shuffle": top-20 documents by the quantized-idf BM25
+    * score — the lexical ranking half of a RAG retrieval stack next to the
+    * knn_* dense half. Fully oracled: quantized idf + sorted-order score
+    * fold are cross-engine exact. */
+  def bm25Rank(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.bm25Rank(Tables.documents(s, d), "doc_id", "text",
+      terms = Seq("stream", "window", "shuffle"), topK = 20)
 }

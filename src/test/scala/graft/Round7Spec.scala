@@ -115,6 +115,60 @@ class Round7Spec extends SparkSpec {
     assert(a2(4L) == a2(6L), s"first-k seeds all in A merge B and C: $a2")
   }
 
+  // ---------- round-7 operators ----------
+
+  test("bm25Rank matches a by-hand model and ranks tf/length correctly") {
+    val docs = Seq(
+      (1L, "stream stream x y"),   // tf=2, dl=4
+      (2L, "stream x y z"),        // tf=1, dl=4
+      (3L, "a b c d")              // no query term
+    ).toDF("doc_id", "text")
+    val got = api.Graft.bm25Rank(docs, "doc_id", "text", Seq("stream"))
+      .as[(Long, Long, Double)].collect().toList
+    // by-hand: N=3, avgdl=4, df=2 ⇒ idf = ln((3-2+0.5)/2.5 + 1) quantized
+    val idfQ = math.floor(math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0) * 1048576.0) / 1048576.0
+    def score(tf: Long): Double = // dl = avgdl ⇒ length norm is exactly 1
+      BigDecimal(idfQ * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1) == List(1L, 2L), s"tf must dominate at equal dl: $got")
+    assert(got.forall(_._2 == 1L))
+    assert(got.map(_._3) == List(score(2), score(1)), s"by-hand mismatch: $got")
+  }
+
+  test("ngramContainmentCandidates finds subset pairs Jaccard misses") {
+    val short = "p q r s t u"                       // 4 shingles
+    val long  = short + " v w x y z a b c d e f g"  // contains all 4 + 12 more
+    val docs = Seq((1L, short), (2L, long), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+    val cont = api.Graft.ngramContainmentCandidates(docs, "doc_id", "text",
+      minContainment = 0.9).as[(Long, Long, Long, Double, Long)].collect()
+    assert(cont.toList == List((1L, 2L, 4L, 1.0, 1L)),
+      s"short doc fully contained in long, contained side = 1: ${cont.toList}")
+    val jac = api.Graft.ngramJaccardCandidates(docs, "doc_id", "text",
+      minJaccard = 0.5).count()
+    assert(jac == 0, "the same pair is invisible at Jaccard >= 0.5")
+  }
+
+  test("selectByTokenBudget keeps the quality-ranked prefix within budget") {
+    val docs = Seq(
+      (1L, "a b c"),      // dup_ratio 0, 3 tokens
+      (2L, "x x x x"),    // dup_ratio 0.75, 4 tokens — ranked last
+      (3L, "p q r s")     // dup_ratio 0, 4 tokens
+    ).toDF("doc_id", "text")
+    val got = api.Graft.selectByTokenBudget(docs, "doc_id", "text", 7L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    // rank order (dup asc, id): 1 (cum 3), 3 (cum 7), 2 (cum 11 > 7 dropped)
+    assert(got == List((1L, 3L, 3L), (3L, 4L, 7L)), s"got $got")
+  }
+
+  test("temperatureMixture T=2 gives sqrt-proportional rates") {
+    val docs = (1 to 9).map(i => (i.toLong, "en")) ++ (1 to 4).map(i => (i.toLong, "fr"))
+    val got = api.Graft.temperatureMixture(docs.toDF("doc_id", "lang"), "lang")
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, r) => k -> ((n, r)) }.toMap
+    assert(got == Map("en" -> (9L, 0.6), "fr" -> (4L, 0.4)), s"got $got")
+  }
+
   // ---------- ADVICE r6 regressions ----------
 
   test("latestPerKey accepts frames with MapType columns (r6 ADVICE)") {
