@@ -87,10 +87,13 @@ object SparkEntry {
     "dedup_simhash"     -> Dedup.dedupSimhash _,
     "dedup_embedding"   -> Dedup.dedupEmbedding _,
     "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
+    "dedup_incremental" -> Dedup.dedupIncremental _,
+    "bpe_pair_counts"   -> TextAnalysis.bpePairCounts _,
     // similarity search
     "knn_bruteforce"    -> Similarity.knnBruteForce _,
     "knn_lsh"           -> Similarity.knnLsh _,
     "knn_ivf"           -> Similarity.knnIvf _,
+    "knn_pq"            -> Similarity.knnPq _,
     "vector_stats"      -> Similarity.vectorStats _,
     "array_funcs"       -> Relational.arrayFuncs _,
     "skew_safe_distinct" -> Relational.skewSafeDistinct _,
@@ -425,12 +428,15 @@ object SparkEntry {
   private def md5h60(c: String): String =
     s"('0x' || substring(md5($c), 1, 15))::BIGINT"
 
-  /** DuckDB twin of Dedup.dedupMinhash: identical shingles, the md5Hash60
-    * base hash mod P, the same 32 (a_i·h + b_i) mod P permutation mins,
-    * 8 bands × 4 rows banding, and the matching-position Jaccard estimate. */
-  private def dedupMinhashOracleSql: String = {
-    val P = 2147483647L
-    val n = 32
+  /** Shared CTE prefix for the MinHash oracles (dedup_minhash and
+    * dedup_incremental): shingles → md5Hash60 base hash mod P → the 32
+    * (a_i·h + b_i) mod P permutation mins → signature list → 8×4 band
+    * explode. Ends at the `ex` CTE; callers append their candidate join. */
+  private val minhashP = 2147483647L
+  private val minhashN = 32
+  private def minhashSigCtePrefix: String = {
+    val P = minhashP
+    val n = minhashN
     val mins = (0 until n).map { i =>
       val a = 2L * i * i + 3L * i + 1L
       val b = 7L * i * i + 5L * i + 3L
@@ -453,22 +459,54 @@ object SparkEntry {
        |    $mins
        |  FROM h GROUP BY doc_id),
        |sig AS (SELECT doc_id, $sigList AS sig FROM m),
-       |ex AS (SELECT doc_id, i, $bands[i + 1] AS band FROM sig, range(8) t(i)),
+       |ex AS (SELECT doc_id, i, $bands[i + 1] AS band FROM sig, range(8) t(i))""".stripMargin
+  }
+
+  /** Shared matching-position Jaccard estimate over a `cand(idA, idB)` CTE. */
+  private def minhashEstExpr: String =
+    s"""round(list_sum(list_transform(range($minhashN),
+       |      i -> CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END)) / $minhashN.0, 4)""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupMinhash: identical shingles, the md5Hash60
+    * base hash mod P, the same 32 (a_i·h + b_i) mod P permutation mins,
+    * 8 bands × 4 rows banding, and the matching-position Jaccard estimate. */
+  private def dedupMinhashOracleSql: String =
+    s"""$minhashSigCtePrefix,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM ex a JOIN ex b
        |    ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id),
        |est AS (
        |  SELECT id_a, id_b,
-       |    round(list_sum(list_transform(range($n),
-       |      i -> CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END)) / $n.0, 4)
+       |    $minhashEstExpr
        |      AS est_jaccard
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = id_a
        |  JOIN sig sb ON sb.doc_id = id_b)
        |SELECT id_a, id_b, est_jaccard FROM est
        |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** DuckDB twin of Dedup.dedupIncremental (Graft.minhashCandidatesAgainst):
+    * the same signature machinery as dedup_minhash — a document's signature
+    * is row-local, so computing it on the full corpus vs the filtered batch
+    * is identical — with the candidate join restricted to NEW (doc_id ≡ 9
+    * mod 10) × INDEX (the rest). */
+  private def dedupIncrementalOracleSql: String =
+    s"""$minhashSigCtePrefix,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band
+       |   AND a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9),
+       |est AS (
+       |  SELECT new_id, index_id,
+       |    $minhashEstExpr
+       |      AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = new_id
+       |  JOIN sig sb ON sb.doc_id = index_id)
+       |SELECT new_id, index_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2 ORDER BY new_id, index_id""".stripMargin
 
   /** DuckDB twin of Dedup.dedupSimhash: per-token-occurrence md5Hash60,
     * 60 positional bit-count sums, majority-sign signature, top-bit prefix
@@ -571,6 +609,106 @@ object SparkEntry {
        |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
+
+  /** DuckDB twin of Similarity.knnPq — Graft.productQuantize's 4 per-subspace
+    * Lloyd loops (2 iterations each, 16 centroids over 16-dim slices)
+    * unrolled as generated CTEs, plus the per-query distance lookup tables
+    * and the ADC fold. Cross-engine exact for the same reasons as knn_ivf
+    * (fixed-point means; left-to-right double dot products ≡
+    * list_dot_product) plus one more: the per-document ADC sum folds the 4
+    * subspace contributions in SUBSPACE ORDER on both sides (Spark's
+    * sorted-struct aggregate ≡ DuckDB's list_reduce over list(d ORDER BY
+    * sub); the 0.0 seed is exact — IEEE 0.0 + x = x). */
+  private def knnPqOracleSql: String = {
+    val m = 4; val k = 16; val subDim = 16; val iters = 2
+    def subCtes(sub: Int): String = {
+      val off = sub * subDim
+      val sl = (t: String) => s"$t.embedding[${off + 1}:${off + subDim}]"
+      val dist = (c: String) =>
+        s"""(list_dot_product(${sl("e")}::DOUBLE[], ${sl("e")}::DOUBLE[])
+           |          - 2 * list_dot_product(${sl("e")}::DOUBLE[], $c.centroid::DOUBLE[])
+           |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+      val c0 =
+        s"""c0_$sub AS (
+           |  SELECT vec_id AS c_id, embedding[${off + 1}:${off + subDim}] AS centroid
+           |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin
+      val iterCtes = (1 to iters).map { n =>
+        val meanExprs = (1 to subDim).map(dd =>
+          s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[${off + dd}] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+          .mkString("[\n      ", ",\n      ", "]")
+        s"""a${n}_$sub AS (
+           |  SELECT vec_id, c_id FROM (
+           |    SELECT e.vec_id, c.c_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${dist("c")} ASC, c.c_id ASC) AS rn
+           |    FROM embeddings e CROSS JOIN c${n - 1}_$sub c)
+           |  WHERE rn = 1),
+           |m${n}_$sub AS (
+           |  SELECT c_id, $meanExprs AS centroid
+           |  FROM a${n}_$sub JOIN embeddings e USING (vec_id) GROUP BY c_id),
+           |c${n}_$sub AS (
+           |  SELECT p.c_id, coalesce(mm.centroid, p.centroid) AS centroid
+           |  FROM c${n - 1}_$sub p LEFT JOIN m${n}_$sub mm USING (c_id))""".stripMargin
+      }.mkString(",\n")
+      val codes =
+        s"""codes_$sub AS (
+           |  SELECT vec_id, c_id AS code FROM (
+           |    SELECT e.vec_id, c.c_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${dist("c")} ASC, c.c_id ASC) AS rn
+           |    FROM embeddings e CROSS JOIN c${iters}_$sub c)
+           |  WHERE rn = 1),
+           |dtab_$sub AS (
+           |  SELECT e.vec_id AS q_id, c.c_id AS code,
+           |    ${dist("c")} AS d
+           |  FROM embeddings e CROSS JOIN c${iters}_$sub c
+           |  WHERE e.vec_id < 10)""".stripMargin
+      s"$c0,\n$iterCtes,\n$codes"
+    }
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, vec_id, code FROM codes_$s").mkString("\n  UNION ALL ")
+    val dtabUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, q_id, code, d FROM dtab_$s").mkString("\n  UNION ALL ")
+    s"""WITH ${(0 until m).map(subCtes).mkString(",\n")},
+       |codes AS (
+       |  $codesUnion),
+       |dtab AS (
+       |  $dtabUnion),
+       |adc AS (
+       |  SELECT q_id, vec_id AS c_id,
+       |    list_reduce(list(d ORDER BY sub), (a, b) -> a + b) AS adc
+       |  FROM codes JOIN dtab USING (sub, code)
+       |  WHERE q_id <> vec_id
+       |  GROUP BY q_id, vec_id),
+       |r AS (
+       |  SELECT q_id, c_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc ASC, c_id ASC) AS INTEGER) AS rn
+       |  FROM adc)
+       |SELECT q_id, rn, r.c_id, ec.label, round(adc, 6) AS adc_dist
+       |FROM r JOIN embeddings ec ON ec.vec_id = r.c_id
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** DuckDB twin of Graft.bpePairCounts: the word-type histogram, the same
+    * adjacent-pair explode (DuckDB range(1, len) ≡ Spark sequence(1, len-1):
+    * i = 1..len-1, 2-char substrings), integer counts. sum(BIGINT) returns
+    * HUGEINT in DuckDB → cast back to BIGINT (house rule). */
+  private def bpePairCountsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |w AS (
+      |  SELECT word, count(1) AS n FROM toks WHERE length(word) > 0 GROUP BY word),
+      |pr AS (
+      |  SELECT n, unnest(list_transform(range(1, length(word)),
+      |    i -> word[i:i+1])) AS pair
+      |  FROM w WHERE length(word) >= 2),
+      |agg AS (
+      |  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |    count(1) AS n_word_types
+      |  FROM pr GROUP BY pair)
+      |SELECT pair, n_occurrences, n_word_types FROM agg
+      |ORDER BY n_occurrences DESC, pair ASC LIMIT 20""".stripMargin
 
   /** DuckDB twin of Formats.zorderLayout (Graft.zorderKey, bits=16):
     * identical min/max grid normalization (exact IEEE arithmetic), the same
@@ -1084,11 +1222,17 @@ object SparkEntry {
 
     "dedup_minhash" -> dedupMinhashOracleSql,
 
+    "dedup_incremental" -> dedupIncrementalOracleSql,
+
     "dedup_simhash" -> dedupSimhashOracleSql,
+
+    "bpe_pair_counts" -> bpePairCountsOracleSql,
 
     "knn_lsh" -> knnLshOracleSql,
 
     "knn_ivf" -> knnIvfOracleSql,
+
+    "knn_pq" -> knnPqOracleSql,
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -144,6 +144,33 @@ object Graft {
       .select(col(idCol), col("n_terms"), round(col("__score"), 4).as("bm25"))
   }
 
+  /** BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich ACL '16): count every ADJACENT symbol pair
+    * across the corpus and surface the top merge candidates. Runs over the
+    * word-TYPE histogram, not the token stream — the classic BPE-training
+    * optimization: pairs explode per distinct word (vocabulary-sized) and
+    * weight by the word's corpus frequency, so the expensive explode is
+    * O(types · word_len) while the corpus-sized work is one (word) groupBy.
+    * Overlapping occurrences count, as in BPE ("aaa" contributes "aa" twice).
+    * Output: top-`topK` (pair, n_occurrences, n_word_types) by occurrence
+    * count desc, pair asc — all integer arithmetic, fully oracle-able. */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+    val pairs = words.filter(length(col("__w")) >= 2)
+      // sequence(1, len-1) needs len >= 2: Spark's sequence DESCENDS when
+      // stop < start, so an unguarded len=1 word would yield [1, 0]
+      .select(col("__n"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))")).as("pair"))
+    pairs.groupBy("pair")
+      .agg(sum("__n").as("n_occurrences"), count(lit(1)).as("n_word_types"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(topK)
+      .select(col("pair"), col("n_occurrences"), col("n_word_types"))
+  }
+
   /** Heuristic document quality in [0, 1]: length (50%), non-punctuation
     * ratio (30%), stopword presence (20%) — the cheap row-local pre-filter a
     * training-data pipeline applies before any expensive dedup. Appends
@@ -406,6 +433,38 @@ object Graft {
       .groupBy("id_a", "id_b").agg(max("est").as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** INCREMENTAL banded-LSH candidates: match a NEW batch's MinHash
+    * signatures against an existing INDEX's signatures — the daily-increment
+    * shape of corpus dedup. The band join runs new × index only: the index
+    * is never self-joined (its internal near-dups were resolved when it was
+    * built) and the new batch never waits on a full-corpus re-cluster, so
+    * per-increment cost is O(|new|·numHashes) signature work plus band-bucket
+    * lookups against the (precomputed, at rest) index signature table —
+    * independent of |index| except through bucket occupancy. Both inputs are
+    * (idCol, sig) as produced by `minhashSignatures`; at 100 TB the index
+    * signatures are a stored parquet side table keyed by band bucket, and
+    * this join is exactly the lookup a streaming ingest would do per batch.
+    * Output: (new_id, index_id, est_jaccard ≥ minEstJaccard). */
+  def minhashCandidatesAgainst(newSig: DataFrame, indexSig: DataFrame,
+      idCol: String, bands: Int = 8, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(sig: DataFrame): DataFrame =
+      sig.filter(col("sig").isNotNull).select(col(idCol), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"))
+          .as(Seq("band", "bandsig")))
+    val a = banded(newSig).as("a"); val b = banded(indexSig).as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig"))
+      .select(col(s"a.$idCol").as("new_id"), col(s"b.$idCol").as("index_id"),
+        round(expr(s"size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
+          / numHashes.toDouble, 4).as("est"))
+      .groupBy("new_id", "index_id").agg(max("est").as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("new_id", "index_id", "est_jaccard")
   }
 
   // ---------- distinct counting at scale ----------
@@ -693,6 +752,41 @@ object Graft {
     }
     KMeansResult(centroids,
       nearest(centroids).select(col(idCol), col("c_id").as("list_id")))
+  }
+
+  /** Product-quantization model: `codebooks` (sub, c_id, centroid) — m·k
+    * rows, broadcast-sized — and `codes` (the original id column, sub, code)
+    * — the m-codes-per-vector compressed index. */
+  final case class PQResult(codebooks: DataFrame, codes: DataFrame)
+
+  /** Product quantization (Jégou/Douze/Schmid PAMI '11): the vector space
+    * splits into `m` contiguous subspaces of dim/m dimensions, each subspace
+    * gets its own k-centroid codebook trained by `kmeans` (the fixed-point
+    * Lloyd loop — deterministic AND cross-engine exact, which is what lets
+    * the knn_pq registry query unroll the whole model into a DuckDB oracle),
+    * and every vector encodes as m small codes — its nearest sub-centroid
+    * per subspace.
+    *
+    * Scale story: the codes table stores m·log2(k) bits per vector (here
+    * 4 codes × 4 bits = 2 bytes vs 256 bytes of float32 — 128× at rest), and
+    * ADC search (Similarity.knnPq) scans codes + a broadcast per-query
+    * lookup table, never the raw vectors. Training cost is m Lloyd loops;
+    * at 100 TB the codebooks train on a sample and broadcast — the encode
+    * pass itself is one broadcast crossJoin + argmin per subspace. */
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 4, k: Int = 16, iters: Int = 2): PQResult = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val subDim = dim / m
+    val parts = (0 until m).map { sub =>
+      val sliced = df.select(col(idCol),
+        expr(s"slice(`$vecCol`, ${sub * subDim + 1}, $subDim)").as("__sub"))
+      val km = kmeans(sliced, idCol, "__sub", k, iters)
+      (km.centroids.select(lit(sub).as("sub"), col("c_id"), col("centroid")),
+       km.assignments.select(col(idCol), lit(sub).as("sub"),
+         col("list_id").as("code")))
+    }
+    PQResult(parts.map(_._1).reduce(_.unionByName(_)),
+      parts.map(_._2).reduce(_.unionByName(_)))
   }
 
   /** Sequence packing for LLM pretraining batches: documents concatenate in

@@ -116,6 +116,26 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** INCREMENTAL MinHash dedup (Graft.minhashCandidatesAgainst): the daily-
+    * increment shape — documents with doc_id ≡ 9 (mod 10) play the NEW batch,
+    * the rest the existing INDEX, and the banded-LSH join runs new × index
+    * only. The index is never self-joined and the new batch never triggers a
+    * full-corpus re-cluster: per-increment cost is the new batch's signature
+    * pass plus band-bucket lookups against the index signature table (at
+    * 100 TB a stored parquet side table, recomputed here because the gate is
+    * stateless). Same md5Hash60 base hash as dedupMinhash → fully oracled. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def sigs(part: DataFrame): DataFrame = graft.api.Graft.minhashSignatures(
+      part, "doc_id", "text", numHashes = 32,
+      baseHash = graft.api.Graft.md5Hash60)
+    graft.api.Graft.minhashCandidatesAgainst(
+        sigs(docs.filter(col("doc_id") % 10 === 9)),
+        sigs(docs.filter(col("doc_id") % 10 =!= 9)),
+        "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .orderBy("new_id", "index_id")
+  }
+
   /** Edit-distance near-dup (Graft.editDistanceDedup): Levenshtein over
     * 60-char document heads, blocked on (lang, source, 20-char prefix) — the
     * same bucket-then-compare contract as every other near-dup variant.

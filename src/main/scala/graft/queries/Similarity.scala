@@ -139,6 +139,53 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** ANN via PRODUCT QUANTIZATION with asymmetric distance computation
+    * (Jégou '11 — the memory-bound tier of the standard billion-scale stack
+    * below IVF): Graft.productQuantize splits the 64 dims into 4 subspaces,
+    * trains a 16-centroid codebook per subspace with the fixed-point Lloyd
+    * loop, and encodes every vector as 4 codes (2 bytes vs 256 — 128× at
+    * rest). Queries build a per-subspace distance LOOKUP TABLE to all
+    * codebook entries (4×16 doubles, broadcast), and approximate distance is
+    * the sum of table entries selected by each vector's codes — the scan
+    * touches only the codes table, never raw vectors. The per-document sum
+    * folds in subspace order (a grouped double sum in shuffle order would
+    * not be reproducible), so with cross-engine-exact codebooks the WHOLE
+    * model oracles: SparkEntry unrolls the 4×2 Lloyd iterations into DuckDB
+    * CTEs and hash-matches the end-to-end top-k. The suite pins the core PQ
+    * invariant instead of a recall floor (i.i.d. Gaussian test vectors are
+    * PQ's adversarial case): when each subspace holds ≤ k distinct
+    * subvectors the codebooks reproduce them exactly, so ADC equals true
+    * distance and PQ top-k equals exact top-k. */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val pq = graft.api.Graft.productQuantize(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, iters = 2)
+    val qsub = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), s -> slice(embedding, s * 16 + 1, 16))"))
+          .as(Seq("sub", "qv")))
+    val dtab = qsub.join(broadcast(pq.codebooks), "sub")
+      .withColumn("d", expr(
+        "vec_dot(qv, qv) - 2 * vec_dot(qv, centroid) + vec_dot(centroid, centroid)"))
+      .select(col("q_id"), col("sub"), col("c_id").as("code"), col("d"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    pq.codes.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(expr(
+        "aggregate(array_sort(collect_list(struct(sub, d))), 0.0D, (acc, x) -> acc + x.d)")
+        .as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .join(e.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Brute-force top-k via the fused top-k AGGREGATE (graft.functions
     * .TopKNeighbors) instead of a window sort: map-side partial aggregation
     * keeps only k candidates per (query, partition), so the shuffle carries

@@ -234,4 +234,12 @@ object TextAnalysis {
   def bm25Rank(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.bm25Rank(Tables.documents(s, d), "doc_id", "text",
       terms = Seq("stream", "window", "shuffle"), topK = 20)
+
+  /** BPE merge-pair statistics (Graft.bpePairCounts): the top-20 adjacent
+    * symbol pairs across the corpus — the inner counting loop of tokenizer
+    * training, run over the word-TYPE histogram so the pair explode is
+    * vocabulary-sized while the corpus-sized work is one groupBy. Integer
+    * counts → fully oracled. */
+  def bpePairCounts(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.bpePairCounts(Tables.documents(s, d), "text", topK = 20)
 }

@@ -197,6 +197,69 @@ class Round7Spec extends SparkSpec {
     assert(snap == Set((1L, 10L), (2L, 10L), (3L, 20L)))
   }
 
+  // ---------- product quantization ----------
+
+  test("productQuantize is lossless when subspace cardinality <= k") {
+    // 4 prototypes per 2-dim subspace; ids 0..3 carry the 4 distinct
+    // prototypes in BOTH subspaces, so the k-lowest-id init starts Lloyd on
+    // the exact solution and the fixed-point means keep it there. With every
+    // subvector ON a codebook entry, encoding is exact — the invariant that
+    // makes ADC distance equal true distance (and PQ top-k equal exact
+    // top-k); on data with more distinct subvectors than k the same
+    // machinery degrades gracefully to nearest-centroid quantization.
+    val protos = Seq(Seq(0f, 0f), Seq(10f, 0f), Seq(0f, 10f), Seq(10f, 10f))
+    val diag = (0 until 4).map(i => (i.toLong, protos(i) ++ protos(i)))
+    val rest = (for { a <- 0 until 4; b <- 0 until 4; if a != b }
+      yield protos(a) ++ protos(b)).zipWithIndex
+      .map { case (v, i) => ((i + 4).toLong, v) }
+    val df = (diag ++ rest).toDF("vid", "vec")
+      .select(col("vid"), col("vec").cast("array<float>").as("vec"))
+    val pq = api.Graft.productQuantize(df, "vid", "vec", dim = 4, m = 2, k = 4)
+    assert(pq.codebooks.count() == 8)   // m * k
+    assert(pq.codes.count() == 32)      // N * m
+    val mismatched = pq.codes
+      .join(pq.codebooks.withColumnRenamed("c_id", "code"), Seq("sub", "code"))
+      .join(df, "vid")
+      .filter(expr("slice(vec, sub * 2 + 1, 2) <> centroid"))
+    assert(mismatched.count() == 0, "a subvector did not encode to itself")
+  }
+
+  // ---------- incremental MinHash dedup ----------
+
+  test("minhashCandidatesAgainst joins new x index only, never index x index") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away"
+    val aDup = a.replace("runs", "hops") // near-dup of a
+    val index = Seq((1L, a), (2L, aDup),
+      (3L, "completely different content about spark shuffles and parquet"))
+    val fresh = Seq((10L, a), // exact copy of index doc 1
+      (11L, "unrelated text with zero overlap whatsoever in any shingle"))
+    def sigs(rows: Seq[(Long, String)]) = api.Graft.minhashSignatures(
+      rows.toDF("doc_id", "text"), "doc_id", "text",
+      numHashes = 32, baseHash = api.Graft.md5Hash60)
+    val got = api.Graft.minhashCandidatesAgainst(
+        sigs(fresh), sigs(index), "doc_id",
+        bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+    // the exact copy is found with a full-agreement signature
+    assert(got.contains((10L, 1L, 1.0)), s"got ${got.toList}")
+    // every pair is new x index: the index's internal near-dup (1,2) is the
+    // index build's business, not the increment's
+    assert(got.forall { case (n, i, _) => n >= 10L && i < 10L }, s"got ${got.toList}")
+    // the unrelated new doc matches nothing
+    assert(!got.exists(_._1 == 11L), s"got ${got.toList}")
+  }
+
+  // ---------- BPE pair counts ----------
+
+  test("bpePairCounts weights pairs by corpus frequency over word types") {
+    val docs = Seq("ab ab abc", "ab").toDF("text")
+    val got = api.Graft.bpePairCounts(docs, "text", topK = 10)
+      .as[(String, Long, Long)].collect().toList
+    // word histogram: "ab" x3, "abc" x1; pairs: "ab" from both types
+    // (3 + 1 occurrences), "bc" from "abc" only
+    assert(got == List(("ab", 4L, 2L), ("bc", 1L, 1L)), s"got $got")
+  }
+
   test("JdbcKeyValueStore: '_' in the table name does not false-match (r6 ADVICE)") {
     val url = "jdbc:derby:memory:graft_r7_wild;create=true"
     // create kv1state ONLY — the pre-fix getTables(null, null, 'kv_state')
