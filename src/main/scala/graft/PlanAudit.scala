@@ -144,6 +144,15 @@ object PlanAudit {
       ("mixture_temperature", p => !p.contains("CartesianProduct")
         && p.contains("HashAggregate"),
         "temperature mixture: tiny per-stratum aggregate; normalizer broadcast"),
+      ("knn_pq", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"),
+        "PQ search scans codes only: query distance tables broadcast onto the codes join"),
+      ("dedup_incremental", p => !p.contains("CartesianProduct")
+        && p.contains("BroadcastHashJoin"),
+        "incremental dedup: the small NEW batch broadcasts onto the index's band buckets, never cartesian"),
+      ("bpe_pair_counts", p => p.contains("TakeOrderedAndProject")
+        && p.contains("HashAggregate") && !p.contains("Join"),
+        "BPE counts: corpus-sized work is one word groupBy; top-k is TakeOrdered; no join"),
     )
 
     var failed = 0
