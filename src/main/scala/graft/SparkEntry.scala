@@ -66,6 +66,7 @@ object SparkEntry {
     "pii_scrub"         -> TextAnalysis.piiScrub _,
     "lang_id"           -> TextAnalysis.langId _,
     "quality_score"     -> TextAnalysis.qualityScore _,
+    "quality_perplexity" -> TextAnalysis.qualityPerplexity _,
     "doc_fingerprint"   -> TextAnalysis.docFingerprint _,
     "doc_fingerprint_rolling" -> TextAnalysis.docFingerprintRolling _,
     "chunk_documents"   -> TextAnalysis.chunkDocuments _,
@@ -1059,6 +1060,29 @@ object SparkEntry {
         |    CAST(length(text) AS DOUBLE) AS cl
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Graft.lmPerplexity(addK=1): identical token filter, lateral
+    // bigram positions, add-1 bigram model (context totals cast back from
+    // HUGEINT), the same 2^-20-quantized ln, and a position-ordered
+    // list_reduce fold (0.0 seed is exact on the Spark side).
+    "quality_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, i AS pos, ts[i - 1] AS prev, ts[i] AS cur
+        |  FROM toks, range(2, len(ts) + 1) r(i)),
+        |cbg AS (SELECT prev, cur, count(1) AS c FROM bg GROUP BY prev, cur),
+        |cctx AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cc FROM cbg GROUP BY prev),
+        |vo AS (SELECT count(DISTINCT t) AS vs FROM (SELECT unnest(ts) AS t FROM toks)),
+        |sc AS (
+        |  SELECT doc_id, pos,
+        |    -(floor(ln((CAST(c AS DOUBLE) + 1.0)
+        |      / (CAST(cc AS DOUBLE) + 1.0 * CAST(vs AS DOUBLE))) * 1048576.0) / 1048576.0) AS nll
+        |  FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev) CROSS JOIN vo)
+        |SELECT doc_id, count(1) AS n_bigrams,
+        |  round(list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) / count(1), 4) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp_md5,

@@ -171,6 +171,55 @@ object Graft {
       .select(col("pair"), col("n_occurrences"), col("n_word_types"))
   }
 
+  /** Bigram-LM document scoring — the CCNet/Gopher-style perplexity filter
+    * (Wenzek LREC '20): train an add-k-smoothed bigram language model on the
+    * corpus itself and score every document by its mean negative log
+    * probability (= log-perplexity; high nll ⇒ out-of-distribution text, the
+    * standard quality cut). p(cur|prev) = (c(prev,cur)+k) / (c(prev)+k·V)
+    * with c(prev) the context total and V the corpus vocabulary size.
+    *
+    * Cross-engine exactness, same recipe as bm25Rank: each ln is quantized
+    * to the 2^-20 grid (floor(ln·2^20)/2^20 — engines agree at that
+    * granularity), and the per-document sum folds in TOKEN-POSITION order
+    * (sorted-struct aggregate; 0.0 seed is exact), never in shuffle order.
+    *
+    * Scale: the corpus is touched once to explode bigrams; the model is two
+    * hash aggregations of that stream; scoring re-joins the model by
+    * (prev,cur) — equi-joins all the way, V a broadcast scalar. At 100 TB
+    * the model would train on a sample and broadcast, but nothing here is
+    * ever super-linear. Output: (idCol, n_bigrams, nll), docs with ≥ 1
+    * bigram. */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      addK: Int = 1): DataFrame = {
+    val toks = docs.select(col(idCol),
+      expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)").as("__ts"))
+    val bigrams = toks.filter(size(col("__ts")) >= 2)
+      .select(col(idCol), posexplode(expr(
+        """transform(sequence(2, size(__ts)),
+          |  i -> struct(element_at(__ts, i - 1) AS prev, element_at(__ts, i) AS cur))"""
+          .stripMargin)).as(Seq("__pos", "__bg")))
+      .select(col(idCol), col("__pos"),
+        col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+    val cBg = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("__cbg"))
+    val cCtx = cBg.groupBy("prev").agg(sum("__cbg").as("__cctx"))
+    val vocab = toks.select(explode(col("__ts")).as("__t"))
+      .agg(countDistinct("__t").as("__v"))
+    bigrams
+      .join(cBg, Seq("prev", "cur"))
+      .join(cCtx, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll", expr(
+        s"""-(floor(ln((CAST(__cbg AS DOUBLE) + $addK.0)
+           |  / (CAST(__cctx AS DOUBLE) + $addK.0 * CAST(__v AS DOUBLE))) * 1048576.0) / 1048576.0)"""
+          .stripMargin))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("aggregate(array_sort(collect_list(struct(__pos, __nll))), 0.0D, (acc, e) -> acc + e.__nll)")
+          .as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum") / col("n_bigrams"), 4).as("nll"))
+  }
+
   /** Heuristic document quality in [0, 1]: length (50%), non-punctuation
     * ratio (30%), stopword presence (20%) — the cheap row-local pre-filter a
     * training-data pipeline applies before any expensive dedup. Appends

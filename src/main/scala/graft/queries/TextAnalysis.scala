@@ -242,4 +242,12 @@ object TextAnalysis {
     * counts → fully oracled. */
   def bpePairCounts(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.bpePairCounts(Tables.documents(s, d), "text", topK = 20)
+
+  /** Bigram-LM log-perplexity scoring (Graft.lmPerplexity): the CCNet-style
+    * quality filter — an add-1 bigram model trained on the corpus scores
+    * every document's mean negative log probability. Quantized-ln fixed
+    * point + position-ordered folds → fully oracled. */
+  def qualityPerplexity(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.lmPerplexity(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
 }
