@@ -121,9 +121,15 @@ object PlanAudit {
         && p.contains("BroadcastNestedLoopJoin"),
         "min/max bounds broadcast to the scan; interleave is row-local"),
       // round-7 pins
-      ("zorder_prune_readback", p =>
-        p.contains("PushedFilters: [IsNotNull(user_id), IsNotNull(value), " +
-          "LessThanOrEqual(user_id,30), LessThanOrEqual(value,100.0)]"),
+      ("zorder_prune_readback", p => {
+        // Each predicate matched individually (ADVICE r7): robust to Spark
+        // reordering filters or changing number formatting in toString.
+        def pushed(f: String) = ("PushedFilters: \\[[^\\]]*" + f + "[^\\]]*\\]").r
+        Seq("IsNotNull\\(user_id\\)", "IsNotNull\\(value\\)",
+          "LessThanOrEqual\\(user_id,\\s*30(\\.0)?\\)",
+          "LessThanOrEqual\\(value,\\s*100(\\.0)?\\)")
+          .forall(f => pushed(f).findFirstIn(p).isDefined)
+      },
         "2-D box predicate reaches the written z-ordered parquet as pushed filters"),
       ("split_assignments", p => !p.contains("CartesianProduct")
         && !p.contains("Window"),
@@ -145,11 +151,17 @@ object PlanAudit {
         && p.contains("HashAggregate"),
         "temperature mixture: tiny per-stratum aggregate; normalizer broadcast"),
       ("knn_pq", p => p.contains("BroadcastHashJoin")
-        && !p.contains("CartesianProduct"),
-        "PQ search scans codes only: query distance tables broadcast onto the codes join"),
+        && !p.contains("CartesianProduct") && p.contains("ObjectHashAggregate")
+        && !p.contains("Window"),
+        "PQ search scans codes only: distance tables broadcast onto the codes join; " +
+          "final top-k is the fused min-k aggregate, never a window buffer"),
       ("dedup_incremental", p => !p.contains("CartesianProduct")
         && p.contains("BroadcastHashJoin"),
         "incremental dedup: the small NEW batch broadcasts onto the index's band buckets, never cartesian"),
+      // round-8 pins
+      ("knn_ivfpq", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct") && p.contains("ObjectHashAggregate"),
+        "IVF-PQ: ADC tables broadcast onto probed lists' codes; fused min-k top-k"),
       ("bpe_pair_counts", p => p.contains("TakeOrderedAndProject")
         && p.contains("HashAggregate") && !p.contains("Join"),
         "BPE counts: corpus-sized work is one word groupBy; top-k is TakeOrdered; no join"),

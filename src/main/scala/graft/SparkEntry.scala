@@ -90,11 +90,13 @@ object SparkEntry {
     "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
     "dedup_incremental" -> Dedup.dedupIncremental _,
     "bpe_pair_counts"   -> TextAnalysis.bpePairCounts _,
+    "bpe_merges"        -> TextAnalysis.bpeMerges _,
     // similarity search
     "knn_bruteforce"    -> Similarity.knnBruteForce _,
     "knn_lsh"           -> Similarity.knnLsh _,
     "knn_ivf"           -> Similarity.knnIvf _,
     "knn_pq"            -> Similarity.knnPq _,
+    "knn_ivfpq"         -> Similarity.knnIvfPq _,
     "vector_stats"      -> Similarity.vectorStats _,
     "array_funcs"       -> Relational.arrayFuncs _,
     "skew_safe_distinct" -> Relational.skewSafeDistinct _,
@@ -691,6 +693,183 @@ object SparkEntry {
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** DuckDB twin of Similarity.knnIvfPq — the COMPOSED two-level index
+    * unrolled end to end: the coarse k-means CTEs (identical to knn_ivf's),
+    * a residual CTE (float→double subtract + float round-back — exact, so
+    * both engines hold bit-identical residual arrays), the 4 per-subspace
+    * PQ Lloyd loops over residual slices (same fixed-point machinery as
+    * knn_pq, just over `res.r`), per-(query, probed-list) ADC tables, and
+    * the subspace-ordered ADC fold. Nothing new has to be trusted: every
+    * piece reuses an exactness argument already proven by the knn_ivf or
+    * knn_pq oracle. */
+  private def knnIvfPqOracleSql: String = {
+    val kCoarse = 10; val dims = 64
+    val m = 4; val kSub = 16; val subDim = 16; val pqIters = 2
+    val dist = (c: String) =>
+      s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
+         |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+    def assignCte(n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dist("c")} ASC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c${n - 1} c)
+         |  WHERE rn = 1)""".stripMargin
+    def meansCte(n: Int): String = {
+      val meanExprs = (1 to dims).map(dd =>
+        s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$dd] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+        .mkString("[\n      ", ",\n      ", "]")
+      s"""m$n AS (
+         |  SELECT c_id, $meanExprs AS centroid
+         |  FROM a$n JOIN embeddings e USING (vec_id) GROUP BY c_id),
+         |c$n AS (
+         |  SELECT p.c_id, coalesce(mm.centroid, p.centroid) AS centroid
+         |  FROM c${n - 1} p LEFT JOIN m$n mm USING (c_id))""".stripMargin
+    }
+    val coarse = (1 to 3).map(n => s"${assignCte(n)},\n${meansCte(n)}").mkString(",\n")
+    val resElems =
+      s"list_transform(range(1, ${dims + 1}), i -> CAST(CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE) AS FLOAT))"
+    // per-subspace PQ CTEs over residual slices (pc/pa/pm prefixes keep them
+    // disjoint from the coarse CTE names)
+    def pqCtes(sub: Int): String = {
+      val off = sub * subDim
+      val sl = s"r.r[${off + 1}:${off + subDim}]"
+      val pdist = (c: String) =>
+        s"""(list_dot_product($sl::DOUBLE[], $sl::DOUBLE[])
+           |          - 2 * list_dot_product($sl::DOUBLE[], $c.centroid::DOUBLE[])
+           |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+      val c0 =
+        s"""pc0_$sub AS (
+           |  SELECT vec_id AS c_id, r[${off + 1}:${off + subDim}] AS centroid
+           |  FROM res ORDER BY vec_id LIMIT $kSub)""".stripMargin
+      val iterCtes = (1 to pqIters).map { n =>
+        val meanExprs = (1 to subDim).map(dd =>
+          s"CAST(CAST(sum(CAST(floor(CAST(r.r[${off + dd}] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+          .mkString("[\n      ", ",\n      ", "]")
+        s"""pa${n}_$sub AS (
+           |  SELECT vec_id, c_id FROM (
+           |    SELECT r.vec_id, c.c_id,
+           |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+           |        ${pdist("c")} ASC, c.c_id ASC) AS rn
+           |    FROM res r CROSS JOIN pc${n - 1}_$sub c)
+           |  WHERE rn = 1),
+           |pm${n}_$sub AS (
+           |  SELECT c_id, $meanExprs AS centroid
+           |  FROM pa${n}_$sub JOIN res r USING (vec_id) GROUP BY c_id),
+           |pc${n}_$sub AS (
+           |  SELECT p.c_id, coalesce(mm.centroid, p.centroid) AS centroid
+           |  FROM pc${n - 1}_$sub p LEFT JOIN pm${n}_$sub mm USING (c_id))""".stripMargin
+      }.mkString(",\n")
+      val codes =
+        s"""pcodes_$sub AS (
+           |  SELECT vec_id, c_id AS code FROM (
+           |    SELECT r.vec_id, c.c_id,
+           |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+           |        ${pdist("c")} ASC, c.c_id ASC) AS rn
+           |    FROM res r CROSS JOIN pc${pqIters}_$sub c)
+           |  WHERE rn = 1),
+           |dtab_$sub AS (
+           |  SELECT p.q_id, p.list_id, c.c_id AS code,
+           |    (list_dot_product(p.qres[${off + 1}:${off + subDim}]::DOUBLE[], p.qres[${off + 1}:${off + subDim}]::DOUBLE[])
+           |     - 2 * list_dot_product(p.qres[${off + 1}:${off + subDim}]::DOUBLE[], c.centroid::DOUBLE[])
+           |     + list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[])) AS d
+           |  FROM probes p CROSS JOIN pc${pqIters}_$sub c)""".stripMargin
+      s"$c0,\n$iterCtes,\n$codes"
+    }
+    val codesUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, vec_id, code FROM pcodes_$s").mkString("\n  UNION ALL ")
+    val dtabUnion = (0 until m).map(s =>
+      s"SELECT $s AS sub, q_id, list_id, code, d FROM dtab_$s").mkString("\n  UNION ALL ")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS c_id, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT $kCoarse),
+       |$coarse,
+       |assigned AS (
+       |  SELECT vec_id, c_id AS list_id FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dist("c")} ASC, c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |res AS (
+       |  SELECT e.vec_id, a.list_id, $resElems AS r
+       |  FROM embeddings e JOIN assigned a USING (vec_id)
+       |  JOIN c3 c ON c.c_id = a.list_id),
+       |probes AS (
+       |  SELECT q_id, list_id, qres FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id AS list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dist("c")} ASC, c.c_id ASC) AS rn,
+       |      $resElems AS qres
+       |    FROM embeddings e CROSS JOIN c3 c
+       |    WHERE e.vec_id < 10)
+       |  WHERE rn <= 3),
+       |${(0 until m).map(pqCtes).mkString(",\n")},
+       |codes AS (
+       |  $codesUnion),
+       |dtab AS (
+       |  $dtabUnion),
+       |adc AS (
+       |  SELECT dt.q_id, cd.vec_id AS c_id,
+       |    list_reduce(list(d ORDER BY dt.sub), (a, b) -> a + b) AS adc
+       |  FROM codes cd
+       |  JOIN assigned aa USING (vec_id)
+       |  JOIN dtab dt ON dt.list_id = aa.list_id AND dt.sub = cd.sub
+       |    AND dt.code = cd.code
+       |  WHERE dt.q_id <> cd.vec_id
+       |  GROUP BY dt.q_id, cd.vec_id),
+       |rr AS (
+       |  SELECT q_id, c_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc ASC, c_id ASC) AS INTEGER) AS rn
+       |  FROM adc)
+       |SELECT q_id, rn, rr.c_id, ec.label, round(adc, 6) AS adc_dist
+       |FROM rr JOIN embeddings ec ON ec.vec_id = rr.c_id
+       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** DuckDB twin of Graft.bpeMerges — the 10 training rounds unrolled as
+    * CTE triples (p/b/s = pair counts, argmax, merged symbolization). The
+    * merge application is the SAME literal `replace` over the chr(31)-
+    * wrapped symbol string in both engines (left-to-right non-overlapping
+    * scan ≡ BPE's greedy merge), and counts are integers, so the whole loop
+    * is cross-engine exact. The evolving symbolization CTEs are
+    * MATERIALIZED: each is referenced twice (next round's counts + next
+    * round's merge), and inlining doubles the expression tree per round —
+    * measured 17 s → 0.5 s at sf0.01. */
+  private def bpeMergesOracleSql: String = {
+    val rounds = 10
+    def pairs(i: Int): String =
+      s"""p$i AS (
+         |  SELECT ss[u.i] AS a, ss[u.i + 1] AS b, t.n AS n
+         |  FROM (SELECT string_split(trim(ws, chr(31)), chr(31) || chr(31)) AS ss, n
+         |        FROM s${i - 1}) t,
+         |       UNNEST(range(1, len(ss))) AS u(i)
+         |  WHERE len(ss) >= 2),
+         |b$i AS (
+         |  SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM p$i GROUP BY a, b
+         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT replace(ws, chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
+         |                 chr(31) || bb.a || bb.b || chr(31)) AS ws, n
+         |  FROM s${i - 1}, b$i bb)""".stripMargin
+    val union = (1 to rounds).map(i =>
+      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, c AS n_occurrences FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, count(1) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS ws, n
+       |  FROM w),
+       |${(1 to rounds).map(pairs).mkString(",\n")}
+       |SELECT * FROM (
+       |  $union) u ORDER BY merge_rank""".stripMargin
+  }
+
   /** DuckDB twin of Graft.bpePairCounts: the word-type histogram, the same
     * adjacent-pair explode (DuckDB range(1, len) ≡ Spark sequence(1, len-1):
     * i = 1..len-1, 2-char substrings), integer counts. sum(BIGINT) returns
@@ -1061,17 +1240,18 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    // Mirrors Graft.lmPerplexity(addK=1): identical token filter, lateral
-    // bigram positions, add-1 bigram model (context totals cast back from
-    // HUGEINT), the same 2^-20-quantized ln, and a position-ordered
-    // list_reduce fold (0.0 seed is exact on the Spark side).
+    // Mirrors Graft.lmPerplexity(addK=1): identical token filter, bigram
+    // positions via UNNEST of the range LIST function (the lateral range()
+    // TABLE function is rejected by the driver's DuckDB), add-1 bigram model
+    // (context totals cast back from HUGEINT), the same 2^-20-quantized ln,
+    // and a position-ordered list_reduce fold (0.0 seed is exact Spark-side).
     "quality_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS ts
         |  FROM documents),
         |bg AS (
         |  SELECT doc_id, i AS pos, ts[i - 1] AS prev, ts[i] AS cur
-        |  FROM toks, range(2, len(ts) + 1) r(i)),
+        |  FROM toks, UNNEST(range(2, len(ts) + 1)) AS r(i)),
         |cbg AS (SELECT prev, cur, count(1) AS c FROM bg GROUP BY prev, cur),
         |cctx AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cc FROM cbg GROUP BY prev),
         |vo AS (SELECT count(DISTINCT t) AS vs FROM (SELECT unnest(ts) AS t FROM toks)),
@@ -1252,11 +1432,15 @@ object SparkEntry {
 
     "bpe_pair_counts" -> bpePairCountsOracleSql,
 
+    "bpe_merges" -> bpeMergesOracleSql,
+
     "knn_lsh" -> knnLshOracleSql,
 
     "knn_ivf" -> knnIvfOracleSql,
 
     "knn_pq" -> knnPqOracleSql,
+
+    "knn_ivfpq" -> knnIvfPqOracleSql,
 
     "knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

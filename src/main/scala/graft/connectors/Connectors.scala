@@ -111,22 +111,51 @@ class JdbcKeyValueStore(url: String, table: String, orderCol: String)
     * escape is unusable in practice (Derby returns "" from
     * getSearchStringEscape and honors no escape). `SELECT 1 FROM <table>
     * WHERE 1=0` resolves the name exactly the way the reads/writes will.
-    * Only a table-not-found SQLState means absence; any OTHER failure
-    * (lock timeout, dropped connection, permissions) PROPAGATES — only
-    * confirmed absence may initialize empty state. */
+    * A table-not-found SQLState means absence. An UNRECOGNIZED (or null)
+    * SQLState — drivers like SQLite report nonstandard states — falls back
+    * to a getTables disambiguation (ADVICE r7): if metadata can't see the
+    * escaped name either, the table is absent; if it CAN, the probe failure
+    * was something else (lock timeout, permissions) and PROPAGATES — only
+    * confirmed absence may initialize empty state. The identifier is
+    * validated against an ident-chars whitelist before interpolation. */
   private def tableExists(): Boolean = {
     // table-not-found SQLStates: Derby 42X05, MySQL/ANSI 42S02,
     // Postgres 42P01, DB2 42704, ODBC-era S0002
     val notFound = Set("42X05", "42S02", "42P01", "42704", "S0002")
+    require(table.matches("""[A-Za-z0-9_.]+"""),
+      s"table identifier must be dotted plain identifiers, got: $table")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
       try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
       catch {
-        case e: java.sql.SQLException if notFound.contains(e.getSQLState) =>
+        case e: java.sql.SQLException
+            if e.getSQLState != null && notFound.contains(e.getSQLState) =>
           false
+        case e: java.sql.SQLException =>
+          if (metadataSeesTable(conn)) throw e else false
       } finally st.close()
     } finally conn.close()
+  }
+
+  /** getTables fallback used ONLY when the probe's SQLState is unrecognized:
+    * applies the driver's search-string escape (when it honors one) to
+    * neutralize '_'/'%' wildcards, and checks the stored-case conventions
+    * (as-is / UPPER / lower) since drivers fold unquoted identifiers
+    * differently. */
+  private def metadataSeesTable(conn: java.sql.Connection): Boolean = {
+    val md = conn.getMetaData
+    val parts = table.split("\\.")
+    val (schema, name) =
+      if (parts.length == 2) (Option(parts(0)), parts(1)) else (None, table)
+    val esc = Option(md.getSearchStringEscape).getOrElse("")
+    def escapePat(p: String): String =
+      if (esc.isEmpty) p
+      else p.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+    Seq(name, name.toUpperCase, name.toLowerCase).distinct.exists { n =>
+      val rs = md.getTables(null, schema.map(escapePat).orNull, escapePat(n), null)
+      try rs.next() finally rs.close()
+    }
   }
 
   override def upsert(batch: DataFrame, keyCol: String): Unit = {

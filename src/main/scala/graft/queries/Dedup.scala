@@ -120,18 +120,35 @@ object Dedup {
     * increment shape — documents with doc_id ≡ 9 (mod 10) play the NEW batch,
     * the rest the existing INDEX, and the banded-LSH join runs new × index
     * only. The index is never self-joined and the new batch never triggers a
-    * full-corpus re-cluster: per-increment cost is the new batch's signature
-    * pass plus band-bucket lookups against the index signature table (at
-    * 100 TB a stored parquet side table, recomputed here because the gate is
-    * stateless). Same md5Hash60 base hash as dedupMinhash → fully oracled. */
+    * full-corpus re-cluster.
+    *
+    * AT REST (VERDICT r7 #6): the index signature table PERSISTS as a
+    * parquet side table — built and written on first use per (session,
+    * dataset), then every increment reads the STORED table, so the measured
+    * per-increment cost is the contract's true cost: the new batch's
+    * signature pass + band-bucket lookups against an at-rest index. This is
+    * exactly the 100 TB layout (the index table lives on shared storage;
+    * the daily job appends signatures it computed for its own batch). The
+    * staging path is app-id-unique (no cross-session clobber) and cleaned
+    * at JVM exit. Signatures are integers (md5Hash60 minima) so the parquet
+    * round-trip is value-exact → the oracle is unchanged and stays green. */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     def sigs(part: DataFrame): DataFrame = graft.api.Graft.minhashSignatures(
       part, "doc_id", "text", numHashes = 32,
       baseHash = graft.api.Graft.md5Hash60)
+    val root = s"/tmp/graft_minhash_index/${s.sparkContext.applicationId}"
+    val indexPath = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Formats.registerCleanup(root)
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      sigs(docs.filter(col("doc_id") % 10 =!= 9))
+        .write.mode("overwrite").parquet(indexPath)
+    }
     graft.api.Graft.minhashCandidatesAgainst(
         sigs(docs.filter(col("doc_id") % 10 === 9)),
-        sigs(docs.filter(col("doc_id") % 10 =!= 9)),
+        s.read.parquet(indexPath),
         "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
       .orderBy("new_id", "index_id")
   }

@@ -8,6 +8,22 @@ import graft.Tables
   * structured JSON parse (`from_json`), typed field extraction, and
   * re-serialization (`to_json`) — round-tripping inside one codegen stage. */
 object Formats {
+  /** Dirs registered here are recursively deleted at JVM exit — staging
+    * trees are app-id-unique (see callers), so each session cleans only its
+    * own tree and concurrent sessions never share a path. */
+  private val cleanupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[queries] def registerCleanup(dir: String): Unit =
+    if (cleanupDirs.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
+
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(
@@ -22,7 +38,11 @@ object Formats {
     * losslessness by aggregating text lengths per (lang, format) — any
     * mangled row would shift the sums off the parquet-direct oracle. */
   def formatRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_fmt_roundtrip/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // App-id-unique staging (same scheme as zorderPruneReadback): concurrent
+    // sessions each write their own tree; cleaned up at JVM exit.
+    val base = s"/tmp/graft_fmt_roundtrip/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    Formats.registerCleanup(s"/tmp/graft_fmt_roundtrip/${s.sparkContext.applicationId}")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("text"))
     docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
@@ -78,7 +98,11 @@ object Formats {
     * partition's files and the whole table. Results oracle-checked against
     * the unpartitioned parquet. */
   def partitionedWrite(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_part_write/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // App-id-unique staging (same scheme as zorderPruneReadback): concurrent
+    // sessions each write their own tree; cleaned up at JVM exit.
+    val base = s"/tmp/graft_part_write/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    Formats.registerCleanup(s"/tmp/graft_part_write/${s.sparkContext.applicationId}")
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"), col("l_linestatus"))
@@ -124,7 +148,13 @@ object Formats {
     * dimensions (PlanAudit-pinned); Round7Spec additionally verifies
     * physical row-group prune-ability from the parquet footers. */
   def zorderPruneReadback(s: SparkSession, d: String): DataFrame = {
-    val base = s"/tmp/graft_zorder_rb/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    // Run-unique staging dir (app id), so concurrent sessions over the same
+    // dataset can't clobber each other's overwrite-then-read (ADVICE r7);
+    // within a session the path is stable, so re-invocations just overwrite.
+    // The whole app-id tree is removed at JVM exit.
+    val base = s"/tmp/graft_zorder_rb/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    Formats.registerCleanup(s"/tmp/graft_zorder_rb/${s.sparkContext.applicationId}")
     graft.api.Graft.zorderKey(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
         "user_id", "value", bits = 16)

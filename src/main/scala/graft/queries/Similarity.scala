@@ -23,7 +23,11 @@ object Similarity {
 
   /** Brute-force cosine top-5 neighbors for the first 10 query vectors.
     * Query side is broadcast (tiny); candidates stream partition-parallel;
-    * per-query top-k via window on the rounded score (deterministic ties). */
+    * per-query top-k via window on the rounded score (deterministic ties).
+    * This is the one knn query that KEEPS the window top-k on purpose: it is
+    * the reference twin of `knnTopkAgg` — same oracle, window vs fused-agg
+    * physical shape — so the pair stays an honest A/B of the two top-k
+    * strategies (knn_lsh/ivf/pq all use the fused aggregate). */
   def knnBruteForce(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
@@ -80,16 +84,24 @@ object Similarity {
         col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
     val e = Tables.embeddings(s, d)
-    val w = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    // Per-query top-k through the fused aggregate (VERDICT r7 #3): LSH bounds
+    // the candidate volume, but a hot bucket can still concentrate thousands
+    // of candidates on one query key — O(k) aggregator state beats a window
+    // buffering that key's whole candidate list. Same (score DESC, c_id ASC)
+    // order contract as the window it replaces.
+    val topk = udaf(new graft.functions.TopKNeighbors(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Neighbor])
     pairs
       .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qv")), "q_id")
       .join(e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
         col("label")), "c_id")
       .withColumn("score6", round(expr(cos), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
-        round(col("score6"), 4).as("cos_sim"))
+      .groupBy("q_id")
+      .agg(topk(col("c_id"), col("label"), col("score6")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rn"),
+        col("nb.c_id").as("c_id"), col("nb.label").as("label"),
+        round(col("nb.score"), 4).as("cos_sim"))
       .orderBy("q_id", "rn")
   }
 
@@ -124,18 +136,25 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("qv"), col("c_id").as("list_id"))
-    // exact rerank within probed lists
-    val wTop = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    // exact rerank within probed lists — top-k via the fused aggregate
+    // (VERDICT r7 #3): nprobe/k bounds the candidate fraction, but each
+    // probed list is N/k rows, so per-query candidates still scale with N;
+    // O(k) aggregator state + Q·k shuffle replaces the window's per-key
+    // candidate buffer. Same (score DESC, c_id ASC) order contract.
+    val topk = udaf(new graft.functions.TopKNeighbors(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Neighbor])
     probes.join(assigned, "list_id")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("qv"), col("vec_id").as("c_id"),
         col("embedding").as("cv"), col("label"))
       .distinct()
       .withColumn("score6", round(expr(cos), 6))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 5)
-      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
-        round(col("score6"), 4).as("cos_sim"))
+      .groupBy("q_id")
+      .agg(topk(col("c_id"), col("label"), col("score6")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rn"),
+        col("nb.c_id").as("c_id"), col("nb.label").as("label"),
+        round(col("nb.score"), 4).as("cos_sim"))
       .orderBy("q_id", "rn")
   }
 
@@ -171,15 +190,106 @@ object Similarity {
       .withColumn("d", expr(
         "vec_dot(qv, qv) - 2 * vec_dot(qv, centroid) + vec_dot(centroid, centroid)"))
       .select(col("q_id"), col("sub"), col("c_id").as("code"), col("d"))
-    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    // Final top-k through the fused min-k AGGREGATE (VERDICT r7 #3), not a
+    // window sort: O(k) state per query and a Q·k shuffle after map-side
+    // combine, vs the window buffering every (q, candidate) ADC row. Same
+    // (adc ASC, c_id ASC) order contract — the oracle is unchanged.
+    val mink = udaf(new graft.functions.MinKByDistance(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.DistCand])
     pq.codes.join(broadcast(dtab), Seq("sub", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id").as("c_id"))
       .agg(expr(
         "aggregate(array_sort(collect_list(struct(sub, d))), 0.0D, (acc, x) -> acc + x.d)")
         .as("adc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .groupBy("q_id")
+      .agg(mink(col("c_id"), col("adc")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rn"),
+        col("nb.c_id").as("c_id"), col("nb.dist").as("adc"))
+      .join(e.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .select(col("q_id"), col("rn"), col("c_id"), col("label"),
+        round(col("adc"), 6).as("adc_dist"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** ANN via IVF-PQ — the COMPOSED index (Jégou '11 §IV, "IVFADC"): the tier
+    * between knnIvf (exact rerank inside probed lists — still touches raw
+    * vectors) and knnPq (PQ over the whole corpus — no list pruning).
+    *
+    * Build: the coarse quantizer is the SAME Lloyd k-means as knnIvf (k=10
+    * lists, 3 fixed-point iterations); every vector then encodes its
+    * RESIDUAL (vector − list centroid, computed exactly: float→double
+    * subtract, one float round-back) with a product quantizer shared across
+    * lists (m=4 × k=16, trained on all residuals). At rest a vector is its
+    * list id + 4 codes.
+    *
+    * Search: queries probe the nprobe=3 nearest lists; per probed list the
+    * QUERY residual (q − c_list) builds the per-subspace ADC lookup table
+    * (nprobe·m·k = 192 doubles per query, broadcast); approximate distance
+    * ‖(q−c_L) − r_x‖² is the subspace-ordered fold of table entries selected
+    * by each candidate's codes — the scan touches only the codes of probed
+    * lists, never raw vectors. Final top-k through the fused min-k
+    * aggregate. Every arithmetic step is cross-engine exact (fixed-point
+    * Lloyd means, exact residual subtraction, left-to-right double dot
+    * products, ordered ADC fold), so the ENTIRE two-level index unrolls
+    * into DuckDB CTEs — the registry row is fully oracled. */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val km = graft.api.Graft.kmeans(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k = 10, iters = 3)
+    val cents = km.centroids
+    // exact residuals: float→double subtract is exact, the float round-back
+    // is IEEE round-to-nearest — bit-identical in any engine
+    val resExpr =
+      "zip_with(%s, centroid, (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))"
+    val assigned = e.join(km.assignments, "vec_id")
+      .join(broadcast(cents.select(col("c_id").as("list_id"), col("centroid"))),
+        "list_id")
+      .withColumn("residual", expr(resExpr.format("embedding")))
+      .select(col("vec_id"), col("list_id"), col("residual"))
+    val pq = graft.api.Graft.productQuantize(
+      assigned.select(col("vec_id"), col("residual")), "vec_id", "residual",
+      dim = 64, m = 4, k = 16, iters = 2)
+    // probe the 3 nearest lists; carry the per-list query residual
+    val wProbe = Window.partitionBy("q_id").orderBy(col("dist").asc, col("c_id").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "vec_dot(qv, qv) - 2 * vec_dot(qv, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 3)
+      .withColumn("qres", expr(resExpr.format("qv")))
+      .select(col("q_id"), col("c_id").as("list_id"), col("qres"))
+    // ADC lookup tables: one per (query, probed list, subspace)
+    val qsub = probes.select(col("q_id"), col("list_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), s -> slice(qres, s * 16 + 1, 16))"))
+        .as(Seq("sub", "qrs")))
+    val dtab = qsub.join(broadcast(pq.codebooks), "sub")
+      .withColumn("d", expr(
+        "vec_dot(qrs, qrs) - 2 * vec_dot(qrs, centroid) + vec_dot(centroid, centroid)"))
+      .select(col("q_id"), col("list_id"), col("sub"), col("c_id").as("code"),
+        col("d"))
+    // candidates = vectors of probed lists, selected by the dtab join itself
+    val mink = udaf(new graft.functions.MinKByDistance(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.DistCand])
+    pq.codes
+      .join(assigned.select(col("vec_id"), col("list_id")), "vec_id")
+      .join(broadcast(dtab), Seq("list_id", "sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(expr(
+        "aggregate(array_sort(collect_list(struct(sub, d))), 0.0D, (acc, x) -> acc + x.d)")
+        .as("adc"))
+      .groupBy("q_id")
+      .agg(mink(col("c_id"), col("adc")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rn"),
+        col("nb.c_id").as("c_id"), col("nb.dist").as("adc"))
       .join(e.select(col("vec_id").as("c_id"), col("label")), "c_id")
       .select(col("q_id"), col("rn"), col("c_id"), col("label"),
         round(col("adc"), 6).as("adc_dist"))

@@ -243,6 +243,14 @@ object TextAnalysis {
   def bpePairCounts(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.bpePairCounts(Tables.documents(s, d), "text", topK = 20)
 
+  /** Full BPE merge LOOP (Graft.bpeMerges, VERDICT r7 #7): 10 training
+    * rounds of count → argmax → apply-merge → recount over the word-type
+    * histogram, producing the ordered merge table a tokenizer ships.
+    * Integer counts + literal-replace merges → the whole loop unrolls into
+    * DuckDB CTEs and the row is fully oracled. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.bpeMerges(Tables.documents(s, d), "text", budget = 10)
+
   /** Bigram-LM log-perplexity scoring (Graft.lmPerplexity): the CCNet-style
     * quality filter — an add-1 bigram model trained on the corpus scores
     * every document's mean negative log probability. Quantized-ln fixed

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: the sampled-codebook training path, the IVF-PQ
+  * composition's building blocks, the BPE merge loop's greedy semantics,
+  * the at-rest incremental-dedup index, and regressions for the round-7
+  * ADVICE fixes (map-surrogate tie-break hash, farthest-first k-guard,
+  * JDBC identifier validation, run-unique staging paths). */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def embeddings = Tables.embeddings(spark, sf)
+
+  // ---------- sampled-codebook training (VERDICT r7 #5) ----------
+
+  test("sampled kmeans trains on the md5-digit sample but assigns the full frame") {
+    val full = embeddings.select(col("vec_id"), col("embedding"))
+    val km = graft.api.Graft.kmeans(full, "vec_id", "embedding", k = 8,
+      iters = 2, trainHexDigits = Seq("0", "1", "2", "3"))
+    // codebook stays k-sized and the ENCODE pass covers every vector,
+    // sampled or not — the "train on a sample, broadcast" contract
+    assert(km.centroids.count() === 8L)
+    assert(km.assignments.count() === full.count())
+    assert(km.assignments.select("vec_id").distinct().count() === full.count())
+    // deterministic: the same digit set reproduces the same model
+    val km2 = graft.api.Graft.kmeans(full, "vec_id", "embedding", k = 8,
+      iters = 2, trainHexDigits = Seq("0", "1", "2", "3"))
+    assert(km.assignments.except(km2.assignments).isEmpty)
+  }
+
+  test("sampled-trained PQ codebooks encode the full frame") {
+    val full = embeddings.select(col("vec_id"), col("embedding"))
+    val n = full.count()
+    val pq = graft.api.Graft.productQuantize(full, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, iters = 1, trainHexDigits = Seq("a", "b"))
+    assert(pq.codebooks.count() === 4L * 16L)
+    // every vector gets all m codes even though training saw ~1/8 of rows
+    assert(pq.codes.count() === n * 4L)
+    assert(pq.codes.groupBy("vec_id").count()
+      .filter(col("count") =!= 4).isEmpty)
+  }
+
+  // ---------- farthest-first k-guard (ADVICE r7) ----------
+
+  test("farthest-first init degrades to fewer seeds when k exceeds distinct vectors") {
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(1f, 1f)),
+      (4L, Array(1f, 1f)), (5L, Array(5f, 5f))).toDF("id", "v")
+    val km = graft.api.Graft.kmeans(df, "id", "v", k = 5, iters = 1,
+      init = "farthest-first")
+    val cents = km.centroids.collect()
+    // only 3 distinct vectors exist → exactly 3 seeds, no duplicate rows
+    assert(cents.length === 3)
+    assert(cents.map(_.getLong(0)).distinct.length === 3)
+    assert(cents.map(_.getSeq[Float](1)).distinct.length === 3)
+    // and the full frame still gets assigned
+    assert(km.assignments.count() === 5L)
+  }
+
+  // ---------- map-surrogate tie-break hash (ADVICE r7) ----------
+
+  test("latestPerKey tie-break sees map-column differences deterministically") {
+    // two rows tie on (key, order) and differ ONLY in the map column —
+    // pre-r8 the map was dropped from the hash and the winner was arbitrary
+    val a = Seq((1L, 10L, Map("x" -> 1)), (1L, 10L, Map("x" -> 2)))
+      .toDF("k", "ord", "m")
+    val b = Seq((1L, 10L, Map("x" -> 2)), (1L, 10L, Map("x" -> 1)))
+      .toDF("k", "ord", "m")
+    val wa = graft.api.Graft.latestPerKey(a, "k", "ord").collect()
+    val wb = graft.api.Graft.latestPerKey(b, "k", "ord").collect()
+    assert(wa.length === 1 && wb.length === 1)
+    // same winner regardless of input order = the hash really discriminates
+    assert(wa.head.getMap[String, Int](2) === wb.head.getMap[String, Int](2))
+    // entry-order-insensitive: maps equal as sets hash equal
+    val h = graft.api.Graft.rowContentHash(
+      Seq((Map("a" -> 1, "b" -> 2)), (Map("b" -> 2, "a" -> 1))).toDF("m"))
+    val hs = Seq((Map("a" -> 1, "b" -> 2)), (Map("b" -> 2, "a" -> 1))).toDF("m")
+      .select(h.as("h")).collect().map(_.getLong(0))
+    assert(hs(0) === hs(1))
+  }
+
+  // ---------- BPE merge loop (VERDICT r7 #7) ----------
+
+  test("bpeMerges implements greedy left-to-right BPE merging") {
+    // corpus: "aaaa" ×3, "ab" ×2 → round 1 argmax is (a,a) with 3·3=9
+    // occurrences; greedy merge gives [aa, aa] (NOT [aa, a, a]), so round 2
+    // sees (aa,aa) ×3 and (a,b) ×2
+    val docs = Seq("aaaa aaaa aaaa ab ab").toDF("text")
+    val m = graft.api.Graft.bpeMerges(docs, "text", budget = 3).collect()
+    assert(m(0).getString(1) === "a" && m(0).getString(2) === "a")
+    assert(m(0).getLong(4) === 9L)
+    assert(m(1).getString(1) === "aa" && m(1).getString(2) === "aa")
+    assert(m(1).getLong(4) === 3L)
+    assert(m(2).getString(1) === "a" && m(2).getString(2) === "b")
+    assert(m(2).getLong(4) === 2L)
+  }
+
+  test("bpeMerges stops early when no pairs remain") {
+    val docs = Seq("ab ab").toDF("text")
+    // one merge exhausts every multi-symbol word
+    val m = graft.api.Graft.bpeMerges(docs, "text", budget = 10).collect()
+    assert(m.length === 1)
+    assert(m(0).getString(3) === "ab")
+  }
+
+  // ---------- at-rest incremental dedup (VERDICT r7 #6) ----------
+
+  test("dedupIncremental persists the index once and reuses it") {
+    val first = graft.queries.Dedup.dedupIncremental(spark, sf).collect()
+    val indexRoot = new java.io.File(
+      s"/tmp/graft_minhash_index/${spark.sparkContext.applicationId}")
+    assert(indexRoot.exists(), "index side table written on first use")
+    val mtimes = indexRoot.listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).map(_.lastModified()).sorted
+    val second = graft.queries.Dedup.dedupIncremental(spark, sf).collect()
+    val mtimes2 = indexRoot.listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).map(_.lastModified()).sorted
+    // same result, index files untouched by the second increment
+    assert(first.toSeq === second.toSeq)
+    assert(mtimes.toSeq === mtimes2.toSeq)
+  }
+
+  // ---------- MinKByDistance ≡ window top-k ----------
+
+  test("fused min-k aggregate matches the window shape it replaces") {
+    val cand = Seq(
+      (1L, 11L, 0.5), (1L, 12L, 0.2), (1L, 13L, 0.9), (1L, 14L, 0.2),
+      (2L, 11L, 0.1), (2L, 12L, 0.3)).toDF("q_id", "c_id", "dist")
+    val mink = udaf(new graft.functions.MinKByDistance(2),
+      org.apache.spark.sql.Encoders.product[graft.functions.DistCand])
+    val got = cand.groupBy("q_id")
+      .agg(mink(col("c_id"), col("dist")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), col("nb.c_id"), col("nb.dist"))
+      .orderBy("q_id", "dist", "c_id").collect()
+    // ties on dist break to the lower c_id (12 before 14)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 12L), (1L, 14L), (2L, 11L), (2L, 12L)))
+  }
+
+  // ---------- JDBC identifier validation (ADVICE r7) ----------
+
+  test("JdbcKeyValueStore rejects non-identifier table names before probing") {
+    val store = new graft.connectors.JdbcKeyValueStore(
+      "jdbc:derby:memory:r8val;create=true", "kv; DROP TABLE x", "ord")
+    val batch = Seq((1L, 2L)).toDF("k", "ord")
+    val e = intercept[IllegalArgumentException] { store.upsert(batch, "k") }
+    assert(e.getMessage.contains("identifier"))
+  }
+
+  // ---------- run-unique staging (VERDICT r7 #8) ----------
+
+  test("staging paths embed the application id (no cross-session clobber)") {
+    // behavioral: the staging trees land under the app id, so another
+    // session's writes cannot collide with this one's
+    val appId = spark.sparkContext.applicationId
+    graft.queries.Formats.zorderPruneReadback(spark, sf).collect()
+    assert(new java.io.File(s"/tmp/graft_zorder_rb/$appId").exists())
+    graft.queries.Formats.partitionedWrite(spark, sf).collect()
+    assert(new java.io.File(s"/tmp/graft_part_write/$appId").exists())
+  }
+}
