@@ -102,6 +102,21 @@ object Bench {
         fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(s"BENCH_FULL $fullJson")
+    // Per-family subtotals (VERDICT r7 #9 — the registry passed 190 rows, so
+    // a family regression can hide inside a flat total): four coarse families
+    // by name shape; the full per-query detail stays in BENCH_DETAIL.json.
+    val pipelinePrefixes = Seq("dedup_", "knn_", "bpe_", "quality_", "doc_",
+      "chunk_", "vocab_", "select_", "mixture_", "pack_", "pipeline_",
+      "split_", "lang_", "tfidf_", "text_", "token_", "ngram_",
+      "decontaminate_", "ann_", "vector_", "zorder_", "sample_",
+      "multimodal_", "pii_", "word_")
+    def family(name: String): String =
+      if (name.matches("q\\d+_.*")) "tpch"
+      else if (name.startsWith("stream_")) "streaming"
+      else if (pipelinePrefixes.exists(name.startsWith)) "pipeline"
+      else "relational"
+    val familyTotals = results.groupBy { case (n, _) => family(n) }
+      .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
     // Headline subset: canonical representatives of each family plus the
     // slowest queries this run — bounded so the final line stays < ~1500 chars.
     val canonical = Seq("q1_pricing_summary", "q5_local_supplier", "word_count",
@@ -113,7 +128,7 @@ object Bench {
     val headline = results.filter { case (k, _) => headlineNames.contains(k) }
     // ADVICE r2: stop() may throw or hang shutdown chatter — never lose the line.
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${dict(headline)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"families":${dict(familyTotals)},"queries":${dict(headline)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

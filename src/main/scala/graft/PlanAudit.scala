@@ -165,6 +165,18 @@ object PlanAudit {
       ("bpe_pair_counts", p => p.contains("TakeOrderedAndProject")
         && p.contains("HashAggregate") && !p.contains("Join"),
         "BPE counts: corpus-sized work is one word groupBy; top-k is TakeOrdered; no join"),
+      ("quality_classifier", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        "classifier inference: the model rides a broadcast join; never a shuffle join or cartesian"),
+      ("pmi_cooccur", p => p.contains("TakeOrderedAndProject")
+        && !p.contains("CartesianProduct"),
+        "PMI: top-k is TakeOrdered, unigram joins are vocabulary-sized equi-joins, no cartesian"),
+      ("dedup_substring", p => !p.contains("CartesianProduct")
+        && p.contains("HashAggregate"),
+        "substring overlap: capped-postings self-join on fingerprints, never doc x doc"),
+      ("ann_recall", p => !p.contains("CartesianProduct")
+        && p.contains("ObjectHashAggregate"),
+        "recall eval: exact references use the fused min-k aggregate; no cartesian anywhere"),
     )
 
     var failed = 0

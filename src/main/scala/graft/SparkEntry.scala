@@ -89,14 +89,22 @@ object SparkEntry {
     "dedup_embedding"   -> Dedup.dedupEmbedding _,
     "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
     "dedup_incremental" -> Dedup.dedupIncremental _,
+    "dedup_substring"   -> Dedup.dedupSubstring _,
+    "quality_classifier" -> TextAnalysis.qualityClassifier _,
+    "pmi_cooccur"       -> TextAnalysis.pmiCooccur _,
     "bpe_pair_counts"   -> TextAnalysis.bpePairCounts _,
     "bpe_merges"        -> TextAnalysis.bpeMerges _,
+    "bpe_encode"        -> TextAnalysis.bpeEncode _,
     // similarity search
     "knn_bruteforce"    -> Similarity.knnBruteForce _,
     "knn_lsh"           -> Similarity.knnLsh _,
     "knn_ivf"           -> Similarity.knnIvf _,
     "knn_pq"            -> Similarity.knnPq _,
     "knn_ivfpq"         -> Similarity.knnIvfPq _,
+    "knn_pq_sampled"    -> Similarity.knnPqSampled _,
+    "knn_refine"        -> Similarity.knnRefine _,
+    "ann_index_stats"   -> Similarity.annIndexStats _,
+    "ann_recall"        -> Similarity.annRecall _,
     "vector_stats"      -> Similarity.vectorStats _,
     "array_funcs"       -> Relational.arrayFuncs _,
     "skew_safe_distinct" -> Relational.skewSafeDistinct _,
@@ -622,8 +630,24 @@ object SparkEntry {
     * subspace contributions in SUBSPACE ORDER on both sides (Spark's
     * sorted-struct aggregate ≡ DuckDB's list_reduce over list(d ORDER BY
     * sub); the 0.0 seed is exact — IEEE 0.0 + x = x). */
-  private def knnPqOracleSql: String = {
+  private def knnPqOracleSql: String = knnPqOracleSqlImpl(None, refine = false)
+
+  /** Sampled-codebook variant: the SAME md5-digit filter Graft.kmeans
+    * applies (`trainHexDigits = 0,1`) mirrored into every TRAINING CTE
+    * (init, Lloyd assignment); encode + search stay corpus-wide. */
+  private def knnPqSampledOracleSql: String = knnPqOracleSqlImpl(
+    Some("substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 1) IN ('0', '1')"),
+    refine = false)
+
+  /** Shortlist+rerank variant: ADC-orders a 20-candidate shortlist per
+    * query, then exact cosine reranks only those pairs to the top-5. */
+  private def knnRefineOracleSql: String =
+    knnPqOracleSqlImpl(None, refine = true)
+
+  private def knnPqOracleSqlImpl(trainFilter: Option[String],
+      refine: Boolean): String = {
     val m = 4; val k = 16; val subDim = 16; val iters = 2
+    val tf = trainFilter.map(f => s"\n  WHERE $f").getOrElse("")
     def subCtes(sub: Int): String = {
       val off = sub * subDim
       val sl = (t: String) => s"$t.embedding[${off + 1}:${off + subDim}]"
@@ -634,7 +658,8 @@ object SparkEntry {
       val c0 =
         s"""c0_$sub AS (
            |  SELECT vec_id AS c_id, embedding[${off + 1}:${off + subDim}] AS centroid
-           |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin
+           |  FROM embeddings e$tf
+           |  ORDER BY vec_id LIMIT $k)""".stripMargin
       val iterCtes = (1 to iters).map { n =>
         val meanExprs = (1 to subDim).map(dd =>
           s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[${off + dd}] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
@@ -644,7 +669,7 @@ object SparkEntry {
            |    SELECT e.vec_id, c.c_id,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
            |        ${dist("c")} ASC, c.c_id ASC) AS rn
-           |    FROM embeddings e CROSS JOIN c${n - 1}_$sub c)
+           |    FROM embeddings e CROSS JOIN c${n - 1}_$sub c$tf)
            |  WHERE rn = 1),
            |m${n}_$sub AS (
            |  SELECT c_id, $meanExprs AS centroid
@@ -672,6 +697,40 @@ object SparkEntry {
       s"SELECT $s AS sub, vec_id, code FROM codes_$s").mkString("\n  UNION ALL ")
     val dtabUnion = (0 until m).map(s =>
       s"SELECT $s AS sub, q_id, code, d FROM dtab_$s").mkString("\n  UNION ALL ")
+    val cos =
+      """list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[])))""".stripMargin
+    val tail =
+      if (!refine)
+        s"""r AS (
+           |  SELECT q_id, c_id, adc,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adc ASC, c_id ASC) AS INTEGER) AS rn
+           |  FROM adc)
+           |SELECT q_id, rn, r.c_id, ec.label, round(adc, 6) AS adc_dist
+           |FROM r JOIN embeddings ec ON ec.vec_id = r.c_id
+           |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+      else
+        s"""short AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY adc ASC, c_id ASC) AS srn
+           |    FROM adc)
+           |  WHERE srn <= 20),
+           |sc AS (
+           |  SELECT q_id, c_id, ec.label, round($cos, 6) AS score6
+           |  FROM short
+           |  JOIN embeddings eq ON eq.vec_id = q_id
+           |  JOIN embeddings ec ON ec.vec_id = c_id),
+           |r AS (
+           |  SELECT q_id, c_id, label, score6,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
+           |  FROM sc)
+           |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
+           |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
     s"""WITH ${(0 until m).map(subCtes).mkString(",\n")},
        |codes AS (
        |  $codesUnion),
@@ -683,14 +742,7 @@ object SparkEntry {
        |  FROM codes JOIN dtab USING (sub, code)
        |  WHERE q_id <> vec_id
        |  GROUP BY q_id, vec_id),
-       |r AS (
-       |  SELECT q_id, c_id, adc,
-       |    CAST(row_number() OVER (PARTITION BY q_id
-       |      ORDER BY adc ASC, c_id ASC) AS INTEGER) AS rn
-       |  FROM adc)
-       |SELECT q_id, rn, r.c_id, ec.label, round(adc, 6) AS adc_dist
-       |FROM r JOIN embeddings ec ON ec.vec_id = r.c_id
-       |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+       |$tail""".stripMargin
   }
 
   /** DuckDB twin of Similarity.knnIvfPq — the COMPOSED two-level index
@@ -830,6 +882,198 @@ object SparkEntry {
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Brute-force cosine top-5 — reused verbatim by the ann_recall oracle. */
+  private val knnBruteForceOracleSql: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings),
+      |p AS (
+      |  SELECT q_id, c_id, label,
+      |    round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+      |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+      |       sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS score6
+      |  FROM q JOIN c ON q_id <> c_id),
+      |r AS (
+      |  SELECT q_id, c_id, label, score6,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
+      |  FROM p)
+      |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
+      |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** DuckDB twin of Similarity.annRecall — the recall@5 eval composed from
+    * the already-exact tier oracles: knn_lsh and knn_bruteforce nest
+    * verbatim as CTEs (a CTE body may carry its own WITH), knn_pq's stack
+    * nests the same way, and the exact-L2 reference is the proven
+    * list_dot_product distance with the (dist asc, c_id asc) tie-break.
+    * n_hits/5 is one IEEE divide of small integers — identical cross-engine. */
+  private def annRecallOracleSql: String =
+    s"""WITH lshq AS (
+       |${knnLshOracleSql}
+       |),
+       |bfq AS (
+       |${knnBruteForceOracleSql}
+       |),
+       |pqq AS (
+       |${knnPqOracleSqlImpl(None, refine = false)}
+       |),
+       |el AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])
+       |         - 2 * list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+       |         + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) ASC,
+       |        c.vec_id ASC) AS rn
+       |    FROM embeddings q CROSS JOIN embeddings c
+       |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+       |  WHERE rn <= 5),
+       |lh AS (
+       |  SELECT l.q_id, count(1) AS n FROM lshq l
+       |  JOIN bfq USING (q_id, c_id) GROUP BY l.q_id),
+       |ph AS (
+       |  SELECT p.q_id, count(1) AS n FROM pqq p
+       |  JOIN el USING (q_id, c_id) GROUP BY p.q_id)
+       |SELECT qq.q_id,
+       |  coalesce(lh.n, CAST(0 AS BIGINT)) AS n_hits_lsh,
+       |  CAST(coalesce(lh.n, 0) AS DOUBLE) / 5.0 AS recall_lsh,
+       |  coalesce(ph.n, CAST(0 AS BIGINT)) AS n_hits_pq,
+       |  CAST(coalesce(ph.n, 0) AS DOUBLE) / 5.0 AS recall_pq
+       |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10) qq
+       |LEFT JOIN lh USING (q_id)
+       |LEFT JOIN ph USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
+  /** DuckDB twin of Graft.linearClassify over the deterministic md5 model:
+    * the weight table, the hashed-token join, and the signed ratio4 mean
+    * are all integer-exact, so full model INFERENCE hash-matches. */
+  private def qualityClassifierOracleSql: String =
+    """WITH w AS (
+      |  SELECT b AS bucket,
+      |    ('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS weight
+      |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+      |t AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS bucket
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |        FROM documents)),
+      |agg AS (
+      |  SELECT doc_id, count(1) AS n_tokens, CAST(sum(weight) AS BIGINT) AS s
+      |  FROM t JOIN w USING (bucket) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  CAST(CASE WHEN s >= 0 THEN (20000 * s + n_tokens) // (2 * n_tokens)
+      |       ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score,
+      |  CASE WHEN s > 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of Graft.pmiBigrams: same quantized-ln grid the
+    * quality_perplexity oracle proved (floor(ln(q)·2^20) of an IEEE
+    * quotient), integer counts everywhere else. */
+  private def pmiCooccurOracleSql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |uni AS (
+      |  SELECT t, count(1) AS c
+      |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |bg AS (
+      |  SELECT ts[i - 1] AS a, ts[i] AS b FROM (
+      |    SELECT ts, unnest(range(2, len(ts) + 1)) AS i
+      |    FROM toks WHERE len(ts) >= 2)),
+      |bgc AS (
+      |  SELECT a, b, count(1) AS n_pair FROM bg GROUP BY a, b
+      |  HAVING count(1) >= 5)
+      |SELECT bgc.a, bgc.b, n_pair,
+      |  floor(ln(CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE)
+      |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) * 1048576.0) / 1048576.0 AS pmi
+      |FROM bgc
+      |JOIN uni ca ON ca.t = bgc.a
+      |JOIN uni cb ON cb.t = bgc.b
+      |CROSS JOIN tot
+      |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin
+
+  /** DuckDB twin of Graft.substringOverlapCandidates: per-doc DISTINCT
+    * 8-token position-grams fingerprinted with the cross-engine md5Hash60,
+    * postings capped at 128, pair counts are plain counts (per-doc
+    * distinctness makes each (pair, fp) row unique). */
+  private def dedupSubstringOracleSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS fp
+      |  FROM (
+      |    SELECT doc_id, array_to_string(ts[i : i + 7], ' ') AS gram
+      |    FROM (
+      |      SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+      |      FROM (SELECT doc_id,
+      |              list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |            FROM documents)
+      |      WHERE len(ts) >= 8))),
+      |postings AS (SELECT fp, count(1) AS df FROM g GROUP BY fp),
+      |idx AS (SELECT g.doc_id, g.fp FROM g JOIN postings USING (fp)
+      |        WHERE df <= 128)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_spans
+      |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of Similarity.annIndexStats — the knn_ivf coarse k-means
+    * CTEs plus the exact residual computation (proven by knn_ivfpq) and a
+    * fixed-point mean of the residual norms: floor(norm·2^20) sums as
+    * integers (< 2^53, so the double sum is exact in any order), one
+    * correctly-rounded divide at the end. */
+  private def annIndexStatsOracleSql: String = {
+    val k = 10
+    val dims = 64
+    val dist = (c: String) =>
+      s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
+         |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+    def assignCte(n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${dist("c")} ASC, c.c_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c${n - 1} c)
+         |  WHERE rn = 1)""".stripMargin
+    def meansCte(n: Int): String = {
+      val meanExprs = (1 to dims).map(dd =>
+        s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$dd] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+        .mkString("[\n      ", ",\n      ", "]")
+      s"""m$n AS (
+         |  SELECT c_id, $meanExprs AS centroid
+         |  FROM a$n JOIN embeddings e USING (vec_id) GROUP BY c_id),
+         |c$n AS (
+         |  SELECT p.c_id, coalesce(mm.centroid, p.centroid) AS centroid
+         |  FROM c${n - 1} p LEFT JOIN m$n mm USING (c_id))""".stripMargin
+    }
+    val iterations = (1 to 3).map(n => s"${assignCte(n)},\n${meansCte(n)}").mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS c_id, embedding AS centroid
+       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |$iterations,
+       |assigned AS (
+       |  SELECT vec_id, c_id AS list_id FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${dist("c")} ASC, c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c3 c)
+       |  WHERE rn = 1),
+       |res AS (
+       |  SELECT a.list_id,
+       |    list_transform(range(1, ${dims + 1}), i -> CAST(CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE) AS FLOAT)) AS r
+       |  FROM embeddings e JOIN assigned a USING (vec_id)
+       |  JOIN c3 c ON c.c_id = a.list_id),
+       |nrm AS (
+       |  SELECT list_id, sqrt(list_dot_product(r::DOUBLE[], r::DOUBLE[])) AS rn
+       |  FROM res)
+       |SELECT list_id, count(1) AS n_vectors,
+       |  round(CAST(sum(CAST(floor(rn * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(1) AS DOUBLE) / 1048576.0, 4) AS avg_res_norm
+       |FROM nrm GROUP BY list_id ORDER BY list_id""".stripMargin
+  }
+
   /** DuckDB twin of Graft.bpeMerges — the 10 training rounds unrolled as
     * CTE triples (p/b/s = pair counts, argmax, merged symbolization). The
     * merge application is the SAME literal `replace` over the chr(31)-
@@ -841,6 +1085,32 @@ object SparkEntry {
     * measured 17 s → 0.5 s at sf0.01. */
   private def bpeMergesOracleSql: String = {
     val rounds = 10
+    val union = (1 to rounds).map(i =>
+      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, c AS n_occurrences FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeCtesSql(rounds)}
+       |SELECT * FROM (
+       |  $union) u ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB twin of Graft.bpeEncode: the same unrolled training CTEs, final
+    * SELECT = the finished symbolization's token histogram (top-20 by
+    * occurrence count desc, token asc — integer counts). */
+  private def bpeEncodeOracleSql: String = {
+    val rounds = 10
+    s"""${bpeCtesSql(rounds)}
+       |SELECT token, CAST(sum(n) AS BIGINT) AS n_occurrences,
+       |  count(1) AS n_word_types
+       |FROM (SELECT unnest(string_split(trim(ws, chr(31)), chr(31) || chr(31))) AS token, n
+       |      FROM s$rounds) t
+       |GROUP BY token
+       |ORDER BY n_occurrences DESC, token ASC LIMIT 20""".stripMargin
+  }
+
+  /** The shared WITH-body: word histogram, chr(31)-wrapped symbolization,
+    * and `rounds` unrolled count/argmax/merge triples (see
+    * bpeMergesOracleSql's header comment for the exactness argument). */
+  private def bpeCtesSql(rounds: Int): String = {
     def pairs(i: Int): String =
       s"""p$i AS (
          |  SELECT ss[u.i] AS a, ss[u.i + 1] AS b, t.n AS n
@@ -855,9 +1125,6 @@ object SparkEntry {
          |  SELECT replace(ws, chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
          |                 chr(31) || bb.a || bb.b || chr(31)) AS ws, n
          |  FROM s${i - 1}, b$i bb)""".stripMargin
-    val union = (1 to rounds).map(i =>
-      s"SELECT $i AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, c AS n_occurrences FROM b$i")
-      .mkString("\n  UNION ALL ")
     s"""WITH w AS (
        |  SELECT word, count(1) AS n FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
@@ -865,9 +1132,7 @@ object SparkEntry {
        |s0 AS MATERIALIZED (
        |  SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS ws, n
        |  FROM w),
-       |${(1 to rounds).map(pairs).mkString(",\n")}
-       |SELECT * FROM (
-       |  $union) u ORDER BY merge_rank""".stripMargin
+       |${(1 to rounds).map(pairs).mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB twin of Graft.bpePairCounts: the word-type histogram, the same
@@ -1434,6 +1699,8 @@ object SparkEntry {
 
     "bpe_merges" -> bpeMergesOracleSql,
 
+    "bpe_encode" -> bpeEncodeOracleSql,
+
     "knn_lsh" -> knnLshOracleSql,
 
     "knn_ivf" -> knnIvfOracleSql,
@@ -1442,22 +1709,21 @@ object SparkEntry {
 
     "knn_ivfpq" -> knnIvfPqOracleSql,
 
-    "knn_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings),
-        |p AS (
-        |  SELECT q_id, c_id, label,
-        |    round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
-        |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
-        |       sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS score6
-        |  FROM q JOIN c ON q_id <> c_id),
-        |r AS (
-        |  SELECT q_id, c_id, label, score6,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
-        |  FROM p)
-        |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
-        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "knn_pq_sampled" -> knnPqSampledOracleSql,
+
+    "knn_refine" -> knnRefineOracleSql,
+
+    "ann_index_stats" -> annIndexStatsOracleSql,
+
+    "ann_recall" -> annRecallOracleSql,
+
+    "quality_classifier" -> qualityClassifierOracleSql,
+
+    "pmi_cooccur" -> pmiCooccurOracleSql,
+
+    "dedup_substring" -> dedupSubstringOracleSql,
+
+    "knn_bruteforce" -> knnBruteForceOracleSql,
 
     "vector_stats" ->
       """SELECT label, count(1) AS n_vectors,

@@ -193,7 +193,34 @@ object Graft {
     *
     * Output: (merge_rank, left_sym, right_sym, merged, n_occurrences) —
     * the merge table a BPE tokenizer ships. */
-  def bpeMerges(docs: DataFrame, textCol: String, budget: Int = 10): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, budget: Int = 10): DataFrame =
+    bpeTrain(docs, textCol, budget)._1
+
+  /** BPE ENCODE — apply the `budget` learned merges and report the resulting
+    * token (symbol) frequencies: the vocabulary a tokenizer built from this
+    * corpus would actually emit, and the coverage check before committing a
+    * merge table. Same training loop as `bpeMerges`; the output is the
+    * final symbolization's token histogram — (token, n_occurrences,
+    * n_word_types), top `topK` by occurrence count (count desc, token asc).
+    * Integer counts → fully oracle-able with the same unrolled CTEs. */
+  def bpeEncode(docs: DataFrame, textCol: String, budget: Int = 10,
+      topK: Int = 20): DataFrame = {
+    val SEP = "\u001f"
+    bpeTrain(docs, textCol, budget)._2
+      .select(col("__n"),
+        explode(expr(s"split(btrim(__ws, '$SEP'), '$SEP$SEP')")).as("token"))
+      .groupBy("token")
+      .agg(sum("__n").as("n_occurrences"), count(lit(1)).as("n_word_types"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("n_occurrences"), col("n_word_types"))
+  }
+
+  /** Shared BPE training loop: returns (merge table, final symbolization
+    * (__ws wrapped string, __n word count)). See `bpeMerges` for the
+    * representation and greedy-merge arguments. */
+  private def bpeTrain(docs: DataFrame, textCol: String,
+      budget: Int): (DataFrame, DataFrame) = {
     val SEP = "\u001f"
     val words = docs
       .select(explode(split(col(textCol), " ", -1)).as("__w"))
@@ -233,7 +260,7 @@ object Graft {
           .localCheckpoint(true)
       }
     }
-    merges.reduce(_.unionByName(_)).orderBy("merge_rank")
+    (merges.reduce(_.unionByName(_)).orderBy("merge_rank"), syms)
   }
 
   /** Bigram-LM document scoring — the CCNet/Gopher-style perplexity filter
@@ -300,6 +327,94 @@ object Graft {
       least(nTokens / 100.0, lit(1.0)) * 0.5
         + (lit(1.0) - punct / length(col(textCol))) * 0.3
         + least(stop / nTokens * 10.0, lit(1.0)) * 0.2)
+  }
+
+  /** Linear text-classifier INFERENCE over hashed bag-of-words features —
+    * the fastText-style quality/topic gate every corpus pipeline runs
+    * (Joulin '16): each token hashes into one of `buckets` feature ids, the
+    * model is a (bucket, weight) table, and a document's score is the mean
+    * weight of its token occurrences. The model rides a BROADCAST join onto
+    * the token stream (model size = `buckets` rows, independent of corpus
+    * size), the corpus is touched once, and per-doc state is two integers —
+    * the inference plan at 100 TB is scan → broadcast-join → groupBy.
+    *
+    * Weights are INTEGER (the fixed-point convention trained exports use);
+    * the mean rounds by the integer-exact ratio4 rule, so scores are
+    * bit-identical cross-engine. `weights` defaults to the deterministic
+    * md5-derived table `defaultHashedWeights` builds — swap in a trained
+    * model's table for production. Output: (idCol, n_tokens, score, label)
+    * with label = sign of the raw weight sum. */
+  def linearClassify(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024, weights: DataFrame = null): DataFrame = {
+    val spark = docs.sparkSession
+    val w = Option(weights).getOrElse(defaultHashedWeights(spark, buckets))
+    val toks = docs
+      .select(col(idCol), explode(expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)")).as("__t"))
+      .withColumn("bucket", pmod(md5Hash60(col("__t")), lit(buckets.toLong)))
+    toks.join(broadcast(w), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("weight").as("__sum"))
+      .withColumn("score", expr(
+        // signed integer/integer mean, half-up at 4 decimals, in pure
+        // integer arithmetic (ratio4 generalized to a signed numerator)
+        """CAST(CASE WHEN __sum >= 0
+          |  THEN (20000L * __sum + n_tokens) DIV (2L * n_tokens)
+          |  ELSE -((20000L * -__sum + n_tokens) DIV (2L * n_tokens))
+          |END AS DOUBLE) / 10000.0""".stripMargin))
+      .withColumn("label", when(col("__sum") > 0, lit("keep")).otherwise(lit("drop")))
+      .select(col(idCol), col("n_tokens"), col("score"), col("label"))
+  }
+
+  /** The deterministic stand-in model `linearClassify` defaults to: weight
+    * of bucket b = md5Hash60(b) mod 2001 − 1000 (an integer in ±1000).
+    * RNG-free and cross-engine mirrorable — the property that lets the
+    * registry oracle full model inference end-to-end. */
+  def defaultHashedWeights(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int): DataFrame =
+    spark.range(buckets).select(col("id").as("bucket"),
+      (pmod(md5Hash60(col("id").cast("string")), lit(2001L)) - 1000L).as("weight"))
+
+  /** Pointwise mutual information of ADJACENT token pairs — the collocation
+    * statistic ("New York", "machine learning") corpus analysis and
+    * tokenizer-vocabulary work rank by: PMI(a,b) = ln(c_ab·N / (c_a·c_b))
+    * with N = total token count. Three hash aggregates over one corpus pass
+    * (bigram counts, unigram counts, one global count — the unigram/total
+    * frames joined back onto the vocabulary-sized bigram table); nothing
+    * is ever quadratic in corpus or vocabulary. The ln quantizes on the
+    * lmPerplexity grid (floor(ln·2^20)/2^20 — IEEE ln of an IEEE quotient,
+    * then a floor: bit-identical cross-engine). Output: top `topK` pairs
+    * with c_ab ≥ `minCount` by (pmi desc, a asc, b asc). */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    val toks = docs.select(expr(
+      s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)").as("__ts"))
+    val uni = toks.select(explode(col("__ts")).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = uni.agg(sum("__c").as("__n"))
+    val bg = toks.filter(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(2, size(__ts)),
+          |  i -> struct(element_at(__ts, i - 1) AS a, element_at(__ts, i) AS b))"""
+          .stripMargin)).as("__bg"))
+      .select(col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    // unigram counts attach by equi-join, NOT broadcast: a web-scale vocab
+    // (10^8 tokens) outgrows a broadcast table; both sides here are
+    // vocabulary-sized, so the shuffle is bounded by vocab, never corpus.
+    bg.join(uni.select(col("__t").as("a"), col("__c").as("__ca")), "a")
+      .join(uni.select(col("__t").as("b"), col("__c").as("__cb")), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", expr(
+        // 1048576.0D: the plain decimal literal would type the division
+        // DECIMAL, not DOUBLE (SQL literal typing, unlike the Scala DSL)
+        """CAST(floor(ln(CAST(n_pair AS DOUBLE) * CAST(__n AS DOUBLE)
+          |  / (CAST(__ca AS DOUBLE) * CAST(__cb AS DOUBLE))) * 1048576.0D) AS DOUBLE)
+          |  / 1048576.0D""".stripMargin))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+      .select(col("a"), col("b"), col("n_pair"), col("pmi"))
   }
 
   // ---------- dedup ----------
@@ -444,6 +559,44 @@ object Graft {
       .withColumn("contained_id",
         when(col("__sa") <= col("__sb"), col("id_a")).otherwise(col("id_b")))
       .select("id_a", "id_b", "n_common", "containment", "contained_id")
+  }
+
+  /** VERBATIM-SPAN overlap detector — the exact-substring dedup signal of
+    * Lee et al. '21 ("Deduplicating Training Data Makes Language Models
+    * Better"): two documents sharing any verbatim run of ≥ `spanTokens`
+    * tokens are reported with how many distinct such spans they share. A
+    * suffix array is the single-node tool; the distributed shape is the
+    * same capped-inverted-index core as `ngramJaccardCandidates`, run on
+    * POSITION-ORDERED `spanTokens`-grams hashed to 60-bit fingerprints
+    * (md5Hash60 — cross-engine exact): fingerprint → postings, lists capped
+    * at `maxPostings` (boilerplate spans that appear everywhere carry no
+    * pair signal and would be the quadratic hot spot), pair-join within
+    * lists, count DISTINCT shared fingerprints per pair. Work is linear in
+    * corpus tokens plus Σ|posting|² over capped lists — never doc×doc.
+    * Output: (id_a, id_b, n_spans) with id_a < id_b, n_spans ≥ `minSpans`. */
+  def substringOverlapCandidates(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, minSpans: Long = 1L,
+      maxPostings: Long = 128L): DataFrame = {
+    val n = spanTokens
+    val grams = df
+      .withColumn("__toks", expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
+           |  i -> array_join(slice(__toks, i, $n), ' ')))""".stripMargin)).as("__g"))
+      .select(col(idCol), md5Hash60(col("__g")).as("fp"))
+    val postings = grams.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val idx = grams.join(postings, "fp").filter(col("__df") <= maxPostings)
+      .drop("__df")
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("a.fp"))
+      // plain count IS the distinct-span count: grams are array_distinct'd
+      // per document, so each (pair, fp) row is already unique — a
+      // countDistinct here would pay the two-phase expand for nothing
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_spans"))
+      .filter(col("n_spans") >= minSpans)
   }
 
   /** Edit-distance near-dup with parameterized blocking: pairs must agree on
@@ -818,14 +971,19 @@ object Graft {
         .isin(trainHexDigits: _*))
     val distExpr =
       s"vec_dot(`$vecCol`, `$vecCol`) - 2 * vec_dot(`$vecCol`, centroid) + vec_dot(centroid, centroid)"
-    def nearest(cent: DataFrame, over: DataFrame = vecs): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("__dist").asc, col("c_id").asc)
+    // Assignment is an ARGMIN AGGREGATE, not a per-id window: min over
+    // struct(__dist, c_id, vec) is lexicographic, so it reproduces the
+    // (__dist asc, c_id asc) tie-break exactly (c_id is unique per candidate,
+    // the vec payload is never compared), while partial aggregation combines
+    // map-side — the shuffle carries one row per id instead of the full
+    // N·k candidate set a row_number window would sort.
+    def nearest(cent: DataFrame, over: DataFrame = vecs): DataFrame =
       over.crossJoin(broadcast(cent))
         .withColumn("__dist", expr(distExpr))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "__dist", "centroid")
-    }
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__dist"), col("c_id"), col(vecCol))).as("__best"))
+        .select(col(idCol), col("__best.c_id").as("c_id"),
+          col(s"__best.$vecCol").as(vecCol))
     // "first-k": the k lowest-id vectors — the byte-stable default the
     // knn_ivf oracle freezes. "farthest-first": kmeans++-style spread
     // seeding WITHOUT RNG (Gonzalez's k-center greedy, the deterministic

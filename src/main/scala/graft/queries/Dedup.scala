@@ -67,6 +67,17 @@ object Dedup {
         minContainment = 0.5, maxPostings = 128L)
       .orderBy("id_a", "id_b")
 
+  /** Verbatim-span overlap (Graft.substringOverlapCandidates, Lee '21):
+    * pairs sharing ≥1 exact 8-token run, found via md5-fingerprinted
+    * position-grams in a postings-capped inverted index — the distributed
+    * stand-in for suffix-array exact-substring dedup. Fully oracled (the
+    * fingerprints are the cross-engine md5Hash60). */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.substringOverlapCandidates(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", spanTokens = 8, minSpans = 1L, maxPostings = 128L)
+      .orderBy("id_a", "id_b")
+
   /** MinHash signature + banded LSH candidate pairs (the standard large-scale
     * near-dup algorithm: Broder '97 resemblance sketches + banding).
     * 32 permutations h_i(x) = (a_i·x + b_i) mod p over the shingle hashes,

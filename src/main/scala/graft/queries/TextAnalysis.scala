@@ -251,6 +251,30 @@ object TextAnalysis {
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.bpeMerges(Tables.documents(s, d), "text", budget = 10)
 
+  /** BPE encode (Graft.bpeEncode): tokenize the corpus with the 10 learned
+    * merges and report the resulting top-20 token frequencies — the
+    * vocabulary/coverage readout that closes the tokenizer-training loop.
+    * Same unrolled-CTE oracle machinery as bpe_merges. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.bpeEncode(Tables.documents(s, d), "text", budget = 10,
+      topK = 20)
+
+  /** Linear classifier inference (Graft.linearClassify): hashed
+    * bag-of-words features × a broadcast (bucket, weight) model — fastText-
+    * shape quality gating as one scan + broadcast join + groupBy. The
+    * deterministic md5-derived stand-in model makes full model inference
+    * oracle-able end-to-end (integer weights, ratio4 mean). */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.linearClassify(Tables.documents(s, d), "doc_id", "text",
+      buckets = 1024).orderBy("doc_id")
+
+  /** Adjacent-pair PMI collocations (Graft.pmiBigrams): ln(c_ab·N/(c_a·c_b))
+    * on the quantized-ln grid, top-20 pairs with count ≥ 5 — three hash
+    * aggregates over one corpus pass, joins all vocabulary-sized. */
+  def pmiCooccur(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.pmiBigrams(Tables.documents(s, d), "text",
+      minCount = 5L, topK = 20)
+
   /** Bigram-LM log-perplexity scoring (Graft.lmPerplexity): the CCNet-style
     * quality filter — an add-1 bigram model trained on the corpus scores
     * every document's mean negative log probability. Quantized-ln fixed

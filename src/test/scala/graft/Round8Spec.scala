@@ -160,4 +160,73 @@ class Round8Spec extends SparkSpec {
     graft.queries.Formats.partitionedWrite(spark, sf).collect()
     assert(new java.io.File(s"/tmp/graft_part_write/$appId").exists())
   }
+
+  // ---------- linear classifier inference ----------
+
+  test("linearClassify scores a hand-built model exactly") {
+    val docs = Seq((1L, "a b c"), (2L, "b b")).toDF("doc_id", "text")
+    // look the buckets up with the same hash the operator uses, then pin
+    // each token's weight — the test controls the model, not the hash
+    val buckets = Seq("a", "b", "c").toDF("tok")
+      .select(col("tok"), pmod(graft.api.Graft.md5Hash60(col("tok")), lit(1024L)).as("bucket"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Seq((buckets("a"), 3L), (buckets("b"), -1L), (buckets("c"), 1L))
+      .toDF("bucket", "weight")
+    val got = graft.api.Graft.linearClassify(docs, "doc_id", "text",
+        buckets = 1024, weights = w)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // doc 1: (3 - 1 + 1)/3 = 1.0 keep; doc 2: -2/2 = -1.0 drop
+    assert(got === Array((1L, 3L, 1.0, "keep"), (2L, 2L, -1.0, "drop")))
+  }
+
+  // ---------- PMI collocations ----------
+
+  test("pmiBigrams matches the by-hand quantized-ln model") {
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = graft.api.Graft.pmiBigrams(docs, "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // tokens a,b ×3 each, N=6; pairs (a,b)×3, (b,a)×2
+    val pmiAB = math.floor(math.log(3.0 * 6.0 / 9.0) * 1048576.0) / 1048576.0
+    val pmiBA = math.floor(math.log(2.0 * 6.0 / 9.0) * 1048576.0) / 1048576.0
+    assert(got === Array(("a", "b", 3L, pmiAB), ("b", "a", 2L, pmiBA)))
+  }
+
+  // ---------- verbatim-span overlap (Lee '21 shape) ----------
+
+  test("substringOverlapCandidates finds exactly the shared 8-token run") {
+    val ts = (1 to 12).map("t" + _)
+    val docs = Seq(
+      (1L, ts.mkString(" ")),                              // t1..t12
+      (2L, "z1 z2 " + ts.slice(2, 10).mkString(" ")),      // t3..t10 embedded
+      (3L, (1 to 10).map("u" + _).mkString(" "))           // unrelated
+    ).toDF("doc_id", "text")
+    val got = graft.api.Graft.substringOverlapCandidates(docs, "doc_id", "text",
+        spanTokens = 8, minSpans = 1L, maxPostings = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the single shared fingerprint is the span t3..t10
+    assert(got === Array((1L, 2L, 1L)))
+  }
+
+  // ---------- ANN recall eval ----------
+
+  test("annRecall agrees with a direct intersection of the tier outputs") {
+    val got = graft.queries.Similarity.annRecall(spark, sf).collect()
+    assert(got.length === 10)
+    got.foreach { r =>
+      val (hl, rl) = (r.getLong(1), r.getDouble(2))
+      val (hp, rp) = (r.getLong(3), r.getDouble(4))
+      assert(hl >= 0L && hl <= 5L && rl === hl / 5.0)
+      assert(hp >= 0L && hp <= 5L && rp === hp / 5.0)
+    }
+    // cross-check the LSH column against a direct set intersection
+    val bf = graft.queries.Similarity.knnBruteForce(spark, sf)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.queries.Similarity.knnLsh(spark, sf)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = lsh.groupBy(_._1).view.mapValues(_.count(bf.contains)).toMap
+    got.foreach { r =>
+      assert(r.getLong(1) === expected.getOrElse(r.getLong(0), 0).toLong)
+    }
+  }
 }
