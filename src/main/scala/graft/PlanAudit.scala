@@ -177,6 +177,11 @@ object PlanAudit {
       ("ann_recall", p => !p.contains("CartesianProduct")
         && p.contains("ObjectHashAggregate"),
         "recall eval: exact references use the fused min-k aggregate; no cartesian anywhere"),
+      ("doc_winnowing", p => !p.contains("Join") && !p.contains("Window")
+        && !p.contains("CartesianProduct"),
+        "winnowing is row-local array arithmetic: one scan, no join, no window"),
+      ("source_report", p => p.contains("HashAggregate") && !p.contains("Join"),
+        "corpus report card: one hash aggregate over a single scan, no join"),
     )
 
     var failed = 0

@@ -92,6 +92,8 @@ object SparkEntry {
     "dedup_substring"   -> Dedup.dedupSubstring _,
     "quality_classifier" -> TextAnalysis.qualityClassifier _,
     "pmi_cooccur"       -> TextAnalysis.pmiCooccur _,
+    "doc_winnowing"     -> TextAnalysis.docWinnowing _,
+    "source_report"     -> TextAnalysis.sourceReport _,
     "bpe_pair_counts"   -> TextAnalysis.bpePairCounts _,
     "bpe_merges"        -> TextAnalysis.bpeMerges _,
     "bpe_encode"        -> TextAnalysis.bpeEncode _,
@@ -177,6 +179,7 @@ object SparkEntry {
     "stream_hll"        -> StreamingQueries.streamHllDistinct _,
     "stream_quality_filter" -> StreamingQueries.streamQualityFilter _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
+    "stream_classify"   -> StreamingQueries.streamClassify _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -943,10 +946,10 @@ object SparkEntry {
        |LEFT JOIN ph USING (q_id)
        |ORDER BY q_id""".stripMargin
 
-  /** DuckDB twin of Graft.linearClassify over the deterministic md5 model:
-    * the weight table, the hashed-token join, and the signed ratio4 mean
-    * are all integer-exact, so full model INFERENCE hash-matches. */
-  private def qualityClassifierOracleSql: String =
+  /** Shared classifier CTEs (deterministic md5 model → hashed-token join →
+    * per-doc integer weight sums): quality_classifier reads the per-doc
+    * scores, stream_classify reads the per-label rollup of the SAME model. */
+  private val classifierCtesSql: String =
     """WITH w AS (
       |  SELECT b AS bucket,
       |    ('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS weight
@@ -959,12 +962,72 @@ object SparkEntry {
       |        FROM documents)),
       |agg AS (
       |  SELECT doc_id, count(1) AS n_tokens, CAST(sum(weight) AS BIGINT) AS s
-      |  FROM t JOIN w USING (bucket) GROUP BY doc_id)
-      |SELECT doc_id, n_tokens,
-      |  CAST(CASE WHEN s >= 0 THEN (20000 * s + n_tokens) // (2 * n_tokens)
-      |       ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score,
-      |  CASE WHEN s > 0 THEN 'keep' ELSE 'drop' END AS label
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |  FROM t JOIN w USING (bucket) GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of Graft.linearClassify over the deterministic md5 model:
+    * the weight table, the hashed-token join, and the signed ratio4 mean
+    * are all integer-exact, so full model INFERENCE hash-matches. */
+  private def qualityClassifierOracleSql: String =
+    s"""$classifierCtesSql
+       |SELECT doc_id, n_tokens,
+       |  CAST(CASE WHEN s >= 0 THEN (20000 * s + n_tokens) // (2 * n_tokens)
+       |       ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score,
+       |  CASE WHEN s > 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of StreamingQueries.streamClassify — the complete-mode
+    * final state IS the batch rollup of the same classifier. */
+  private def streamClassifyOracleSql: String =
+    s"""$classifierCtesSql
+       |SELECT CASE WHEN s > 0 THEN 'keep' ELSE 'drop' END AS label,
+       |  count(1) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_volume
+       |FROM agg GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** DuckDB twin of Graft.winnowFingerprints (k=4, w=5): row-local list
+    * arithmetic end-to-end — gram hashes via the cross-engine md5Hash60,
+    * per-window minima, distinct selected values, integer ratio4 density. */
+  private def docWinnowingOracleSql: String =
+    """WITH ts AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(ts) - 2),
+      |      i -> ('0x' || substring(md5(array_to_string(ts[i : i + 3], ' ')), 1, 15))::BIGINT) AS hs
+      |  FROM ts WHERE len(ts) >= 4),
+      |sel AS (
+      |  SELECT doc_id, len(hs) AS n_kgrams,
+      |    len(list_distinct(list_transform(range(1, greatest(len(hs) - 4, 1) + 1),
+      |      j -> list_aggregate(hs[j : j + 4], 'min')))) AS n_fp
+      |  FROM hs)
+      |SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+      |  CAST(n_fp AS BIGINT) AS n_fingerprints,
+      |  CAST((20000 * n_fp + n_kgrams) // (2 * n_kgrams) AS DOUBLE) / 10000.0 AS density
+      |FROM sel ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.sourceReport: the ONE qualityScore formula
+    * (same operation order as the green quality_score oracle), mean folded
+    * in fixed point (sum of floor(q·2^20) as exact integers, one divide),
+    * keep-share via integer ratio4 on the unrounded threshold compare. */
+  private def sourceReportOracleSql: String =
+    """WITH sc AS (
+      |  SELECT source, lang, CAST(nt AS BIGINT) AS ntl,
+      |    least(nt / 100.0, 1.0) * 0.5 + (1.0 - p / cl) * 0.3
+      |      + least(stop / nt * 10.0, 1.0) * 0.2 AS q
+      |  FROM (
+      |    SELECT source, lang,
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+      |      CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS p,
+      |      CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is'))) AS DOUBLE) AS stop,
+      |      CAST(length(text) AS DOUBLE) AS cl
+      |    FROM documents))
+      |SELECT source, lang, count(1) AS n_docs,
+      |  CAST(sum(ntl) AS BIGINT) AS tok_volume,
+      |  round(CAST(sum(CAST(floor(q * 1048576.0) AS BIGINT)) AS DOUBLE)
+      |    / CAST(count(1) AS DOUBLE) / 1048576.0, 4) AS mean_quality,
+      |  CAST((20000 * count(1) FILTER (WHERE q >= 0.5) + count(1))
+      |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS keep_share
+      |FROM sc GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   /** DuckDB twin of Graft.pmiBigrams: same quantized-ln grid the
     * quality_perplexity oracle proved (floor(ln(q)·2^20) of an IEEE
@@ -1719,7 +1782,13 @@ object SparkEntry {
 
     "quality_classifier" -> qualityClassifierOracleSql,
 
+    "stream_classify" -> streamClassifyOracleSql,
+
     "pmi_cooccur" -> pmiCooccurOracleSql,
+
+    "doc_winnowing" -> docWinnowingOracleSql,
+
+    "source_report" -> sourceReportOracleSql,
 
     "dedup_substring" -> dedupSubstringOracleSql,
 

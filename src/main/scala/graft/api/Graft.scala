@@ -599,6 +599,42 @@ object Graft {
       .filter(col("n_spans") >= minSpans)
   }
 
+  /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD '03 —
+    * the MOSS algorithm): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram positions, keep each window's MINIMUM hash. The
+    * guarantee: any shared run of ≥ w+k−1 tokens yields at least one shared
+    * selected fingerprint, while storage drops to ~2/(w+1) of the gram
+    * count. Selection is by hash VALUE alone (the distinct selected-value
+    * set is invariant to which tied position a window picks, so no
+    * positional tie-break is needed for a deterministic output). Entirely
+    * ROW-LOCAL array arithmetic — zero shuffles; the 60-bit md5 gram hash
+    * keeps it cross-engine exact. Output: (idCol, n_kgrams, n_fingerprints,
+    * density) for docs with ≥ 1 gram; density = selected/grams by the
+    * integer ratio4 rule. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    df
+      .withColumn("__ts", expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .filter(size(col("__ts")) >= k)
+      .withColumn("__hs", expr(
+        s"""transform(sequence(1, size(__ts) - ${k - 1}),
+           |  i -> CAST(conv(substring(md5(array_join(slice(__ts, i, $k), ' ')), 1, 15),
+           |                 16, 10) AS BIGINT))""".stripMargin))
+      // fewer grams than the window → one window over all of them (the
+      // degenerate case the paper folds into "select the min of what's there")
+      .withColumn("__sel", expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(__hs) - ${w - 1}, 1)),
+           |  j -> array_min(slice(__hs, j, $w))))""".stripMargin))
+      .select(col(idCol),
+        size(col("__hs")).cast("long").as("n_kgrams"),
+        size(col("__sel")).cast("long").as("n_fingerprints"),
+        expr("""CAST((20000L * size(__sel) + size(__hs))
+               |  DIV (2L * size(__hs)) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("density"))
+  }
+
   /** Edit-distance near-dup with parameterized blocking: pairs must agree on
     * every `blockCols` value and on the first `blockPrefixLen` chars, then
     * Levenshtein over the first `headLen` chars ≤ `maxDist` decides. Output:

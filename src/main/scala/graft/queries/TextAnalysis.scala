@@ -259,6 +259,34 @@ object TextAnalysis {
     graft.api.Graft.bpeEncode(Tables.documents(s, d), "text", budget = 10,
       topK = 20)
 
+  /** Winnowing fingerprint selection (Graft.winnowFingerprints — the MOSS
+    * algorithm, Schleimer '03): per-document selected-fingerprint stats at
+    * k=4, w=5. Row-local array arithmetic, zero shuffles, md5-hash grams →
+    * fully oracled. */
+  def docWinnowing(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.winnowFingerprints(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 4, w = 5)
+      .orderBy("doc_id")
+
+  /** Per-(source, lang) corpus report card — the rollup a curation run
+    * reviews before committing a mix: doc counts, token volume, mean
+    * quality (the ONE Graft.qualityScore formula, mean folded in fixed
+    * point — sum of floor(q·2^20) as exact integers, one divide), and the
+    * share of docs clearing the 0.5 keep threshold (integer ratio4). */
+  def sourceReport(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.qualityScore(Tables.documents(s, d), "text", out = "__q")
+      .withColumn("__nt", size(split(col("text"), " ", -1)).cast("long"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("tok_volume"),
+        round(sum(floor(col("__q") * 1048576.0)).cast("double")
+          / count(lit(1)).cast("double") / 1048576.0, 4).as("mean_quality"),
+        expr("""CAST((20000L * count_if(__q >= 0.5D) + count(1))
+               |  DIV (2L * count(1)) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("keep_share"))
+      .orderBy("source", "lang")
+
   /** Linear classifier inference (Graft.linearClassify): hashed
     * bag-of-words features × a broadcast (bucket, weight) model — fastText-
     * shape quality gating as one scan + broadcast join + groupBy. The

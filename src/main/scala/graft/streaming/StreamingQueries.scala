@@ -129,6 +129,25 @@ object StreamingQueries {
       .orderBy("lang")
   }
 
+  /** Linear-classifier INFERENCE on a stream — the SAME Graft.linearClassify
+    * call as the batch quality_classifier query, unchanged, over the
+    * documents stream: the (bucket, weight) model is a static side table
+    * (stream-static broadcast join), per-doc scores incrementalize as
+    * grouped state, and the output rolls up to per-label counts + token
+    * volume (integer tally + exact long sum — no float aggregation).
+    * Batch/stream polymorphism pinned on model inference. */
+  def streamClassify(s: SparkSession, d: String): DataFrame = {
+    // ONE streaming aggregation (per-doc scores — chained streaming aggs are
+    // unsupported); the per-label rollup reads the final in-memory state as
+    // a batch frame, which is exactly the complete-mode readout semantics.
+    val scored = graft.api.Graft.linearClassify(
+      readStreamTable(s, d, "documents"), "doc_id", "text", buckets = 1024)
+    runToMemory(s, scored, "graft_stream_classify", "complete")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_volume"))
+      .orderBy("label")
+  }
+
   /** The ordered funnel running ON A STREAM — the exact same Graft.funnel
     * call as the batch funnel_analysis query, unchanged: its one
     * conditional-min aggregation incrementalizes (per-user firsts are

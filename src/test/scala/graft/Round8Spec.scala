@@ -208,6 +208,70 @@ class Round8Spec extends SparkSpec {
     assert(got === Array((1L, 2L, 1L)))
   }
 
+  // ---------- winnowing (MOSS) ----------
+
+  test("winnowFingerprints: degenerate and bounded window counts") {
+    val docs = Seq(
+      (1L, "a b c d"),                          // 1 gram -> 1 window -> 1 fp
+      (2L, (1 to 10).map("t" + _).mkString(" ")) // 7 grams, 3 windows
+    ).toDF("doc_id", "text")
+    val got = graft.api.Graft.winnowFingerprints(docs, "doc_id", "text",
+        k = 4, w = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) === ((1L, 1L, 1L, 1.0)))
+    val (_, grams, fps, density) = got(1)
+    assert(grams === 7L && fps >= 1L && fps <= 3L)
+    assert(density === math.floor((20000.0 * fps + grams) / (2 * grams)) / 10000.0)
+  }
+
+  test("winnowing guarantee: docs sharing >= w+k-1 tokens share a fingerprint") {
+    // reconstruct the selected sets with the same expressions the operator
+    // uses, on two docs sharing an 8-token (= w+k-1) run
+    val shared = (1 to 8).map("s" + _).mkString(" ")
+    val docs = Seq((1L, "x1 x2 " + shared), (2L, shared + " y1 y2"))
+      .toDF("doc_id", "text")
+    val sel = docs
+      .withColumn("__ts", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .withColumn("__hs", expr(
+        """transform(sequence(1, size(__ts) - 3),
+          |  i -> CAST(conv(substring(md5(array_join(slice(__ts, i, 4), ' ')), 1, 15),
+          |                 16, 10) AS BIGINT))""".stripMargin))
+      .withColumn("__sel", expr(
+        """array_distinct(transform(sequence(1, greatest(size(__hs) - 4, 1)),
+          |  j -> array_min(slice(__hs, j, 5))))""".stripMargin))
+      .select(col("doc_id"), explode(col("__sel")).as("fp"))
+    val byDoc = sel.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+  }
+
+  // ---------- per-source corpus report ----------
+
+  test("sourceReport conserves doc counts and bounds its ratios") {
+    val rep = graft.queries.TextAnalysis.sourceReport(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rep.map(_.getLong(2)).sum === total)
+    rep.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // mean_quality
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // keep_share
+    }
+  }
+
+  // ---------- streaming classifier inference ----------
+
+  test("streamClassify final state equals the batch classifier rollup") {
+    val stream = graft.streaming.StreamingQueries.streamClassify(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.api.Graft.linearClassify(
+        Tables.documents(spark, sf), "doc_id", "text", buckets = 1024)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_volume"))
+      .orderBy("label")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stream === batch)
+  }
+
   // ---------- ANN recall eval ----------
 
   test("annRecall agrees with a direct intersection of the tier outputs") {
