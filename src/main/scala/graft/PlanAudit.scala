@@ -182,6 +182,12 @@ object PlanAudit {
         "winnowing is row-local array arithmetic: one scan, no join, no window"),
       ("source_report", p => p.contains("HashAggregate") && !p.contains("Join"),
         "corpus report card: one hash aggregate over a single scan, no join"),
+      ("ann_probe_sweep", p => !p.contains("CartesianProduct")
+        && p.contains("ObjectHashAggregate"),
+        "probe sweep: one candidate materialization filtered per cutoff; fused min-k top-5"),
+      ("scd2_history", p => p.contains("Window")
+        && p.contains("hashpartitioning(user_id"),
+        "SCD2: both windows hash-partition on the key - state is one key's history, never global"),
     )
 
     var failed = 0

@@ -107,6 +107,7 @@ object SparkEntry {
     "knn_refine"        -> Similarity.knnRefine _,
     "ann_index_stats"   -> Similarity.annIndexStats _,
     "ann_recall"        -> Similarity.annRecall _,
+    "ann_probe_sweep"   -> Similarity.annProbeSweep _,
     "vector_stats"      -> Similarity.vectorStats _,
     "array_funcs"       -> Relational.arrayFuncs _,
     "skew_safe_distinct" -> Relational.skewSafeDistinct _,
@@ -226,6 +227,7 @@ object SparkEntry {
     "sketch_count_min"  -> PipelineOps.sketchCountMin _,
     "hll_union"         -> PipelineOps.hllUnion _,
     "merge_upsert"      -> PipelineOps.mergeUpsert _,
+    "scd2_history"      -> PipelineOps.scd2History _,
     "funnel_analysis"   -> PipelineOps.funnelAnalysis _,
     "retention_cohorts" -> PipelineOps.retentionCohorts _,
     "join_bucketed"     -> PipelineOps.joinBucketed _,
@@ -1085,13 +1087,16 @@ object SparkEntry {
     * fixed-point mean of the residual norms: floor(norm·2^20) sums as
     * integers (< 2^53, so the double sum is exact in any order), one
     * correctly-rounded divide at the end. */
-  private def annIndexStatsOracleSql: String = {
-    val k = 10
-    val dims = 64
-    val dist = (c: String) =>
-      s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
-         |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
-         |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+  /** The coarse k-means + final assignment CTEs (c0..c3, assigned) shared
+    * by annIndexStats and annProbeSweep — extracted verbatim from the
+    * green annIndexStats oracle so both read the SAME trained lists. */
+  private def coarseKmeansDistSql(c: String): String =
+    s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+       |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
+       |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+
+  private def coarseKmeansCtesSql(k: Int, dims: Int): String = {
+    val dist = coarseKmeansDistSql _
     def assignCte(n: Int): String =
       s"""a$n AS (
          |  SELECT vec_id, c_id FROM (
@@ -1112,7 +1117,7 @@ object SparkEntry {
          |  FROM c${n - 1} p LEFT JOIN m$n mm USING (c_id))""".stripMargin
     }
     val iterations = (1 to 3).map(n => s"${assignCte(n)},\n${meansCte(n)}").mkString(",\n")
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT vec_id AS c_id, embedding AS centroid
        |  FROM embeddings ORDER BY vec_id LIMIT $k),
        |$iterations,
@@ -1122,7 +1127,12 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${dist("c")} ASC, c.c_id ASC) AS rn
        |    FROM embeddings e CROSS JOIN c3 c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def annIndexStatsOracleSql: String = {
+    val dims = 64
+    s"""WITH ${coarseKmeansCtesSql(10, dims)},
        |res AS (
        |  SELECT a.list_id,
        |    list_transform(range(1, ${dims + 1}), i -> CAST(CAST(e.embedding[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE) AS FLOAT)) AS r
@@ -1136,6 +1146,81 @@ object SparkEntry {
        |    / CAST(count(1) AS DOUBLE) / 1048576.0, 4) AS avg_res_norm
        |FROM nrm GROUP BY list_id ORDER BY list_id""".stripMargin
   }
+
+  /** DuckDB twin of Similarity.annProbeSweep — the nprobe tuning curve:
+    * the SAME coarse k-means lists as ann_index_stats, probe ranks per
+    * query, one widest-setting candidate materialization filtered per
+    * nprobe cutoff, exact-L2 top-5 per (nprobe, q), recall vs the global
+    * exact reference. n_hits/50 is one IEEE divide of small integers. */
+  private def annProbeSweepOracleSql: String = {
+    val l2 = (a: String, b: String) =>
+      s"""(list_dot_product($a::DOUBLE[], $a::DOUBLE[])
+         |     - 2 * list_dot_product($a::DOUBLE[], $b::DOUBLE[])
+         |     + list_dot_product($b::DOUBLE[], $b::DOUBLE[]))""".stripMargin
+    s"""WITH ${coarseKmeansCtesSql(10, 64)},
+       |pr AS (
+       |  SELECT q_id, list_id, probe_rank FROM (
+       |    SELECT e.vec_id AS q_id, c.c_id AS list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${coarseKmeansDistSql("c")} ASC, c.c_id ASC) AS probe_rank
+       |    FROM embeddings e CROSS JOIN c3 c
+       |    WHERE e.vec_id < 10)
+       |  WHERE probe_rank <= 3),
+       |cand AS (
+       |  SELECT pr.q_id, a.vec_id AS c_id, pr.probe_rank,
+       |    ${l2("q.embedding", "e.embedding")} AS d
+       |  FROM pr
+       |  JOIN assigned a ON a.list_id = pr.list_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN embeddings q ON q.vec_id = pr.q_id
+       |  WHERE a.vec_id <> pr.q_id),
+       |sweep AS (
+       |  SELECT n.nprobe, c.q_id, c.c_id, c.d
+       |  FROM cand c CROSS JOIN (SELECT unnest([1, 2, 3]) AS nprobe) n
+       |  WHERE c.probe_rank <= n.nprobe),
+       |top5 AS (
+       |  SELECT nprobe, q_id, c_id FROM (
+       |    SELECT nprobe, q_id, c_id,
+       |      row_number() OVER (PARTITION BY nprobe, q_id
+       |        ORDER BY d ASC, c_id ASC) AS rn
+       |    FROM sweep)
+       |  WHERE rn <= 5),
+       |el AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${l2("q.embedding", "e.embedding")} ASC, e.vec_id ASC) AS rn
+       |    FROM embeddings q CROSS JOIN embeddings e
+       |    WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+       |  WHERE rn <= 5),
+       |h AS (
+       |  SELECT t.nprobe, count(1) AS n_hits
+       |  FROM top5 t JOIN el USING (q_id, c_id) GROUP BY t.nprobe),
+       |nc AS (
+       |  SELECT nprobe, count(1) AS n_candidates FROM sweep GROUP BY nprobe)
+       |SELECT CAST(nc.nprobe AS INTEGER) AS nprobe, n_candidates,
+       |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 50.0 AS recall
+       |FROM nc LEFT JOIN h USING (nprobe)
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  /** DuckDB twin of Graft.scd2History over the events feed: identical
+    * two-window shape — consecutive-duplicate compression by lag, validity
+    * interval by lead over the survivors, (ts, event_id) tie-broken. */
+  private def scd2HistoryOracleSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM f WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM c ORDER BY user_id, valid_from""".stripMargin
 
   /** DuckDB twin of Graft.bpeMerges — the 10 training rounds unrolled as
     * CTE triples (p/b/s = pair counts, argmax, merged symbolization). The
@@ -1779,6 +1864,10 @@ object SparkEntry {
     "ann_index_stats" -> annIndexStatsOracleSql,
 
     "ann_recall" -> annRecallOracleSql,
+
+    "ann_probe_sweep" -> annProbeSweepOracleSql,
+
+    "scd2_history" -> scd2HistoryOracleSql,
 
     "quality_classifier" -> qualityClassifierOracleSql,
 

@@ -1643,6 +1643,31 @@ object Graft {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** SCD TYPE-2 history build — the missing third of the CDC family
+    * (mergeUpsert = overwrite, latestPerKey = SCD1 collapse, this =
+    * full validity-interval history): from a change feed, per key, compress
+    * consecutive rows with an unchanged tracked attribute, then emit each
+    * surviving change as a [valid_from, valid_to) interval with the open
+    * (NULL valid_to) row flagged current. Two windows, both PARTITIONED BY
+    * THE KEY — state per task is one key's change history, never
+    * data-sized; the shuffle is the one hash partition on the key. The
+    * `orderCols` tie-break (e.g. event id after the timestamp) makes the
+    * interval sequence deterministic under equal timestamps. */
+  def scd2History(changes: DataFrame, keyCol: String, attrCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "scd2History needs at least one order column")
+    val ord = orderCols.map(c => col(c).asc)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    changes
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("valid_from", col(orderCols.head))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"),
+        col("is_current"))
+  }
+
   /** Deterministic row-content hash over EVERY column, for tie-breaks in
     * latestPerKey / KV upserts. Spark disallows hash expressions on maps
     * ([DATATYPE_MISMATCH.HASH_MAP_TYPE]), so map-bearing columns fold in via

@@ -237,6 +237,19 @@ object PipelineOps {
       .orderBy("o_orderkey")
   }
 
+  /** SCD Type-2 history (Graft.scd2History): per-user event_type change
+    * intervals from the events feed — consecutive unchanged states
+    * compress, each surviving change gets [valid_from, valid_to) with the
+    * open row flagged current. (ts, event_id) ordering makes the interval
+    * sequence deterministic under equal timestamps. Completes the CDC
+    * family next to merge_upsert (overwrite) and latestPerKey (SCD1). */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.scd2History(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        "user_id", "event_type", Seq("ts", "event_id"))
+      .orderBy("user_id", "valid_from")
+
   /** Ordered funnel: how far each user advances through
     * signup → view → click → purchase, where each stage must occur at or
     * after the previous stage's FIRST occurrence. One conditional-min

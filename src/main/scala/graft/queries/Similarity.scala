@@ -354,6 +354,65 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** IVF PROBE SWEEP — the nprobe tuning curve an index operator reads
+    * before fixing the recall/latency tradeoff: for nprobe ∈ {1,2,3}, the
+    * candidate volume scanned (the cost axis) and recall@5 vs exact L2 (the
+    * quality axis), in one pass. Probed candidates materialize ONCE at the
+    * widest setting and each narrower cutoff filters the same frame (an
+    * exploded nprobe column — no per-setting rescan); top-5 per
+    * (nprobe, query) through the fused min-k aggregate; the exact reference
+    * is the proven broadcast-L2 + min-k shape. Fully oracled — every stage
+    * is the fixed-point k-means / exact-distance machinery. */
+  def annProbeSweep(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val mink = udaf(new graft.functions.MinKByDistance(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.DistCand])
+    val km = graft.api.Graft.kmeans(
+      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k = 10, iters = 3)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("__d").asc, col("list_id").asc)
+    val pr = broadcast(q)
+      .crossJoin(broadcast(km.centroids.select(col("c_id").as("list_id"), col("centroid"))))
+      .withColumn("__d", expr(
+        "vec_dot(qv, qv) - 2 * vec_dot(qv, centroid) + vec_dot(centroid, centroid)"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= 3)
+      .select(col("q_id"), col("qv"), col("list_id"), col("probe_rank"))
+    val cand = e.join(km.assignments, "vec_id")
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("list_id"))
+      .join(broadcast(pr), "list_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("d", expr(
+        "vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)"))
+      .select(col("q_id"), col("c_id"), col("probe_rank"), col("d"))
+    val sweep = cand
+      .withColumn("nprobe", explode(array(lit(1), lit(2), lit(3))))
+      .filter(col("probe_rank") <= col("nprobe"))
+    val top5 = sweep.groupBy("nprobe", "q_id")
+      .agg(mink(col("c_id"), col("d")).as("topk"))
+      .select(col("nprobe"), col("q_id"), explode(col("topk.items")).as("nb"))
+      .select(col("nprobe"), col("q_id"), col("nb.c_id").as("c_id"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("d", expr(
+        "vec_dot(qv, qv) - 2 * vec_dot(qv, cv) + vec_dot(cv, cv)"))
+      .groupBy("q_id").agg(mink(col("c_id"), col("d")).as("topk"))
+      .select(col("q_id"), explode(col("topk.items")).as("nb"))
+      .select(col("q_id"), col("nb.c_id").as("c_id"))
+    val hits = top5.join(exact, Seq("q_id", "c_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    sweep.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 50.0).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** ANN via IVF-PQ — the COMPOSED index (Jégou '11 §IV, "IVFADC"): the tier
     * between knnIvf (exact rerank inside probed lists — still touches raw
     * vectors) and knnPq (PQ over the whole corpus — no list pruning).

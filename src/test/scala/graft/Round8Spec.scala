@@ -272,6 +272,38 @@ class Round8Spec extends SparkSpec {
     assert(stream === batch)
   }
 
+  // ---------- SCD Type-2 history ----------
+
+  test("scd2History compresses runs and emits validity intervals") {
+    val feed = Seq(
+      (1L, "A", 1L, 10L), (1L, "A", 2L, 11L), (1L, "B", 3L, 12L),
+      (1L, "A", 4L, 13L), (2L, "X", 1L, 14L)
+    ).toDF("k", "attr", "t", "id")
+    val got = graft.api.Graft.scd2History(feed, "k", "attr", Seq("t", "id"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(got === Array(
+      (1L, "A", 1L, 3L, false),   // A run [1,3): the t=2 duplicate compressed
+      (1L, "B", 3L, 4L, false),
+      (1L, "A", 4L, -1L, true),   // reopened A is a NEW interval, current
+      (2L, "X", 1L, -1L, true)))
+  }
+
+  // ---------- IVF probe sweep ----------
+
+  test("annProbeSweep: candidates and recall are monotonic in nprobe") {
+    val got = graft.queries.Similarity.annProbeSweep(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(got(0)._2 < got(1)._2 && got(1)._2 < got(2)._2) // candidate volume grows
+    assert(got(0)._3 <= got(1)._3 && got(1)._3 <= got(2)._3) // hits never shrink
+    got.foreach { case (_, _, hits, recall) =>
+      assert(hits >= 0L && hits <= 50L && recall === hits / 50.0)
+    }
+  }
+
   // ---------- ANN recall eval ----------
 
   test("annRecall agrees with a direct intersection of the tier outputs") {
