@@ -188,6 +188,11 @@ object PlanAudit {
       ("scd2_history", p => p.contains("Window")
         && p.contains("hashpartitioning(user_id"),
         "SCD2: both windows hash-partition on the key - state is one key's history, never global"),
+      ("dedup_winnow", p => !p.contains("CartesianProduct")
+        && p.contains("HashAggregate"),
+        "winnowed MOSS pairs: capped postings on the 2/(w+1)-reduced index, never doc x doc"),
+      ("quality_gopher", p => !p.contains("Join") && !p.contains("Window"),
+        "gopher rules are one row-local scan: no join, no window"),
     )
 
     var failed = 0

@@ -90,6 +90,8 @@ object SparkEntry {
     "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
     "dedup_incremental" -> Dedup.dedupIncremental _,
     "dedup_substring"   -> Dedup.dedupSubstring _,
+    "dedup_winnow"      -> Dedup.dedupWinnow _,
+    "quality_gopher"    -> TextAnalysis.qualityGopher _,
     "quality_classifier" -> TextAnalysis.qualityClassifier _,
     "pmi_cooccur"       -> TextAnalysis.pmiCooccur _,
     "doc_winnowing"     -> TextAnalysis.docWinnowing _,
@@ -1058,6 +1060,55 @@ object SparkEntry {
       |CROSS JOIN tot
       |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin
 
+  /** DuckDB twin of Graft.winnowOverlapCandidates: the doc_winnowing
+    * selection CTEs exploded to (doc_id, fp) rows, then the SAME
+    * postings-capped pair join as dedup_substring. */
+  private def dedupWinnowOracleSql: String =
+    """WITH ts AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(ts) - 2),
+      |      i -> ('0x' || substring(md5(array_to_string(ts[i : i + 3], ' ')), 1, 15))::BIGINT) AS hs
+      |  FROM ts WHERE len(ts) >= 4),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, fp FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, greatest(len(hs) - 4, 1) + 1),
+      |        j -> list_aggregate(hs[j : j + 4], 'min'))) AS fp
+      |    FROM hs)),
+      |postings AS (SELECT fp, count(1) AS df FROM sel GROUP BY fp),
+      |idx AS (SELECT sel.doc_id, sel.fp FROM sel JOIN postings USING (fp)
+      |        WHERE df <= 128)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_shared
+      |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(1) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of Graft.gopherRules: every signal is integer or ratio4
+    * arithmetic, and every threshold compares denominator-scaled INTEGERS —
+    * no float boundary anywhere in the boolean. */
+  private def qualityGopherOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sumlen,
+      |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+      |    CAST(len(list_filter(['the','a','of','and','is'], s -> list_contains(ts, s))) AS BIGINT) AS n_stopwords
+      |  FROM t WHERE len(ts) >= 1)
+      |SELECT doc_id, n_words,
+      |  CAST((20000 * sumlen + n_words) // (2 * n_words) AS DOUBLE) / 10000.0 AS mean_word_len,
+      |  CAST((20000 * alpha + n_words) // (2 * n_words) AS DOUBLE) / 10000.0 AS alpha_share,
+      |  n_stopwords,
+      |  (n_words BETWEEN 20 AND 100000) AND (3 * n_words <= sumlen)
+      |    AND (sumlen <= 10 * n_words) AND (5 * alpha >= 4 * n_words)
+      |    AND (n_stopwords >= 2) AS passes
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of Graft.substringOverlapCandidates: per-doc DISTINCT
     * 8-token position-grams fingerprinted with the cross-engine md5Hash60,
     * postings capped at 128, pair counts are plain counts (per-doc
@@ -1880,6 +1931,10 @@ object SparkEntry {
     "source_report" -> sourceReportOracleSql,
 
     "dedup_substring" -> dedupSubstringOracleSql,
+
+    "dedup_winnow" -> dedupWinnowOracleSql,
+
+    "quality_gopher" -> qualityGopherOracleSql,
 
     "knn_bruteforce" -> knnBruteForceOracleSql,
 

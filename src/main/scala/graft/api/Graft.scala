@@ -635,6 +635,83 @@ object Graft {
           .as("density"))
   }
 
+  /** Winnowing-selected fingerprints, EXPLODED — the (id, fp) index rows
+    * the MOSS pair detector consumes. Same selection as
+    * `winnowFingerprints` (per-window minimum of k-gram hashes, distinct
+    * values per doc); storage is ~2/(w+1) of the full gram index. */
+  def winnowSelectedFingerprints(df: DataFrame, idCol: String,
+      textCol: String, k: Int = 4, w: Int = 5): DataFrame =
+    df
+      .withColumn("__ts", expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .filter(size(col("__ts")) >= k)
+      .withColumn("__hs", expr(
+        s"""transform(sequence(1, size(__ts) - ${k - 1}),
+           |  i -> CAST(conv(substring(md5(array_join(slice(__ts, i, $k), ' ')), 1, 15),
+           |                 16, 10) AS BIGINT))""".stripMargin))
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(__hs) - ${w - 1}, 1)),
+           |  j -> array_min(slice(__hs, j, $w))))""".stripMargin)).as("fp"))
+
+  /** MOSS pair detection on the WINNOWED index (the algorithm's actual
+    * production use): candidate pairs share a selected fingerprint, found
+    * through the same postings-capped inverted index as
+    * `substringOverlapCandidates` — but the index holds ~2/(w+1) of the
+    * gram count, which is the whole point at 100 TB: winnowing buys the
+    * storage/shuffle reduction while the w+k−1 guarantee bounds what it can
+    * miss. Output: (id_a, id_b, n_shared) with id_a < id_b. */
+  def winnowOverlapCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, minShared: Long = 2L,
+      maxPostings: Long = 128L): DataFrame = {
+    val sel = winnowSelectedFingerprints(df, idCol, textCol, k, w)
+    val postings = sel.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val idx = sel.join(postings, "fp").filter(col("__df") <= maxPostings)
+      .drop("__df")
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      // (pair, fp) rows are unique (per-doc distinct selection), so the
+      // plain count is the shared-fingerprint count
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Gopher-style quality RULE BUNDLE (Rae '21 §A1.1 adapted to this
+    * corpus): per document the four rule signals and the conjunction —
+    * word count in [`minWords`, `maxWords`], mean token length in [3, 10],
+    * share of tokens containing an alphabetic char ≥ 0.8, and ≥ 2 distinct
+    * stopwords present (the "real prose" tell). Every signal is integer /
+    * ratio4 arithmetic over one row-local pass — exact cross-engine, and
+    * the thresholds compare INTEGERS scaled by the ratio denominators, so
+    * no float boundary can flake the boolean. */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Long = 20L, maxWords: Long = 100000L): DataFrame = {
+    df
+      .withColumn("__ts", expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .withColumn("n_words", size(col("__ts")).cast("long"))
+      .filter(col("n_words") >= 1L)
+      // mean token length in [3,10] ⇔ 3·n ≤ Σlen ≤ 10·n (integer compare)
+      .withColumn("__sumlen", expr(
+        "aggregate(__ts, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("mean_word_len", expr(
+        "CAST((20000L * __sumlen + n_words) DIV (2L * n_words) AS DOUBLE) / 10000.0"))
+      .withColumn("__alpha", expr(
+        "CAST(size(filter(__ts, t -> t RLIKE '[a-z]')) AS BIGINT)"))
+      .withColumn("alpha_share", expr(
+        "CAST((20000L * __alpha + n_words) DIV (2L * n_words) AS DOUBLE) / 10000.0"))
+      .withColumn("n_stopwords", expr(
+        """CAST(size(filter(array('the','a','of','and','is'),
+          |  s -> array_contains(__ts, s))) AS BIGINT)""".stripMargin))
+      .withColumn("passes",
+        col("n_words").between(minWords, maxWords) &&
+        expr("3L * n_words <= __sumlen AND __sumlen <= 10L * n_words") &&
+        expr("5L * __alpha >= 4L * n_words") &&
+        col("n_stopwords") >= 2L)
+      .drop("__ts", "__sumlen", "__alpha")
+  }
+
   /** Edit-distance near-dup with parameterized blocking: pairs must agree on
     * every `blockCols` value and on the first `blockPrefixLen` chars, then
     * Levenshtein over the first `headLen` chars ≤ `maxDist` decides. Output:

@@ -78,6 +78,16 @@ object Dedup {
         "doc_id", "text", spanTokens = 8, minSpans = 1L, maxPostings = 128L)
       .orderBy("id_a", "id_b")
 
+  /** MOSS pair detection on the winnowed index (Graft
+    * .winnowOverlapCandidates): pairs sharing ≥2 winnowing-SELECTED
+    * fingerprints — the storage-reduced (~2/(w+1)) sibling of
+    * dedup_substring, which indexes every gram. Fully oracled. */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.winnowOverlapCandidates(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 4, w = 5, minShared = 2L, maxPostings = 128L)
+      .orderBy("id_a", "id_b")
+
   /** MinHash signature + banded LSH candidate pairs (the standard large-scale
     * near-dup algorithm: Broder '97 resemblance sketches + banding).
     * 32 permutations h_i(x) = (a_i·x + b_i) mod p over the shingle hashes,

@@ -287,6 +287,18 @@ object TextAnalysis {
           .as("keep_share"))
       .orderBy("source", "lang")
 
+  /** Gopher-style quality rule bundle (Graft.gopherRules, Rae '21 §A1.1
+    * adapted): four row-local rule signals and the pass/fail conjunction,
+    * all integer/ratio4 arithmetic — the rule-based sibling of the scored
+    * qualityScore filter. */
+  def qualityGopher(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.gopherRules(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "text", minWords = 20L)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_share"), col("n_stopwords"), col("passes"))
+      .orderBy("doc_id")
+
   /** Linear classifier inference (Graft.linearClassify): hashed
     * bag-of-words features × a broadcast (bucket, weight) model — fastText-
     * shape quality gating as one scan + broadcast join + groupBy. The

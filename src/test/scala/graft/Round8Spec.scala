@@ -272,6 +272,35 @@ class Round8Spec extends SparkSpec {
     assert(stream === batch)
   }
 
+  // ---------- winnowed MOSS pairs + gopher rules ----------
+
+  test("winnowOverlapCandidates finds the shared-run pair on the reduced index") {
+    val shared = (1 to 12).map("s" + _).mkString(" ")   // >= w+k-1 = 8 tokens
+    val docs = Seq(
+      (1L, "x1 x2 x3 " + shared), (2L, shared + " y1 y2"),
+      (3L, (1 to 15).map("u" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.api.Graft.winnowOverlapCandidates(docs, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L, maxPostings = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array((1L, 2L)))
+  }
+
+  test("gopherRules: thresholds are integer-exact and the conjunction holds") {
+    val docs = Seq(
+      (1L, (Seq("the", "a", "of") ++ (1 to 20).map(i => s"word$i")).mkString(" ")),
+      (2L, "no stopwords here at all " + (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, "the a " + (1 to 5).map(_ => "999").mkString(" "))  // non-alpha heavy
+    ).toDF("doc_id", "text")
+    val got = graft.api.Graft.gopherRules(docs, "text", minWords = 5L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("n_words"), r.getAs[Long]("n_stopwords"),
+        r.getAs[Boolean]("passes")))
+    assert(got(0)._3 === true)                        // prose-like doc passes
+    assert(got(1)._2 === 0L && got(1)._3 === false)   // zero stopwords fails
+    assert(got(2)._3 === false)                       // alpha 2/7 < 0.8 fails
+  }
+
   // ---------- SCD Type-2 history ----------
 
   test("scd2History compresses runs and emits validity intervals") {
