@@ -193,6 +193,8 @@ object PlanAudit {
         "winnowed MOSS pairs: capped postings on the 2/(w+1)-reduced index, never doc x doc"),
       ("quality_gopher", p => !p.contains("Join") && !p.contains("Window"),
         "gopher rules are one row-local scan: no join, no window"),
+      ("dedup_winnow_keep", p => !p.contains("CartesianProduct"),
+        "winnow keep-list: capped pairs -> CC -> representatives; never doc x doc"),
     )
 
     var failed = 0

@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncremental _,
     "dedup_substring"   -> Dedup.dedupSubstring _,
     "dedup_winnow"      -> Dedup.dedupWinnow _,
+    "dedup_winnow_keep" -> Dedup.dedupWinnowKeep _,
     "quality_gopher"    -> TextAnalysis.qualityGopher _,
     "quality_classifier" -> TextAnalysis.qualityClassifier _,
     "pmi_cooccur"       -> TextAnalysis.pmiCooccur _,
@@ -1060,11 +1061,10 @@ object SparkEntry {
       |CROSS JOIN tot
       |ORDER BY pmi DESC, a ASC, b ASC LIMIT 20""".stripMargin
 
-  /** DuckDB twin of Graft.winnowOverlapCandidates: the doc_winnowing
-    * selection CTEs exploded to (doc_id, fp) rows, then the SAME
-    * postings-capped pair join as dedup_substring. */
-  private def dedupWinnowOracleSql: String =
-    """WITH ts AS (
+  /** The winnowed-index CTEs (selection → capped postings → idx) shared by
+    * dedup_winnow and dedup_winnow_keep. */
+  private val winnowIdxCtesSql: String =
+    """ts AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
       |  FROM documents),
       |hs AS (
@@ -1080,11 +1080,38 @@ object SparkEntry {
       |    FROM hs)),
       |postings AS (SELECT fp, count(1) AS df FROM sel GROUP BY fp),
       |idx AS (SELECT sel.doc_id, sel.fp FROM sel JOIN postings USING (fp)
-      |        WHERE df <= 128)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_shared
-      |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING count(1) >= 2
-      |ORDER BY id_a, id_b""".stripMargin
+      |        WHERE df <= 128)""".stripMargin
+
+  /** DuckDB twin of Graft.winnowOverlapCandidates: the doc_winnowing
+    * selection CTEs exploded to (doc_id, fp) rows, then the SAME
+    * postings-capped pair join as dedup_substring. */
+  private def dedupWinnowOracleSql: String =
+    s"""WITH $winnowIdxCtesSql
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_shared
+       |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(1) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupWinnowKeep: the winnowed pair edges closed
+    * by the same recursive-CTE reachability the dedup_clusters oracle
+    * proved, min-label component ids, one keep row per cluster. */
+  private def dedupWinnowKeepOracleSql: String =
+    s"""WITH RECURSIVE
+       |$winnowIdxCtesSql,
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(1) >= 2),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(v, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v),
+       |comp AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v)
+       |SELECT cluster_id AS keep_id, count(1) AS n_members
+       |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   /** DuckDB twin of Graft.gopherRules: every signal is integer or ratio4
     * arithmetic, and every threshold compares denominator-scaled INTEGERS —
@@ -1933,6 +1960,8 @@ object SparkEntry {
     "dedup_substring" -> dedupSubstringOracleSql,
 
     "dedup_winnow" -> dedupWinnowOracleSql,
+
+    "dedup_winnow_keep" -> dedupWinnowKeepOracleSql,
 
     "quality_gopher" -> qualityGopherOracleSql,
 

@@ -88,6 +88,25 @@ object Dedup {
         "doc_id", "text", k = 4, w = 5, minShared = 2L, maxPostings = 128L)
       .orderBy("id_a", "id_b")
 
+  /** Keep-list on the WINNOWED detector — the production path: winnowed
+    * pair candidates (≥2 shared selected fingerprints) → connected
+    * components → one representative (min id) per cluster, with cluster
+    * sizes. Same ≤N-row output shape as dedup_embedding_keep; the pair
+    * list never leaves the cluster step. */
+  def dedupWinnowKeep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val pairs = graft.api.Graft.winnowOverlapCandidates(docs, "doc_id", "text",
+      k = 4, w = 5, minShared = 2L, maxPostings = 128L)
+    val comp = graft.api.Graft.connectedComponents(pairs, "id_a", "id_b")
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster_id").as("keep_id"), col("n_members"))
+      .orderBy("keep_id")
+  }
+
   /** MinHash signature + banded LSH candidate pairs (the standard large-scale
     * near-dup algorithm: Broder '97 resemblance sketches + banding).
     * 32 permutations h_i(x) = (a_i·x + b_i) mod p over the shingle hashes,

