@@ -1290,12 +1290,14 @@ object SparkEntry {
     """WITH f AS (
       |  SELECT user_id, event_type, ts, event_id,
       |    lag(event_type) OVER (PARTITION BY user_id
-      |      ORDER BY ts, event_id) AS prev
+      |      ORDER BY ts, event_id) AS prev,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
       |  FROM events),
       |c AS (
       |  SELECT user_id, event_type, ts AS valid_from,
       |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
-      |  FROM f WHERE prev IS NULL OR prev <> event_type)
+      |  FROM f WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
       |SELECT user_id, event_type, valid_from, valid_to,
       |  valid_to IS NULL AS is_current
       |FROM c ORDER BY user_id, valid_from""".stripMargin

@@ -1737,7 +1737,14 @@ object Graft {
     val w = Window.partitionBy(keyCol).orderBy(ord: _*)
     changes
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("__rn", row_number().over(w))
+      // null-SAFE change detection (<=>): a NULL attribute following a
+      // non-null one IS a change — a plain =!= returns null there and the
+      // filter would silently compress the transition. The explicit
+      // first-row arm (__rn = 1) disambiguates "no previous row" from
+      // "previous attribute was NULL", so a key whose history STARTS null
+      // still opens its first interval.
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
       .withColumn("valid_from", col(orderCols.head))
       .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)

@@ -314,18 +314,24 @@ class Round8Spec extends SparkSpec {
   test("scd2History compresses runs and emits validity intervals") {
     val feed = Seq(
       (1L, "A", 1L, 10L), (1L, "A", 2L, 11L), (1L, "B", 3L, 12L),
-      (1L, "A", 4L, 13L), (2L, "X", 1L, 14L)
+      (1L, "A", 4L, 13L), (2L, "X", 1L, 14L),
+      // null transitions: history STARTS null, then a non-null -> null change
+      (3L, null.asInstanceOf[String], 1L, 15L), (3L, "C", 2L, 16L),
+      (3L, null.asInstanceOf[String], 3L, 17L)
     ).toDF("k", "attr", "t", "id")
     val got = graft.api.Graft.scd2History(feed, "k", "attr", Seq("t", "id"))
       .orderBy("k", "valid_from")
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "-" else r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
     assert(got === Array(
       (1L, "A", 1L, 3L, false),   // A run [1,3): the t=2 duplicate compressed
       (1L, "B", 3L, 4L, false),
       (1L, "A", 4L, -1L, true),   // reopened A is a NEW interval, current
-      (2L, "X", 1L, -1L, true)))
+      (2L, "X", 1L, -1L, true),
+      (3L, "-", 1L, 2L, false),   // null-valued FIRST interval survives
+      (3L, "C", 2L, 3L, false),
+      (3L, "-", 3L, -1L, true))) // non-null -> null IS a change (null-safe)
   }
 
   // ---------- IVF probe sweep ----------
