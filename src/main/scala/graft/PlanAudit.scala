@@ -195,6 +195,10 @@ object PlanAudit {
         "gopher rules are one row-local scan: no join, no window"),
       ("dedup_winnow_keep", p => !p.contains("CartesianProduct"),
         "winnow keep-list: capped pairs -> CC -> representatives; never doc x doc"),
+      // round-9 pins
+      ("dedup_semantic", p => !p.contains("CartesianProduct"),
+        "SemDeDup: pairs form only inside a cluster (equi-join on the cluster id); " +
+          "centroids ride broadcast joins; never vector x vector"),
     )
 
     var failed = 0

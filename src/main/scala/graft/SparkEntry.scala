@@ -90,10 +90,12 @@ object SparkEntry {
     "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
     "dedup_incremental" -> Dedup.dedupIncremental _,
     "dedup_substring"   -> Dedup.dedupSubstring _,
+    "dedup_semantic"    -> Dedup.dedupSemantic _,
     "dedup_winnow"      -> Dedup.dedupWinnow _,
     "dedup_winnow_keep" -> Dedup.dedupWinnowKeep _,
     "quality_gopher"    -> TextAnalysis.qualityGopher _,
     "quality_classifier" -> TextAnalysis.qualityClassifier _,
+    "dsir_select"       -> TextAnalysis.dsirSelect _,
     "pmi_cooccur"       -> TextAnalysis.pmiCooccur _,
     "doc_winnowing"     -> TextAnalysis.docWinnowing _,
     "source_report"     -> TextAnalysis.sourceReport _,
@@ -1208,6 +1210,54 @@ object SparkEntry {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB twin of TextAnalysis.dsirSelect — hashed-unigram importance
+    * weights on the quantized-ln grid: per-bucket floor(ln(p)·2^20) values
+    * subtract as integers, per-doc weights sum as integers (order-free),
+    * so rank and cut line are hash-exact. Same md5-60-bit % 256 bucketing
+    * as the Spark side (md5Hash60 ≡ ('0x'||substring(md5,1,15))::BIGINT). */
+  private def dsirSelectOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS t,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |        FROM documents)),
+      |counts AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+      |model AS (
+      |  SELECT b,
+      |    CAST(floor(ln((ct + 1)::DOUBLE / (tt + 256)::DOUBLE) * 1048576.0) AS BIGINT)
+      |    - CAST(floor(ln((cs + 1)::DOUBLE / (ts + 256)::DOUBLE) * 1048576.0) AS BIGINT) AS lrq
+      |  FROM counts CROSS JOIN totals),
+      |w AS (
+      |  SELECT doc_id, count(1) AS n_tokens, sum(lrq) AS wq
+      |  FROM toks JOIN model USING (b) GROUP BY doc_id)
+      |SELECT w.doc_id, w.n_tokens, round(wq::DOUBLE / 1048576.0, 4) AS llr,
+      |  d.lang, d.source
+      |FROM w JOIN documents d USING (doc_id)
+      |ORDER BY llr DESC, w.doc_id LIMIT 50""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupSemantic — the SAME coarse k-means CTEs as
+    * knn_ivf/ann_index_stats (k=10, 3 fixed-point Lloyd iterations, first-k
+    * init), then within-cluster pairs gated on the UNROUNDED cosine
+    * (cross-engine exact: VecDot ≡ list_dot_product, both left-to-right
+    * double folds — the dedup_embedding argument), min lower-id partner as
+    * dup_of, keep = dup_of IS NULL as INT. */
+  private def dedupSemanticOracleSql: String =
+    s"""WITH ${coarseKmeansCtesSql(10, 64)},
+       |pr AS (
+       |  SELECT wb.vec_id, min(wa.vec_id) AS dup_of
+       |  FROM assigned wa
+       |  JOIN assigned wb ON wa.list_id = wb.list_id AND wa.vec_id < wb.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = wa.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = wb.vec_id
+       |  WHERE $embedCos >= 0.25
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.list_id AS c_id, pr.dup_of,
+       |  CAST(CASE WHEN pr.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM assigned a LEFT JOIN pr USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   private def annIndexStatsOracleSql: String = {
     val dims = 64
     s"""WITH ${coarseKmeansCtesSql(10, dims)},
@@ -1922,6 +1972,10 @@ object SparkEntry {
     "dedup_incremental" -> dedupIncrementalOracleSql,
 
     "dedup_simhash" -> dedupSimhashOracleSql,
+
+    "dedup_semantic" -> dedupSemanticOracleSql,
+
+    "dsir_select" -> dsirSelectOracleSql,
 
     "bpe_pair_counts" -> bpePairCountsOracleSql,
 

@@ -312,6 +312,52 @@ object Graft {
         round(col("__sum") / col("n_bigrams"), 4).as("nll"))
   }
 
+  /** DSIR (Xie et al. 2023, arXiv:2302.03169 — Data Selection for Language
+    * Models via Importance Resampling): score every document by the
+    * log-likelihood ratio of its hashed bag-of-tokens under a TARGET
+    * distribution (rows where `isTarget`) vs the raw SOURCE distribution
+    * (all rows), the standard recipe for "find the web documents that look
+    * like the high-quality domain". Features are unigrams hashed into
+    * `buckets` cells (feature hashing — the model is buckets-sized no
+    * matter the vocabulary); both multinomials are add-1 smoothed over the
+    * bucket space; the paper's Gumbel resampling step is replaced by its
+    * deterministic limit, rank-by-weight (callers take the top slice).
+    *
+    * Scale story (100 TB): the corpus is touched exactly twice — once to
+    * count bucket frequencies (one groupBy of ≤`buckets` cells, map-side
+    * combined) and once to score (a broadcast join of the buckets-sized
+    * model onto the token stream, then one sum per document). Nothing
+    * driver-side, nothing quadratic; `buckets` caps model memory.
+    *
+    * Cross-engine exact: per-bucket log-probabilities quantize to integer
+    * 2^-20 units via floor(ln(p)·2^20) (the lmPerplexity/pmiBigrams grid —
+    * IEEE ln of an IEEE quotient, then floor), their difference is integer
+    * subtraction, and a document's weight is an integer SUM — order-
+    * independent, so partial aggregation can't perturb it.
+    * Output: (idCol, n_tokens, llr) with llr = weight/2^20 rounded to 4. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.cast("long").as("__t"),
+        explode(expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+          .as("__tok"))
+      .withColumn("__b", pmod(md5Hash60(col("__tok")), lit(buckets.toLong)))
+    val counts = toks.groupBy("__b")
+      .agg(sum(col("__t")).as("__ct"), count(lit(1)).as("__cs"))
+    val totals = counts.agg(sum("__ct").as("__tt"), sum("__cs").as("__ts"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (floor(log((col("__ct") + 1).cast("double")
+            / (col("__tt") + buckets).cast("double")) * 1048576.0).cast("long")
+          - floor(log((col("__cs") + 1).cast("double")
+            / (col("__ts") + buckets).cast("double")) * 1048576.0).cast("long"))
+          .as("__lrq"))
+    toks.join(broadcast(model), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lrq").as("__w"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__w").cast("double") / 1048576.0, 4).as("llr"))
+  }
+
   /** Heuristic document quality in [0, 1]: length (50%), non-punctuation
     * ratio (30%), stopword presence (20%) — the cheap row-local pre-filter a
     * training-data pipeline applies before any expensive dedup. Appends
@@ -1163,6 +1209,49 @@ object Graft {
     }
     KMeansResult(centroids,
       nearest(centroids).select(col(idCol), col("c_id").as("list_id")))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — semantic dedup for
+    * web-scale training corpora): cluster the embedding space with k-means,
+    * then look for near-duplicate pairs only WITHIN a cluster. The cluster
+    * id is the bucketing key that replaces LSH bands here: pair volume is
+    * Σ|cluster|² instead of N², and the comparisons a cluster boundary
+    * skips are exactly the far-apart pairs that cannot pass `tau` anyway.
+    * A vector is DROPPED when some lower-id member of its own cluster has
+    * cosine ≥ `tau` with it — one representative per semantic near-dup set
+    * survives, and `dup_of` records the lowest surviving partner.
+    *
+    * Scale story (100 TB): k is the occupancy knob — grow k ∝ N so
+    * |cluster| stays bounded and the within-cluster pair stage stays
+    * linear; centroids train on a hash-sample (`trainHexDigits`, kmeans'
+    * deterministic md5-digit rule) and broadcast as k·dim floats; the pair
+    * stage shuffles ONCE on the cluster id with vectors co-located, and
+    * everything after the cosine gate is id-slim. Deterministic and
+    * cross-engine exact end to end: fixed-point Lloyd training (kmeans'
+    * contract) + left-to-right double cosine compares (VecDot ≡
+    * list_dot_product — the dedup_embedding exactness argument).
+    * Output: one row per input id — (id, c_id, dup_of, keep 1|0). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3, tau: Double = 0.25,
+      trainHexDigits: Seq[String] = Nil): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val assign = kmeans(df, idCol, vecCol, k, iters,
+      trainHexDigits = trainHexDigits).assignments
+    val withVec = assign.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = withVec.select(col("list_id"),
+      col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = withVec.select(col("list_id"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val dupOf = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr(
+        "vec_dot(__va, __vb) / (sqrt(vec_dot(__va, __va)) * sqrt(vec_dot(__vb, __vb)))")
+        >= tau)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min("id_a").as("dup_of"))
+    assign.join(dupOf, Seq(idCol), "left")
+      .select(col(idCol), col("list_id").as("c_id"), col("dup_of"),
+        col("dup_of").isNull.cast("int").as("keep"))
   }
 
   /** Product-quantization model: `codebooks` (sub, c_id, centroid) — m·k

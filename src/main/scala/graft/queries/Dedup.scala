@@ -292,4 +292,17 @@ object Dedup {
       .select(col("cluster_id").as("keep_id"), col("n_members"))
       .orderBy("keep_id")
   }
+
+  /** SemDeDup (Graft.semanticDedup): k-means clusters as the dedup buckets,
+    * within-cluster cosine ≥ τ pairs pruned to one representative. The
+    * clustering half of the family — where the LSH variants bucket by random
+    * projections, this buckets by LEARNED structure, so the pairs it
+    * compares concentrate where the data actually is. Same k=10 / 3-iter /
+    * first-k fixed-point model as knn_ivf, so the oracle unrolls the
+    * identical training CTEs and the decision is hash-exact end to end. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.semanticDedup(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 10, iters = 3, tau = 0.25)
+      .orderBy("vec_id")
 }

@@ -322,4 +322,19 @@ object TextAnalysis {
   def qualityPerplexity(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.lmPerplexity(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** DSIR data selection (Graft.dsirWeights): importance weights of every
+    * document under target = the English slice vs source = the whole
+    * corpus, top-50 by (llr desc, doc_id) — "which raw documents look most
+    * like the target domain". Two corpus passes, a 256-bucket broadcast
+    * model, TakeOrdered top-k; integer-quantized lns keep the rank
+    * hash-exact in DuckDB. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.api.Graft.dsirWeights(docs, "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 256)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .orderBy(col("llr").desc, col("doc_id").asc)
+      .limit(50)
+  }
 }
