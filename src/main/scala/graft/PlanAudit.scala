@@ -199,6 +199,15 @@ object PlanAudit {
       ("dedup_semantic", p => !p.contains("CartesianProduct"),
         "SemDeDup: pairs form only inside a cluster (equi-join on the cluster id); " +
           "centroids ride broadcast joins; never vector x vector"),
+      ("dsir_select", p => p.contains("TakeOrderedAndProject")
+        && p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+        "DSIR: the 256-bucket model broadcasts onto the token stream; top-50 is TakeOrdered"),
+      ("textrank_keywords", p => p.contains("TakeOrderedAndProject")
+        && !p.contains("CartesianProduct"),
+        "TextRank: per-iteration work is a vocabulary-sized equi-join; top-k is TakeOrdered"),
+      ("graph_triangles", p => !p.contains("CartesianProduct")
+        && !p.contains("Window"),
+        "triangle census: wedge closure is one equi-join on oriented edges; no window, no cartesian"),
     )
 
     var failed = 0

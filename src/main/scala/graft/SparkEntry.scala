@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, EventTime, Extended, Formats, Modern, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis, TpchMore}
+import graft.queries.{Dedup, EventTime, Extended, Formats, GraphOps, Modern, Multimodal, PipelineOps, Relational, Similarity, TextAnalysis, TpchMore}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — the engine's public registry.
@@ -96,6 +96,8 @@ object SparkEntry {
     "quality_gopher"    -> TextAnalysis.qualityGopher _,
     "quality_classifier" -> TextAnalysis.qualityClassifier _,
     "dsir_select"       -> TextAnalysis.dsirSelect _,
+    "textrank_keywords" -> GraphOps.textrankKeywords _,
+    "graph_triangles"   -> GraphOps.graphTriangles _,
     "pmi_cooccur"       -> TextAnalysis.pmiCooccur _,
     "doc_winnowing"     -> TextAnalysis.docWinnowing _,
     "source_report"     -> TextAnalysis.sourceReport _,
@@ -1237,6 +1239,80 @@ object SparkEntry {
       |FROM w JOIN documents d USING (doc_id)
       |ORDER BY llr DESC, w.doc_id LIMIT 50""".stripMargin
 
+  /** Shared word-adjacency edge CTEs of the graph oracles (toks → pr →
+    * edges): undirected (least, greatest) adjacent-token pairs over the
+    * English slice, weight = occurrence count. */
+  private val wordAdjacencyCtes: String =
+    """toks AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents WHERE lang = 'en'),
+      |pr AS (
+      |  SELECT least(ts[i - 1], ts[i]) AS a, greatest(ts[i - 1], ts[i]) AS b
+      |  FROM (SELECT ts, unnest(range(2, len(ts) + 1)) AS i
+      |        FROM toks WHERE len(ts) >= 2)
+      |  WHERE ts[i - 1] <> ts[i]),
+      |edges AS (SELECT a, b, count(1) AS w FROM pr GROUP BY a, b)""".stripMargin
+
+  /** DuckDB twin of GraphOps.textrankKeywords — Graft.textRank's 5 damped
+    * PageRank iterations unrolled as CTEs. Cross-engine exact because every
+    * iteration is order-free: each edge contribution quantizes to
+    * floor((w/wdeg)·r·2^20) BEFORE the sum (integer addition), and the
+    * damping constants are written as DOUBLE-typed arithmetic
+    * (1.0::DOUBLE - 0.85::DOUBLE) so both engines compute the identical
+    * correctly-rounded constant — a bare decimal 0.15 would be DuckDB
+    * DECIMAL, one ulp away from the Scala double. */
+  private def textrankOracleSql: String = {
+    def iter(n: Int): String =
+      s"""r$n AS (
+         |  SELECT dst AS node,
+         |    (1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE *
+         |      (sum(CAST(floor(w::DOUBLE / wdeg::DOUBLE * r * 1048576.0) AS BIGINT))::DOUBLE
+         |        / 1048576.0) AS r
+         |  FROM dirw JOIN r${n - 1} ON r${n - 1}.node = dirw.src
+         |  GROUP BY dst)""".stripMargin
+    s"""WITH $wordAdjacencyCtes,
+       |dir AS (SELECT a AS src, b AS dst, w FROM edges
+       |        UNION ALL SELECT b AS src, a AS dst, w FROM edges),
+       |wdeg AS (SELECT src, sum(w) AS wdeg FROM dir GROUP BY src),
+       |dirw AS (SELECT d.src, d.dst, d.w, g.wdeg FROM dir d JOIN wdeg g USING (src)),
+       |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM wdeg),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node AS word, round(r, 6) AS score
+       |FROM r5 ORDER BY score DESC, word LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB twin of GraphOps.graphTriangles — the same degree-ordered
+    * orientation, canonical wedge generation, and one-equi-join closure as
+    * Graft.triangleCensus; all counts integer, clustering on the ratio4
+    * grid — nothing floating-point accumulates. */
+  private def graphTrianglesOracleSql: String =
+    s"""WITH $wordAdjacencyCtes,
+       |e AS (SELECT a, b FROM edges,
+       |        (SELECT sum(w) AS sw, count(1) AS ne FROM edges) s
+       |      WHERE w * ne >= sw),
+       |deg AS (SELECT v, count(1) AS deg FROM (
+       |          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |        GROUP BY v),
+       |o AS (
+       |  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst,
+       |         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dd
+       |  FROM (SELECT e.a, e.b, x.deg AS da, y.deg AS db
+       |        FROM e JOIN deg x ON x.v = e.a JOIN deg y ON y.v = e.b)),
+       |wedges AS (
+       |  SELECT o1.dst AS lo, o2.dst AS hi
+       |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+       |  WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+       |tri AS (SELECT count(1) AS n_triangles
+       |        FROM wedges JOIN o ON o.src = wedges.lo AND o.dst = wedges.hi)
+       |SELECT n.n_nodes, ne.n_edges, ow.n_wedges, t.n_triangles,
+       |  CAST((20000 * 3 * t.n_triangles + ow.n_wedges)
+       |    // (2 * ow.n_wedges) AS DOUBLE) / 10000.0 AS clustering4
+       |FROM (SELECT count(1) AS n_nodes FROM deg) n,
+       |     (SELECT count(1) AS n_edges FROM e) ne,
+       |     (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg) ow,
+       |     tri t""".stripMargin
+
   /** DuckDB twin of Dedup.dedupSemantic — the SAME coarse k-means CTEs as
     * knn_ivf/ann_index_stats (k=10, 3 fixed-point Lloyd iterations, first-k
     * init), then within-cluster pairs gated on the UNROUNDED cosine
@@ -1976,6 +2052,10 @@ object SparkEntry {
     "dedup_semantic" -> dedupSemanticOracleSql,
 
     "dsir_select" -> dsirSelectOracleSql,
+
+    "textrank_keywords" -> textrankOracleSql,
+
+    "graph_triangles" -> graphTrianglesOracleSql,
 
     "bpe_pair_counts" -> bpePairCountsOracleSql,
 

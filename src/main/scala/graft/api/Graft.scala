@@ -463,6 +463,59 @@ object Graft {
       .select(col("a"), col("b"), col("n_pair"), col("pmi"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP '04): weighted
+    * PageRank over the word-adjacency graph — nodes are words, an
+    * undirected edge (a,b) carries the count of positions where the two
+    * words are adjacent, and `iters` damped iterations of
+    * r(v) = (1-d) + d·Σ_{u~v} w(u,v)/wdeg(u)·r(u) rank the words.
+    *
+    * Iteration arithmetic is ORDER-FREE: each edge's contribution
+    * quantizes to floor((w/wdeg)·r·2^20) BEFORE the aggregate, so the
+    * per-node sum is integer addition (exact under any partial-aggregation
+    * order) and the damping update is one correctly-rounded fused
+    * constant — bit-identical in any engine, which is what lets the
+    * registry unroll all `iters` iterations into DuckDB CTEs.
+    *
+    * Scale story (100 TB): the corpus-sized work is ONE adjacency groupBy
+    * (map-side combined); every iteration after that is vocabulary-sized —
+    * an equi-join of the edge list with the rank vector, shuffled on the
+    * word key both sides (the co-partitioning a cluster layout would pin).
+    * Isolated words (no edges) don't participate, as in the paper. */
+  def textRank(docs: DataFrame, textCol: String, iters: Int = 5,
+      damping: Double = 0.85, topK: Int = 20): DataFrame = {
+    val toks = docs.select(expr(
+      s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)").as("__ts"))
+    val pairs = toks.filter(size(col("__ts")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(2, size(__ts)), i -> struct(
+          |  least(element_at(__ts, i - 1), element_at(__ts, i)) AS a,
+          |  greatest(element_at(__ts, i - 1), element_at(__ts, i)) AS b))"""
+          .stripMargin)).as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs.groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val dir = edges.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val wdeg = dir.groupBy("src").agg(sum("w").as("wdeg"))
+    val dirW = dir.join(wdeg, "src").localCheckpoint(true)
+    var ranks = wdeg.select(col("src").as("node"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = dirW.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          floor(col("w").cast("double") / col("wdeg").cast("double")
+            * col("r") * 1048576.0).cast("long").as("__c"))
+        .groupBy(col("dst"))
+        .agg(sum("__c").as("__s"))
+        .select(col("dst").as("node"),
+          (lit(1.0) - lit(damping)
+            + lit(damping) * (col("__s").cast("double") / lit(1048576.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("word"), round(col("r"), 6).as("score"))
+      .orderBy(col("score").desc, col("word").asc)
+      .limit(topK)
+  }
+
   // ---------- dedup ----------
 
   /** Default base hash for sketch operators: abs(xxhash64) — the fastest
@@ -1606,6 +1659,64 @@ object Graft {
         s"($changed labels still changing); raise maxIter — with pointer " +
         "jumping, rounds needed grow ~log(diameter)")
     labels
+  }
+
+  /** Triangle census by DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii,
+    * WWW '11 — "the curse of the last reducer"): orient every undirected
+    * edge from its lower-(degree, id) endpoint to its higher one, build
+    * wedges only from each node's OUT-neighbors, and close them with one
+    * equi-join back onto the oriented edge list. Orientation caps every
+    * node's out-degree at O(√m), so wedge volume is O(m^1.5) instead of
+    * Σdeg² — the high-degree hub that would explode a naive neighbor
+    * self-join contributes almost no wedges because nearly all its edges
+    * point INTO it. Each triangle is generated exactly once (at its
+    * orientation-minimal corner).
+    *
+    * Input: undirected edges, one row per pair. Output: one summary row —
+    * (n_nodes, n_edges, n_wedges, n_triangles, clustering4) where
+    * clustering4 is the global clustering coefficient 3·triangles/wedges
+    * with wedges counted as Σ deg(v)·(deg(v)-1)/2, folded in the exact
+    * integer ratio4 grid (half-up to 4 decimals) — no float accumulation
+    * anywhere, so the whole census is hash-exact cross-engine. */
+  def triangleCensus(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonicalize BEFORE distinct: an edge fed as (u,v), (v,u), or both
+    // must count once — least/greatest collapses the two orientations
+    val e = edges.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true)
+    // wedges (lo, hi) at the apex, both legs out-edges, canonical by the
+    // SAME (degree, id) total order the orientation uses — so the closing
+    // edge, if present, is oriented exactly lo → hi: one equi-join closes.
+    val o1 = oriented.select(col("src"), col("dst").as("v1"), col("dd").as("d1"))
+    val o2 = oriented.select(col("src"), col("dst").as("v2"), col("dd").as("d2"))
+    val loFirst = col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2"))
+    val wedges = o1.join(o2, "src")
+      .filter(loFirst)
+      .select(col("v1").as("lo"), col("v2").as("hi"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("lo"), col("dst").as("hi")), Seq("lo", "hi"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val openWedges = deg.agg(sum(expr("deg * (deg - 1) DIV 2")).as("__ow"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(openWedges))
+      .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+      .select(col("n_nodes"), col("n_edges"),
+        col("__ow").cast("long").as("n_wedges"), col("n_triangles"),
+        expr("""CAST((20000L * 3L * n_triangles + __ow)
+               |  DIV (2L * __ow) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("clustering4"))
   }
 
   // ---------- corpus curation ----------

@@ -52,4 +52,67 @@ class Round9Spec extends SparkSpec {
     val b = graft.api.Graft.semanticDedup(emb, "vec_id", "embedding", k = 8, iters = 2)
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
+
+  // ---------- DSIR importance weights (Graft.dsirWeights) ----------
+
+  test("dsirWeights ranks target-looking documents above source-only ones") {
+    val docs = Seq(
+      (1L, "aa bb cc aa bb", true),   // pure target vocabulary
+      (2L, "aa bb cc cc aa", true),
+      (3L, "xx yy zz xx yy", false),  // vocabulary never seen in target
+      (4L, "aa bb xx yy zz", false)). // mixed
+      toDF("id", "text", "is_t")
+    val w = graft.api.Graft.dsirWeights(docs, "id", "text", col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(4L) && w(2L) > w(4L))
+    assert(w(4L) > w(3L))
+    // token counts survive the scoring join
+    val n = graft.api.Graft.dsirWeights(docs, "id", "text", col("is_t"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(1L) === 5L && n(3L) === 5L)
+  }
+
+  test("dsir_select favors the English slice it targets") {
+    val top = queries.TextAnalysis.dsirSelect(spark, sf)
+    val enShare = top.filter(col("lang") === "en").count().toDouble / top.count()
+    val corpusShare = Tables.documents(spark, sf).filter(col("lang") === "en").count().toDouble /
+      Tables.documents(spark, sf).count()
+    assert(enShare > corpusShare,
+      s"top slice en share $enShare should beat corpus share $corpusShare")
+  }
+
+  // ---------- TextRank (Graft.textRank) ----------
+
+  test("textRank ranks the hub of a star graph first") {
+    val docs = Seq("hub spoke1", "hub spoke2", "hub spoke3", "hub spoke4")
+      .toDF("text")
+    val r = graft.api.Graft.textRank(docs, "text", iters = 5, topK = 10).collect()
+    assert(r.head.getString(0) === "hub")
+    // damped PageRank lower bound: every rank >= (1 - d)
+    assert(r.forall(_.getDouble(1) >= 0.1499))
+    // spokes are symmetric -> identical scores
+    val spokes = r.filter(_.getString(0).startsWith("spoke")).map(_.getDouble(1))
+    assert(spokes.length === 4 && spokes.distinct.length === 1)
+  }
+
+  // ---------- Triangle census (Graft.triangleCensus) ----------
+
+  test("triangleCensus counts a known graph exactly") {
+    // triangle {1,2,3} plus pendant edge (3,4): degrees 2,2,3,1
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = graft.api.Graft.triangleCensus(e, "a", "b").collect().head
+    assert(r.getLong(0) === 4L)   // nodes
+    assert(r.getLong(1) === 4L)   // edges
+    assert(r.getLong(2) === 5L)   // open wedges: 1 + 1 + 3 + 0
+    assert(r.getLong(3) === 1L)   // triangles
+    assert(r.getDouble(4) === 0.6) // 3*1/5
+  }
+
+  test("triangleCensus on K4 finds all four triangles, and dedups input edges") {
+    val k4 = (for {a <- 1L to 4L; b <- 1L to 4L if a < b} yield (a, b))
+    // feed each edge twice in both orientations - the census must distinct()
+    val e = (k4 ++ k4.map { case (a, b) => (b, a) }).toDF("a", "b")
+    val r = graft.api.Graft.triangleCensus(e, "a", "b").collect().head
+    assert(r.getLong(1) === 6L && r.getLong(3) === 4L && r.getDouble(4) === 1.0)
+  }
 }
