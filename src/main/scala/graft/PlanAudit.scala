@@ -208,6 +208,11 @@ object PlanAudit {
       ("graph_triangles", p => !p.contains("CartesianProduct")
         && !p.contains("Window"),
         "triangle census: wedge closure is one equi-join on oriented edges; no window, no cartesian"),
+      // knn_mmr's iterative stages sit behind localCheckpoint barriers, so
+      // only the final assembly is visible here; the retrieval stage's fused
+      // top-k is the same plan knn_topk_agg pins
+      ("knn_mmr", p => !p.contains("CartesianProduct") && !p.contains("Window"),
+        "MMR: greedy steps are k equi-joins against the O(k) selected set; no window buffer"),
     )
 
     var failed = 0

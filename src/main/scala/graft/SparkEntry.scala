@@ -112,6 +112,7 @@ object SparkEntry {
     "knn_ivfpq"         -> Similarity.knnIvfPq _,
     "knn_pq_sampled"    -> Similarity.knnPqSampled _,
     "knn_refine"        -> Similarity.knnRefine _,
+    "knn_mmr"           -> Similarity.knnMmr _,
     "ann_index_stats"   -> Similarity.annIndexStats _,
     "ann_recall"        -> Similarity.annRecall _,
     "ann_probe_sweep"   -> Similarity.annProbeSweep _,
@@ -1239,6 +1240,59 @@ object SparkEntry {
       |FROM w JOIN documents d USING (doc_id)
       |ORDER BY llr DESC, w.doc_id LIMIT 50""".stripMargin
 
+  /** DuckDB twin of Similarity.knnMmr — Graft.mmrSelect's 5 greedy MMR
+    * steps unrolled as CTE triples (ms → pk → sel). Cross-engine exact:
+    * rel6/sim6 are round-6 quantized cosines (identical bits both sides),
+    * the greedy objective 0.5·rel − 0.5·ms is two correctly-rounded
+    * double ops on those bits (constants written as ::DOUBLE arithmetic),
+    * and each argmax breaks ties on candidate id. */
+  private def knnMmrOracleSql: String = {
+    val relCos =
+      """list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))""".stripMargin
+    def step(n: Int): String =
+      s"""ms$n AS (
+         |  SELECT c.q_id, c.c_id, c.rel6, max(m.sim6) AS ms
+         |  FROM cand c
+         |  JOIN sel${n - 1} s ON s.q_id = c.q_id
+         |  JOIN sim m ON m.q_id = c.q_id AND m.a = c.c_id AND m.b = s.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} t
+         |                    WHERE t.q_id = c.q_id AND t.c_id = c.c_id)
+         |  GROUP BY 1, 2, 3),
+         |pk$n AS (
+         |  SELECT q_id, c_id, rel6, CAST($n AS INTEGER) AS step,
+         |    0.5::DOUBLE * rel6 - 0.5::DOUBLE * ms AS score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY (0.5::DOUBLE * rel6 - 0.5::DOUBLE * ms) DESC, c_id) AS rn
+         |        FROM ms$n) WHERE rn = 1),
+         |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM pk$n)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT q.q_id, e.vec_id AS c_id, round($relCos, 6) AS rel6
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, c_id, rel6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel6 DESC, c_id) AS rn FROM sc)
+       |  WHERE rn <= 20),
+       |sim AS (
+       |  SELECT x.q_id, x.c_id AS a, y.c_id AS b, round($embedCos, 6) AS sim6
+       |  FROM cand x JOIN cand y ON y.q_id = x.q_id AND y.c_id <> x.c_id
+       |  JOIN embeddings ea ON ea.vec_id = x.c_id
+       |  JOIN embeddings eb ON eb.vec_id = y.c_id),
+       |sel1 AS (
+       |  SELECT q_id, c_id, rel6, CAST(1 AS INTEGER) AS step,
+       |    0.5::DOUBLE * rel6 - 0.5::DOUBLE * 0.0::DOUBLE AS score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY (0.5::DOUBLE * rel6 - 0.5::DOUBLE * 0.0::DOUBLE) DESC, c_id) AS rn
+       |        FROM cand) WHERE rn = 1),
+       |${(2 to 5).map(step).mkString(",\n")}
+       |SELECT q_id, step, c_id, round(rel6, 4) AS rel_cos, round(score, 6) AS mmr
+       |FROM sel5 ORDER BY q_id, step""".stripMargin
+  }
+
   /** Shared word-adjacency edge CTEs of the graph oracles (toks → pr →
     * edges): undirected (least, greatest) adjacent-token pairs over the
     * English slice, weight = occurrence count. */
@@ -2074,6 +2128,8 @@ object SparkEntry {
     "knn_pq_sampled" -> knnPqSampledOracleSql,
 
     "knn_refine" -> knnRefineOracleSql,
+
+    "knn_mmr" -> knnMmrOracleSql,
 
     "ann_index_stats" -> annIndexStatsOracleSql,
 

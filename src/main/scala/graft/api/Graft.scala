@@ -516,6 +516,59 @@ object Graft {
       .limit(topK)
   }
 
+  /** MMR — maximal marginal relevance (Carbonell & Goldstein, SIGIR '98):
+    * greedy diversified top-k. Step 1 takes the most relevant candidate;
+    * each later step takes argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+    * over the not-yet-selected candidates (ties to the lowest candidate
+    * id) — relevance traded against redundancy with what's already picked.
+    *
+    * `cands` must carry one row per (query, candidate) with a relevance
+    * score; `sims` one row per ORDERED candidate pair of the same query
+    * (every unordered pair present in both directions — the query builders
+    * generate it complete). Pass quantized (round-6) rel/sim scores and
+    * the whole greedy trace is cross-engine exact: each step is one
+    * max-aggregate over λ-scaled doubles of identical bits.
+    *
+    * Scale story: k unrolled steps, each one equi-join of the candidate
+    * set with the ≤k-row selected set per query plus one max-aggregate —
+    * state is O(k) per query, never a growing window; candidate and pair
+    * volumes are whatever the upstream retriever bounded them to
+    * (top-k·k pairs per query, NOT corpus-sized).
+    * Output: (qCol, step 1..k, cCol, rel, mmr) — mmr is the unrounded
+    * greedy objective at pick time. */
+  def mmrSelect(cands: DataFrame, qCol: String, cCol: String, relCol: String,
+      sims: DataFrame, aCol: String, bCol: String, simCol: String,
+      k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    val cand = cands.select(col(qCol).as("__q"), col(cCol).as("__c"),
+      col(relCol).cast("double").as("__rel")).localCheckpoint(true)
+    val sim = sims.select(col(qCol).as("__sq"), col(aCol).as("__a"),
+      col(bCol).as("__b"), col(simCol).cast("double").as("__s"))
+      .localCheckpoint(true)
+    def argmax(scored: DataFrame, step: Int): DataFrame =
+      scored
+        .withColumn("__score",
+          lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
+        .withColumn("__neg", -col("__score"))
+        .groupBy("__q")
+        .agg(min(struct(col("__neg"), col("__c"), col("__rel"), col("__score")))
+          .as("__b"))
+        .select(col("__q"), lit(step).as("step"), col("__b.__c").as("__c"),
+          col("__b.__rel").as("__rel"), col("__b.__score").as("__mmr"))
+    var sel = argmax(cand.withColumn("__ms", lit(0.0)), 1).localCheckpoint(true)
+    for (step <- 2 to k) {
+      val remaining = cand.join(sel.select("__q", "__c"), Seq("__q", "__c"), "left_anti")
+      val withMaxSim = remaining
+        .join(sel.select(col("__q"), col("__c").as("__sid")), "__q")
+        .join(sim, col("__q") === col("__sq") && col("__c") === col("__a")
+          && col("__sid") === col("__b"))
+        .groupBy("__q", "__c", "__rel")
+        .agg(max("__s").as("__ms"))
+      sel = sel.unionByName(argmax(withMaxSim, step)).localCheckpoint(true)
+    }
+    sel.select(col("__q").as(qCol), col("step"), col("__c").as(cCol),
+      col("__rel").as("rel"), col("__mmr").as("mmr"))
+  }
+
   // ---------- dedup ----------
 
   /** Default base hash for sketch operators: abs(xxhash64) — the fastest

@@ -552,4 +552,39 @@ object Similarity {
         round(avg(expr("element_at(embedding, 1)").cast("double")), 6).as("avg_dim1"))
       .orderBy("label")
   }
+
+  /** MMR-diversified top-5 (Graft.mmrSelect over the brute-force top-20):
+    * retrieval picks 20 candidates per query through the fused top-k
+    * aggregate, a candidate-pair cosine matrix (≤ 20·19 rows per query —
+    * bounded by the retriever, never corpus-sized) feeds the greedy
+    * λ=0.5 relevance-vs-redundancy trade, and 5 unrolled selection steps
+    * emit the diversified ranking. Quantized round-6 rel/sim scores make
+    * the whole greedy trace hash-exact in DuckDB. */
+  def knnMmr(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val topk = udaf(new graft.functions.TopKNeighbors(20),
+      org.apache.spark.sql.Encoders.product[graft.functions.Neighbor])
+    val cand = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("score6", round(expr(cos), 6))
+      .groupBy("q_id")
+      .agg(topk(col("c_id"), lit(0), col("score6")).as("topk"))
+      .select(col("q_id"), explode(col("topk.items")).as("nb"))
+      .select(col("q_id"), col("nb.c_id").as("c_id"), col("nb.score").as("rel6"))
+    val cv = cand.select("q_id", "c_id")
+      .join(e.select(col("vec_id").as("c_id"), col("embedding")), "c_id")
+    val x = cv.select(col("q_id"), col("c_id").as("a"), col("embedding").as("qv"))
+    val y = cv.select(col("q_id").as("__qy"), col("c_id").as("b"), col("embedding").as("cv"))
+    val sims = x.join(y, col("q_id") === col("__qy") && col("a") =!= col("b"))
+      .withColumn("sim6", round(expr(cos), 6))
+      .select("q_id", "a", "b", "sim6")
+    graft.api.Graft.mmrSelect(cand, "q_id", "c_id", "rel6",
+        sims, "a", "b", "sim6", k = 5, lambda = 0.5)
+      .select(col("q_id"), col("step"), col("c_id"),
+        round(col("rel"), 4).as("rel_cos"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("q_id", "step")
+  }
 }

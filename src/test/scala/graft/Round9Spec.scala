@@ -108,6 +108,35 @@ class Round9Spec extends SparkSpec {
     assert(r.getDouble(4) === 0.6) // 3*1/5
   }
 
+  // ---------- MMR diversity rerank (Graft.mmrSelect) ----------
+
+  test("mmrSelect trades relevance for diversity exactly as the greedy objective says") {
+    // c2 is nearly as relevant as c1 but redundant with it; c3 is less
+    // relevant but orthogonal — MMR must pick c1 then c3 (plain top-2
+    // would pick c1 then c2)
+    val cands = Seq((7L, 1L, 0.90), (7L, 2L, 0.89), (7L, 3L, 0.50))
+      .toDF("q", "c", "rel")
+    val sims = Seq(
+      (7L, 1L, 2L, 0.95), (7L, 2L, 1L, 0.95),
+      (7L, 1L, 3L, 0.00), (7L, 3L, 1L, 0.00),
+      (7L, 2L, 3L, 0.00), (7L, 3L, 2L, 0.00)).toDF("q", "a", "b", "s")
+    val picks = graft.api.Graft.mmrSelect(cands, "q", "c", "rel",
+        sims, "a", "b", "s", k = 3, lambda = 0.5)
+      .orderBy("step").collect()
+    assert(picks.map(_.getLong(2)).toSeq === Seq(1L, 3L, 2L))
+    // step-2 objective: 0.5*0.5 - 0.5*0.0 = 0.25
+    assert(math.abs(picks(1).getDouble(4) - 0.25) < 1e-12)
+    // step-3 objective for the redundant c2: 0.5*0.89 - 0.5*0.95 = -0.03
+    assert(math.abs(picks(2).getDouble(4) - (-0.03)) < 1e-12)
+  }
+
+  test("knn_mmr emits k steps per query and never repeats a candidate") {
+    val r = queries.Similarity.knnMmr(spark, sf)
+    val perQ = r.groupBy("q_id").agg(
+      count(lit(1)).as("n"), countDistinct("c_id").as("nc"))
+    assert(perQ.filter(col("n") =!= 5 || col("nc") =!= 5).isEmpty)
+  }
+
   test("triangleCensus on K4 finds all four triangles, and dedups input edges") {
     val k4 = (for {a <- 1L to 4L; b <- 1L to 4L if a < b} yield (a, b))
     // feed each edge twice in both orientations - the census must distinct()
