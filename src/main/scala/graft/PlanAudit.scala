@@ -213,6 +213,13 @@ object PlanAudit {
       // top-k is the same plan knn_topk_agg pins
       ("knn_mmr", p => !p.contains("CartesianProduct") && !p.contains("Window"),
         "MMR: greedy steps are k equi-joins against the O(k) selected set; no window buffer"),
+      ("source_divergence", p => !p.contains("CartesianProduct")
+        && p.contains("HashAggregate") && p.contains("BroadcastHashJoin"),
+        "divergence report: corpus word table broadcasts; integer KL sums aggregate map-side"),
+      ("pipeline_select_dsir", p =>
+        "hashpartitioning\\(__pid".r.findFirstIn(p).isDefined
+        && !p.contains("CartesianProduct"),
+        "DSIR pipeline: budget cut rides the two-phase prefix sum, never a global window"),
     )
 
     var failed = 0

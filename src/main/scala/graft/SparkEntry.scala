@@ -247,6 +247,8 @@ object SparkEntry {
     "select_token_budget" -> PipelineOps.selectTokenBudget _,
     "pipeline_curate_corpus" -> PipelineOps.pipelineCurateCorpus _,
     "pipeline_curate_multimodal" -> PipelineOps.pipelineCurateMultimodal _,
+    "pipeline_select_dsir" -> PipelineOps.pipelineSelectDsir _,
+    "source_divergence" -> TextAnalysis.sourceDivergence _,
   )
 
   /** DuckDB twin of PipelineOps.pipelineCurateMultimodal: the
@@ -1240,6 +1242,87 @@ object SparkEntry {
       |FROM w JOIN documents d USING (doc_id)
       |ORDER BY llr DESC, w.doc_id LIMIT 50""".stripMargin
 
+  /** DuckDB twin of TextAnalysis.sourceDivergence — per-stratum KL and
+    * entropy as INTEGER sums of c·L(p) products on the quantized-ln grid
+    * (order-free), two correctly-rounded closing divides. */
+  private def sourceDivergenceOracleSql: String =
+    """WITH toks AS (
+      |  SELECT source AS g,
+      |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |cgw AS (SELECT g, tok, count(1) AS c FROM toks GROUP BY g, tok),
+      |cg AS (SELECT g, CAST(sum(c) AS BIGINT) AS cg FROM cgw GROUP BY g),
+      |cw AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cw FROM cgw GROUP BY tok),
+      |ct AS (SELECT CAST(sum(cw) AS BIGINT) AS ct FROM cw),
+      |sc AS (
+      |  SELECT cgw.g, cgw.c,
+      |    CAST(floor(ln(c::DOUBLE / cg::DOUBLE) * 1048576.0) AS BIGINT) AS ls,
+      |    CAST(floor(ln(cw::DOUBLE / ct::DOUBLE) * 1048576.0) AS BIGINT) AS lc
+      |  FROM cgw JOIN cg USING (g) JOIN cw USING (tok) CROSS JOIN ct)
+      |SELECT g AS source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(1) AS n_types,
+      |  round(CAST(sum(c * (ls - lc)) AS DOUBLE)
+      |    / CAST(sum(c) AS DOUBLE) / 1048576.0, 6) AS kl_vs_corpus,
+      |  round(CAST(sum(-c * ls) AS DOUBLE)
+      |    / CAST(sum(c) AS DOUBLE) / 1048576.0, 6) AS entropy
+      |FROM sc GROUP BY g ORDER BY source""".stripMargin
+
+  /** DuckDB twin of PipelineOps.pipelineSelectDsir — the composed flow:
+    * the quality_gopher pass predicate, the dedup_exact min-id keep rule,
+    * the dsir_select model CTEs refit on the clean survivors, and a
+    * running-total cutoff at 8000 tokens (the oracle may use the global
+    * window the Spark side's distributed prefix sum deliberately avoids —
+    * both compute the same integer running totals over the same total
+    * order). */
+  private def pipelineSelectDsirOracleSql: String =
+    """WITH tok0 AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |gp AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+      |      CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sumlen,
+      |      CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+      |      CAST(len(list_filter(['the','a','of','and','is'],
+      |        s -> list_contains(ts, s))) AS BIGINT) AS n_stop
+      |    FROM tok0 WHERE len(ts) >= 1)
+      |  WHERE n_words BETWEEN 20 AND 100000 AND 3 * n_words <= sumlen
+      |    AND sumlen <= 10 * n_words AND 5 * alpha >= 4 * n_words
+      |    AND n_stop >= 2),
+      |kp AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(lower(trim(text)))),
+      |clean AS (
+      |  SELECT d.doc_id, d.text, d.lang FROM documents d
+      |  JOIN gp USING (doc_id) JOIN kp USING (doc_id)),
+      |toks AS (
+      |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS t,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |        FROM clean)),
+      |counts AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+      |model AS (
+      |  SELECT b,
+      |    CAST(floor(ln((ct + 1)::DOUBLE / (tt + 256)::DOUBLE) * 1048576.0) AS BIGINT)
+      |    - CAST(floor(ln((cs + 1)::DOUBLE / (ts + 256)::DOUBLE) * 1048576.0) AS BIGINT) AS lrq
+      |  FROM counts CROSS JOIN totals),
+      |w AS (
+      |  SELECT doc_id, count(1) AS n_tokens,
+      |    round(sum(lrq)::DOUBLE / 1048576.0, 4) AS llr
+      |  FROM toks JOIN model USING (b) GROUP BY doc_id),
+      |sel AS (
+      |  SELECT doc_id, n_tokens, llr,
+      |    sum(n_tokens) OVER (ORDER BY llr DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM w)
+      |SELECT s.doc_id, s.n_tokens, s.llr,
+      |  CAST(s.cum_tokens AS BIGINT) AS cum_tokens, d.lang, d.source
+      |FROM sel s JOIN documents d USING (doc_id)
+      |WHERE s.cum_tokens <= 8000
+      |ORDER BY s.doc_id""".stripMargin
+
   /** DuckDB twin of Similarity.knnMmr — Graft.mmrSelect's 5 greedy MMR
     * steps unrolled as CTE triples (ms → pk → sel). Cross-engine exact:
     * rel6/sim6 are round-6 quantized cosines (identical bits both sides),
@@ -2148,6 +2231,10 @@ object SparkEntry {
     "doc_winnowing" -> docWinnowingOracleSql,
 
     "source_report" -> sourceReportOracleSql,
+
+    "source_divergence" -> sourceDivergenceOracleSql,
+
+    "pipeline_select_dsir" -> pipelineSelectDsirOracleSql,
 
     "dedup_substring" -> dedupSubstringOracleSql,
 

@@ -358,6 +358,49 @@ object Graft {
         round(col("__w").cast("double") / 1048576.0, 4).as("llr"))
   }
 
+  /** Per-stratum distribution report — KL(P_s ‖ P_corpus) and Shannon
+    * entropy H(P_s) of each stratum's unigram distribution vs the whole
+    * corpus: the mixture diagnostic a curation run reads before reweighting
+    * sources (a stratum with near-zero KL adds nothing the corpus doesn't
+    * already have; an entropy outlier is boilerplate or noise).
+    *
+    * Exactness: with L(p) = floor(ln(p)·2^20) (the lmPerplexity grid), a
+    * stratum's KL numerator is Σ_w c_sw·(L(p_s(w)) − L(p_c(w))) — INTEGER
+    * products and an integer sum, so partial-aggregation order can't
+    * perturb it; the two closing divides are correctly rounded. (Integer
+    * headroom: |L| < 2^25, so the sum stays inside 2^63 while a stratum
+    * holds < 2^37 ≈ 10^11 tokens — beyond that, widen to DECIMAL(38,0).)
+    *
+    * Scale story: one corpus pass to the (stratum, word) counts, then
+    * everything is vocabulary-sized; the per-word corpus table broadcasts.
+    * Output per stratum: (strataCol, n_tokens, n_types, kl_vs_corpus,
+    * entropy). */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+      strataCol: String): DataFrame = {
+    val toks = docs.select(col(strataCol).as("__g"),
+      explode(expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+        .as("__tok"))
+    val cgw = toks.groupBy("__g", "__tok").agg(count(lit(1)).as("__c"))
+    val cg = cgw.groupBy("__g").agg(sum("__c").as("__cg"))
+    val cw = cgw.groupBy("__tok").agg(sum("__c").as("__cw"))
+    val ctot = cw.agg(sum("__cw").as("__ct"))
+    cgw.join(cg, "__g").join(broadcast(cw), "__tok").crossJoin(broadcast(ctot))
+      .withColumn("__ls", floor(log(col("__c").cast("double")
+        / col("__cg").cast("double")) * 1048576.0).cast("long"))
+      .withColumn("__lc", floor(log(col("__cw").cast("double")
+        / col("__ct").cast("double")) * 1048576.0).cast("long"))
+      .groupBy(col("__g"))
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__ls") - col("__lc"))).as("__klu"),
+        sum(-col("__c") * col("__ls")).as("__hu"))
+      .select(col("__g").as(strataCol), col("n_tokens"), col("n_types"),
+        round(col("__klu").cast("double") / col("n_tokens").cast("double")
+          / 1048576.0, 6).as("kl_vs_corpus"),
+        round(col("__hu").cast("double") / col("n_tokens").cast("double")
+          / 1048576.0, 6).as("entropy"))
+  }
+
   /** Heuristic document quality in [0, 1]: length (50%), non-punctuation
     * ratio (30%), stopword presence (20%) — the cheap row-local pre-filter a
     * training-data pipeline applies before any expensive dedup. Appends
@@ -1908,14 +1951,28 @@ object Graft {
       budgetTokens: Long): DataFrame = {
     val scored = repetitionMetrics(docs.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), col("n_tokens"), col("dup_ratio"))
-    val parts = scored.repartitionByRange(col("dup_ratio").asc, col(idCol).asc)
+    budgetedPrefix(scored, "n_tokens",
+        Seq(col("dup_ratio").asc, col(idCol).asc), budgetTokens)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** The distributed budget-prefix primitive selectByTokenBudget wraps:
+    * rank `scored` by `order` (must be a deterministic total order), keep
+    * the ranked prefix whose RUNNING `tokensCol` total stays ≤ the budget.
+    * Two-phase prefix sum — range-partition by the rank key, per-partition
+    * cumsum windows keyed by physical pid, a #partitions-sized offset
+    * table broadcast back — never a data-sized global window. Appends
+    * `cum_tokens` to the input columns. */
+  def budgetedPrefix(scored: DataFrame, tokensCol: String,
+      order: Seq[Column], budgetTokens: Long): DataFrame = {
+    val parts = scored.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy("__pid")
-      .orderBy(col("dup_ratio").asc, col(idCol).asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parts.withColumn("__cum_local", sum("n_tokens").over(wLocal))
+    val local = parts.withColumn("__cum_local", sum(tokensCol).over(wLocal))
     val offsets = local.groupBy("__pid")
-      .agg(sum("n_tokens").as("__part_total"))
+      .agg(sum(tokensCol).as("__part_total"))
       .withColumn("__offset",
         coalesce(sum("__part_total").over(
           Window.orderBy("__pid")
@@ -1924,7 +1981,7 @@ object Graft {
     local.join(broadcast(offsets), "__pid")
       .withColumn("cum_tokens", col("__cum_local") + col("__offset"))
       .filter(col("cum_tokens") <= budgetTokens)
-      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+      .drop("__pid", "__cum_local")
   }
 
   /** Temperature-scaled mixture rates (the multinomial-sampling rebalance of

@@ -362,4 +362,31 @@ object PipelineOps {
     new java.io.File(wh).delete()
     out.orderBy("o_orderpriority")
   }
+
+  /** The DSIR-ranked SELECTION pipeline (round 9) — the "data diet" flow a
+    * target-domain training run executes end to end: rule-based quality
+    * gate (Gopher bundle) → exact dedup (min-id representative per content
+    * hash) → DSIR importance model FIT ON THE SURVIVORS (target = the
+    * English slice; fitting after cleaning is the order that keeps junk
+    * out of the source distribution) → budget-prefix selection by
+    * (llr desc, doc_id) until 8000 tokens. Four oracled operators composed
+    * into one lazy plan; the running total is the distributed two-phase
+    * prefix sum (Graft.budgetedPrefix), never a data-sized global window. */
+  def pipelineSelectDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pass = graft.api.Graft.gopherRules(
+        docs.select(col("doc_id"), col("text")), "text", minWords = 20L)
+      .filter(col("passes")).select("doc_id")
+    val kept = graft.api.Graft.dedupExact(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val clean = docs.join(pass, "doc_id").join(kept, "doc_id")
+    val scored = graft.api.Graft.dsirWeights(clean, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 256)
+    graft.api.Graft.budgetedPrefix(scored, "n_tokens",
+        Seq(col("llr").desc, col("doc_id").asc), budgetTokens = 8000L)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("llr"), col("cum_tokens"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
 }

@@ -337,4 +337,12 @@ object TextAnalysis {
       .orderBy(col("llr").desc, col("doc_id").asc)
       .limit(50)
   }
+
+  /** Per-source distribution report (Graft.sourceDivergence): unigram
+    * KL(source ‖ corpus) and entropy on the integer quantized-ln grid —
+    * the "which sources are redundant / which are noise" rollup beside
+    * sourceReport's quality view. One corpus pass; vocabulary-sized joins. */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.sourceDivergence(Tables.documents(s, d), "text", "source")
+      .orderBy("source")
 }

@@ -81,6 +81,40 @@ class Round9Spec extends SparkSpec {
       s"top slice en share $enShare should beat corpus share $corpusShare")
   }
 
+  // ---------- source divergence (Graft.sourceDivergence) ----------
+
+  test("sourceDivergence: skewed sources diverge more; uniform entropy is ln(2)") {
+    val docs = Seq(
+      ("balanced", "x y x y x y x y"),
+      ("balanced", "y x y x y x y x"),
+      ("skewed", "x x x x x x x y")).toDF("src", "text")
+    val r = graft.api.Graft.sourceDivergence(docs, "text", "src")
+      .collect().map(row => row.getString(0) ->
+        (row.getDouble(3), row.getDouble(4))).toMap
+    // quantization can push a perfectly-aligned KL a few 2^-20 below zero,
+    // never more
+    assert(r("balanced")._1 > -1e-5 && r("skewed")._1 > r("balanced")._1)
+    // balanced source is a uniform coin: H = ln 2
+    assert(math.abs(r("balanced")._2 - math.log(2.0)) < 1e-3)
+  }
+
+  // ---------- DSIR selection pipeline ----------
+
+  test("pipeline_select_dsir respects the token budget and the llr rank order") {
+    val rows = queries.PipelineOps.pipelineSelectDsir(spark, sf)
+      .orderBy(col("llr").desc, col("doc_id").asc).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum <= 8000L)
+    // cum_tokens is exactly the running sum in (llr desc, doc_id) order
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(3) === cum)
+    }
+    // every selected doc survived the gopher gate: >= 20 words
+    assert(rows.forall(_.getLong(1) >= 20L))
+  }
+
   // ---------- TextRank (Graft.textRank) ----------
 
   test("textRank ranks the hub of a star graph first") {
