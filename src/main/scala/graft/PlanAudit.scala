@@ -220,6 +220,9 @@ object PlanAudit {
         "hashpartitioning\\(__pid".r.findFirstIn(p).isDefined
         && !p.contains("CartesianProduct"),
         "DSIR pipeline: budget cut rides the two-phase prefix sum, never a global window"),
+      ("embedding_pca", p => !p.contains("CartesianProduct"),
+        "PCA: covariance is an equi-join on the row id + integer aggregate; " +
+          "iteration vectors ride broadcasts"),
     )
 
     var failed = 0

@@ -113,6 +113,7 @@ object SparkEntry {
     "knn_pq_sampled"    -> Similarity.knnPqSampled _,
     "knn_refine"        -> Similarity.knnRefine _,
     "knn_mmr"           -> Similarity.knnMmr _,
+    "embedding_pca"     -> Similarity.embeddingPca _,
     "ann_index_stats"   -> Similarity.annIndexStats _,
     "ann_recall"        -> Similarity.annRecall _,
     "ann_probe_sweep"   -> Similarity.annProbeSweep _,
@@ -1323,6 +1324,45 @@ object SparkEntry {
       |WHERE s.cum_tokens <= 8000
       |ORDER BY s.doc_id""".stripMargin
 
+  /** DuckDB twin of Similarity.embeddingPca — Graft.pcaPowerIteration's
+    * covariance pass and 5 power iterations unrolled. Cross-engine exact:
+    * centered products, matrix-vector contributions, and squared norms all
+    * quantize to floor(·2^20) integers BEFORE their sums; the remaining
+    * ops per value are one correctly-rounded divide, sqrt, or subtract on
+    * identical bits. */
+  private def embeddingPcaOracleSql: String = {
+    def iter(k: Int): String =
+      s"""w$k AS (
+         |  SELECT cov.i,
+         |    CAST(sum(CAST(floor(c * v * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / 1048576.0 AS w
+         |  FROM cov JOIN v${k - 1} ON v${k - 1}.j = cov.j GROUP BY cov.i),
+         |n$k AS (
+         |  SELECT sqrt(CAST(sum(CAST(floor(w * w * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |    / 1048576.0) AS nrm FROM w$k),
+         |v$k AS (SELECT i AS j, w / nrm AS v, nrm FROM w$k CROSS JOIN n$k)""".stripMargin
+    s"""WITH e2 AS (
+       |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, unnest(range(1, 65)) AS i, embedding FROM embeddings)),
+       |nn AS (SELECT CAST(count(1) AS DOUBLE) AS n FROM embeddings),
+       |mean AS (
+       |  SELECT i,
+       |    CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS DOUBLE) / n / 1048576.0 AS m
+       |  FROM e2 CROSS JOIN nn GROUP BY i, n),
+       |cen AS (SELECT vec_id, i, x - m AS d FROM e2 JOIN mean USING (i)),
+       |cov AS (
+       |  SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(floor(a.d * b.d * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |      / n / 1048576.0 AS c
+       |  FROM cen a JOIN cen b ON a.vec_id = b.vec_id CROSS JOIN nn
+       |  GROUP BY a.i, b.i, n),
+       |v0 AS (SELECT unnest(range(1, 65)) AS j, 0.125::DOUBLE AS v),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT CAST(j AS INTEGER) AS dim, round(v, 6) AS loading,
+       |  round(nrm, 6) AS lambda
+       |FROM v5 ORDER BY dim""".stripMargin
+  }
+
   /** DuckDB twin of Similarity.knnMmr — Graft.mmrSelect's 5 greedy MMR
     * steps unrolled as CTE triples (ms → pk → sel). Cross-engine exact:
     * rel6/sim6 are round-6 quantized cosines (identical bits both sides),
@@ -2213,6 +2253,8 @@ object SparkEntry {
     "knn_refine" -> knnRefineOracleSql,
 
     "knn_mmr" -> knnMmrOracleSql,
+
+    "embedding_pca" -> embeddingPcaOracleSql,
 
     "ann_index_stats" -> annIndexStatsOracleSql,
 

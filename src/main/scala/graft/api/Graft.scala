@@ -1403,6 +1403,65 @@ object Graft {
         col("dup_of").isNull.cast("int").as("keep"))
   }
 
+  /** Top principal component by POWER ITERATION over the covariance of a
+    * float-vector column — the tall-skinny PCA a feature pipeline runs
+    * before whitening/projection. Covariance is the one corpus-sized pass:
+    * per-row centered products quantize to floor(dᵢ·dⱼ·2^20) BEFORE the
+    * aggregate (integer sums — order-free, map-side combinable), giving a
+    * d²-row model that broadcasts; each of the `iters` matrix-vector steps
+    * is d²-sized work (quantized contributions again), followed by one
+    * correctly-rounded sqrt-normalize. Every step is exact-integer or a
+    * single correctly-rounded IEEE primitive, so the whole trace —
+    * including the returned eigenvalue estimate ‖C·v‖ — is bit-identical
+    * cross-engine and the registry row unrolls into DuckDB CTEs.
+    *
+    * v₀ = (1/8, …, 1/8) (exact in binary), so convergence and SIGN are
+    * deterministic — no RNG, no sign ambiguity. Output: one row per
+    * dimension (dim 1-based, loading, lambda) with lambda the final
+    * pre-normalization norm, repeated per row. */
+  def pcaPowerIteration(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val elems = df.select(col(idCol).as("__id"),
+      posexplode(col(vecCol)).as(Seq("__i0", "__x")))
+      .select(col("__id"), (col("__i0") + 1).as("__i"),
+        col("__x").cast("double").as("__x"))
+    val mean = elems.groupBy("__i")
+      .agg((sum(floor(col("__x") * 1048576.0)).cast("double")
+        / lit(n.toDouble) / 1048576.0).as("__m"))
+    val centered = elems.join(broadcast(mean), "__i")
+      .select(col("__id"), col("__i"), (col("__x") - col("__m")).as("__d"))
+    val left = centered.select(col("__id"), col("__i"), col("__d").as("__di"))
+    val right = centered.select(col("__id").as("__id2"),
+      col("__i").as("__j"), col("__d").as("__dj"))
+    val cov = left.join(right, col("__id") === col("__id2"))
+      .groupBy("__i", "__j")
+      .agg((sum(floor(col("__di") * col("__dj") * 1048576.0)).cast("double")
+        / lit(n.toDouble) / 1048576.0).as("__c"))
+      .localCheckpoint(true)
+    var state = spark.range(1, dim + 1)
+      .select(col("id").as("__j"), lit(0.125).as("__v"),
+        lit(0.0).as("__norm"))
+    for (_ <- 1 to iters) {
+      val w = cov.join(broadcast(state.select(col("__j"), col("__v"))), "__j")
+        .groupBy(col("__i"))
+        .agg((sum(floor(col("__c") * col("__v") * 1048576.0)).cast("double")
+          / 1048576.0).as("__w"))
+      val norm = w.agg(
+        sqrt(sum(floor(col("__w") * col("__w") * 1048576.0)).cast("double")
+          / 1048576.0).as("__norm"))
+      state = w.crossJoin(broadcast(norm))
+        .select(col("__i").as("__j"), (col("__w") / col("__norm")).as("__v"),
+          col("__norm"))
+        .localCheckpoint(true)
+    }
+    state.select(col("__j").cast("int").as("dim"),
+        round(col("__v"), 6).as("loading"),
+        round(col("__norm"), 6).as("lambda"))
+      .orderBy("dim")
+  }
+
   /** Product-quantization model: `codebooks` (sub, c_id, centroid) — m·k
     * rows, broadcast-sized — and `codes` (the original id column, sub, code)
     * — the m-codes-per-vector compressed index. */

@@ -560,6 +560,18 @@ object Similarity {
     * λ=0.5 relevance-vs-redundancy trade, and 5 unrolled selection steps
     * emit the diversified ranking. Quantized round-6 rel/sim scores make
     * the whole greedy trace hash-exact in DuckDB. */
+  /** Top principal component of the embedding corpus
+    * (Graft.pcaPowerIteration): one covariance pass (quantized integer
+    * sums, d²-row broadcast model), 5 power iterations, deterministic
+    * sign. The loadings tell a curation run which direction dominates its
+    * embedding space (a collapsed/anisotropic space is a red flag before
+    * ANN indexing); the fully-unrolled oracle hash-checks the whole
+    * trace including λ = ‖C·v‖. */
+  def embeddingPca(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.pcaPowerIteration(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", dim = 64, iters = 5)
+
   def knnMmr(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)

@@ -115,6 +115,26 @@ class Round9Spec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 20L))
   }
 
+  // ---------- PCA power iteration (Graft.pcaPowerIteration) ----------
+
+  test("pcaPowerIteration recovers a planted principal direction") {
+    // points spread along (0.6, 0.8) with tiny orthogonal jitter
+    val pts = (1 to 40).map { t =>
+      val s = (t - 20.5) / 4.0
+      val eps = (t % 3 - 1) * 0.01
+      (t.toLong, Array((s * 0.6 + eps * 0.8).toFloat, (s * 0.8 - eps * 0.6).toFloat))
+    }
+    val df = pts.toDF("id", "v")
+    val r = graft.api.Graft.pcaPowerIteration(df, "id", "v", dim = 2, iters = 8)
+      .collect()
+    val l = r.map(_.getDouble(1))
+    // unit norm, and the loading ratio matches the planted 0.6 : 0.8
+    assert(math.abs(l.map(x => x * x).sum - 1.0) < 1e-6)
+    assert(math.abs(math.abs(l(1) / l(0)) - 0.8 / 0.6) < 0.01)
+    // lambda is the dominant variance - strictly positive here
+    assert(r.head.getDouble(2) > 0.1)
+  }
+
   // ---------- TextRank (Graft.textRank) ----------
 
   test("textRank ranks the hub of a star graph first") {
