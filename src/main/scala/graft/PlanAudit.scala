@@ -223,6 +223,10 @@ object PlanAudit {
       ("embedding_pca", p => !p.contains("CartesianProduct"),
         "PCA: covariance is an equi-join on the row id + integer aggregate; " +
           "iteration vectors ride broadcasts"),
+      ("label_propagation", p => !p.contains("CartesianProduct")
+        && !p.contains("Window"),
+        "label propagation: each round is an edge-list equi-join + vote count; " +
+          "argmax is a min-struct aggregate, not a window"),
     )
 
     var failed = 0

@@ -98,6 +98,7 @@ object SparkEntry {
     "dsir_select"       -> TextAnalysis.dsirSelect _,
     "textrank_keywords" -> GraphOps.textrankKeywords _,
     "graph_triangles"   -> GraphOps.graphTriangles _,
+    "label_propagation" -> GraphOps.labelPropagation _,
     "pmi_cooccur"       -> TextAnalysis.pmiCooccur _,
     "doc_winnowing"     -> TextAnalysis.docWinnowing _,
     "source_report"     -> TextAnalysis.sourceReport _,
@@ -190,6 +191,7 @@ object SparkEntry {
     "stream_quality_filter" -> StreamingQueries.streamQualityFilter _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
+    "stream_dsir"       -> StreamingQueries.streamDsir _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -1243,6 +1245,35 @@ object SparkEntry {
       |FROM w JOIN documents d USING (doc_id)
       |ORDER BY llr DESC, w.doc_id LIMIT 50""".stripMargin
 
+  /** DuckDB twin of StreamingQueries.streamDsir — the dsir_select model
+    * CTEs, then a per-language rollup of the final streaming state on
+    * exact integer sums (mean = Σwq / n / 2^20, two correctly-rounded
+    * divides). Streaming semantics reduce to batch because complete-mode
+    * final state over a bounded source IS the batch aggregate. */
+  private def streamDsirOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS t,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |        FROM documents)),
+      |counts AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+      |model AS (
+      |  SELECT b,
+      |    CAST(floor(ln((ct + 1)::DOUBLE / (tt + 256)::DOUBLE) * 1048576.0) AS BIGINT)
+      |    - CAST(floor(ln((cs + 1)::DOUBLE / (ts + 256)::DOUBLE) * 1048576.0) AS BIGINT) AS lrq
+      |  FROM counts CROSS JOIN totals),
+      |w AS (
+      |  SELECT doc_id, count(1) AS n_tokens, sum(lrq) AS wq
+      |  FROM toks JOIN model USING (b) GROUP BY doc_id)
+      |SELECT d.lang, count(1) AS n_docs,
+      |  CAST(sum(w.n_tokens) AS BIGINT) AS tok_volume,
+      |  round(CAST(sum(w.wq) AS DOUBLE) / CAST(count(1) AS DOUBLE)
+      |    / 1048576.0, 4) AS avg_llr
+      |FROM w JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY lang""".stripMargin
+
   /** DuckDB twin of TextAnalysis.sourceDivergence — per-stratum KL and
     * entropy as INTEGER sums of c·L(p) products on the quantized-ln grid
     * (order-free), two correctly-rounded closing divides. */
@@ -1414,6 +1445,47 @@ object SparkEntry {
        |${(2 to 5).map(step).mkString(",\n")}
        |SELECT q_id, step, c_id, round(rel6, 4) AS rel_cos, round(score, 6) AS mmr
        |FROM sel5 ORDER BY q_id, step""".stripMargin
+  }
+
+  /** DuckDB twin of GraphOps.labelPropagation — the dedup_embedding_keep
+    * pair CTEs (8-bit bands, cosine ≥ 0.25), then Graft.labelPropagate's
+    * 3 synchronous majority-vote rounds unrolled. Integer-exact: votes
+    * are counts, ties break (count desc, label asc), seeds clamp via the
+    * same coalesce. */
+  private def labelPropagationOracleSql: String = {
+    def round(k: Int): String =
+      s"""v$k AS (
+         |  SELECT s.dst, c.l, count(1) AS v
+         |  FROM sym s JOIN l${k - 1} c ON c.n = s.src AND c.l IS NOT NULL
+         |  GROUP BY s.dst, c.l),
+         |b$k AS (
+         |  SELECT dst AS n, l AS maj FROM (
+         |    SELECT dst, l, row_number() OVER (PARTITION BY dst
+         |      ORDER BY v DESC, l ASC) AS rn FROM v$k) WHERE rn = 1),
+         |l$k AS (
+         |  SELECT base.n, coalesce(base.seedl, b.maj) AS l
+         |  FROM base LEFT JOIN b$k b ON b.n = base.n)""".stripMargin
+    s"""WITH ${embedCandidateCtes(8)},
+       |pairs AS (
+       |  SELECT id_a, id_b
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = id_a
+       |  JOIN embeddings eb ON eb.vec_id = id_b
+       |  WHERE $embedCos >= 0.25),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |base AS (
+       |  SELECT vec_id AS n,
+       |    CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS seedl
+       |  FROM embeddings),
+       |l0 AS (SELECT n, seedl AS l FROM base),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT l3.n AS vec_id,
+       |  CAST(CASE WHEN base.seedl IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS is_seed,
+       |  l3.l AS label
+       |FROM l3 JOIN base USING (n) ORDER BY vec_id""".stripMargin
   }
 
   /** Shared word-adjacency edge CTEs of the graph oracles (toks → pr →
@@ -2234,6 +2306,8 @@ object SparkEntry {
 
     "graph_triangles" -> graphTrianglesOracleSql,
 
+    "label_propagation" -> labelPropagationOracleSql,
+
     "bpe_pair_counts" -> bpePairCountsOracleSql,
 
     "bpe_merges" -> bpeMergesOracleSql,
@@ -2267,6 +2341,8 @@ object SparkEntry {
     "quality_classifier" -> qualityClassifierOracleSql,
 
     "stream_classify" -> streamClassifyOracleSql,
+
+    "stream_dsir" -> streamDsirOracleSql,
 
     "pmi_cooccur" -> pmiCooccurOracleSql,
 

@@ -336,27 +336,50 @@ object Graft {
     * independent, so partial aggregation can't perturb it.
     * Output: (idCol, n_tokens, llr) with llr = weight/2^20 rounded to 4. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int = 256): DataFrame = {
-    val toks = docs.select(col(idCol), isTarget.cast("long").as("__t"),
+      isTarget: Column, buckets: Int = 256): DataFrame =
+    dsirScore(docs, idCol, textCol,
+      dsirModel(docs, textCol, isTarget, buckets), buckets)
+      .select(col(idCol), col("n_tokens"), col("llr"))
+
+  /** The FIT half of dsirWeights: the (bucket, integer log-ratio) model —
+    * a `buckets`-row broadcastable side table. Split out so the model can
+    * be fit once on a batch corpus and applied to a STREAM (stream_dsir)
+    * or persisted — the same fit-once/apply-anywhere seam linearClassify
+    * has. */
+  def dsirModel(docs: DataFrame, textCol: String, isTarget: Column,
+      buckets: Int = 256): DataFrame = {
+    val toks = docs.select(isTarget.cast("long").as("__t"),
         explode(expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
           .as("__tok"))
       .withColumn("__b", pmod(md5Hash60(col("__tok")), lit(buckets.toLong)))
     val counts = toks.groupBy("__b")
       .agg(sum(col("__t")).as("__ct"), count(lit(1)).as("__cs"))
     val totals = counts.agg(sum("__ct").as("__tt"), sum("__cs").as("__ts"))
-    val model = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col("__b"),
         (floor(log((col("__ct") + 1).cast("double")
             / (col("__tt") + buckets).cast("double")) * 1048576.0).cast("long")
           - floor(log((col("__cs") + 1).cast("double")
             / (col("__ts") + buckets).cast("double")) * 1048576.0).cast("long"))
           .as("__lrq"))
-    toks.join(broadcast(model), "__b")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum("__lrq").as("__w"))
-      .select(col(idCol), col("n_tokens"),
-        round(col("__w").cast("double") / 1048576.0, 4).as("llr"))
   }
+
+  /** The APPLY half of dsirWeights: broadcast-join the model onto the
+    * token stream, one integer sum per document. Works unchanged on a
+    * streaming `docs` frame (stateless explode + stream-static broadcast
+    * join + one grouped aggregation). `llr_q` is the raw integer weight —
+    * what a downstream rollup sums exactly (llr is its /2^20 readout). */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int = 256): DataFrame =
+    docs.select(col(idCol),
+        explode(expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+          .as("__tok"))
+      .withColumn("__b", pmod(md5Hash60(col("__tok")), lit(buckets.toLong)))
+      .join(broadcast(model), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("__lrq").as("llr_q"))
+      .select(col(idCol), col("n_tokens"), col("llr_q"),
+        round(col("llr_q").cast("double") / 1048576.0, 4).as("llr"))
 
   /** Per-stratum distribution report — KL(P_s ‖ P_corpus) and Shannon
     * entropy H(P_s) of each stratum's unigram distribution vs the whole
@@ -1814,6 +1837,54 @@ object Graft {
         s"($changed labels still changing); raise maxIter — with pointer " +
         "jumping, rounds needed grow ~log(diameter)")
     labels
+  }
+
+  /** Semi-supervised LABEL PROPAGATION (Zhu & Ghahramani '02, the
+    * majority-vote discrete variant): seed nodes hold fixed labels, and
+    * each synchronous round every non-seed node takes the MAJORITY label
+    * among its currently-labeled neighbors (ties: highest vote count,
+    * then smallest label; no labeled neighbor → stays unlabeled). The
+    * weak-supervision primitive over a near-dup/similarity graph: a few
+    * audited labels spread to everything transitively similar.
+    *
+    * Deterministic and integer-exact (votes are counts), so the rounds
+    * unroll into SQL. Scale story: each round is one edge-list equi-join
+    * with the current label vector plus a (node, label)-keyed count —
+    * the same join-aggregate shape as textRank's iterations, shuffled on
+    * the node key both sides; state is one label per node, never a
+    * neighborhood materialization.
+    * Output: (nodeCol, is_seed 1|0, label — null if never reached). */
+  def labelPropagate(nodes: DataFrame, nodeCol: String,
+      seeds: DataFrame, seedNodeCol: String, labelCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3): DataFrame = {
+    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .unionByName(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .filter(col("__src") =!= col("__dst")).distinct()
+      .localCheckpoint(true)
+    val base = nodes.select(col(nodeCol).as("__n")).distinct()
+      .join(seeds.select(col(seedNodeCol).as("__n"),
+        col(labelCol).cast("long").as("__seedl")), Seq("__n"), "left")
+      .localCheckpoint(true)
+    var cur = base.select(col("__n"), col("__seedl").as("__l"))
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(cur.filter(col("__l").isNotNull)
+          .select(col("__n").as("__src"), col("__l")), "__src")
+        .groupBy(col("__dst"), col("__l"))
+        .agg(count(lit(1)).as("__v"))
+      val best = votes.withColumn("__negv", -col("__v"))
+        .groupBy("__dst")
+        .agg(min(struct(col("__negv"), col("__l"))).as("__b"))
+        .select(col("__dst").as("__n"), col("__b.__l").as("__maj"))
+      cur = base.join(best, Seq("__n"), "left")
+        .select(col("__n"), coalesce(col("__seedl"), col("__maj")).as("__l"))
+        .localCheckpoint(true)
+    }
+    base.join(cur, "__n")
+      .select(col("__n").as(nodeCol),
+        col("__seedl").isNotNull.cast("int").as("is_seed"),
+        col("__l").as("label"))
   }
 
   /** Triangle census by DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii,

@@ -51,4 +51,24 @@ object GraphOps {
       .select("a", "b")
     graft.api.Graft.triangleCensus(edges, "a", "b")
   }
+
+  /** Semi-supervised label propagation (Graft.labelPropagate) over the
+    * embedding near-dup graph: the 1-in-5 vec_ids keep their true label as
+    * seeds, the hyperplane-LSH cosine ≥ 0.25 pairs (the dedup_embedding_keep
+    * edge set) carry them, and 3 majority-vote rounds label what's
+    * transitively similar — weak supervision from a 20% audit. Fully
+    * oracled: votes are integer counts, rounds unroll into SQL. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = graft.api.Graft.cosineDedupLsh(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", Dedup.embedPlanes, bitsPerBand = 8, tau = 0.25)
+      .select(col("id_a"), col("id_b"))
+    val seeds = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"))
+    graft.api.Graft.labelPropagate(
+        emb.select(col("vec_id")), "vec_id",
+        seeds, "vec_id", "label", edges, "id_a", "id_b", iters = 3)
+      .orderBy("vec_id")
+  }
 }

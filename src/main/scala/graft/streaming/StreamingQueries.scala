@@ -148,6 +148,29 @@ object StreamingQueries {
       .orderBy("label")
   }
 
+  /** DSIR importance scoring on a stream — the fit-once/apply-anywhere
+    * seam made concrete: the 256-bucket log-ratio model FITS on the static
+    * batch corpus (Graft.dsirModel), then the SAME Graft.dsirScore call
+    * the batch dsir_select uses scores arriving documents — a stateless
+    * token explode, a stream-static broadcast join of the model, and one
+    * grouped integer sum per document as streaming state. The readout
+    * rolls the final state up per language on exact integer sums, so the
+    * whole flow (model fit + stream inference + rollup) hash-matches the
+    * batch oracle. */
+  def streamDsir(s: SparkSession, d: String): DataFrame = {
+    val model = graft.api.Graft.dsirModel(
+      graft.Tables.documents(s, d), "text", col("lang") === "en", buckets = 256)
+    val scored = graft.api.Graft.dsirScore(
+      readStreamTable(s, d, "documents"), "doc_id", "text", model, buckets = 256)
+    runToMemory(s, scored, "graft_stream_dsir", "complete")
+      .join(graft.Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_volume"),
+        round(sum("llr_q").cast("double") / count(lit(1)).cast("double")
+          / 1048576.0, 4).as("avg_llr"))
+      .orderBy("lang")
+  }
+
   /** The ordered funnel running ON A STREAM — the exact same Graft.funnel
     * call as the batch funnel_analysis query, unchanged: its one
     * conditional-min aggregation incrementalizes (per-user firsts are

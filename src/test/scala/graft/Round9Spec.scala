@@ -115,6 +115,53 @@ class Round9Spec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 20L))
   }
 
+  // ---------- label propagation (Graft.labelPropagate) ----------
+
+  test("labelPropagate spreads along a path and breaks vote ties to the smaller label") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("n")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("n", "lab")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def run(iters: Int) = graft.api.Graft.labelPropagate(nodes, "n",
+        seeds, "n", "lab", edges, "a", "b", iters)
+      .collect().map(x => x.getLong(0) -> (x.getInt(1), x.get(2))).toMap
+    val r1 = run(1)
+    // round 1 reaches exactly the direct neighbors; the middle is untouched
+    assert(r1(2L)._2 === 10L && r1(4L)._2 === 20L && r1(3L)._2 === null)
+    val r3 = run(3)
+    // seeds clamped
+    assert(r3(1L) === ((1, 10L)) && r3(5L) === ((1, 20L)))
+    // round 2: the middle sees one vote per side -> tie -> smaller label;
+    // round 3: node 4 then ALSO ties (3 says 10, 5 says 20) and flips to 10 —
+    // synchronous re-evaluation, the documented Zhu-Ghahramani semantics
+    assert(r3(3L)._2 === 10L && r3(4L)._2 === 10L && r3(2L)._2 === 10L)
+  }
+
+  test("labelPropagate leaves unreachable nodes unlabeled") {
+    val nodes = Seq(1L, 2L, 9L).toDF("n")
+    val seeds = Seq((1L, 7L)).toDF("n", "lab")
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val r = graft.api.Graft.labelPropagate(nodes, "n", seeds, "n", "lab",
+        edges, "a", "b", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.get(2)).toMap
+    assert(r(2L) === 7L && r(9L) === null)
+  }
+
+  // ---------- streaming DSIR ----------
+
+  test("stream_dsir final state equals the batch per-language rollup") {
+    val stream = streaming.StreamingQueries.streamDsir(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val batch = graft.api.Graft.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 256)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream.nonEmpty)
+    stream.foreach { r =>
+      assert(r.getLong(1) === batch(r.getString(0)))
+    }
+  }
+
   // ---------- PCA power iteration (Graft.pcaPowerIteration) ----------
 
   test("pcaPowerIteration recovers a planted principal direction") {
