@@ -227,6 +227,12 @@ object PlanAudit {
         && !p.contains("Window"),
         "label propagation: each round is an edge-list equi-join + vote count; " +
           "argmax is a min-struct aggregate, not a window"),
+      ("embedding_outliers", p => p.contains("TakeOrderedAndProject")
+        && !p.contains("CartesianProduct"),
+        "outlier report: centroids broadcast onto assignments; top-50 is TakeOrdered"),
+      ("hard_negatives", p => p.contains("ObjectHashAggregate")
+        && !p.contains("CartesianProduct") && !p.contains("Window"),
+        "hard negatives: anchors broadcast, label filter at the scan, fused top-k aggregate"),
     )
 
     var failed = 0

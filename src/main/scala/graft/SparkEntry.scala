@@ -115,6 +115,8 @@ object SparkEntry {
     "knn_refine"        -> Similarity.knnRefine _,
     "knn_mmr"           -> Similarity.knnMmr _,
     "embedding_pca"     -> Similarity.embeddingPca _,
+    "embedding_outliers" -> Similarity.embeddingOutliers _,
+    "hard_negatives"    -> Similarity.hardNegatives _,
     "ann_index_stats"   -> Similarity.annIndexStats _,
     "ann_recall"        -> Similarity.annRecall _,
     "ann_probe_sweep"   -> Similarity.annProbeSweep _,
@@ -1355,6 +1357,41 @@ object SparkEntry {
       |WHERE s.cum_tokens <= 8000
       |ORDER BY s.doc_id""".stripMargin
 
+  /** DuckDB twin of Similarity.embeddingOutliers — the knn_ivf coarse
+    * k-means CTEs, each vector's squared L2 to its own centroid (the
+    * cross-engine-exact VecDot arithmetic), top-50 by (dist desc, id). */
+  private def embeddingOutliersOracleSql: String =
+    s"""WITH ${coarseKmeansCtesSql(10, 64)}
+       |SELECT e.vec_id, a.list_id,
+       |  round(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+       |    - 2 * list_dot_product(e.embedding::DOUBLE[], c.centroid::DOUBLE[])
+       |    + list_dot_product(c.centroid::DOUBLE[], c.centroid::DOUBLE[]), 6) AS dist6
+       |FROM embeddings e
+       |JOIN assigned a USING (vec_id)
+       |JOIN c3 c ON c.c_id = a.list_id
+       |ORDER BY dist6 DESC, e.vec_id LIMIT 50""".stripMargin
+
+  /** DuckDB twin of Similarity.hardNegatives — different-label filter at
+    * the scan, round-6 cosines, top-3 per anchor by (score desc, id). */
+  private def hardNegativesOracleSql: String = {
+    val qCos =
+      """list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+        |       sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+       |  FROM embeddings WHERE vec_id < 20),
+       |sc AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id AS c_id, e.label,
+       |    round($qCos, 6) AS score6
+       |  FROM q JOIN embeddings e ON e.label <> q.q_label)
+       |SELECT q_id, q_label, CAST(rn AS INTEGER) AS rn, c_id AS neg_id,
+       |  label AS neg_label, round(score6, 4) AS cos_sim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score6 DESC, c_id) AS rn FROM sc)
+       |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+  }
+
   /** DuckDB twin of Similarity.embeddingPca — Graft.pcaPowerIteration's
     * covariance pass and 5 power iterations unrolled. Cross-engine exact:
     * centered products, matrix-vector contributions, and squared norms all
@@ -2329,6 +2366,10 @@ object SparkEntry {
     "knn_mmr" -> knnMmrOracleSql,
 
     "embedding_pca" -> embeddingPcaOracleSql,
+
+    "embedding_outliers" -> embeddingOutliersOracleSql,
+
+    "hard_negatives" -> hardNegativesOracleSql,
 
     "ann_index_stats" -> annIndexStatsOracleSql,
 

@@ -553,6 +553,54 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Embedding OUTLIER report: the 50 vectors farthest (squared L2) from
+    * their own k-means centroid — the "drop the junk before indexing /
+    * training" curation step, and the per-vector view of
+    * ann_index_stats's aggregate residual norms. Same k=10 / 3-iter
+    * fixed-point model as knn_ivf, distances through the same
+    * cross-engine-exact VecDot arithmetic, top-k via TakeOrdered —
+    * fully oracled on the unrolled training CTEs. */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val km = graft.api.Graft.kmeans(e, "vec_id", "embedding", k = 10, iters = 3)
+    e.join(km.assignments, "vec_id")
+      .join(broadcast(km.centroids), col("list_id") === col("c_id"))
+      .withColumn("dist6", round(expr(
+        """vec_dot(embedding, embedding) - 2 * vec_dot(embedding, centroid)
+          |  + vec_dot(centroid, centroid)""".stripMargin), 6))
+      .select(col("vec_id"), col("list_id"), col("dist6"))
+      .orderBy(col("dist6").desc, col("vec_id").asc)
+      .limit(50)
+  }
+
+  /** HARD-NEGATIVE mining for contrastive embedding training: for each of
+    * the first 20 anchors, the 3 most-similar vectors carrying a DIFFERENT
+    * label — the near-miss pairs a metric-learning run trains against.
+    * One corpus pass per anchor set (broadcast anchors, fused top-k
+    * aggregate — O(k) state, Q·k shuffle), label inequality applied
+    * before scoring so the candidate stream shrinks at the scan. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("label"))
+    val topk = udaf(new graft.functions.TopKNeighbors(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.Neighbor])
+    broadcast(q).join(c, col("label") =!= col("q_label"))
+      .withColumn("score6", round(expr(cos), 6))
+      .groupBy("q_id", "q_label")
+      .agg(topk(col("c_id"), col("label"), col("score6")).as("topk"))
+      .select(col("q_id"), col("q_label"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), col("q_label"), (col("i") + 1).cast("int").as("rn"),
+        col("nb.c_id").as("neg_id"), col("nb.label").as("neg_label"),
+        round(col("nb.score"), 4).as("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
   /** MMR-diversified top-5 (Graft.mmrSelect over the brute-force top-20):
     * retrieval picks 20 candidates per query through the fused top-k
     * aggregate, a candidate-pair cosine matrix (≤ 20·19 rows per query —

@@ -162,6 +162,23 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---------- outliers + hard negatives ----------
+
+  test("embedding_outliers ranks by distance and hard_negatives never returns the anchor's label") {
+    val out = queries.Similarity.embeddingOutliers(spark, sf).collect()
+    assert(out.length === 50)
+    // descending distance, ties to the lower id
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a.getDouble(2) > b.getDouble(2) ||
+        (a.getDouble(2) == b.getDouble(2) && a.getLong(0) < b.getLong(0))
+    })
+    val hn = queries.Similarity.hardNegatives(spark, sf).collect()
+    assert(hn.nonEmpty)
+    assert(hn.forall(r => r.getInt(4) != r.getInt(1)))
+    // 3 negatives per anchor, rn 1..3
+    assert(hn.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.sameElements(Seq(1, 2, 3))))
+  }
+
   // ---------- PCA power iteration (Graft.pcaPowerIteration) ----------
 
   test("pcaPowerIteration recovers a planted principal direction") {
