@@ -1405,11 +1405,22 @@ object Graft {
     * Output: one row per input id — (id, c_id, dup_of, keep 1|0). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 3, tau: Double = 0.25,
-      trainHexDigits: Seq[String] = Nil): DataFrame = {
+      trainHexDigits: Seq[String] = Nil,
+      maxClusterOccupancy: Long = 100000L): DataFrame = {
     VectorFunctions.register(df.sparkSession)
     val assign = kmeans(df, idCol, vecCol, k, iters,
       trainHexDigits = trainHexDigits).assignments
-    val withVec = assign.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+    // FAIL-FAST occupancy guard (the editDistanceDedup contract): within-
+    // cluster pair volume is Σ|cluster|², so a cluster past the declared
+    // bound must abort with the remedy (grow k) rather than silently go
+    // quadratic — at 100 TB "silently quadratic" is an outage, not slowness
+    val occ = assign.groupBy("list_id").agg(count(lit(1)).as("__ccnt"))
+    val guarded = assign.join(occ, "list_id")
+      .filter(expr(
+        s"""assert_true(__ccnt <= ${maxClusterOccupancy}L,
+           |  'semanticDedup: a cluster exceeds maxClusterOccupancy=$maxClusterOccupancy rows; grow k (clusters must stay bounded for the pair stage to stay linear)') IS NULL""".stripMargin))
+      .drop("__ccnt")
+    val withVec = guarded.join(df.select(col(idCol), col(vecCol)), Seq(idCol))
     val a = withVec.select(col("list_id"),
       col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = withVec.select(col("list_id"),

@@ -53,6 +53,18 @@ class Round9Spec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("semanticDedup fail-fasts when a cluster exceeds the declared occupancy") {
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.1f)), (3L, Array(1f, 0.2f)),
+      (4L, Array(1f, 0.3f)), (5L, Array(1f, 0.4f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      graft.api.Graft.semanticDedup(df, "id", "v", k = 1, iters = 1,
+        maxClusterOccupancy = 2L).collect()
+    }
+    assert(e.getMessage.contains("maxClusterOccupancy") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxClusterOccupancy")))
+  }
+
   // ---------- DSIR importance weights (Graft.dsirWeights) ----------
 
   test("dsirWeights ranks target-looking documents above source-only ones") {
