@@ -267,6 +267,63 @@ class Round9Spec extends SparkSpec {
     assert(perQ.filter(col("n") =!= 5 || col("nc") =!= 5).isEmpty)
   }
 
+  test("triangleCensus equals brute-force triple enumeration on random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rng.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toList
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def has(x: Long, y: Long) = adj.contains((math.min(x, y), math.max(x, y)))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val triples = (for {
+          i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+          if has(i, j) && has(j, k) && has(i, k)
+        } yield 1).size
+        val wedges = nodes.map { v =>
+          val d = edges.count(e => e._1 == v || e._2 == v).toLong
+          d * (d - 1) / 2
+        }.sum
+        val r = graft.api.Graft.triangleCensus(edges.toDF("a", "b"), "a", "b")
+          .collect().head
+        assert(r.getLong(3) === triples.toLong, s"trial=$trial triangles")
+        assert(r.getLong(2) === wedges, s"trial=$trial wedges")
+      }
+    }
+  }
+
+  test("mmrSelect equals a Scala-collections greedy reference on random inputs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val cands = (1L to 8L).map(c => (1L, c, math.floor(rng.nextDouble() * 1e6) / 1e6))
+      val simMap = (for { a <- 1L to 8L; b <- 1L to 8L if a != b } yield {
+        val s = math.floor(rng.nextDouble() * 1e6) / 1e6
+        (math.min(a, b), math.max(a, b)) -> s
+      }).toMap
+      val sims = simMap.toSeq.flatMap { case ((a, b), s) =>
+        Seq((1L, a, b, s), (1L, b, a, s)) }
+      // greedy reference
+      val rel = cands.map(c => c._2 -> c._3).toMap
+      var sel = List.empty[Long]
+      for (_ <- 1 to 4) {
+        val rem = rel.keySet -- sel
+        val best = rem.toSeq.map { c =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => simMap((math.min(c, s), math.max(c, s)))).max
+          (0.5 * rel(c) - 0.5 * ms, c)
+        }.sortBy { case (sc, c) => (-sc, c) }.head._2
+        sel = sel :+ best
+      }
+      val got = graft.api.Graft.mmrSelect(
+          cands.toDF("q", "c", "r"), "q", "c", "r",
+          sims.toDF("q", "a", "b", "s"), "a", "b", "s", k = 4, lambda = 0.5)
+        .orderBy("step").collect().map(_.getLong(2)).toList
+      assert(got === sel, s"trial=$trial")
+    }
+  }
+
   test("triangleCensus on K4 finds all four triangles, and dedups input edges") {
     val k4 = (for {a <- 1L to 4L; b <- 1L to 4L if a < b} yield (a, b))
     // feed each edge twice in both orientations - the census must distinct()
