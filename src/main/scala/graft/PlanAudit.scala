@@ -233,6 +233,9 @@ object PlanAudit {
       ("hard_negatives", p => p.contains("ObjectHashAggregate")
         && !p.contains("CartesianProduct") && !p.contains("Window"),
         "hard negatives: anchors broadcast, label filter at the scan, fused top-k aggregate"),
+      ("pipeline_apply_mixture", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct") && !p.contains("Window"),
+        "mixture application: rates broadcast onto one scan; the gate is a row-local hash compare"),
     )
 
     var failed = 0

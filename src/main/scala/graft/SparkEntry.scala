@@ -253,6 +253,7 @@ object SparkEntry {
     "pipeline_curate_corpus" -> PipelineOps.pipelineCurateCorpus _,
     "pipeline_curate_multimodal" -> PipelineOps.pipelineCurateMultimodal _,
     "pipeline_select_dsir" -> PipelineOps.pipelineSelectDsir _,
+    "pipeline_apply_mixture" -> PipelineOps.pipelineApplyMixture _,
     "source_divergence" -> TextAnalysis.sourceDivergence _,
   )
 
@@ -1246,6 +1247,35 @@ object SparkEntry {
       |  d.lang, d.source
       |FROM w JOIN documents d USING (doc_id)
       |ORDER BY llr DESC, w.doc_id LIMIT 50""".stripMargin
+
+  /** DuckDB twin of PipelineOps.pipelineApplyMixture — the
+    * mixture_temperature rate CTEs (IEEE sqrt + sorted fold, round-6
+    * rates), the 16-bit md5 sampling gate (u < floor(rate·65536) — one
+    * floor of an exact product on identical round-6 rates), and the
+    * ratio4 achieved-rate readback. */
+  private def pipelineApplyMixtureOracleSql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(1) AS n_docs FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM counts),
+      |tot AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS tot FROM w),
+      |rates AS (SELECT lang, round(w / tot, 6) AS rate FROM w CROSS JOIN tot),
+      |mix AS (
+      |  SELECT d.lang,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt
+      |  FROM documents d JOIN rates r USING (lang)
+      |  WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |        < CAST(floor(r.rate * 65536.0) AS BIGINT)),
+      |ms AS (
+      |  SELECT lang, count(1) AS n_sampled,
+      |    CAST(sum(nt) AS BIGINT) AS tok_volume
+      |  FROM mix GROUP BY lang)
+      |SELECT c.lang, c.n_docs,
+      |  coalesce(m.n_sampled, 0) AS n_sampled,
+      |  coalesce(m.tok_volume, 0) AS tok_volume,
+      |  CAST((20000 * coalesce(m.n_sampled, 0) + c.n_docs)
+      |    // (2 * c.n_docs) AS DOUBLE) / 10000.0 AS achieved4
+      |FROM counts c LEFT JOIN ms m USING (lang)
+      |ORDER BY c.lang""".stripMargin
 
   /** DuckDB twin of StreamingQueries.streamDsir — the dsir_select model
     * CTEs, then a per-language rollup of the final streaming state on
@@ -2394,6 +2424,8 @@ object SparkEntry {
     "source_divergence" -> sourceDivergenceOracleSql,
 
     "pipeline_select_dsir" -> pipelineSelectDsirOracleSql,
+
+    "pipeline_apply_mixture" -> pipelineApplyMixtureOracleSql,
 
     "dedup_substring" -> dedupSubstringOracleSql,
 

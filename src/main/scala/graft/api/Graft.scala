@@ -2147,6 +2147,23 @@ object Graft {
         round(col("__w") / col("__tot"), 6).as("rate"))
   }
 
+  /** MATERIALIZE a sampling-rate mixture: `rates` carries one row per
+    * stratum with a `rate` column in [0, 1] (e.g. temperatureMixture's
+    * output), and a row survives iff the first 4 md5 hex chars of its id —
+    * a uniform 16-bit integer — fall below floor(rate·65536). The
+    * deterministic, RNG-free scan-side gate (the stratifiedSample idea at
+    * 1/65536 granularity instead of 1/16), exact cross-engine because the
+    * published rates are round-6 quantized and the threshold is one floor
+    * of an exact product. Rates broadcast; the data is touched once. */
+  def applyMixture(df: DataFrame, idCol: String, strataCol: String,
+      rates: DataFrame): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("bigint")
+    df.join(broadcast(rates), strataCol)
+      .filter(u < floor(col("rate") * 65536.0).cast("long"))
+      .drop("rate")
+  }
+
   /** SCD1 snapshot merge: rows of `changes` replace same-key rows of `base`;
     * unmatched base rows survive. One anti-join + union, both partitioned on
     * the key (the change set broadcasts when small). Schemas must align.

@@ -363,6 +363,30 @@ object PipelineOps {
     out.orderBy("o_orderpriority")
   }
 
+  /** The mixture loop CLOSED (round 9): temperatureMixture's √n rates
+    * (T = 2, bit-exact) drive Graft.applyMixture's 16-bit md5 gate, and the
+    * report reads back what actually materialized — per language: corpus
+    * docs, sampled docs, the achieved rate on the ratio4 grid, and sampled
+    * token volume. Rates broadcast, data touched once; this is the step
+    * between publishing mixture weights and training on the mix. */
+  def pipelineApplyMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rates = graft.api.Graft.temperatureMixture(docs, "lang", temperature = 2.0)
+      .select(col("lang"), col("rate"))
+    val mix = graft.api.Graft.applyMixture(docs, "doc_id", "lang", rates)
+      .withColumn("__nt", size(split(col("text"), " ", -1)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("__nt").as("tok_volume"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(mix, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tok_volume"), lit(0L)).as("tok_volume"))
+      .withColumn("achieved4", expr(
+        "CAST((20000L * n_sampled + n_docs) DIV (2L * n_docs) AS DOUBLE) / 10000.0"))
+      .orderBy("lang")
+  }
+
   /** The DSIR-ranked SELECTION pipeline (round 9) — the "data diet" flow a
     * target-domain training run executes end to end: rule-based quality
     * gate (Gopher bundle) → exact dedup (min-id representative per content

@@ -211,6 +211,27 @@ class Round9Spec extends SparkSpec {
     assert(r.head.getDouble(2) > 0.1)
   }
 
+  // ---------- mixture application (Graft.applyMixture) ----------
+
+  test("applyMixture keeps rate=1 strata whole, drops rate=0 strata, and is deterministic") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val rates = Seq(("a", 1.0), ("b", 0.0)).toDF("g", "rate")
+    val kept = graft.api.Graft.applyMixture(df, "id", "g", rates)
+    assert(kept.filter(col("g") === "b").isEmpty)
+    // rate 1.0 -> floor(65536) threshold admits every 16-bit hash value
+    assert(kept.filter(col("g") === "a").count() === 100L)
+    val again = graft.api.Graft.applyMixture(df, "id", "g", rates)
+    assert(kept.except(again).isEmpty)
+  }
+
+  test("applyMixture achieved rates track requested rates on a large stratum") {
+    val df = (1L to 4000L).map(i => (i, "x")).toDF("id", "g")
+    val rates = Seq(("x", 0.25)).toDF("g", "rate")
+    val n = graft.api.Graft.applyMixture(df, "id", "g", rates).count()
+    // md5 is uniform: expect ~1000, allow generous slack
+    assert(n > 800L && n < 1200L, s"sampled $n of 4000 at rate 0.25")
+  }
+
   // ---------- TextRank (Graft.textRank) ----------
 
   test("textRank ranks the hub of a star graph first") {
