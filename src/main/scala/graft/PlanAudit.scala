@@ -236,6 +236,9 @@ object PlanAudit {
       ("pipeline_apply_mixture", p => p.contains("BroadcastHashJoin")
         && !p.contains("CartesianProduct") && !p.contains("Window"),
         "mixture application: rates broadcast onto one scan; the gate is a row-local hash compare"),
+      ("doc_novelty", p => !p.contains("CartesianProduct") && !p.contains("Window")
+        && p.contains("HashAggregate"),
+        "novelty: gram df + per-doc rollup, two hash aggregates; no pairing, no window"),
     )
 
     var failed = 0

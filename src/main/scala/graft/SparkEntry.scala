@@ -255,6 +255,7 @@ object SparkEntry {
     "pipeline_select_dsir" -> PipelineOps.pipelineSelectDsir _,
     "pipeline_apply_mixture" -> PipelineOps.pipelineApplyMixture _,
     "source_divergence" -> TextAnalysis.sourceDivergence _,
+    "doc_novelty"       -> TextAnalysis.docNovelty _,
   )
 
   /** DuckDB twin of PipelineOps.pipelineCurateMultimodal: the
@@ -1305,6 +1306,28 @@ object SparkEntry {
       |    / 1048576.0, 4) AS avg_llr
       |FROM w JOIN documents d USING (doc_id)
       |GROUP BY d.lang ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.docNovelty — the dedup_substring gram
+    * CTEs (8-token position grams, per-doc distinct, md5-60-bit), a df
+    * count, and the integer ratio4 share of df=1 grams per document. */
+  private def docNoveltyOracleSql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substring(md5(gram), 1, 15))::BIGINT AS fp
+      |  FROM (
+      |    SELECT doc_id, array_to_string(ts[i : i + 7], ' ') AS gram
+      |    FROM (
+      |      SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+      |      FROM (SELECT doc_id,
+      |              list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |            FROM documents)
+      |      WHERE len(ts) >= 8))),
+      |postings AS (SELECT fp, count(1) AS df FROM g GROUP BY fp)
+      |SELECT g.doc_id, count(1) AS n_grams,
+      |  CAST((20000 * count_if(df = 1) + count(1))
+      |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS novelty4
+      |FROM g JOIN postings USING (fp)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
   /** DuckDB twin of TextAnalysis.sourceDivergence — per-stratum KL and
     * entropy as INTEGER sums of c·L(p) products on the quantized-ln grid
@@ -2422,6 +2445,8 @@ object SparkEntry {
     "source_report" -> sourceReportOracleSql,
 
     "source_divergence" -> sourceDivergenceOracleSql,
+
+    "doc_novelty" -> docNoveltyOracleSql,
 
     "pipeline_select_dsir" -> pipelineSelectDsirOracleSql,
 

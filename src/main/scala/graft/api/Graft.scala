@@ -817,6 +817,39 @@ object Graft {
       .filter(col("n_spans") >= minSpans)
   }
 
+  /** Per-document NOVELTY score: the share of a document's distinct
+    * `spanTokens`-token grams that appear in NO other document — the
+    * inverse of the dedup signal, and the cheap memorization-risk /
+    * boilerplate readout a curation run sorts by (novelty ≈ 0 means the
+    * document is assembled from corpus-common spans; ≈ 1 means its
+    * phrasing is its own). Same gram pipeline as
+    * substringOverlapCandidates (8-token position grams, per-doc
+    * distinct, md5Hash60), one document-frequency aggregate, one ratio4
+    * per doc — all integer arithmetic, linear, two shuffles (gram df +
+    * per-doc rollup). Documents shorter than `spanTokens` are excluded,
+    * as in the dedup siblings. */
+  def docNovelty(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val n = spanTokens
+    val grams = df
+      .withColumn("__toks", expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
+           |  i -> array_join(slice(__toks, i, $n), ' ')))""".stripMargin)).as("__g"))
+      .select(col(idCol), md5Hash60(col("__g")).as("fp"))
+    val gramDf = grams.groupBy("fp").agg(count(lit(1)).as("__df"))
+    grams.join(gramDf, "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count_if(col("__df") === 1L).as("__uniq"))
+      .select(col(idCol), col("n_grams"),
+        expr("""CAST((20000L * __uniq + n_grams)
+               |  DIV (2L * n_grams) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("novelty4"))
+  }
+
   /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD '03 —
     * the MOSS algorithm): hash every `k`-token gram, slide a window of `w`
     * consecutive gram positions, keep each window's MINIMUM hash. The

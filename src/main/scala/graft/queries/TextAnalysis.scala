@@ -338,6 +338,16 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Per-document novelty (Graft.docNovelty): share of each document's
+    * distinct 8-token grams that no other document contains — the
+    * memorization-risk / boilerplate readout, inverse of the
+    * dedup_substring signal on the same gram machinery. */
+  def docNovelty(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.docNovelty(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Per-source distribution report (Graft.sourceDivergence): unigram
     * KL(source ‖ corpus) and entropy on the integer quantized-ln grid —
     * the "which sources are redundant / which are noise" rollup beside

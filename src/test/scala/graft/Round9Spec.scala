@@ -211,6 +211,20 @@ class Round9Spec extends SparkSpec {
     assert(r.head.getDouble(2) > 0.1)
   }
 
+  // ---------- doc novelty (Graft.docNovelty) ----------
+
+  test("docNovelty: exact duplicates score 0, unique phrasing scores 1") {
+    val common = (1 to 10).map(i => s"w$i").mkString(" ")
+    val unique = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, common), (2L, common), (3L, unique)).toDF("id", "text")
+    val r = graft.api.Graft.docNovelty(docs, "id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) === 0.0 && r(2L) === 0.0 && r(3L) === 1.0)
+    // short docs (< 8 tokens) are excluded, as in the dedup siblings
+    val short = Seq((9L, "a b c")).toDF("id", "text")
+    assert(graft.api.Graft.docNovelty(short, "id", "text").isEmpty)
+  }
+
   // ---------- mixture application (Graft.applyMixture) ----------
 
   test("applyMixture keeps rate=1 strata whole, drops rate=0 strata, and is deterministic") {
