@@ -550,18 +550,33 @@ object SparkEntry {
     val sig = (0 until 60).map(b =>
       s"CASE WHEN 2 * c$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
       .mkString("\n      + ")
+    // the same 13-block pigeonhole layout Graft.simhashCandidates derives
+    // for (bits = 60, maxHamming = 12): 8 blocks of 5 bits then 5 of 4
+    val nBlocks = 13
+    val blockLens = (0 until nBlocks).map(b => if (b < 60 % nBlocks) 60 / nBlocks + 1 else 60 / nBlocks)
+    val blockOffs = blockLens.scanLeft(0)(_ + _)
+    val keyUnion = (0 until nBlocks).map(b =>
+      s"SELECT doc_id, $b AS blk, (simhash >> ${blockOffs(b)}) & ${(1L << blockLens(b)) - 1} AS key FROM sig")
+      .mkString("\n  UNION ALL ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |h AS (SELECT doc_id, ${md5h60("tok")} AS h FROM toks WHERE length(tok) > 0),
        |agg AS (SELECT doc_id, count(1) AS n,
        |    $bitSums
        |  FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sig AS simhash FROM agg)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sig_a,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-       |FROM sig a JOIN sig b
-       |  ON (a.simhash >> 48) = (b.simhash >> 48) AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |sig AS (SELECT doc_id, $sig AS simhash FROM agg),
+       |keys AS (
+       |  $keyUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keys a JOIN keys b
+       |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT c.id_a, c.id_b, sa.simhash AS sig_a,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.id_a
+       |JOIN sig sb ON sb.doc_id = c.id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 12
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1234,7 +1249,10 @@ object SparkEntry {
       |  FROM (SELECT doc_id, lang,
       |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
       |        FROM documents)),
-      |counts AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |obs AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |counts AS (
+      |  SELECT ab.b, coalesce(o.ct, 0) AS ct, coalesce(o.cs, 0) AS cs
+      |  FROM (SELECT unnest(range(0, 256)) AS b) ab LEFT JOIN obs o USING (b)),
       |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
       |model AS (
       |  SELECT b,
@@ -1290,7 +1308,10 @@ object SparkEntry {
       |  FROM (SELECT doc_id, lang,
       |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
       |        FROM documents)),
-      |counts AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |obs AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |counts AS (
+      |  SELECT ab.b, coalesce(o.ct, 0) AS ct, coalesce(o.cs, 0) AS cs
+      |  FROM (SELECT unnest(range(0, 256)) AS b) ab LEFT JOIN obs o USING (b)),
       |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
       |model AS (
       |  SELECT b,
@@ -1388,7 +1409,10 @@ object SparkEntry {
       |  FROM (SELECT doc_id, lang,
       |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
       |        FROM clean)),
-      |counts AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |obs AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+      |counts AS (
+      |  SELECT ab.b, coalesce(o.ct, 0) AS ct, coalesce(o.cs, 0) AS cs
+      |  FROM (SELECT unnest(range(0, 256)) AS b) ab LEFT JOIN obs o USING (b)),
       |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
       |model AS (
       |  SELECT b,
@@ -1645,8 +1669,9 @@ object SparkEntry {
        |tri AS (SELECT count(1) AS n_triangles
        |        FROM wedges JOIN o ON o.src = wedges.lo AND o.dst = wedges.hi)
        |SELECT n.n_nodes, ne.n_edges, ow.n_wedges, t.n_triangles,
-       |  CAST((20000 * 3 * t.n_triangles + ow.n_wedges)
-       |    // (2 * ow.n_wedges) AS DOUBLE) / 10000.0 AS clustering4
+       |  CASE WHEN ow.n_wedges = 0 THEN 0.0 ELSE
+       |    CAST((20000 * 3 * t.n_triangles + ow.n_wedges)
+       |      // (2 * ow.n_wedges) AS DOUBLE) / 10000.0 END AS clustering4
        |FROM (SELECT count(1) AS n_nodes FROM deg) n,
        |     (SELECT count(1) AS n_edges FROM e) ne,
        |     (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg) ow,
@@ -1915,7 +1940,27 @@ object SparkEntry {
        |ORDER BY layout""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Rewrite every CTE header (`name AS (`) to `name AS MATERIALIZED (`.
+    *
+    * The driver's gate runs each oracle in DuckDB 1.0, which INLINES a CTE
+    * at every reference site — a chained model unroll (k-means assign →
+    * means → next-iteration centroids, PQ subspace loops) re-evaluates its
+    * whole upstream chain per reference, exponentially. Measured at sf0.01:
+    * `knn_ivfpq` alone ground >10 min inlined vs 1.4 s materialized; the
+    * full 213-oracle gate drops from ~25 min to ~13 s. Pure evaluation
+    * hint — result sets are identical. Named-window clauses (`WINDOW w AS
+    * (`) don't match: the line starts with the WINDOW keyword, not the
+    * alias. Idempotent (`AS MATERIALIZED (` no longer matches `AS \(`). */
+  private[graft] def materializeCtes(sql: String): String = sql
+    .replaceAll("(?m)^(\\s*)([A-Za-z_][A-Za-z0-9_]*) AS \\(",
+      "$1$2 AS MATERIALIZED (")
+    .replaceAll("\\bWITH ([A-Za-z_][A-Za-z0-9_]*) AS \\(",
+      "WITH $1 AS MATERIALIZED (")
+
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "word_count" ->
       """SELECT word, count(1) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -2011,6 +2056,16 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(1), 4) AS avg_price,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Bounded-error check: the HLL estimate itself has no DuckDB twin, so
+    // the Spark side folds it into a boolean (20·|est−exact| ≤ exact) and
+    // the oracle asserts the exact side plus TRUE — see
+    // Relational.approxDistinct.
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(1) AS n, TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "distinct_counts" ->
       """SELECT count(DISTINCT l_suppkey) AS n_suppliers,

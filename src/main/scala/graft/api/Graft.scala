@@ -352,8 +352,20 @@ object Graft {
         explode(expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
           .as("__tok"))
       .withColumn("__b", pmod(md5Hash60(col("__tok")), lit(buckets.toLong)))
-    val counts = toks.groupBy("__b")
+    val observed = toks.groupBy("__b")
       .agg(sum(col("__t")).as("__ct"), count(lit(1)).as("__cs"))
+    // Materialize EVERY bucket 0..buckets-1, zero-filled: the add-1
+    // smoothing is over the full bucket space, so a bucket no fit-corpus
+    // token hashed into still carries its smoothed log-ratio. Scoring the
+    // fit corpus itself can't tell the difference (its tokens only hit
+    // observed buckets), but the fit-once/apply-to-stream seam would
+    // silently DROP novel-vocabulary tokens on an inner model join —
+    // undercounting n_tokens and skipping their smoothed weight.
+    val counts = docs.sparkSession.range(0, buckets)
+      .select(col("id").as("__b"))
+      .join(observed, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cs"), lit(0L)).as("__cs"))
     val totals = counts.agg(sum("__ct").as("__tt"), sum("__cs").as("__ts"))
     counts.crossJoin(broadcast(totals))
       .select(col("__b"),
@@ -652,6 +664,21 @@ object Graft {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
+  /** SQL-FRAGMENT builders of the two base hashes, for gram hashing that
+    * MUST happen inside a higher-order lambda — the winnowing family,
+    * where the window-minimum selects over POSITIONAL gram hashes, so the
+    * hash can't move past the transform. (Everywhere the hash can run on
+    * an exploded column, prefer the Column forms `xxHash63`/`md5Hash60`:
+    * lambda bodies evaluate INTERPRETED, a Column hash after the explode
+    * is whole-stage-codegen'd — measured 12× on dedup_substring.)
+    * `xxhashGramSql` is the production default (fastest content hash,
+    * Spark-only); `md5GramSql` ≡ md5Hash60 is the cross-engine hash the
+    * ORACLED registry queries pass so DuckDB can mirror every fingerprint
+    * (costs 2-4× per byte — the oracle tax, not the default). */
+  val xxhashGramSql: String => String = g => s"xxhash64($g)"
+  val md5GramSql: String => String =
+    g => s"CAST(conv(substring(md5($g), 1, 15), 16, 10) AS BIGINT)"
+
   /** 64-bit SimHash signature per document (Charikar '02): sign of per-bit
     * sums of ±1 contributions from each token occurrence's base hash. One
     * row-local contribution array + ONE groupBy(idCol) of 64 positional sums
@@ -678,6 +705,66 @@ object Graft {
       .select(col(idCol), expr(
         (0 until 64).map(b => s"CASE WHEN 2 * c$b > n THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END")
           .mkString(" + ")).as("simhash"))
+  }
+
+  /** SimHash candidate pairs with a RECALL GUARANTEE at `maxHamming`:
+    * split the `bits`-wide signature into `maxHamming + 1` contiguous
+    * blocks (as even as possible); by pigeonhole, two signatures within
+    * Hamming distance `maxHamming` differ in at most `maxHamming` blocks,
+    * so at least ONE block matches exactly — candidates = pairs sharing
+    * any (block, block-value) key, then the exact Hamming filter keeps the
+    * real ones. (The r9 single 12-bit-prefix block missed any pair whose
+    * differing bits fell in the prefix; this is the standard multi-block
+    * fix, property-tested against the exact all-pairs Hamming join.)
+    *
+    * Shape: one slim (id, blk, key) explode — (maxHamming+1)·|docs| rows
+    * of three ints — a per-(blk, key) bucket self-join, DISTINCT id
+    * pairs (a pair can share several blocks), then ONE signature
+    * re-attach for the Hamming readout. Never all-pairs.
+    *
+    * Scale honesty: each block carries bits/(maxHamming+1) key bits —
+    * 60-bit signatures at maxHamming=12 give ~4.6-bit blocks, fine at
+    * benchmark scale but too coarse for 10^10 docs (bucket occupancy
+    * ~N/2^4.6 goes quadratic). At 100 TB either widen the signature
+    * (128/256-bit SimHash keeps the SAME code path: blocks of 128/13 ≈
+    * 9.8 bits) or tighten maxHamming so each block holds ≥ log2(N) bits;
+    * both are parameter changes, not plan changes. */
+  def simhashCandidates(sig: DataFrame, idCol: String,
+      sigCol: String = "simhash", maxHamming: Int = 12,
+      bits: Int = 60): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val base = bits / nBlocks; val extra = bits % nBlocks
+    // first `extra` blocks get base+1 bits, the rest `base`
+    val lens = (0 until nBlocks).map(b => if (b < extra) base + 1 else base)
+    val offsets = lens.scanLeft(0)(_ + _)
+    val keyCols = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col(sigCol), offsets(b))
+          .bitwiseAND(lit((1L << lens(b)) - 1L)).as("key"))
+    }
+    // Materialize the signature table ONCE before the self-join: the
+    // upstream signature computation (token explode + per-doc 64 bit-sums)
+    // is the query's dominant cost, and the two join branches would each
+    // recompute it from the scan (ReuseExchange doesn't fire through the
+    // BroadcastExchange wrap). O(N)·16-byte state — the at-rest shape a
+    // production run would persist anyway (cf. the minhash index table).
+    val sigM = sig.localCheckpoint(true)
+    // carry the signature through the explode (one long per row) so the
+    // Hamming gate runs INSIDE the bucket join under codegen — the
+    // distinct then dedups only true pairs (a pair can share several
+    // blocks), not the full candidate stream. Distinct-before-filter
+    // measured 10× slower: it shuffled every bucket collision.
+    val keys = sigM.select(col(idCol), col(sigCol), explode(array(keyCols: _*)).as("bk"))
+      .select(col(idCol), col(sigCol), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    keys.as("ka").join(keys.as("kb"),
+        col("ka.blk") === col("kb.blk") && col("ka.key") === col("kb.key") &&
+        col(s"ka.$idCol") < col(s"kb.$idCol"))
+      .select(col(s"ka.$idCol").as("id_a"), col(s"kb.$idCol").as("id_b"),
+        col(s"ka.$sigCol").as("sig_a"),
+        bit_count(col(s"ka.$sigCol").bitwiseXOR(col(s"kb.$sigCol")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact dedup on normalized content: one row per distinct fingerprint with
@@ -794,8 +881,14 @@ object Graft {
     * Output: (id_a, id_b, n_spans) with id_a < id_b, n_spans ≥ `minSpans`. */
   def substringOverlapCandidates(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 8, minSpans: Long = 1L,
-      maxPostings: Long = 128L): DataFrame = {
+      maxPostings: Long = 128L,
+      gramHash: Column => Column = xxHash63): DataFrame = {
     val n = spanTokens
+    // hash AFTER the explode, as a plain Column: inside the transform
+    // lambda the hash would run INTERPRETED per gram (higher-order
+    // functions don't codegen their lambda bodies — measured 12× slower
+    // with md5+conv there); after the explode it runs under whole-stage
+    // codegen. distinct-on-gram-string, hash once per surviving gram.
     val grams = df
       .withColumn("__toks", expr(
         s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
@@ -803,7 +896,7 @@ object Graft {
       .select(col(idCol), explode(expr(
         s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
            |  i -> array_join(slice(__toks, i, $n), ' ')))""".stripMargin)).as("__g"))
-      .select(col(idCol), md5Hash60(col("__g")).as("fp"))
+      .select(col(idCol), gramHash(col("__g")).as("fp"))
     val postings = grams.groupBy("fp").agg(count(lit(1)).as("__df"))
     val idx = grams.join(postings, "fp").filter(col("__df") <= maxPostings)
       .drop("__df")
@@ -829,8 +922,10 @@ object Graft {
     * per-doc rollup). Documents shorter than `spanTokens` are excluded,
     * as in the dedup siblings. */
   def docNovelty(df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int = 8): DataFrame = {
+      spanTokens: Int = 8,
+      gramHash: Column => Column = xxHash63): DataFrame = {
     val n = spanTokens
+    // hash after the explode (codegen'd), same as substringOverlapCandidates
     val grams = df
       .withColumn("__toks", expr(
         s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
@@ -838,7 +933,7 @@ object Graft {
       .select(col(idCol), explode(expr(
         s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
            |  i -> array_join(slice(__toks, i, $n), ' ')))""".stripMargin)).as("__g"))
-      .select(col(idCol), md5Hash60(col("__g")).as("fp"))
+      .select(col(idCol), gramHash(col("__g")).as("fp"))
     val gramDf = grams.groupBy("fp").agg(count(lit(1)).as("__df"))
     grams.join(gramDf, "fp")
       .groupBy(col(idCol))
@@ -863,15 +958,15 @@ object Graft {
     * density) for docs with ≥ 1 gram; density = selected/grams by the
     * integer ratio4 rule. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 5): DataFrame = {
+      k: Int = 4, w: Int = 5,
+      gramHash: String => String = xxhashGramSql): DataFrame = {
     df
       .withColumn("__ts", expr(
         s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
       .filter(size(col("__ts")) >= k)
       .withColumn("__hs", expr(
         s"""transform(sequence(1, size(__ts) - ${k - 1}),
-           |  i -> CAST(conv(substring(md5(array_join(slice(__ts, i, $k), ' ')), 1, 15),
-           |                 16, 10) AS BIGINT))""".stripMargin))
+           |  i -> ${gramHash(s"array_join(slice(__ts, i, $k), ' ')")})""".stripMargin))
       // fewer grams than the window → one window over all of them (the
       // degenerate case the paper folds into "select the min of what's there")
       .withColumn("__sel", expr(
@@ -891,15 +986,15 @@ object Graft {
     * `winnowFingerprints` (per-window minimum of k-gram hashes, distinct
     * values per doc); storage is ~2/(w+1) of the full gram index. */
   def winnowSelectedFingerprints(df: DataFrame, idCol: String,
-      textCol: String, k: Int = 4, w: Int = 5): DataFrame =
+      textCol: String, k: Int = 4, w: Int = 5,
+      gramHash: String => String = xxhashGramSql): DataFrame =
     df
       .withColumn("__ts", expr(
         s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
       .filter(size(col("__ts")) >= k)
       .withColumn("__hs", expr(
         s"""transform(sequence(1, size(__ts) - ${k - 1}),
-           |  i -> CAST(conv(substring(md5(array_join(slice(__ts, i, $k), ' ')), 1, 15),
-           |                 16, 10) AS BIGINT))""".stripMargin))
+           |  i -> ${gramHash(s"array_join(slice(__ts, i, $k), ' ')")})""".stripMargin))
       .select(col(idCol), explode(expr(
         s"""array_distinct(transform(
            |  sequence(1, greatest(size(__hs) - ${w - 1}, 1)),
@@ -914,8 +1009,9 @@ object Graft {
     * miss. Output: (id_a, id_b, n_shared) with id_a < id_b. */
   def winnowOverlapCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5, minShared: Long = 2L,
-      maxPostings: Long = 128L): DataFrame = {
-    val sel = winnowSelectedFingerprints(df, idCol, textCol, k, w)
+      maxPostings: Long = 128L,
+      gramHash: String => String = xxhashGramSql): DataFrame = {
+    val sel = winnowSelectedFingerprints(df, idCol, textCol, k, w, gramHash)
     val postings = sel.groupBy("fp").agg(count(lit(1)).as("__df"))
     val idx = sel.join(postings, "fp").filter(col("__df") <= maxPostings)
       .drop("__df")
@@ -1984,8 +2080,12 @@ object Graft {
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
       .select(col("n_nodes"), col("n_edges"),
         col("__ow").cast("long").as("n_wedges"), col("n_triangles"),
-        expr("""CAST((20000L * 3L * n_triangles + __ow)
-               |  DIV (2L * __ow) AS DOUBLE) / 10000.0""".stripMargin)
+        // a graph with no open wedges (e.g. a perfect matching) has a
+        // zero denominator: its clustering coefficient is 0 by convention,
+        // not NULL (Spark int DIV 0) / error (DuckDB // 0)
+        expr("""CASE WHEN __ow = 0 THEN 0.0 ELSE
+               |  CAST((20000L * 3L * n_triangles + __ow)
+               |    DIV (2L * __ow) AS DOUBLE) / 10000.0 END""".stripMargin)
           .as("clustering4"))
   }
 

@@ -75,7 +75,8 @@ object Dedup {
   def dedupSubstring(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.substringOverlapCandidates(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text", spanTokens = 8, minSpans = 1L, maxPostings = 128L)
+        "doc_id", "text", spanTokens = 8, minSpans = 1L, maxPostings = 128L,
+        gramHash = graft.api.Graft.md5Hash60)
       .orderBy("id_a", "id_b")
 
   /** MOSS pair detection on the winnowed index (Graft
@@ -85,7 +86,8 @@ object Dedup {
   def dedupWinnow(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.winnowOverlapCandidates(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text", k = 4, w = 5, minShared = 2L, maxPostings = 128L)
+        "doc_id", "text", k = 4, w = 5, minShared = 2L, maxPostings = 128L,
+        gramHash = graft.api.Graft.md5GramSql)
       .orderBy("id_a", "id_b")
 
   /** Keep-list on the WINNOWED detector — the production path: winnowed
@@ -96,7 +98,8 @@ object Dedup {
   def dedupWinnowKeep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val pairs = graft.api.Graft.winnowOverlapCandidates(docs, "doc_id", "text",
-      k = 4, w = 5, minShared = 2L, maxPostings = 128L)
+      k = 4, w = 5, minShared = 2L, maxPostings = 128L,
+      gramHash = graft.api.Graft.md5GramSql)
     val comp = graft.api.Graft.connectedComponents(pairs, "id_a", "id_b")
     docs.select(col("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
@@ -133,26 +136,23 @@ object Dedup {
   }
 
   /** SimHash near-dup (Charikar '02): signature from sign of per-bit
-    * weighted sums of token hashes; candidates block on a high-bit prefix,
-    * then filter by Hamming distance ≤ 12 (bit_count(xor), codegen'd).
+    * weighted sums of token hashes; candidates via the 13-block pigeonhole
+    * blocking (Graft.simhashCandidates — any pair within Hamming ≤ 12
+    * shares at least one block exactly, so recall at the threshold is
+    * GUARANTEED, unlike the r9 single 12-bit prefix), then the exact
+    * Hamming ≤ 12 filter (bit_count(xor), codegen'd).
     * FULLY ORACLED since round 6 via the Graft.md5Hash60 base hash (a
     * 60-bit SimHash whose every sum, sign bit, and Hamming distance mirrors
-    * in DuckDB SQL); the production default stays raw xxhash64. Also
-    * property-tested in the suite. */
+    * in DuckDB SQL); the production default stays raw xxhash64. Recall
+    * property-tested against the exact all-pairs Hamming join. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // Signature computation (one row-local contribution array + one
     // groupBy(doc_id) of 64 positional sums) lives in graft.api.Graft.
     val sig = graft.api.Graft.simhash64(
       Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id", "text",
       baseHash = graft.api.Graft.md5Hash60)
-    val a = sig.as("a"); val b = sig.as("b")
-    a.join(b,
-        shiftright(col("a.simhash"), 48) === shiftright(col("b.simhash"), 48) &&
-        col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
-      .filter(col("hamming") <= 12)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sig_a"), col("hamming"))
+    graft.api.Graft.simhashCandidates(sig, "doc_id",
+        maxHamming = 12, bits = 60)
       .orderBy("id_a", "id_b")
   }
 

@@ -520,15 +520,25 @@ object Relational {
         round(element_at(col("embedding"), 64).cast("double"), 4).as("last_v"))
       .orderBy("vec_id")
 
-  /** HLL approximate distinct — oracle-omitted (sketch differs from DuckDB's);
-    * rows-only check. At 100 TB this replaces exact count-distinct wherever
-    * a ±2% answer is acceptable: no Expand, single pass, fixed-size state. */
+  /** HLL approximate distinct. At 100 TB this replaces exact
+    * count-distinct wherever a ±2% answer is acceptable: no Expand,
+    * single pass, fixed-size state. The sketch differs from DuckDB's, so
+    * the ESTIMATE has no cross-engine twin — instead the query emits the
+    * exact distinct count alongside and asserts the HLL estimate lands
+    * within 5% relative error AS A COLUMN (`within_5pct`, integer compare
+    * 20·|est−exact| ≤ exact); the oracle computes the exact side and
+    * expects TRUE, turning the former rows-only row into a bounded-error
+    * hash check. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("__approx"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_orders"), col("n"),
+        (abs(col("__approx") - col("exact_orders")) * 20 <= col("exact_orders"))
+          .as("within_5pct"))
       .orderBy("l_returnflag")
 
   /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each

@@ -601,13 +601,6 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** MMR-diversified top-5 (Graft.mmrSelect over the brute-force top-20):
-    * retrieval picks 20 candidates per query through the fused top-k
-    * aggregate, a candidate-pair cosine matrix (≤ 20·19 rows per query —
-    * bounded by the retriever, never corpus-sized) feeds the greedy
-    * λ=0.5 relevance-vs-redundancy trade, and 5 unrolled selection steps
-    * emit the diversified ranking. Quantized round-6 rel/sim scores make
-    * the whole greedy trace hash-exact in DuckDB. */
   /** Top principal component of the embedding corpus
     * (Graft.pcaPowerIteration): one covariance pass (quantized integer
     * sums, d²-row broadcast model), 5 power iterations, deterministic
@@ -620,6 +613,13 @@ object Similarity {
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", dim = 64, iters = 5)
 
+  /** MMR-diversified top-5 (Graft.mmrSelect over the brute-force top-20):
+    * retrieval picks 20 candidates per query through the fused top-k
+    * aggregate, a candidate-pair cosine matrix (≤ 20·19 rows per query —
+    * bounded by the retriever, never corpus-sized) feeds the greedy
+    * λ=0.5 relevance-vs-redundancy trade, and 5 unrolled selection steps
+    * emit the diversified ranking. Quantized round-6 rel/sim scores make
+    * the whole greedy trace hash-exact in DuckDB. */
   def knnMmr(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)

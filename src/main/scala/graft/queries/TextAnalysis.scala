@@ -266,7 +266,8 @@ object TextAnalysis {
   def docWinnowing(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.winnowFingerprints(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text", k = 4, w = 5)
+        "doc_id", "text", k = 4, w = 5,
+        gramHash = graft.api.Graft.md5GramSql)
       .orderBy("doc_id")
 
   /** Per-(source, lang) corpus report card — the rollup a curation run
@@ -345,7 +346,7 @@ object TextAnalysis {
   def docNovelty(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.docNovelty(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
-        "doc_id", "text")
+        "doc_id", "text", gramHash = graft.api.Graft.md5Hash60)
       .orderBy("doc_id")
 
   /** Per-source distribution report (Graft.sourceDivergence): unigram

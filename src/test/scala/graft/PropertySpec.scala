@@ -129,4 +129,32 @@ class PropertySpec extends SparkSpec {
       assert(got == model, s"seed=$seed")
     }
   }
+
+  test("simhash multi-block candidates = exact all-pairs Hamming join (recall 100%)") {
+    // mutated-copy corpus: base docs plus light and heavy mutations, so
+    // true pairs span the whole Hamming range up to and beyond the cutoff
+    for (seed <- Seq(23L, 29L)) {
+      val base = sample(Gen.listOfN(25, Gen.listOfN(40, wordGen).map(_.mkString(" "))), seed)
+      val docs = base.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ")
+        val light = (toks.take(37) ++ Array("x", "y", "q")).mkString(" ")
+        val heavy = (toks.take(25) ++ Array.fill(15)("zz")).mkString(" ")
+        Seq((i * 3L, t), (i * 3L + 1, light), (i * 3L + 2, heavy))
+      }
+      val sig = api.Graft.simhash64(docs.toDF("doc_id", "text"), "doc_id", "text",
+        baseHash = api.Graft.md5Hash60)
+      val got = api.Graft.simhashCandidates(sig, "doc_id", maxHamming = 12, bits = 60)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      // exact model: all-pairs Hamming over collected signatures
+      val sigs = sig.as[(Long, Long)].collect().sortBy(_._1)
+      val exact = (for {
+        (ia, sa) <- sigs.iterator
+        (ib, sb) <- sigs.iterator if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 12
+      } yield (ia, ib, h)).toSet
+      assert(exact.nonEmpty, s"seed=$seed produced no close pairs")
+      assert(got == exact,
+        s"seed=$seed: blocking missed ${(exact -- got).size} pairs / invented ${(got -- exact).size}")
+    }
+  }
 }
