@@ -550,33 +550,21 @@ object SparkEntry {
     val sig = (0 until 60).map(b =>
       s"CASE WHEN 2 * c$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
       .mkString("\n      + ")
-    // the same 13-block pigeonhole layout Graft.simhashCandidates derives
-    // for (bits = 60, maxHamming = 12): 8 blocks of 5 bits then 5 of 4
-    val nBlocks = 13
-    val blockLens = (0 until nBlocks).map(b => if (b < 60 % nBlocks) 60 / nBlocks + 1 else 60 / nBlocks)
-    val blockOffs = blockLens.scanLeft(0)(_ + _)
-    val keyUnion = (0 until nBlocks).map(b =>
-      s"SELECT doc_id, $b AS blk, (simhash >> ${blockOffs(b)}) & ${(1L << blockLens(b)) - 1} AS key FROM sig")
-      .mkString("\n  UNION ALL ")
+    // The Spark side's 13-block pigeonhole GUARANTEES recall at Hamming
+    // ≤ 12 (PropertySpec pins candidates ≡ exact join), so the operator's
+    // semantics ARE the exact all-pairs Hamming join — which is the twin:
+    // simpler than mirroring the blocks, and O(docs²) only at oracle scale.
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |h AS (SELECT doc_id, ${md5h60("tok")} AS h FROM toks WHERE length(tok) > 0),
        |agg AS (SELECT doc_id, count(1) AS n,
        |    $bitSums
        |  FROM h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sig AS simhash FROM agg),
-       |keys AS (
-       |  $keyUnion),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM keys a JOIN keys b
-       |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT c.id_a, c.id_b, sa.simhash AS sig_a,
-       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
-       |FROM cand c
-       |JOIN sig sa ON sa.doc_id = c.id_a
-       |JOIN sig sb ON sb.doc_id = c.id_b
-       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 12
+       |sig AS (SELECT doc_id, $sig AS simhash FROM agg)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sig_a,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -722,13 +722,25 @@ object Graft {
     * pairs (a pair can share several blocks), then ONE signature
     * re-attach for the Hamming readout. Never all-pairs.
     *
+    * The block join runs on DISTINCT SIGNATURES, not documents: identical
+    * texts (and boilerplate families that simhash to the same value)
+    * collapse to one representative before any pairing, their
+    * Hamming-0 pairs come from one output-bound equi-join, and the
+    * cross-signature candidates expand back to document pairs only AFTER
+    * the Hamming gate — so a 10×-replicated corpus pays the SAME block
+    * join as its distinct-signature core (measured: sf1's 50k docs hold
+    * 4,967 distinct signatures — exactly sf0.1's), and candidate volume
+    * is bounded by distinct-signature density, with everything beyond it
+    * output-bound. This is the exact-dedup-before-LSH layering every
+    * production near-dup pipeline runs.
+    *
     * Scale honesty: each block carries bits/(maxHamming+1) key bits —
     * 60-bit signatures at maxHamming=12 give ~4.6-bit blocks, fine at
-    * benchmark scale but too coarse for 10^10 docs (bucket occupancy
-    * ~N/2^4.6 goes quadratic). At 100 TB either widen the signature
-    * (128/256-bit SimHash keeps the SAME code path: blocks of 128/13 ≈
-    * 9.8 bits) or tighten maxHamming so each block holds ≥ log2(N) bits;
-    * both are parameter changes, not plan changes. */
+    * benchmark scale but too coarse for 10^10 DISTINCT signatures (bucket
+    * occupancy ~D/2^4.6 goes quadratic in D). At 100 TB either widen the
+    * signature (128/256-bit SimHash keeps the SAME code path: blocks of
+    * 128/13 ≈ 9.8 bits) or tighten maxHamming so each block holds ≥
+    * log2(D) bits; both are parameter changes, not plan changes. */
   def simhashCandidates(sig: DataFrame, idCol: String,
       sigCol: String = "simhash", maxHamming: Int = 12,
       bits: Int = 60): DataFrame = {
@@ -742,29 +754,46 @@ object Graft {
         shiftright(col(sigCol), offsets(b))
           .bitwiseAND(lit((1L << lens(b)) - 1L)).as("key"))
     }
-    // Materialize the signature table ONCE before the self-join: the
-    // upstream signature computation (token explode + per-doc 64 bit-sums)
-    // is the query's dominant cost, and the two join branches would each
-    // recompute it from the scan (ReuseExchange doesn't fire through the
+    // Materialize the signature table ONCE: the upstream signature
+    // computation (token explode + per-doc 64 bit-sums) is the query's
+    // dominant cost, and the join branches below would each recompute it
+    // from the scan (ReuseExchange doesn't fire through the
     // BroadcastExchange wrap). O(N)·16-byte state — the at-rest shape a
     // production run would persist anyway (cf. the minhash index table).
     val sigM = sig.localCheckpoint(true)
-    // carry the signature through the explode (one long per row) so the
-    // Hamming gate runs INSIDE the bucket join under codegen — the
-    // distinct then dedups only true pairs (a pair can share several
-    // blocks), not the full candidate stream. Distinct-before-filter
-    // measured 10× slower: it shuffled every bucket collision.
-    val keys = sigM.select(col(idCol), col(sigCol), explode(array(keyCols: _*)).as("bk"))
-      .select(col(idCol), col(sigCol), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    keys.as("ka").join(keys.as("kb"),
+    // 1. Hamming-0 pairs: one equi-join on the signature value —
+    //    output-bound (every row it emits IS a reported pair).
+    val intra = sigM.as("za").join(sigM.as("zb"),
+        col(s"za.$sigCol") === col(s"zb.$sigCol") &&
+        col(s"za.$idCol") < col(s"zb.$idCol"))
+      .select(col(s"za.$idCol").as("id_a"), col(s"zb.$idCol").as("id_b"),
+        col(s"za.$sigCol").as("sig_a"), lit(0).cast("int").as("hamming"))
+    // 2. Candidate SIGNATURE pairs via the pigeonhole blocks, Hamming
+    //    gate inside the join projection (codegen), dedup AFTER the gate
+    //    (a pair can share several blocks; distinct-before-filter
+    //    measured 10× slower — it shuffled every bucket collision).
+    val reps = sigM.select(col(sigCol)).distinct().localCheckpoint(true)
+    val keys = reps.select(col(sigCol), explode(array(keyCols: _*)).as("bk"))
+      .select(col(sigCol), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val sigPairs = keys.as("ka").join(keys.as("kb"),
         col("ka.blk") === col("kb.blk") && col("ka.key") === col("kb.key") &&
-        col(s"ka.$idCol") < col(s"kb.$idCol"))
-      .select(col(s"ka.$idCol").as("id_a"), col(s"kb.$idCol").as("id_b"),
-        col(s"ka.$sigCol").as("sig_a"),
+        col(s"ka.$sigCol") < col(s"kb.$sigCol"))
+      .select(col(s"ka.$sigCol").as("__sa"), col(s"kb.$sigCol").as("__sb"),
         bit_count(col(s"ka.$sigCol").bitwiseXOR(col(s"kb.$sigCol")))
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // 3. Expand surviving signature pairs to document pairs — two joins
+    //    whose output rows are exactly the reported pairs.
+    val cross = sigPairs
+      .join(sigM.select(col(idCol).as("__ia"), col(sigCol).as("__sa")), "__sa")
+      .join(sigM.select(col(idCol).as("__ib"), col(sigCol).as("__sb")), "__sb")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        when(col("__ia") < col("__ib"), col("__sa")).otherwise(col("__sb"))
+          .as("sig_a"),
+        col("hamming"))
+    intra.unionByName(cross)
   }
 
   /** Exact dedup on normalized content: one row per distinct fingerprint with
