@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncremental _,
     "dedup_substring"   -> Dedup.dedupSubstring _,
     "dedup_semantic"    -> Dedup.dedupSemantic _,
+    "dedup_paragraphs"  -> Dedup.dedupParagraphs _,
     "dedup_winnow"      -> Dedup.dedupWinnow _,
     "dedup_winnow_keep" -> Dedup.dedupWinnowKeep _,
     "quality_gopher"    -> TextAnalysis.qualityGopher _,
@@ -114,6 +115,7 @@ object SparkEntry {
     "knn_pq_sampled"    -> Similarity.knnPqSampled _,
     "knn_refine"        -> Similarity.knnRefine _,
     "knn_mmr"           -> Similarity.knnMmr _,
+    "hybrid_rrf"        -> Similarity.hybridRrf _,
     "embedding_pca"     -> Similarity.embeddingPca _,
     "embedding_outliers" -> Similarity.embeddingOutliers _,
     "hard_negatives"    -> Similarity.hardNegatives _,
@@ -194,6 +196,7 @@ object SparkEntry {
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
+    "stream_knn"        -> StreamingQueries.streamKnn _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -906,6 +909,79 @@ object SparkEntry {
        |FROM rr JOIN embeddings ec ON ec.vec_id = rr.c_id
        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   }
+
+  /** DuckDB twin of Dedup.dedupParagraphs — 16-token paragraph chunks,
+    * md5-60-bit fingerprints, global occurrence stats keyed on the packed
+    * (doc·2^20 + index) first-occurrence order, per-doc integer rollup on
+    * the ratio4 grid. Slicing: DuckDB ts[a:b] is 1-based inclusive and
+    * truncates past the end, exactly Spark's slice(arr, a, len). */
+  private def dedupParagraphsOracleSql: String =
+    """WITH pars AS (
+      |  SELECT doc_id, w,
+      |    ('0x' || substring(md5(array_to_string(ts[(w*16+1):(w*16+16)], ' ')), 1, 15))::BIGINT AS fp,
+      |    doc_id * 1048576 + w AS k
+      |  FROM (
+      |    SELECT doc_id, ts, unnest(range(0, CAST(ceil(len(ts) / 16.0) AS INT))) AS w
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |    WHERE len(ts) >= 1)),
+      |stats AS (SELECT fp, min(k) AS keep, count(1) AS occ FROM pars GROUP BY fp)
+      |SELECT p.doc_id, count(1) AS n_pars,
+      |  CAST(count_if(occ > 1) AS BIGINT) AS n_dup_pars,
+      |  CAST(count_if(k = keep) AS BIGINT) AS n_kept,
+      |  CAST((20000 * count_if(k = keep) + count(1))
+      |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS kept4
+      |FROM pars p JOIN stats USING (fp)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  /** DuckDB twin of Similarity.hybridRrf — the dense leg is the proven
+    * knn_bruteforce cosine ranking over the id-overlap candidate set, the
+    * lexical leg ranks one IEEE Jaccard divide of integer token-set
+    * counts, and the fusion sums floor(2^20/(60+r)) integers — every rank
+    * and the fused order are hash-exact. */
+  private def hybridRrfOracleSql: String =
+    """WITH cand AS (
+      |  SELECT e.vec_id AS id, e.embedding, d.text
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      |dense AS (
+      |  SELECT q_id, c_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS r_dense
+      |  FROM (
+      |    SELECT q.id AS q_id, c.id AS c_id,
+      |      round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+      |        (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+      |         sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS score6
+      |    FROM cand q JOIN cand c ON q.id < 10 AND q.id <> c.id)),
+      |toks AS (
+      |  SELECT DISTINCT id, tok FROM (
+      |    SELECT id, unnest(string_split(text, ' ')) AS tok FROM cand)
+      |  WHERE length(tok) > 0),
+      |tsize AS (SELECT id, count(1) AS n_toks FROM toks GROUP BY id),
+      |overlap AS (
+      |  SELECT a.id AS q_id, b.id AS c_id, count(1) AS n_common
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < 10 AND a.id <> b.id
+      |  GROUP BY 1, 2),
+      |lex AS (
+      |  SELECT q_id, c_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY jac DESC, c_id ASC) AS INTEGER) AS r_lex
+      |  FROM (
+      |    SELECT o.q_id, o.c_id,
+      |      CAST(o.n_common AS DOUBLE) / (tq.n_toks + tc.n_toks - o.n_common) AS jac
+      |    FROM overlap o
+      |    JOIN tsize tq ON tq.id = o.q_id
+      |    JOIN tsize tc ON tc.id = o.c_id)),
+      |fused AS (
+      |  SELECT d.q_id, d.c_id,
+      |    CAST(floor(1048576.0 / (60 + d.r_dense)) AS BIGINT)
+      |      + CASE WHEN l.r_lex IS NULL THEN 0
+      |             ELSE CAST(floor(1048576.0 / (60 + l.r_lex)) AS BIGINT) END AS rrf_q,
+      |    d.r_dense, coalesce(l.r_lex, 0) AS r_lex
+      |  FROM dense d LEFT JOIN lex l ON l.q_id = d.q_id AND l.c_id = d.c_id)
+      |SELECT q_id, CAST(rn AS INTEGER) AS rn, c_id, rrf_q, r_dense, r_lex
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY rrf_q DESC, c_id ASC) AS rn FROM fused)
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
   /** Brute-force cosine top-5 — reused verbatim by the ann_recall oracle. */
   private val knnBruteForceOracleSql: String =
@@ -2432,6 +2508,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracleSql,
 
     "dedup_semantic" -> dedupSemanticOracleSql,
+    "dedup_paragraphs" -> dedupParagraphsOracleSql,
 
     "dsir_select" -> dsirSelectOracleSql,
 
@@ -2460,6 +2537,7 @@ object SparkEntry {
     "knn_refine" -> knnRefineOracleSql,
 
     "knn_mmr" -> knnMmrOracleSql,
+    "hybrid_rrf" -> hybridRrfOracleSql,
 
     "embedding_pca" -> embeddingPcaOracleSql,
 
@@ -2480,6 +2558,9 @@ object SparkEntry {
     "stream_classify" -> streamClassifyOracleSql,
 
     "stream_dsir" -> streamDsirOracleSql,
+    // streaming final state == the batch brute-force answer — the oracle
+    // is knn_bruteforce's, verbatim
+    "stream_knn" -> knnBruteForceOracleSql,
 
     "pmi_cooccur" -> pmiCooccurOracleSql,
 

@@ -2120,6 +2120,54 @@ object Graft {
 
   // ---------- corpus curation ----------
 
+  /** PARAGRAPH-granular dedup stats (the CCNet signal — Wenzek et al.
+    * '19 dedups repeated paragraphs ACROSS documents before anything
+    * doc-level runs; boilerplate headers/footers repeat per-paragraph
+    * while their host documents stay unique). Paragraph = each
+    * consecutive run of `parTokens` tokens (this corpus carries no
+    * newline structure; on real data pass the split-on-\n\n explode
+    * instead — the rest of the pipeline is identical). Per document:
+    * paragraph count, how many of its paragraphs also occur elsewhere,
+    * how many it RETAINS under keep-first-occurrence (the CCNet rule:
+    * the globally first copy — lowest (doc, position) — survives), and
+    * the retention ratio.
+    *
+    * Scale shape: one row-local paragraph explode, ONE groupBy(fingerprint)
+    * for the global occurrence stats (min packed first-occurrence key +
+    * count), one join back, one per-doc rollup — two shuffles, linear,
+    * never doc×doc. All-integer arithmetic (ratio4 grid) → fully
+    * oracle-able with the md5 base hash.
+    *
+    * First-occurrence order packs (id, par_idx) into one BIGINT
+    * (id·2^20 + par_idx) — exact while ids < 2^43 and documents hold
+    * < 2^20 paragraphs. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      parTokens: Int = 16,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val n = parTokens
+    val pars = df
+      .withColumn("__toks", split(col(textCol), " ", -1))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(__toks) / $n.0) AS INT) - 1),
+           |  w -> array_join(slice(__toks, w * $n + 1, $n), ' '))""".stripMargin))
+        .as(Seq("__pi", "__p")))
+      .select(col(idCol), col("__pi"), baseHash(col("__p")).as("fp"))
+    val occ = pars.withColumn("__k",
+      col(idCol) * lit(1048576L) + col("__pi"))
+    val stats = occ.groupBy("fp")
+      .agg(min("__k").as("__keep"), count(lit(1)).as("__occ"))
+    occ.join(stats, "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pars"),
+        count_if(col("__occ") > 1L).as("n_dup_pars"),
+        count_if(col("__k") === col("__keep")).as("n_kept"))
+      .select(col(idCol), col("n_pars"), col("n_dup_pars"), col("n_kept"),
+        expr("""CAST((20000L * n_kept + n_pars)
+               |  DIV (2L * n_pars) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("kept4"))
+  }
+
   /** Repetition-quality metrics in the C4 (Raffel et al., JMLR '20) /
     * Gopher (Rae et al., '21) rule style, appended to the input:
     * `n_tokens`, `n_distinct`, `dup_ratio`, `mean_tok_len`, `top_token_frac`.

@@ -305,4 +305,18 @@ object Dedup {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 10, iters = 3, tau = 0.25)
       .orderBy("vec_id")
+
+  /** Paragraph-granular dedup stats (Graft.paragraphDedup — the CCNet
+    * repeated-paragraph signal, Wenzek '19): per document, its 16-token
+    * paragraph count, how many of those paragraphs occur in other
+    * documents too, how many it retains under keep-first-occurrence, and
+    * the retention ratio. The sub-document granularity the doc-level
+    * family can't see — boilerplate repeats per-paragraph inside
+    * otherwise-unique documents. Fully oracled via md5Hash60. */
+  def dedupParagraphs(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.paragraphDedup(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", parTokens = 16,
+        baseHash = graft.api.Graft.md5Hash60)
+      .orderBy("doc_id")
 }

@@ -647,4 +647,63 @@ object Similarity {
         round(col("rel"), 4).as("rel_cos"), round(col("mmr"), 6).as("mmr"))
       .orderBy("q_id", "step")
   }
+
+  /** HYBRID retrieval with reciprocal-rank fusion (Cormack/Clarke/Büttcher
+    * SIGIR '09 — the standard way production search stacks combine a dense
+    * and a lexical ranker without score calibration): for each query id
+    * (< 10, present in BOTH tables), rank the id-overlap candidate set by
+    * (a) embedding cosine and (b) token-set Jaccard against the query
+    * document's text, then fuse with RRF(k=60): score = Σ 1/(60+rank),
+    * quantized to floor(2^20/(60+r)) integers so the fused order is
+    * hash-exact. Top-5 per query with both source ranks exposed.
+    *
+    * Scale shape: the dense leg is the knn_bruteforce Q-broadcast pass
+    * (swap in any knn_* tier for the 100 TB corpus — the fusion only reads
+    * ranks); the lexical leg is one inverted-index join of the queries'
+    * distinct tokens (Q·|vocab| rows broadcast) against candidate token
+    * sets — vocabulary-bounded, never doc×doc. A missing lexical rank
+    * (no shared token) contributes 0, exactly RRF's semantics. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    // candidate universe: ids carrying BOTH an embedding and a document
+    val cand = Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding"))
+      .join(Tables.documents(s, d).select(col("doc_id").as("id"), col("text")), "id")
+      .localCheckpoint(true) // read 4× below (both legs, both sides)
+    val q = cand.filter(col("id") < 10)
+    val wDense = Window.partitionBy("q_id").orderBy(col("score6").desc, col("c_id").asc)
+    val dense = broadcast(q.select(col("id").as("q_id"), col("embedding").as("qv")))
+      .join(cand.select(col("id").as("c_id"), col("embedding").as("cv")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("score6", round(expr(cos), 6))
+      .select(col("q_id"), col("c_id"),
+        row_number().over(wDense).as("r_dense"))
+    val toks = cand
+      .select(col("id"), explode(array_distinct(split(col("text"), " ", -1))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tsize = toks.groupBy("id").agg(count(lit(1)).as("n_toks"))
+    val overlap = broadcast(toks.filter(col("id") < 10)
+        .select(col("id").as("q_id"), col("tok")))
+      .join(toks.select(col("id").as("c_id"), col("tok")), "tok")
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(count(lit(1)).as("n_common"))
+    val wLex = Window.partitionBy("q_id").orderBy(col("__jac").desc, col("c_id").asc)
+    val lex = overlap
+      .join(broadcast(tsize.select(col("id").as("q_id"), col("n_toks").as("__nq"))), "q_id")
+      .join(tsize.select(col("id").as("c_id"), col("n_toks").as("__nc")), "c_id")
+      // one IEEE divide of small integers — identical order cross-engine
+      .withColumn("__jac", col("n_common").cast("double")
+        / (col("__nq") + col("__nc") - col("n_common")).cast("double"))
+      .select(col("q_id"), col("c_id"), row_number().over(wLex).as("r_lex"))
+    val wFused = Window.partitionBy("q_id").orderBy(col("rrf_q").desc, col("c_id").asc)
+    dense.join(lex, Seq("q_id", "c_id"), "left")
+      .withColumn("rrf_q", expr(
+        """CAST(floor(1048576.0 / (60 + r_dense)) AS BIGINT)
+          |  + CASE WHEN r_lex IS NULL THEN 0L
+          |         ELSE CAST(floor(1048576.0 / (60 + r_lex)) AS BIGINT) END""".stripMargin))
+      .withColumn("rn", row_number().over(wFused))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("c_id"), col("rrf_q"),
+        col("r_dense"), coalesce(col("r_lex"), lit(0)).as("r_lex"))
+      .orderBy("q_id", "rn")
+  }
 }

@@ -386,6 +386,39 @@ object StreamingQueries {
     store.snapshot(s).orderBy("user_id")
   }
 
+  /** Streaming kNN: query vectors ARRIVE AS A STREAM and probe the static
+    * embedding corpus — the retrieval-serving shape (a query firehose
+    * against an at-rest index; here the brute-force tier, on a 100 TB
+    * corpus the same join targets an IVF list table). One stream-static
+    * join (static side broadcast per micro-batch) scores every candidate,
+    * and the top-5 per query id lives in the state store via the SAME
+    * fused O(k)-state TopKNeighbors aggregate the batch knn_* tiers use —
+    * the aggregate's merge() is what makes it incrementalize: each
+    * micro-batch's partial top-k folds into the stored top-k. Final state
+    * == the batch brute-force answer, so the oracle is knn_bruteforce's
+    * verbatim. */
+  def streamKnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val corpus = graft.Tables.embeddings(s, d)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
+    val queries = readStreamTable(s, d, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val topk = udaf(new graft.functions.TopKNeighbors(5),
+      Encoders.product[graft.functions.Neighbor])
+    val scored = queries.join(corpus, col("q_id") =!= col("c_id"))
+      .withColumn("score6", round(
+        expr("vec_dot(qv, cv) / (sqrt(vec_dot(qv, qv)) * sqrt(vec_dot(cv, cv)))"), 6))
+      .groupBy("q_id")
+      .agg(topk(col("c_id"), col("label"), col("score6")).as("topk"))
+    runToMemory(s, scored, "graft_stream_knn", "complete")
+      .select(col("q_id"), posexplode(col("topk.items")).as(Seq("i", "nb")))
+      .select(col("q_id"), (col("i") + 1).cast("int").as("rn"),
+        col("nb.c_id").as("c_id"), col("nb.label").as("label"),
+        round(col("nb.score"), 4).as("cos_sim"))
+      .orderBy("q_id", "rn")
+  }
+
   /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed
     * stream (`keyBy(0).sum(1)`), running on the RocksDB state store provider
     * (declared surface D6 — flink-statebackend-rocksdb, study/pom.xml:70-74). */

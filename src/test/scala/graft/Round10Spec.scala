@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions: CCNet-style paragraph dedup, hybrid RRF retrieval,
+  * and streaming kNN against a static corpus. */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- paragraph dedup (Graft.paragraphDedup) ----------
+
+  test("paragraphDedup keeps first occurrences and flags cross-doc repeats") {
+    // parTokens = 2 → each two-token run is one paragraph
+    val docs = Seq(
+      (1L, "a b c d"),        // P1=[a b], P2=[c d]  — both first occurrences
+      (2L, "a b e f"),        // P1 repeats (kept by doc 1), P3=[e f] fresh
+      (3L, "c d"),            // P2 repeats — nothing kept
+      (4L, "g h g h")         // within-doc repeat: first copy kept only
+    ).toDF("doc_id", "text")
+    val r = graft.api.Graft.paragraphDedup(docs, "doc_id", "text", parTokens = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r === Array(
+      (1L, 2L, 2L, 2L, 1.0),   // both paragraphs repeat elsewhere, both kept (first)
+      (2L, 2L, 1L, 1L, 0.5),   // keeps only [e f]
+      (3L, 1L, 1L, 0L, 0.0),   // its only paragraph lives in doc 1
+      (4L, 2L, 2L, 1L, 0.5)))  // g h twice: both occurrences are "dup", one kept
+  }
+
+  test("paragraphDedup on an all-unique corpus keeps everything") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h")).toDF("doc_id", "text")
+    val r = graft.api.Graft.paragraphDedup(docs, "doc_id", "text", parTokens = 2)
+    assert(r.filter(col("n_dup_pars") =!= 0 || col("kept4") =!= 1.0).isEmpty)
+    // ceil(3/2)=2 paragraphs for 3 tokens, 1 for 2 tokens
+    assert(r.orderBy("doc_id").select("n_pars").as[Long].collect() === Array(2L, 2L, 1L))
+  }
+
+  // ---------- hybrid RRF (Similarity.hybridRrf) ----------
+
+  test("hybridRrf emits a full fused top-5 per query with sane ranks") {
+    val r = queries.Similarity.hybridRrf(spark, sf)
+    val rows = r.collect()
+    assert(rows.length === 50) // 10 queries × top-5
+    // per query: rn 1..5, rrf_q non-increasing, never the query itself
+    r.as[(Long, Int, Long, Long, Int, Int)].collect()
+      .groupBy(_._1).foreach { case (q, rs) =>
+        val sorted = rs.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq === Seq(1, 2, 3, 4, 5), s"q=$q")
+        assert(sorted.sliding(2).forall(p => p(0)._4 >= p(1)._4), s"q=$q rrf order")
+        assert(rs.forall(_._3 != q), s"q=$q ranked itself")
+        assert(rs.forall(x => x._5 >= 1), s"q=$q dense rank")
+      }
+  }
+
+  test("hybridRrf fusion arithmetic: both-rank-1 beats rank-(1,3) beats dense-only") {
+    // floor(2^20/61)·2 > floor(2^20/61)+floor(2^20/63) > floor(2^20/61)
+    val both1 = 2 * (1048576 / 61)
+    val r13 = 1048576 / 61 + 1048576 / 63
+    assert(both1 > r13 && r13 > 1048576 / 61)
+  }
+
+  // ---------- streaming kNN (StreamingQueries.streamKnn) ----------
+
+  test("streamKnn final state equals the batch brute-force top-5") {
+    val streamed = streaming.StreamingQueries.streamKnn(spark, sf)
+      .as[(Long, Int, Long, Int, Double)].collect().toSet
+    val batch = queries.Similarity.knnBruteForce(spark, sf)
+      .as[(Long, Int, Long, Int, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
