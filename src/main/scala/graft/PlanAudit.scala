@@ -239,6 +239,19 @@ object PlanAudit {
       ("doc_novelty", p => !p.contains("CartesianProduct") && !p.contains("Window")
         && p.contains("HashAggregate"),
         "novelty: gram df + per-doc rollup, two hash aggregates; no pairing, no window"),
+      // round-10 pins
+      ("knn_ivf_persisted", p => p.contains("dynamicpruning")
+        && p.contains("PartitionFilters") && !p.contains("CartesianProduct"),
+        "at-rest IVF: postings scan carries DYNAMIC PARTITION PRUNING on list_id — " +
+          "only probed lists are read from storage"),
+      ("dedup_paragraphs", p => !p.contains("CartesianProduct")
+        && !p.contains("Window") && p.contains("HashAggregate"),
+        "paragraph dedup: fingerprint stats + per-doc rollup, two hash aggregates; no pairing"),
+      ("hybrid_rrf", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"),
+        "hybrid RRF: query tokens and query vectors both broadcast; fusion joins are Q·N-sized"),
+      ("dedup_simhash", p => !p.contains("CartesianProduct"),
+        "simhash: block-key equi-join over distinct signatures; expansion joins are output-bound"),
     )
 
     var failed = 0

@@ -110,6 +110,7 @@ object SparkEntry {
     "knn_bruteforce"    -> Similarity.knnBruteForce _,
     "knn_lsh"           -> Similarity.knnLsh _,
     "knn_ivf"           -> Similarity.knnIvf _,
+    "knn_ivf_persisted" -> Similarity.knnIvfPersisted _,
     "knn_pq"            -> Similarity.knnPq _,
     "knn_ivfpq"         -> Similarity.knnIvfPq _,
     "knn_pq_sampled"    -> Similarity.knnPqSampled _,
@@ -2527,6 +2528,9 @@ object SparkEntry {
     "knn_lsh" -> knnLshOracleSql,
 
     "knn_ivf" -> knnIvfOracleSql,
+    // the at-rest model answers bit-identically to the in-memory one
+    // (float parquet round-trip is exact) — knn_ivf's oracle, verbatim
+    "knn_ivf_persisted" -> knnIvfOracleSql,
 
     "knn_pq" -> knnPqOracleSql,
 

@@ -59,6 +59,21 @@ class Round10Spec extends SparkSpec {
     assert(both1 > r13 && r13 > 1048576 / 61)
   }
 
+  // ---------- at-rest IVF (Similarity.knnIvfPersisted) ----------
+
+  test("knnIvfPersisted answers bit-identically to the in-memory knnIvf") {
+    val atRest = queries.Similarity.knnIvfPersisted(spark, sf)
+      .as[(Long, Int, Long, Int, Double)].collect().toSeq
+    val inMem = queries.Similarity.knnIvf(spark, sf)
+      .as[(Long, Int, Long, Int, Double)].collect().toSeq
+    assert(atRest === inMem)
+    assert(atRest.nonEmpty)
+    // second call reuses the stored index (no retrain) and still matches
+    val again = queries.Similarity.knnIvfPersisted(spark, sf)
+      .as[(Long, Int, Long, Int, Double)].collect().toSeq
+    assert(again === inMem)
+  }
+
   // ---------- streaming kNN (StreamingQueries.streamKnn) ----------
 
   test("streamKnn final state equals the batch brute-force top-5") {
