@@ -251,6 +251,7 @@ object SparkEntry {
     "pack_sequences"    -> PipelineOps.packSequencesRollup _,
     "quality_repetition" -> PipelineOps.qualityRepetition _,
     "decontaminate_ngrams" -> PipelineOps.decontaminateNgrams _,
+    "decontaminate_minhash" -> PipelineOps.decontaminateMinhash _,
     "mixture_weights"   -> PipelineOps.mixtureWeights _,
     "mixture_temperature" -> PipelineOps.mixtureTemperature _,
     "select_token_budget" -> PipelineOps.selectTokenBudget _,
@@ -544,6 +545,27 @@ object SparkEntry {
        |  JOIN sig sb ON sb.doc_id = index_id)
        |SELECT new_id, index_id, est_jaccard FROM est
        |WHERE est_jaccard >= 0.2 ORDER BY new_id, index_id""".stripMargin
+
+  /** DuckDB twin of PipelineOps.decontaminateMinhash — the
+    * dedup_incremental banded new×index machinery with the eval side
+    * (doc_id % 17 = 0 — a split whose eval set carries real leaks at
+    * gate scale) as the index. */
+  private def decontaminateMinhashOracleSql: String =
+    s"""$minhashSigCtePrefix,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band
+       |   AND a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0),
+       |est AS (
+       |  SELECT new_id, index_id,
+       |    $minhashEstExpr
+       |      AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = new_id
+       |  JOIN sig sb ON sb.doc_id = index_id)
+       |SELECT new_id AS doc_id, index_id AS eval_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2 ORDER BY doc_id, eval_id""".stripMargin
 
   /** DuckDB twin of Dedup.dedupSimhash: per-token-occurrence md5Hash60,
     * 60 positional bit-count sums, majority-sign signature, top-bit prefix
@@ -2505,6 +2527,7 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhashOracleSql,
 
     "dedup_incremental" -> dedupIncrementalOracleSql,
+    "decontaminate_minhash" -> decontaminateMinhashOracleSql,
 
     "dedup_simhash" -> dedupSimhashOracleSql,
 

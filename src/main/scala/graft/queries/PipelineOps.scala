@@ -306,6 +306,34 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** FUZZY benchmark decontamination (the Brown '20 §C production reading:
+    * eval overlap is removed by NEAR-dup match, not only verbatim n-gram
+    * hits — a lightly paraphrased eval document still leaks): the training
+    * corpus is screened against the eval set (same doc_id % 97 split as
+    * decontaminate_ngrams) through the banded MinHash new×index join —
+    * Graft.minhashCandidatesAgainst, the dedup_incremental machinery with
+    * the eval signatures as the at-rest side. The demo split is doc_id %
+    * 17 (not ngrams' % 97): at gate scale the % 17 eval set actually
+    * CONTAINS leaked near-dups, so the oracle checks real flagged rows,
+    * not an empty frame. Output: every (train doc,
+    * eval doc) pair at estimated Jaccard ≥ 0.2 — the rows a curation run
+    * DROPS from training. The eval side is tiny by nature, so its banded
+    * signatures broadcast and the screen is one linear pass over training
+    * signatures, never train×train. */
+  def decontaminateMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def sigs(part: DataFrame) = graft.api.Graft.minhashSignatures(part,
+      "doc_id", "text", numHashes = 32,
+      baseHash = graft.api.Graft.md5Hash60)
+    graft.api.Graft.minhashCandidatesAgainst(
+        sigs(docs.filter(col("doc_id") % 17 =!= 0)),
+        sigs(docs.filter(col("doc_id") % 17 === 0)),
+        "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .select(col("new_id").as("doc_id"), col("index_id").as("eval_id"),
+        col("est_jaccard"))
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Corpus mixture weights: per-language resampling factors that would
     * rebalance the corpus to a uniform language mix (weight = target share /
     * actual share). One tiny aggregate + window — the numbers `sample_

@@ -59,6 +59,26 @@ class Round10Spec extends SparkSpec {
     assert(both1 > r13 && r13 > 1048576 / 61)
   }
 
+  // ---------- fuzzy decontamination (PipelineOps.decontaminateMinhash) ----------
+
+  test("minhash decontamination flags a planted paraphrased eval leak") {
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 distinct tokens
+    val train = Seq(
+      (1L, base + " extra trailing words here"),           // the leak: shares most shingles
+      (2L, (50 to 65).map(i => s"tok$i").mkString(" ")))   // unrelated
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, base)).toDF("doc_id", "text")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      api.Graft.minhashSignatures(df, "doc_id", "text", numHashes = 32,
+        baseHash = api.Graft.md5Hash60)
+    val flagged = api.Graft.minhashCandidatesAgainst(
+        sigs(train), sigs(evalSet), "doc_id",
+        bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(flagged.map(f => (f._1, f._2)).toSet === Set((1L, 100L)))
+    assert(flagged.head._3 > 0.2)
+  }
+
   // ---------- at-rest IVF (Similarity.knnIvfPersisted) ----------
 
   test("knnIvfPersisted answers bit-identically to the in-memory knnIvf") {
