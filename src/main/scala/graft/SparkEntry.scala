@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_substring"   -> Dedup.dedupSubstring _,
     "dedup_semantic"    -> Dedup.dedupSemantic _,
     "dedup_paragraphs"  -> Dedup.dedupParagraphs _,
+    "dedup_span_rewrite" -> Dedup.dedupSpanRewrite _,
     "dedup_winnow"      -> Dedup.dedupWinnow _,
     "dedup_winnow_keep" -> Dedup.dedupWinnowKeep _,
     "quality_gopher"    -> TextAnalysis.qualityGopher _,
@@ -955,6 +956,44 @@ object SparkEntry {
       |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS kept4
       |FROM pars p JOIN stats USING (fp)
       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupSpanRewrite — 0-based token positions,
+    * md5-60-bit position-gram fingerprints (per position, NOT distinct:
+    * within-doc repeats count), duplicated-fingerprint starts, covered
+    * indexes exploded from starts (never a range join), anti-join
+    * survivors, ordered string_agg rebuild, md5 of the rewrite. */
+  private def dedupSpanRewriteOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, i - 1 AS i, ts[i] AS tok
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM base)),
+      |grams AS (
+      |  SELECT doc_id, s - 1 AS p,
+      |    ('0x' || substring(md5(array_to_string(ts[s : s + 7], ' ')), 1, 15))::BIGINT AS fp
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS s FROM base
+      |        WHERE len(ts) >= 8)),
+      |dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(1) > 1),
+      |starts AS (SELECT DISTINCT doc_id, p FROM grams JOIN dup USING (fp)),
+      |covered AS (
+      |  SELECT DISTINCT doc_id, i FROM (
+      |    SELECT doc_id, unnest(range(p, p + 8)) AS i FROM starts)),
+      |kept AS (
+      |  SELECT t.doc_id, t.i, t.tok
+      |  FROM toks t ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.i = t.i),
+      |reb AS (
+      |  SELECT doc_id, count(1) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY i) AS clean
+      |  FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(1) AS n_tokens FROM toks GROUP BY doc_id),
+      |sp AS (SELECT doc_id, count(1) AS n_spans_flagged FROM starts GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_tokens,
+      |  coalesce(r.n_kept, 0) AS n_kept,
+      |  coalesce(s.n_spans_flagged, 0) AS n_spans_flagged,
+      |  md5(coalesce(r.clean, '')) AS clean_fp
+      |FROM tot t LEFT JOIN reb r USING (doc_id) LEFT JOIN sp s USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
 
   /** DuckDB twin of Similarity.hybridRrf — the dense leg is the proven
     * knn_bruteforce cosine ranking over the id-overlap candidate set, the
@@ -2533,6 +2572,7 @@ object SparkEntry {
 
     "dedup_semantic" -> dedupSemanticOracleSql,
     "dedup_paragraphs" -> dedupParagraphsOracleSql,
+    "dedup_span_rewrite" -> dedupSpanRewriteOracleSql,
 
     "dsir_select" -> dsirSelectOracleSql,
 

@@ -974,6 +974,65 @@ object Graft {
           .as("novelty4"))
   }
 
+  /** Duplicate-span REMOVAL — the action half of Lee et al. '21 (the
+    * dedup_substring pair-lister finds verbatim overlap; this REWRITES the
+    * corpus): every `spanTokens`-token run whose fingerprint occurs more
+    * than once in the corpus (across documents or repeated within one) is
+    * a duplicated span; tokens covered by any duplicated span are dropped
+    * and the document re-joins from the survivors. Output per document:
+    * (idCol, n_tokens, n_kept, n_spans_flagged, clean_fp = md5 of the
+    * rewritten text) — the md5 makes the entire rewrite hash-checkable
+    * without shipping the text.
+    *
+    * Scale shape — every step is linear, never doc×doc:
+    * position-grams explode row-locally; one groupBy(fp) finds duplicated
+    * fingerprints; covered token indexes EXPLODE from flagged starts
+    * (spanTokens rows per flagged start — no range join); survivors are
+    * one anti-join on (doc, position); the rebuild is one per-doc sorted
+    * fold. Tokens and positions, not text, cross every shuffle. */
+  def duplicateSpanRewrite(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8,
+      gramHash: Column => Column = xxHash63): DataFrame = {
+    val n = spanTokens
+    val toks = df
+      .withColumn("__toks", expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i", "__tok")))
+    // position-grams, NOT distinct: within-doc repetition counts as
+    // duplication, exactly as in the paper
+    val grams = df
+      .withColumn("__toks", expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(1, size(__toks) - ${n - 1}),
+           |  i -> array_join(slice(__toks, i, $n), ' '))""".stripMargin))
+        .as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p"), gramHash(col("__g")).as("fp"))
+    val dupFps = grams.groupBy("fp").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1L).select("fp")
+    val flaggedStarts = grams.join(dupFps, "fp")
+      .select(col(idCol), col("__p")).distinct()
+    val covered = flaggedStarts
+      .select(col(idCol), explode(expr(s"sequence(__p, __p + ${n - 1})")).as("__i"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "__i"), "left_anti")
+    val spansPerDoc = flaggedStarts.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans_flagged"))
+    val totals = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        expr("""array_join(transform(array_sort(collect_list(struct(__i, __tok))),
+               |  s -> s.__tok), ' ')""".stripMargin).as("__clean"))
+    totals
+      .join(rebuilt, Seq(idCol), "left")
+      .join(spansPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_spans_flagged"), lit(0L)).as("n_spans_flagged"),
+        md5(coalesce(col("__clean"), lit(""))).as("clean_fp"))
+  }
+
   /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD '03 —
     * the MOSS algorithm): hash every `k`-token gram, slide a window of `w`
     * consecutive gram positions, keep each window's MINIMUM hash. The

@@ -306,6 +306,18 @@ object Dedup {
         "vec_id", "embedding", k = 10, iters = 3, tau = 0.25)
       .orderBy("vec_id")
 
+  /** Duplicate-span REMOVAL (Graft.duplicateSpanRewrite — the action half
+    * of Lee '21): tokens covered by any 8-token span occurring more than
+    * once in the corpus are dropped and documents re-join from the
+    * survivors. The output carries md5 of each rewritten text, so the
+    * oracle hash-checks the ENTIRE rewrite without shipping text. */
+  def dedupSpanRewrite(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.duplicateSpanRewrite(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", spanTokens = 8,
+        gramHash = graft.api.Graft.md5Hash60)
+      .orderBy("doc_id")
+
   /** Paragraph-granular dedup stats (Graft.paragraphDedup — the CCNet
     * repeated-paragraph signal, Wenzek '19): per document, its 16-token
     * paragraph count, how many of those paragraphs occur in other

@@ -59,6 +59,41 @@ class Round10Spec extends SparkSpec {
     assert(both1 > r13 && r13 > 1048576 / 61)
   }
 
+  // ---------- span rewrite (Graft.duplicateSpanRewrite) ----------
+
+  test("duplicateSpanRewrite drops exactly the corpus-duplicated 8-token spans") {
+    val w = (1 to 10).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),                        // w1..w10
+      (2L, (w.take(8) :+ "x" :+ "y").mkString(" ")), // shares the w1..w8 span
+      (3L, (20 to 30).map(i => s"u$i").mkString(" "))) // untouched
+      .toDF("doc_id", "text")
+    val r = graft.api.Graft.duplicateSpanRewrite(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // doc 1: tokens 0..7 covered -> keeps "w9 w10"; doc 2 keeps "x y"
+    assert(r.map(x => (x._1, x._2, x._3, x._4)) ===
+      Array((1L, 10L, 2L, 1L), (2L, 10L, 2L, 1L), (3L, 11L, 11L, 0L)))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0)._5 === h("w9 w10"))
+    assert(r(1)._5 === h("x y"))
+    assert(r(2)._5 === h((20 to 30).map(i => s"u$i").mkString(" ")))
+  }
+
+  test("duplicateSpanRewrite: within-doc repetition counts as duplication") {
+    // one doc, the same 8-token run twice -> both occurrences flagged
+    val span = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq((7L, s"$span $span tail")).toDF("doc_id", "text")
+    val r = graft.api.Graft.duplicateSpanRewrite(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].head()
+    // 17 tokens; the two exact span starts (0 and 8) are duplicated
+    // fingerprints; the intermediate rotations are unique
+    assert(r._2 === 17L)
+    assert(r._3 === 1L)   // only "tail" survives
+    assert(r._4 === 2L)
+  }
+
   // ---------- fuzzy decontamination (PipelineOps.decontaminateMinhash) ----------
 
   test("minhash decontamination flags a planted paraphrased eval leak") {
