@@ -745,15 +745,6 @@ object Graft {
       sigCol: String = "simhash", maxHamming: Int = 12,
       bits: Int = 60): DataFrame = {
     val nBlocks = maxHamming + 1
-    val base = bits / nBlocks; val extra = bits % nBlocks
-    // first `extra` blocks get base+1 bits, the rest `base`
-    val lens = (0 until nBlocks).map(b => if (b < extra) base + 1 else base)
-    val offsets = lens.scanLeft(0)(_ + _)
-    val keyCols = (0 until nBlocks).map { b =>
-      struct(lit(b).as("blk"),
-        shiftright(col(sigCol), offsets(b))
-          .bitwiseAND(lit((1L << lens(b)) - 1L)).as("key"))
-    }
     // Materialize the signature table ONCE: the upstream signature
     // computation (token explode + per-doc 64 bit-sums) is the query's
     // dominant cost, and the join branches below would each recompute it
@@ -773,6 +764,22 @@ object Graft {
     //    (a pair can share several blocks; distinct-before-filter
     //    measured 10× slower — it shuffled every bucket collision).
     val reps = sigM.select(col(sigCol)).distinct().localCheckpoint(true)
+    // Contiguous blocks: first `extra` get base+1 bits, the rest `base`.
+    // (Negative result, r10: an ENTROPY-AWARE layout — per-bit bias
+    // measured over distinct signatures, bits dealt round-robin by bias
+    // rank — cut candidate volume only 6% on this corpus because the
+    // biased bits are CORRELATED, not merely individually skewed, while
+    // its stats job and 4-5-op key extraction cost more than that saved.
+    // Pigeonhole holds for any disjoint cover, so revisit on a corpus
+    // whose per-bit biases are independent.)
+    val base = bits / nBlocks; val extra = bits % nBlocks
+    val lens = (0 until nBlocks).map(b => if (b < extra) base + 1 else base)
+    val offsets = lens.scanLeft(0)(_ + _)
+    val keyCols = (0 until nBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        shiftright(col(sigCol), offsets(b))
+          .bitwiseAND(lit((1L << lens(b)) - 1L)).as("key"))
+    }
     val keys = reps.select(col(sigCol), explode(array(keyCols: _*)).as("bk"))
       .select(col(sigCol), col("bk.blk").as("blk"), col("bk.key").as("key"))
     val sigPairs = keys.as("ka").join(keys.as("kb"),
