@@ -199,6 +199,7 @@ object SparkEntry {
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
     "stream_knn"        -> StreamingQueries.streamKnn _,
+    "stream_decontaminate" -> StreamingQueries.streamDecontaminate _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -2567,6 +2568,8 @@ object SparkEntry {
 
     "dedup_incremental" -> dedupIncrementalOracleSql,
     "decontaminate_minhash" -> decontaminateMinhashOracleSql,
+    // streaming final state == the batch screen — the oracle verbatim
+    "stream_decontaminate" -> decontaminateMinhashOracleSql,
 
     "dedup_simhash" -> dedupSimhashOracleSql,
 

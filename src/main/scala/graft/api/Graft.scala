@@ -1206,7 +1206,8 @@ object Graft {
     * shingle has no MinHash identity and cannot be a near-dup candidate. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleN: Int = 3,
-      baseHash: Column => Column = xxHash63): DataFrame = {
+      baseHash: Column => Column = xxHash63,
+      keepEmpty: Boolean = true): DataFrame = {
     val P = 2147483647L
     val as = (0 until numHashes).map(i => 2L * i * i + 3L * i + 1L)
     val bs = (0 until numHashes).map(i => 7L * i * i + 5L * i + 3L)
@@ -1227,7 +1228,11 @@ object Graft {
           min(expr(s"(${as(i)}L * h + ${bs(i)}L) % ${P}L")).as(s"__m$i")): _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
     // Re-attach ids whose shingle set was empty (< shingleN tokens): NULL sig.
-    df.select(col(idCol)).join(sigs, Seq(idCol), "left")
+    // `keepEmpty = false` skips that join — REQUIRED on a streaming frame
+    // (it would be a stream-stream join after the aggregation) and
+    // equivalent for every candidate-generation consumer: banded joins
+    // filter NULL signatures anyway, so absent == NULL there.
+    if (keepEmpty) df.select(col(idCol)).join(sigs, Seq(idCol), "left") else sigs
   }
 
   /** Banded-LSH candidate pairs from MinHash signatures, with the estimated

@@ -386,6 +386,36 @@ object StreamingQueries {
     store.snapshot(s).orderBy("user_id")
   }
 
+  /** Streaming DECONTAMINATION: training documents ARRIVE AS A STREAM and
+    * are screened against the static eval-set MinHash index — the ingest
+    * shape of decontaminate_minhash (a pretraining pipeline screens data
+    * as it lands, not in a batch afterthought). The per-document signature
+    * is ONE streaming aggregation (stateless shingle explode + 32 grouped
+    * permutation minima as state — `keepEmpty = false` skips the batch
+    * path's NULL-signature re-attach, which would be a disallowed second
+    * stream join and is moot here: banded screening drops NULL signatures
+    * anyway); the final signature state then runs the SAME banded
+    * new×index screen as the batch query, so the flagged set hash-matches
+    * the batch oracle verbatim. */
+  def streamDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val evalSigs = graft.api.Graft.minhashSignatures(
+      docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+      numHashes = 32, baseHash = graft.api.Graft.md5Hash60)
+    val sigState = graft.api.Graft.minhashSignatures(
+      readStreamTable(s, d, "documents")
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", numHashes = 32,
+      baseHash = graft.api.Graft.md5Hash60, keepEmpty = false)
+    val finalSigs = runToMemory(s, sigState, "graft_stream_decontaminate", "complete")
+    graft.api.Graft.minhashCandidatesAgainst(finalSigs, evalSigs,
+        "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .select(col("new_id").as("doc_id"), col("index_id").as("eval_id"),
+        col("est_jaccard"))
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Streaming kNN: query vectors ARRIVE AS A STREAM and probe the static
     * embedding corpus — the retrieval-serving shape (a query firehose
     * against an at-rest index; here the brute-force tier, on a 100 TB
