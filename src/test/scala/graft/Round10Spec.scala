@@ -129,6 +129,62 @@ class Round10Spec extends SparkSpec {
     assert(again === inMem)
   }
 
+  // ---------- oracle CTE materialization (SparkEntry.materializeCtes) ----------
+
+  test("materializeCtes rewrites CTE headers only, idempotently") {
+    val sql =
+      """WITH a AS (
+        |  SELECT 1),
+        |b AS (
+        |  SELECT x, row_number() OVER (PARTITION BY y ORDER BY z) AS rn
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY y))
+        |SELECT * FROM b""".stripMargin
+    val out = SparkEntry.materializeCtes(sql)
+    assert(out.contains("WITH a AS MATERIALIZED ("))
+    assert(out.contains("b AS MATERIALIZED ("))
+    // window clauses and OVER(...) are untouched
+    assert(out.contains("OVER (PARTITION BY y ORDER BY z)"))
+    assert(out.contains("WINDOW w AS (PARTITION BY y)"))
+    // idempotent: a second pass changes nothing
+    assert(SparkEntry.materializeCtes(out) === out)
+    // every emitted oracle carries at least one hint when it has a CTE —
+    // except WITH RECURSIVE, whose column-list header (`walk(depth, nk)
+    // AS (`) the regex correctly leaves alone: materializing a recursive
+    // CTE would be invalid
+    val withCtes = SparkEntry.oracleSql
+      .filter { case (_, s) => s.contains("WITH ") && !s.contains("WITH RECURSIVE") }
+    assert(withCtes.nonEmpty)
+    assert(withCtes.forall { case (_, s) => s.contains("AS MATERIALIZED (") })
+  }
+
+  // ---------- grouped k-means (Graft.groupedKmeans) ----------
+
+  test("groupedKmeans is bit-identical to independent per-group kmeans") {
+    val vecs = (0L until 40L).flatMap { id =>
+      Seq(0, 1).map(g => (g, id,
+        Array.tabulate(4)(j => ((id * 7 + j * 3 + g * 11) % 13).toFloat / 13f)))
+    }
+    val df = vecs.toDF("grp", "id", "v")
+    val (cents, assigns) = api.Graft.groupedKmeans(df, "grp", "id", "v",
+      k = 3, iters = 2)
+    for (g <- Seq(0, 1)) {
+      val solo = api.Graft.kmeans(
+        df.filter(col("grp") === g).select(col("id"), col("v")),
+        "id", "v", k = 3, iters = 2)
+      val cg = cents.filter(col("grp") === g)
+        .select(col("c_id"), col("centroid")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map { case (c, a) => (c, a.toSeq) }
+      val cs = solo.centroids.as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map { case (c, a) => (c, a.toSeq) }
+      assert(cg === cs, s"centroids differ for group $g")
+      val ag = assigns.filter(col("grp") === g)
+        .select(col("id"), col("c_id")).as[(Long, Long)].collect().toMap
+      val as_ = solo.assignments.as[(Long, Long)].collect().toMap
+      assert(ag === as_, s"assignments differ for group $g")
+    }
+  }
+
   // ---------- streaming kNN (StreamingQueries.streamKnn) ----------
 
   test("streamKnn final state equals the batch brute-force top-5") {
