@@ -54,10 +54,15 @@ object PipelineOps {
     val evalSet = all.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
     val corpus = all.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // materialized ONCE: the row-local repetition gate (array_distinct +
+    // per-token filters per doc) is consumed by the edge build, the cluster
+    // join, and the representative filter — without the barrier each
+    // consumer re-runs the scan+gate (measured ~1s/consumer at sf0.1)
     val quality = graft.api.Graft.repetitionMetrics(corpus, "text")
       .filter(col("dup_ratio") <= 0.9 && col("mean_tok_len").between(2.0, 12.0) &&
         col("top_token_frac") <= 0.3)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
     val reps = quality.join(headTailClusters(quality), "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
@@ -85,10 +90,13 @@ object PipelineOps {
     val evalSet = all.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text"))
     val corpus = all.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // materialized ONCE — same rationale as pipelineCurateCorpus, with a
+    // fourth consumer here (the embedding join)
     val quality = graft.api.Graft.repetitionMetrics(corpus, "text")
       .filter(col("dup_ratio") <= 0.9 && col("mean_tok_len").between(2.0, 12.0) &&
         col("top_token_frac") <= 0.3)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .localCheckpoint(true)
     val textEdges = graft.api.Graft.nearDupStarEdges(quality, "doc_id", "text")
     val qualityVecs = Tables.embeddings(s, d)
       .join(quality.select(col("doc_id")), col("vec_id") === col("doc_id"))
