@@ -933,6 +933,11 @@ object Graft {
         s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
            |  i -> array_join(slice(__toks, i, $n), ' ')))""".stripMargin)).as("__g"))
       .select(col(idCol), gramHash(col("__g")).as("fp"))
+      // materialized ONCE: the postings aggregate and the index join both
+      // consume the gram explode, and the join's fp-shuffle cannot reuse
+      // the aggregate's exchange — without the barrier the hash explode
+      // runs twice
+      .localCheckpoint(true)
     val postings = grams.groupBy("fp").agg(count(lit(1)).as("__df"))
     val idx = grams.join(postings, "fp").filter(col("__df") <= maxPostings)
       .drop("__df")
@@ -970,6 +975,8 @@ object Graft {
         s"""array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
            |  i -> array_join(slice(__toks, i, $n), ' ')))""".stripMargin)).as("__g"))
       .select(col(idCol), gramHash(col("__g")).as("fp"))
+      // same two-consumer barrier as substringOverlapCandidates
+      .localCheckpoint(true)
     val gramDf = grams.groupBy("fp").agg(count(lit(1)).as("__df"))
     grams.join(gramDf, "fp")
       .groupBy(col(idCol))
@@ -1107,6 +1114,9 @@ object Graft {
       maxPostings: Long = 128L,
       gramHash: String => String = xxhashGramSql): DataFrame = {
     val sel = winnowSelectedFingerprints(df, idCol, textCol, k, w, gramHash)
+      // two-consumer barrier (postings aggregate + index join) — the
+      // winnow selection's per-gram hashing is the expensive part
+      .localCheckpoint(true)
     val postings = sel.groupBy("fp").agg(count(lit(1)).as("__df"))
     val idx = sel.join(postings, "fp").filter(col("__df") <= maxPostings)
       .drop("__df")
@@ -2285,6 +2295,8 @@ object Graft {
       .select(col(idCol), col("__pi"), baseHash(col("__p")).as("fp"))
     val occ = pars.withColumn("__k",
       col(idCol) * lit(1048576L) + col("__pi"))
+      // two-consumer barrier: the fp stats and the join back both read occ
+      .localCheckpoint(true)
     val stats = occ.groupBy("fp")
       .agg(min("__k").as("__keep"), count(lit(1)).as("__occ"))
     occ.join(stats, "fp")
