@@ -827,8 +827,12 @@ object Graft {
   def ngramJaccardCandidates(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Nil, n: Int = 3, minJaccard: Double = 0.2,
       maxPostings: Long = 128L): DataFrame = {
+    // materialized ONCE: five consumers read the shingle explode (sizes,
+    // postings, the index join, and both sides of the exact-score re-join)
+    // and none can reuse another's exchange — without the barrier the
+    // tokenize+slice+join explode runs per consumer
     val sh = shingles(df.select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*),
-      idCol, textCol, n)
+      idCol, textCol, n).localCheckpoint(true)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
     // postings length per (block, shingle); the index keeps only short lists
     val postingKey = blockCols :+ "shingle"
@@ -872,8 +876,9 @@ object Graft {
   def ngramContainmentCandidates(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Nil, n: Int = 3, minContainment: Double = 0.8,
       maxPostings: Long = 128L): DataFrame = {
+    // five-consumer barrier — same rationale as ngramJaccardCandidates
     val sh = shingles(df.select(col(idCol) +: blockCols.map(col) :+ col(textCol): _*),
-      idCol, textCol, n)
+      idCol, textCol, n).localCheckpoint(true)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
     val postingKey = blockCols :+ "shingle"
     val postings = sh.groupBy(postingKey.map(col): _*)
