@@ -1412,6 +1412,9 @@ object Graft {
            |  b -> aggregate(slice(__bits, b * $bitsPerBand + 1, $bitsPerBand),
            |                 0, (acc, x) -> acc * 2 + x))""".stripMargin))
       .select(col(idCol), col(vecCol), col("__bands"))
+      // three-consumer barrier (both band-explode sides + the norm pass):
+      // without it each consumer re-runs the 16 plane projections per vector
+      .localCheckpoint(true)
     val a = sig.select(col(idCol).as("id_a"),
       posexplode(col("__bands")).as(Seq("__bi", "__bka")))
     val b = sig.select(col(idCol).as("id_b"),
