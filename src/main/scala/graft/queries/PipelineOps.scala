@@ -439,7 +439,11 @@ object PipelineOps {
       .filter(col("passes")).select("doc_id")
     val kept = graft.api.Graft.dedupExact(docs, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
+    // materialized ONCE: the DSIR fit (model) and apply (score) passes both
+    // read the gated frame — without the barrier the Gopher gate + exact
+    // dedup joins re-run per pass
     val clean = docs.join(pass, "doc_id").join(kept, "doc_id")
+      .localCheckpoint(true)
     val scored = graft.api.Graft.dsirWeights(clean, "doc_id", "text",
       isTarget = col("lang") === "en", buckets = 256)
     graft.api.Graft.budgetedPrefix(scored, "n_tokens",
