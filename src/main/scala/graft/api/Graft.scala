@@ -1013,6 +1013,12 @@ object Graft {
       spanTokens: Int = 8,
       gramHash: Column => Column = xxHash63): DataFrame = {
     val n = spanTokens
+    // NO materialization barriers here, unlike the operator's siblings
+    // (measured r10): span_rewrite's explodes are POSITION-complete — toks
+    // is every token row and grams every position-gram, several times the
+    // siblings' per-doc-distinct volumes — and both consumers of each are
+    // cheap aggregations, so checkpointing measured 2× SLOWER (0.51 s →
+    // 1.06-1.10 s at sf0.1) than recomputing the codegen'd explodes.
     val toks = df
       .withColumn("__toks", expr(
         s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))

@@ -317,8 +317,8 @@ object PipelineOps {
   /** FUZZY benchmark decontamination (the Brown '20 §C production reading:
     * eval overlap is removed by NEAR-dup match, not only verbatim n-gram
     * hits — a lightly paraphrased eval document still leaks): the training
-    * corpus is screened against the eval set (same doc_id % 97 split as
-    * decontaminate_ngrams) through the banded MinHash new×index join —
+    * corpus is screened against a held-out eval set through the banded
+    * MinHash new×index join —
     * Graft.minhashCandidatesAgainst, the dedup_incremental machinery with
     * the eval signatures as the at-rest side. The demo split is doc_id %
     * 17 (not ngrams' % 97): at gate scale the % 17 eval set actually

@@ -180,12 +180,20 @@ object Similarity {
   def knnIvfPersisted(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val root = s"/tmp/graft_ivf_index/${s.sparkContext.applicationId}"
-    val base = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    // cache key: sanitized name PLUS an md5 prefix of the raw path —
+    // sanitization alone maps distinct dirs (/data/sf1, /data_sf1) to one
+    // key, silently serving one dataset's index for the other
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + pathHash
     graft.queries.Formats.registerCleanup(root)
     val cPath = base + "/centroids"; val pPath = base + "/postings"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(cPath))) {
+    // train-once guard checks the LAST-written table: a failure between the
+    // two writes must retrain on the next call, not permanently serve a
+    // half-written index (centroids land first, postings second)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pPath))) {
       val e = Tables.embeddings(s, d)
       val km = graft.api.Graft.kmeans(
         e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",

@@ -46,7 +46,14 @@ def main():
             results[name] = timeout
             print(f"{name}: TIMEOUT >{timeout}s", flush=True)
         else:
-            r = q.get()
+            # the child can die without enqueueing (import failure outside
+            # the try, OOM kill): never block forever on the queue
+            try:
+                r = q.get(timeout=5)
+            except Exception:
+                results[name] = 0.0
+                print(f"{name}: CHILD DIED exitcode={p.exitcode}", flush=True)
+                continue
             if isinstance(r, str):
                 results[name] = 0.0
                 print(f"{name}: {r[:200]}", flush=True)
