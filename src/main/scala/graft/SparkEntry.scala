@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.dedupContainment _,
     "dedup_minhash"     -> Dedup.dedupMinhash _,
     "dedup_simhash"     -> Dedup.dedupSimhash _,
+    "dedup_simhash_wide" -> Dedup.dedupSimhashWide _,
     "dedup_embedding"   -> Dedup.dedupEmbedding _,
     "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
     "dedup_incremental" -> Dedup.dedupIncremental _,
@@ -593,6 +594,36 @@ object SparkEntry {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of Dedup.dedupSimhashWide: the same per-token md5 digest
+    * yields BOTH 60-bit halves (hex chars 1-15 and 16-30), 120 positional
+    * bit-count sums, two majority-sign signature longs, exact two-long
+    * Hamming all-pairs join (the Spark side's pigeonhole blocks are recall-
+    * exact per PropertySpec, so the exact join IS the semantics). */
+  private def dedupSimhashWideOracleSql: String = {
+    val bitSums =
+      ((0 until 60).map(b => s"sum((hl >> $b) & 1) AS l$b") ++
+       (0 until 60).map(b => s"sum((hh >> $b) & 1) AS u$b")).mkString(",\n    ")
+    def sig(pre: String) = (0 until 60).map(b =>
+      s"CASE WHEN 2 * $pre$b > n THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString("\n      + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${md5h60("tok")} AS hl,
+       |    ('0x' || substring(md5(tok), 16, 15))::BIGINT AS hh
+       |  FROM toks WHERE length(tok) > 0),
+       |agg AS (SELECT doc_id, count(1) AS n,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ${sig("l")} AS sim_lo, ${sig("u")} AS sim_hi FROM agg)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
+       |       bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo)) +
+       |      bit_count(xor(a.sim_hi, b.sim_hi)) <= 12
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -2075,14 +2106,127 @@ object SparkEntry {
     * whole upstream chain per reference, exponentially. Measured at sf0.01:
     * `knn_ivfpq` alone ground >10 min inlined vs 1.4 s materialized; the
     * full 213-oracle gate drops from ~25 min to ~13 s. Pure evaluation
-    * hint — result sets are identical. Named-window clauses (`WINDOW w AS
-    * (`) don't match: the line starts with the WINDOW keyword, not the
-    * alias. Idempotent (`AS MATERIALIZED (` no longer matches `AS \(`). */
-  private[graft] def materializeCtes(sql: String): String = sql
-    .replaceAll("(?m)^(\\s*)([A-Za-z_][A-Za-z0-9_]*) AS \\(",
-      "$1$2 AS MATERIALIZED (")
-    .replaceAll("\\bWITH ([A-Za-z_][A-Za-z0-9_]*) AS \\(",
-      "WITH $1 AS MATERIALIZED (")
+    * hint — result sets are identical.
+    *
+    * Structural, not line-anchored: the rewriter walks the WITH list itself —
+    * after `WITH [RECURSIVE]` it expects `name AS (`, inserts MATERIALIZED,
+    * skips the parenthesis-balanced body (quote-aware, so a `)` inside a
+    * string literal doesn't close it), and continues only across the `,`
+    * that separates CTE definitions. Consequences the old regex got wrong:
+    * a second name in a multi-window clause (`WINDOW w1 AS (...), w2 AS
+    * (...)`) is never touched (it's outside any WITH list), and a CTE header
+    * that doesn't start a line (`), cand AS (`) IS rewritten. Nested WITHs
+    * inside a CTE body are handled by the same scan (the walk continues
+    * through body text). Idempotent: `AS MATERIALIZED (` already in place is
+    * left alone. */
+  private[graft] def materializeCtes(sql: String): String = {
+    val n = sql.length
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    /** If i sits at the start of a string literal or a comment, returns the
+      * index just past it; otherwise -1. Keeps the two scan loops below in
+      * sync on everything that can hide quotes/parens: '...' strings, "..."
+      * identifiers, -- line comments (an apostrophe in a comment must not
+      * open a string), and block comments. */
+    def skipOpaque(i: Int): Int = sql(i) match {
+      case '\'' =>
+        var j = i + 1; while (j < n && sql(j) != '\'') j += 1
+        math.min(j + 1, n)
+      case '"' =>
+        var j = i + 1; while (j < n && sql(j) != '"') j += 1
+        math.min(j + 1, n)
+      case '-' if i + 1 < n && sql(i + 1) == '-' =>
+        var j = i + 2; while (j < n && sql(j) != '\n') j += 1
+        j
+      case '/' if i + 1 < n && sql(i + 1) == '*' =>
+        var j = i + 2
+        while (j + 1 < n && !(sql(j) == '*' && sql(j + 1) == '/')) j += 1
+        math.min(j + 2, n)
+      case _ => -1
+    }
+    /** Skips whitespace AND comments — a `--` or block comment between WITH
+      * list elements must not stop the CTE walk. */
+    def skipWs(from: Int): Int = {
+      var i = from; var moved = true
+      while (moved && i < n) {
+        moved = false
+        while (i < n && sql(i).isWhitespace) { i += 1; moved = true }
+        if (i < n && (sql(i) == '-' || sql(i) == '/')) {
+          val o = skipOpaque(i)
+          if (o >= 0) { i = o; moved = true }
+        }
+      }
+      i
+    }
+    /** i points AT an opening '('; returns index just past its match
+      * (never past n, even on malformed/unterminated input). */
+    def skipBalanced(from: Int): Int = {
+      var i = from; var depth = 0
+      while (i < n) {
+        val opaque = skipOpaque(i)
+        if (opaque >= 0) i = opaque
+        else {
+          sql(i) match {
+            case '('  => depth += 1
+            case ')'  => depth -= 1; if (depth == 0) return i + 1
+            case _    =>
+          }
+          i += 1
+        }
+      }
+      n
+    }
+    def wordAt(i: Int, w: String): Boolean =
+      sql.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWord(sql(i - 1))) &&
+        (i + w.length >= n || !isWord(sql(i + w.length)))
+    // java.lang.StringBuilder: its (CharSequence, start, end) append overload
+    // is what the range appends below rely on (Scala's StringBuilder would
+    // swallow the three args as one tuple via append(Any))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var last = 0 // everything before `last` is already appended
+    while (i < n) {
+      val opaque = skipOpaque(i)
+      if (opaque >= 0) i = opaque
+      else sql(i) match {
+        case _ if wordAt(i, "WITH") =>
+          var p = skipWs(i + 4)
+          if (wordAt(p, "RECURSIVE")) p = skipWs(p + 9)
+          // walk the CTE list: name AS ( body ) [, name AS ( body )]*
+          var inList = true
+          while (inList) {
+            val nameStart = p
+            while (p < n && isWord(sql(p))) p += 1
+            val name = sql.substring(nameStart, p)
+            val afterName = skipWs(p)
+            if (name.nonEmpty && wordAt(afterName, "AS")) {
+              val afterAs = skipWs(afterName + 2)
+              if (afterAs < n && sql(afterAs) == '(') {
+                val bodyEnd = skipBalanced(afterAs) // just past the ')'
+                sb.append(sql, last, afterAs).append("MATERIALIZED (")
+                  .append(materializeCtes(sql.substring(afterAs + 1, bodyEnd - 1)))
+                  .append(')')
+                last = bodyEnd
+                p = bodyEnd
+              } else if (wordAt(afterAs, "MATERIALIZED")) {
+                val afterMat = skipWs(afterAs + 12)
+                p = if (afterMat < n && sql(afterMat) == '(') skipBalanced(afterMat)
+                    else afterMat
+              } else inList = false
+            } else inList = false
+            if (inList) {
+              val afterBody = skipWs(p)
+              if (afterBody < n && sql(afterBody) == ',') p = skipWs(afterBody + 1)
+              else inList = false
+            }
+          }
+          i = math.max(p, i + 4)
+        case _ => i += 1
+      }
+    }
+    sb.append(sql, last, n)
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] =
     oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }
@@ -2572,6 +2716,7 @@ object SparkEntry {
     "stream_decontaminate" -> decontaminateMinhashOracleSql,
 
     "dedup_simhash" -> dedupSimhashOracleSql,
+    "dedup_simhash_wide" -> dedupSimhashWideOracleSql,
 
     "dedup_semantic" -> dedupSemanticOracleSql,
     "dedup_paragraphs" -> dedupParagraphsOracleSql,
@@ -2678,6 +2823,30 @@ object SparkEntry {
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS emb_norm
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Rebuilds the GI01 pixel buffer from the same 5-chunk md5 formula the
+    // fixture uses (Multimodal.gi01Assets), then aggregates the hex pairs as
+    // integers — DuckDB never sees the container, only the closed-form pixel
+    // bytes, which is all the stats depend on.
+    "multimodal_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, n_chars % 8 + 4 AS w, 6 AS h,
+        |    md5(text || '-0') || md5(text || '-1') || md5(text || '-2') ||
+        |      md5(text || '-3') || md5(text || '-4') AS hp
+        |  FROM documents),
+        |b AS (
+        |  -- constant range (max w*h = 11*6 = 66) + filter: DuckDB 1.0's
+        |  -- range() rejects lateral column parameters
+        |  SELECT doc_id, w, h,
+        |    ('0x' || substr(hp, CAST(2 * i + 1 AS INTEGER), 2))::BIGINT AS v
+        |  FROM px, range(66) t(i) WHERE i < w * h)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS INTEGER) AS n_pixels,
+        |  round(avg(v), 4) AS mean_px,
+        |  CAST(max(v) AS INTEGER) AS max_px, CAST(min(v) AS INTEGER) AS min_px,
+        |  round(CAST(count(1) FILTER (WHERE v >= 128) AS DOUBLE) / (w * h), 4)
+        |    AS frac_bright
+        |FROM b GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "tumbling_windows" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(1) AS n,

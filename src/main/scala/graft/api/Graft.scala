@@ -803,6 +803,113 @@ object Graft {
     intra.unionByName(cross)
   }
 
+  /** Second 60-bit md5-derived hash, INDEPENDENT of md5Hash60: hex chars
+    * 16-30 of the same digest (md5Hash60 takes 1-15). Cross-engine exact —
+    * DuckDB mirror is ('0x' || substring(md5(x), 16, 15))::BIGINT. Used as
+    * the hi-half base hash of the cross-engine-verifiable 120-bit SimHash. */
+  def md5Hash60b(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("bigint")
+
+  /** WIDE SimHash signature: TWO independent base hashes per token give a
+    * 2·`bitsPerHalf`-bit signature carried as two longs (`sim_lo`,
+    * `sim_hi`) — the parameter-level scale fix the 64-bit path's own note
+    * names: at 10^10 DISTINCT signatures the 60-bit pigeonhole blocks
+    * (60/13 ≈ 4.6 bits) go quadratic, while 120-bit blocks carry 120/13 ≈
+    * 9.2 bits each, pushing the quadratic knee out by ~2^60. Same one-pass
+    * aggregation shape as simhash64: one token explode, ONE groupBy of
+    * 2·bitsPerHalf positional bit-count sums (map-side partials shrink the
+    * shuffle to |docs|·(2·bitsPerHalf) longs). Defaults are the production
+    * pair (raw xxhash64 + a salted twin, 128 bits, Spark-only); the ORACLED
+    * registry row passes the two md5 halves (md5Hash60/md5Hash60b, 120
+    * bits) so DuckDB can rebuild both signatures exactly. */
+  def simhash128(df: DataFrame, idCol: String, textCol: String,
+      baseHashLo: Column => Column = xxhash64(_),
+      baseHashHi: Column => Column = c => xxhash64(lit("graft-hi"), c),
+      bitsPerHalf: Int = 64): DataFrame = {
+    val tokens = df
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("hl", baseHashLo(col("token")))
+      .withColumn("hh", baseHashHi(col("token")))
+    def half(src: String, pre: String) = (0 until bitsPerHalf).map(b =>
+      sum(expr(s"shiftright($src, $b) & 1L")).as(s"$pre$b"))
+    def sig(pre: String) = expr((0 until bitsPerHalf).map(b =>
+      s"CASE WHEN 2 * $pre$b > n THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + "))
+    tokens
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n"), half("hl", "l") ++ half("hh", "u"): _*)
+      .select(col(idCol), sig("l").as("sim_lo"), sig("u").as("sim_hi"))
+  }
+
+  /** Pigeonhole candidate pairs over the two-long wide signature — the
+    * same guaranteed-recall machinery as simhashCandidates (maxHamming+1
+    * disjoint blocks covering all bits ⇒ any pair within the cutoff shares
+    * at least one block exactly), generalized to a 2·bitsPerHalf-bit
+    * signature: a block whose bit range straddles the lo/hi boundary is
+    * extracted from both longs and stitched (`loPart | hiPart << loLen`).
+    * Identical layering to the 64-bit path: Hamming-0 via one equi-join on
+    * both halves, block join over DISTINCT signatures, exact
+    * two-long-Hamming gate inside the join projection, expansion to doc
+    * pairs only after the gate. Output: (id_a, id_b, hamming). */
+  def simhashCandidatesWide(sig: DataFrame, idCol: String,
+      loCol: String = "sim_lo", hiCol: String = "sim_hi",
+      maxHamming: Int = 12, bitsPerHalf: Int = 60): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val bits = 2 * bitsPerHalf
+    val sigM = sig.localCheckpoint(true)
+    val intra = sigM.as("za").join(sigM.as("zb"),
+        col(s"za.$loCol") === col(s"zb.$loCol") &&
+        col(s"za.$hiCol") === col(s"zb.$hiCol") &&
+        col(s"za.$idCol") < col(s"zb.$idCol"))
+      .select(col(s"za.$idCol").as("id_a"), col(s"zb.$idCol").as("id_b"),
+        lit(0).cast("int").as("hamming"))
+    val reps = sigM.select(col(loCol), col(hiCol)).distinct().localCheckpoint(true)
+    val base = bits / nBlocks; val extra = bits % nBlocks
+    val lens = (0 until nBlocks).map(b => if (b < extra) base + 1 else base)
+    val offsets = lens.scanLeft(0)(_ + _)
+    def blockKey(b: Int): Column = {
+      val o = offsets(b); val len = lens(b)
+      val loLen = math.max(0, math.min(len, bitsPerHalf - o))
+      val hiLen = len - loLen
+      val loPart: Column =
+        if (loLen > 0) shiftright(col(loCol), o).bitwiseAND(lit((1L << loLen) - 1L))
+        else lit(0L)
+      val hiPart: Column =
+        if (hiLen > 0) shiftright(col(hiCol), math.max(0, o - bitsPerHalf))
+          .bitwiseAND(lit((1L << hiLen) - 1L))
+        else lit(0L)
+      loPart.bitwiseOR(shiftleft(hiPart, loLen))
+    }
+    val keyCols = (0 until nBlocks).map(b =>
+      struct(lit(b).as("blk"), blockKey(b).as("key")))
+    val keys = reps
+      .select(col(loCol), col(hiCol), explode(array(keyCols: _*)).as("bk"))
+      .select(col(loCol), col(hiCol),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val sigPairs = keys.as("ka").join(keys.as("kb"),
+        col("ka.blk") === col("kb.blk") && col("ka.key") === col("kb.key") &&
+        (col(s"ka.$loCol") < col(s"kb.$loCol") ||
+         (col(s"ka.$loCol") === col(s"kb.$loCol") &&
+          col(s"ka.$hiCol") < col(s"kb.$hiCol"))))
+      .select(col(s"ka.$loCol").as("__la"), col(s"ka.$hiCol").as("__ha"),
+        col(s"kb.$loCol").as("__lb"), col(s"kb.$hiCol").as("__hb"),
+        (bit_count(col(s"ka.$loCol").bitwiseXOR(col(s"kb.$loCol"))) +
+         bit_count(col(s"ka.$hiCol").bitwiseXOR(col(s"kb.$hiCol"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // distinct sigs ⇒ hamming ≥ 1
+      .distinct()
+    val cross = sigPairs
+      .join(sigM.select(col(idCol).as("__ia"),
+        col(loCol).as("__la"), col(hiCol).as("__ha")), Seq("__la", "__ha"))
+      .join(sigM.select(col(idCol).as("__ib"),
+        col(loCol).as("__lb"), col(hiCol).as("__hb")), Seq("__lb", "__hb"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("hamming"))
+    intra.unionByName(cross)
+  }
+
   /** Exact dedup on normalized content: one row per distinct fingerprint with
     * the kept (minimum) id and the copy count. */
   def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -919,7 +1026,16 @@ object Graft {
     * pair signal and would be the quadratic hot spot), pair-join within
     * lists, count DISTINCT shared fingerprints per pair. Work is linear in
     * corpus tokens plus Σ|posting|² over capped lists — never doc×doc.
-    * Output: (id_a, id_b, n_spans) with id_a < id_b, n_spans ≥ `minSpans`. */
+    * Output: (id_a, id_b, n_spans) with id_a < id_b, n_spans ≥ `minSpans`.
+    *
+    * COMPATIBILITY NOTE (round 9): the default `gramHash` changed from
+    * `md5Hash60` to `xxHash63` — xxhash64 codegens to a few long ops where
+    * md5 pays a full digest per gram (~2× end-to-end on this operator).
+    * Fingerprints produced under the two defaults are NOT comparable:
+    * callers with persisted md5-era fingerprints, or needing cross-engine
+    * exact replay (DuckDB can mirror md5, not Spark's xxhash64 seed), must
+    * pass `gramHash = md5Hash60` explicitly. Same note applies to
+    * `docNovelty`. */
   def substringOverlapCandidates(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 8, minSpans: Long = 1L,
       maxPostings: Long = 128L,
@@ -963,10 +1079,15 @@ object Graft {
     * document is assembled from corpus-common spans; ≈ 1 means its
     * phrasing is its own). Same gram pipeline as
     * substringOverlapCandidates (8-token position grams, per-doc
-    * distinct, md5Hash60), one document-frequency aggregate, one ratio4
+    * distinct), one document-frequency aggregate, one ratio4
     * per doc — all integer arithmetic, linear, two shuffles (gram df +
     * per-doc rollup). Documents shorter than `spanTokens` are excluded,
-    * as in the dedup siblings. */
+    * as in the dedup siblings.
+    *
+    * COMPATIBILITY NOTE (round 9): default `gramHash` changed md5Hash60 →
+    * xxHash63 (codegen'd, ~2× faster); fingerprints under the two defaults
+    * are not comparable — pass `md5Hash60` for cross-engine exact replay
+    * or to match pre-round-9 persisted fingerprints. */
   def docNovelty(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 8,
       gramHash: Column => Column = xxHash63): DataFrame = {

@@ -8,22 +8,25 @@ import graft.functions.VectorFunctions
 
 // Row shapes for the typed decode path. Top-level (not nested/private) so
 // Catalyst's generated (de)serializers can reach the constructors.
-case class Asset(doc_id: Long, image: Array[Byte], meta_width: Int, meta_height: Int)
-case class Decoded(doc_id: Long, n_bytes: Int, mean_byte: Double,
-    max_byte: Int, width: Int, height: Int)
+case class Asset(doc_id: Long, image: Array[Byte])
+case class Decoded(doc_id: Long, width: Int, height: Int, n_pixels: Int,
+    mean_px: Double, max_px: Int, min_px: Int, frac_bright: Double)
 
 /** Multimodal-column plumbing (driver-mandated extension surface): treat
   * image/audio/video payloads as opaque `binary` columns with typed metadata,
   * carried through joins/partitioning like any other column, with decode /
   * feature-extraction as partition-batched compute.
   *
-  * The container has no image/audio libraries, so the decoder is a clearly
-  * marked deterministic STUB (derives "pixels" from the payload bytes); the
-  * Spark-side plumbing — schema, binary column handling, partition-batched
-  * iteration, metadata struct, modality join — is real and is what the 100 TB
-  * design needs: payload bytes never hit the driver, decode happens inside
-  * mapPartitions on executors, and the doc⋈vector join shuffles on the shared
-  * id (or broadcasts, when one modality table is dimension-sized).
+  * The environment has no image/audio codec libraries, so the fixture uses
+  * GI01 — a minimal real container (magic + header-carried dimensions + raw
+  * grayscale pixels) that `multimodalDecode` genuinely PARSES in pure JVM
+  * code (magic check, header read, truncation check, pixel scan); a
+  * production pipeline swaps that parse for a JPEG codec call. The Spark
+  * plumbing — schema, binary column handling, partition-batched iteration,
+  * metadata struct, modality join — is what the 100 TB design needs: payload
+  * bytes never hit the driver, decode happens inside mapPartitions on
+  * executors, and the doc⋈vector join shuffles on the shared id (or
+  * broadcasts, when one modality table is dimension-sized).
   */
 object Multimodal {
 
@@ -71,40 +74,74 @@ object Multimodal {
         md5(concat(col("payload_hex"), lit("-"), col("frame_idx"))).as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
 
-  /** Partition-batched decode + feature extraction over the binary column.
-    * STUB DECODER: a real pipeline would decode image bytes here (JPEG →
-    * pixel array) via a vectorized batch UDF; this container has no codec
-    * libraries, so the "decode" deterministically treats the payload bytes as
-    * the pixel buffer. Everything around it — typed Dataset, mapPartitions
-    * batch shape (one iterator per partition, constant memory), executor-side
-    * compute — is the real plumbing. Oracle: byte stats of md5 payloads are
-    * reproducible in DuckDB-compatible SQL only via blob functions, so this
-    * query is rows-only checked; the suite pins exact values instead. */
+  /** The GI01 container: a real (if minimal) image format the fixture can
+    * carry so the decode below is an actual parse, not an echo of metadata
+    * the frame already had. Layout: 4-byte magic "GI01", 1 byte width,
+    * 1 byte height, then width×height grayscale pixel bytes. The fixture
+    * builds pixel content deterministically from the document text (five
+    * chained md5 digests, truncated to w·h bytes) so DuckDB can rebuild the
+    * identical buffer from the same formula — that is what moves this query
+    * from the rows-only floor to a full hash-checked oracle. */
+  private[graft] def gi01Assets(s: SparkSession, d: String): DataFrame = {
+    val hexChunks = concat((0 until 5).map(i =>
+      md5(concat(col("text"), lit("-" + i)))): _*)
+    Tables.documents(s, d)
+      .withColumn("__w", (col("n_chars") % 8 + 4).cast("int"))
+      .withColumn("__h", lit(6))
+      .withColumn("__hexpix", hexChunks)
+      .withColumn("image", concat(
+        lit("GI01".getBytes("UTF-8")),
+        unhex(lpad(hex(col("__w")), 2, "0")),
+        unhex(lpad(hex(col("__h")), 2, "0")),
+        expr("substring(unhex(__hexpix), 1, __w * __h)")))
+      .select(col("doc_id"), col("image"))
+  }
+
+  /** Partition-batched decode + feature extraction over the binary column —
+    * a REAL pure-JVM decode of the GI01 container above: validate the magic,
+    * read width/height from the header (NOT from frame metadata — the only
+    * source of truth is the byte stream), slice the pixel buffer, reject
+    * truncation, then compute pixel statistics in one pass. A production
+    * pipeline swaps the GI01 parse for a JPEG codec call; everything else —
+    * typed Dataset, mapPartitions batch shape (one iterator per partition,
+    * constant memory), executor-side compute, bytes never touching the
+    * driver — is exactly the 100 TB plumbing. Oracle: DuckDB rebuilds the
+    * pixel bytes from the same md5 formula and aggregates them as hex-pair
+    * integers — full hash-checked parity (VERDICT r10 task 3). */
+  /** The per-partition decode body: one pass per asset — magic check, header
+    * read, truncation check, pixel scan. Factored out so the suite can feed
+    * it corrupt containers directly. */
+  private[graft] def decodeIterator(batch: Iterator[Asset]): Iterator[Decoded] =
+    batch.map { a =>
+      val img = a.image
+      // --- real decode: header parse + bounds checks + pixel scan ---
+      require(img.length >= 6 &&
+        img(0) == 'G' && img(1) == 'I' && img(2) == '0' && img(3) == '1',
+        s"doc ${a.doc_id}: bad GI01 magic")
+      val w = img(4) & 0xff
+      val h = img(5) & 0xff
+      val n = w * h
+      require(img.length == 6 + n,
+        s"doc ${a.doc_id}: truncated pixel buffer (${img.length - 6} of $n)")
+      var sum = 0L; var mx = 0; var mn = 255; var bright = 0; var i = 6
+      while (i < img.length) {
+        val v = img(i) & 0xff
+        sum += v
+        if (v > mx) mx = v
+        if (v < mn) mn = v
+        if (v >= 128) bright += 1
+        i += 1
+      }
+      Decoded(a.doc_id, w, h, n, sum.toDouble / n, mx, mn,
+        bright.toDouble / n)
+    }
+
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = Tables.documents(s, d)
-      .withColumn("image", unhex(md5(col("text"))))
-      .select(
-        col("doc_id"),
-        col("image"),
-        (col("n_chars") % 640 + 32).cast("int").as("meta_width"),
-        ((col("n_chars") * 7) % 480 + 32).cast("int").as("meta_height"))
-      .as[Asset]
-    assets.mapPartitions { batch =>
-      batch.map { a =>
-        // --- stub decode: payload bytes stand in for decoded pixels ---
-        val px = a.image
-        var sum = 0L; var mx = 0; var i = 0
-        while (i < px.length) {
-          val v = px(i) & 0xff
-          sum += v; if (v > mx) mx = v; i += 1
-        }
-        Decoded(a.doc_id, px.length,
-          if (px.length == 0) 0.0 else sum.toDouble / px.length,
-          mx, a.meta_width, a.meta_height)
-      }
-    }.toDF()
-      .withColumn("mean_byte", round(col("mean_byte"), 4))
+    val assets = gi01Assets(s, d).as[Asset]
+    assets.mapPartitions(decodeIterator _).toDF()
+      .withColumn("mean_px", round(col("mean_px"), 4))
+      .withColumn("frac_bright", round(col("frac_bright"), 4))
       .orderBy("doc_id")
   }
 }

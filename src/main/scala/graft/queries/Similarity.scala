@@ -190,10 +190,13 @@ object Similarity {
     val cPath = base + "/centroids"; val pPath = base + "/postings"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // train-once guard checks the LAST-written table: a failure between the
-    // two writes must retrain on the next call, not permanently serve a
-    // half-written index (centroids land first, postings second)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(pPath))) {
+    // train-once guard checks the LAST-written table's _SUCCESS marker, not
+    // the directory: Spark creates the output dir at job start, so a crash
+    // DURING the postings write leaves pPath present with partial files — a
+    // directory check would silently serve the incomplete index. _SUCCESS is
+    // committed only after every task's output lands (centroids write first,
+    // postings second, so postings' marker implies both are whole).
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pPath, "_SUCCESS"))) {
       val e = Tables.embeddings(s, d)
       val km = graft.api.Graft.kmeans(
         e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",

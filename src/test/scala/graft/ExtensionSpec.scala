@@ -113,18 +113,45 @@ class ExtensionSpec extends SparkSpec {
     assert(got == Seq(ref("hello world"), ref(""), ref("graft")))
   }
 
-  test("stub decoder features equal a by-hand recomputation") {
+  test("GI01 decoder equals a by-hand parse of the container") {
     val decoded = Multimodal.multimodalDecode(spark, sf)
       .filter(col("doc_id") === 0)
-      .select("n_bytes", "mean_byte", "max_byte")
-      .as[(Int, Double, Int)].head()
-    val text = Tables.documents(spark, sf)
-      .filter(col("doc_id") === 0).select("text").as[String].head()
-    val md = java.security.MessageDigest.getInstance("MD5").digest(text.getBytes("UTF-8"))
-    val bytes = md.map(_ & 0xff)
-    assert(decoded._1 == 16)
-    assert(math.abs(decoded._2 - math.rint(bytes.sum.toDouble / 16 * 10000) / 10000) < 1e-9)
-    assert(decoded._3 == bytes.max)
+      .select("width", "height", "n_pixels", "mean_px", "max_px", "min_px", "frac_bright")
+      .as[(Int, Int, Int, Double, Int, Int, Double)].head()
+    val (text, nChars) = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).select("text", "n_chars")
+      .as[(String, Int)].head()
+    // by-hand model of the fixture: 5 chained md5 digests, truncated to w*h
+    val w = nChars % 8 + 4; val h = 6
+    val buf = (0 until 5).flatMap { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$text-$i".getBytes("UTF-8"))
+    }.take(w * h).map(_ & 0xff)
+    assert(decoded._1 == w && decoded._2 == h && decoded._3 == w * h)
+    assert(math.abs(decoded._4 - math.rint(buf.sum.toDouble / (w * h) * 10000) / 10000) < 1e-9)
+    assert(decoded._5 == buf.max && decoded._6 == buf.min)
+    assert(math.abs(decoded._7 -
+      math.rint(buf.count(_ >= 128).toDouble / (w * h) * 10000) / 10000) < 1e-9)
+  }
+
+  test("GI01 decoder rejects corrupt containers (real parse, not metadata echo)") {
+    import spark.implicits._
+    val bad = Seq(
+      queries.Asset(1L, "XX01".getBytes("UTF-8") ++ Array[Byte](2, 2, 0, 0, 0, 0)))
+      .toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      bad.mapPartitions(Multimodal.decodeIterator).collect()
+    }
+    assert(ex.getMessage.contains("magic") ||
+      Option(ex.getCause).exists(_.getMessage.contains("magic")))
+    val truncated = Seq(
+      queries.Asset(2L, "GI01".getBytes("UTF-8") ++ Array[Byte](3, 3, 1, 2, 3)))
+      .toDS()
+    val ex2 = intercept[org.apache.spark.SparkException] {
+      truncated.mapPartitions(Multimodal.decodeIterator).collect()
+    }
+    assert(ex2.getMessage.contains("truncated") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("truncated")))
   }
 
   test("flagship entry returns rows") {

@@ -157,4 +157,34 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed: blocking missed ${(exact -- got).size} pairs / invented ${(got -- exact).size}")
     }
   }
+
+  test("wide (120-bit) simhash pigeonhole candidates = exact two-long Hamming join") {
+    for (seed <- Seq(31L, 37L)) {
+      val base = sample(Gen.listOfN(25, Gen.listOfN(40, wordGen).map(_.mkString(" "))), seed)
+      // 120 bits ≈ doubles the Hamming distance of a given mutation at the
+      // same cutoff, so pair the base with an EXACT copy (guaranteed h=0
+      // pairs through the intra join) and a one-token append (near-range h)
+      val docs = base.zipWithIndex.flatMap { case (t, i) =>
+        val light = t + " x"
+        val heavy = (t.split(" ").take(28) ++ Array.fill(12)("zz")).mkString(" ")
+        Seq((i * 4L, t), (i * 4L + 1, t), (i * 4L + 2, light), (i * 4L + 3, heavy))
+      }
+      val sig = api.Graft.simhash128(docs.toDF("doc_id", "text"), "doc_id", "text",
+        baseHashLo = api.Graft.md5Hash60, baseHashHi = api.Graft.md5Hash60b,
+        bitsPerHalf = 60)
+      val got = api.Graft.simhashCandidatesWide(sig, "doc_id",
+          maxHamming = 12, bitsPerHalf = 60)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val sigs = sig.as[(Long, Long, Long)].collect().sortBy(_._1)
+      val exact = (for {
+        (ia, la, ha) <- sigs.iterator
+        (ib, lb, hb) <- sigs.iterator if ia < ib
+        h = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+        if h <= 12
+      } yield (ia, ib, h)).toSet
+      assert(exact.nonEmpty, s"seed=$seed produced no close pairs")
+      assert(got == exact,
+        s"seed=$seed: wide blocking missed ${(exact -- got).size} / invented ${(got -- exact).size}")
+    }
+  }
 }

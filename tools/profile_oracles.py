@@ -33,6 +33,7 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
+    failures = {}
     for name in sorted(oracles):
         if only and name not in only:
             continue
@@ -51,20 +52,29 @@ def main():
             try:
                 r = q.get(timeout=5)
             except Exception:
-                results[name] = 0.0
+                failures[name] = f"CHILD DIED exitcode={p.exitcode}"
                 print(f"{name}: CHILD DIED exitcode={p.exitcode}", flush=True)
                 continue
             if isinstance(r, str):
-                results[name] = 0.0
+                failures[name] = r[:200]
                 print(f"{name}: {r[:200]}", flush=True)
             else:
                 results[name] = r
                 if r > 1.0:
                     print(f"{name}: {r:.2f}s", flush=True)
+    # failures are tracked separately, NOT as 0.0s timings: a broken oracle
+    # must not sink to the bottom of the sorted report looking fast, nor
+    # silently deflate TOTAL
+    if failures:
+        print(f"\n=== FAILED ({len(failures)}) ===")
+        for name, why in sorted(failures.items()):
+            print(f"  {name}: {why}")
     print("\n=== sorted desc ===")
     for name, s in sorted(results.items(), key=lambda kv: -kv[1])[:30]:
         print(f"{s:8.2f}s  {name}")
-    print(f"\nTOTAL {sum(results.values()):.1f}s over {len(results)} oracles")
+    print(f"\nTOTAL {sum(results.values()):.1f}s over {len(results)} timed oracles"
+          f" ({len(failures)} FAILED)" if failures else
+          f"\nTOTAL {sum(results.values()):.1f}s over {len(results)} oracles")
 
 if __name__ == "__main__":
     main()
