@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_embedding"   -> Dedup.dedupEmbedding _,
     "dedup_embedding_keep" -> Dedup.dedupEmbeddingKeep _,
     "dedup_incremental" -> Dedup.dedupIncremental _,
+    "dedup_index_foldin" -> Dedup.dedupIndexFoldin _,
     "dedup_substring"   -> Dedup.dedupSubstring _,
     "dedup_semantic"    -> Dedup.dedupSemantic _,
     "dedup_paragraphs"  -> Dedup.dedupParagraphs _,
@@ -113,6 +114,7 @@ object SparkEntry {
     "knn_lsh"           -> Similarity.knnLsh _,
     "knn_ivf"           -> Similarity.knnIvf _,
     "knn_ivf_persisted" -> Similarity.knnIvfPersisted _,
+    "knn_ivf_refresh"   -> Similarity.knnIvfRefresh _,
     "knn_pq"            -> Similarity.knnPq _,
     "knn_ivfpq"         -> Similarity.knnIvfPq _,
     "knn_pq_sampled"    -> Similarity.knnPqSampled _,
@@ -200,7 +202,9 @@ object SparkEntry {
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
     "stream_knn"        -> StreamingQueries.streamKnn _,
+    "stream_knn_ttl"    -> StreamingQueries.streamKnnTtl _,
     "stream_decontaminate" -> StreamingQueries.streamDecontaminate _,
+    "stream_decontaminate_stateless" -> StreamingQueries.streamDecontaminateStateless _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
     "format_roundtrip"  -> Formats.formatRoundtrip _,
@@ -261,6 +265,7 @@ object SparkEntry {
     "pipeline_curate_corpus" -> PipelineOps.pipelineCurateCorpus _,
     "pipeline_curate_multimodal" -> PipelineOps.pipelineCurateMultimodal _,
     "pipeline_select_dsir" -> PipelineOps.pipelineSelectDsir _,
+    "pipeline_end_to_end" -> PipelineOps.pipelineEndToEnd _,
     "pipeline_apply_mixture" -> PipelineOps.pipelineApplyMixture _,
     "source_divergence" -> TextAnalysis.sourceDivergence _,
     "doc_novelty"       -> TextAnalysis.docNovelty _,
@@ -637,9 +642,21 @@ object SparkEntry {
     * final FLOAT cast is round-to-nearest-even in both engines. Init = the
     * k lowest-id vectors; empty clusters keep the previous centroid (the
     * same left-join + coalesce as the Scala). */
-  private def knnIvfOracleSql: String = {
+  private def knnIvfOracleSql: String = knnIvfOracleSqlImpl(trainWhere = "")
+
+  /** knn_ivf_refresh twin: training CTEs (seed, every Lloyd assign) see only
+    * the BASE subset (vec_id % 10 <> 9), while the final `assigned` CTE
+    * covers all vectors — exactly the semantics of assigning the new batch
+    * against the frozen persisted centroids, which is what makes the
+    * incremental fold-in provably equal to a from-scratch assignment. */
+  private def knnIvfRefreshOracleSql: String =
+    knnIvfOracleSqlImpl(trainWhere = "WHERE e.vec_id % 10 <> 9")
+
+  private def knnIvfOracleSqlImpl(trainWhere: String): String = {
     val k = 10
     val dims = 64
+    // c0 has no `e` alias; reuse the same predicate textually
+    val seedWhere = trainWhere.replace("e.vec_id", "vec_id")
     val dist = (c: String) =>
       s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
          |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
@@ -650,7 +667,7 @@ object SparkEntry {
          |    SELECT e.vec_id, c.c_id,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        ${dist("c")} ASC, c.c_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c${n - 1} c)
+         |    FROM embeddings e CROSS JOIN c${n - 1} c $trainWhere)
          |  WHERE rn = 1)""".stripMargin
     def meansCte(n: Int): String = {
       val meanExprs = (1 to dims).map(d =>
@@ -670,7 +687,7 @@ object SparkEntry {
         |     sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[])))""".stripMargin
     s"""WITH c0 AS (
        |  SELECT vec_id AS c_id, embedding AS centroid
-       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |  FROM embeddings $seedWhere ORDER BY vec_id LIMIT $k),
        |$iterations,
        |assigned AS (
        |  SELECT vec_id, c_id AS list_id FROM (
@@ -1592,6 +1609,108 @@ object SparkEntry {
       |WHERE s.cum_tokens <= 8000
       |ORDER BY s.doc_id""".stripMargin
 
+  /** DuckDB twin of PipelineOps.pipelineEndToEnd — the whole flagship
+    * curation chain unrolled into one WITH RECURSIVE: the shared minhash
+    * signature CTEs (over ALL documents — signatures are row-local, so one
+    * table serves the self-join candidates, restricted to the kept set, AND
+    * the eval-split decontamination screen), the Gopher gate, exact-dedup
+    * keep list, banded pairs → recursive-CTE connected components →
+    * representatives, the banded reps×eval screen, the DSIR fixed-point
+    * model on the clean set, the global-window budget cut (≡ the
+    * distributed two-phase prefix sum), and the packing cumsum. Every
+    * fragment reuses an exactness argument proven by its standalone oracle
+    * (dedup_minhash, decontaminate_minhash, pipeline_select_dsir,
+    * pack_sequences, pipeline_curate_corpus's CC). */
+  private def pipelineEndToEndOracleSql: String =
+    s"""${minhashSigCtePrefix.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |tok0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |gp AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+       |      CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sumlen,
+       |      CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+       |      CAST(len(list_filter(['the','a','of','and','is'],
+       |        s -> list_contains(ts, s))) AS BIGINT) AS n_stop
+       |    FROM tok0 WHERE len(ts) >= 1)
+       |  WHERE n_words BETWEEN 20 AND 100000 AND 3 * n_words <= sumlen
+       |    AND sumlen <= 10 * n_words AND 5 * alpha >= 4 * n_words
+       |    AND n_stop >= 2),
+       |kp AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents JOIN gp USING (doc_id)
+       |  GROUP BY md5(lower(trim(text)))),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id
+       |  JOIN kp ka ON ka.doc_id = a.doc_id
+       |  JOIN kp kb ON kb.doc_id = b.doc_id),
+       |prs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = id_a
+       |  JOIN sig sb ON sb.doc_id = id_b
+       |  WHERE $minhashEstExpr >= 0.2),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM prs
+       |          UNION SELECT id_b, id_a FROM prs),
+       |reach(v, m2) AS (SELECT doc_id, doc_id FROM kp
+       |                 UNION
+       |                 SELECT e.a, r.m2 FROM edges e JOIN reach r ON e.b = r.v),
+       |comp AS (SELECT v AS doc_id, min(m2) AS cluster_id FROM reach GROUP BY v),
+       |reps AS (SELECT doc_id FROM comp WHERE doc_id = cluster_id),
+       |dcand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS eval_id
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.band = b.band
+       |  JOIN reps r ON r.doc_id = a.doc_id
+       |  WHERE b.doc_id % 97 = 0),
+       |dbad AS (
+       |  SELECT DISTINCT new_id AS doc_id FROM dcand
+       |  JOIN sig sa ON sa.doc_id = new_id
+       |  JOIN sig sb ON sb.doc_id = eval_id
+       |  WHERE $minhashEstExpr >= 0.2),
+       |clean AS (
+       |  SELECT doc_id FROM reps WHERE doc_id NOT IN (SELECT doc_id FROM dbad)),
+       |toks AS (
+       |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS t,
+       |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS b
+       |  FROM (SELECT d.doc_id, d.lang,
+       |          unnest(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS tok
+       |        FROM documents d JOIN clean USING (doc_id))),
+       |obs AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM toks GROUP BY b),
+       |counts AS (
+       |  SELECT ab.b, coalesce(o.ct, 0) AS ct, coalesce(o.cs, 0) AS cs
+       |  FROM (SELECT unnest(range(0, 256)) AS b) ab LEFT JOIN obs o USING (b)),
+       |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+       |model AS (
+       |  SELECT b,
+       |    CAST(floor(ln((ct + 1)::DOUBLE / (tt + 256)::DOUBLE) * 1048576.0) AS BIGINT)
+       |    - CAST(floor(ln((cs + 1)::DOUBLE / (ts + 256)::DOUBLE) * 1048576.0) AS BIGINT) AS lrq
+       |  FROM counts CROSS JOIN totals),
+       |w AS (
+       |  SELECT doc_id, count(1) AS n_tokens,
+       |    round(sum(lrq)::DOUBLE / 1048576.0, 4) AS llr
+       |  FROM toks JOIN model USING (b) GROUP BY doc_id),
+       |sel AS (
+       |  SELECT doc_id, n_tokens, llr,
+       |    sum(n_tokens) OVER (ORDER BY llr DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM w),
+       |keep2 AS (SELECT * FROM sel WHERE cum_tokens <= 8000),
+       |pk AS (
+       |  SELECT k.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS pn
+       |  FROM keep2 k JOIN documents d USING (doc_id)),
+       |pos AS (
+       |  SELECT doc_id,
+       |    sum(pn) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - pn AS strt
+       |  FROM pk)
+       |SELECT k.doc_id, k.n_tokens, k.llr,
+       |  CAST(k.cum_tokens AS BIGINT) AS cum_tokens,
+       |  CAST(p.strt // 512 AS BIGINT) AS seq_id,
+       |  CAST(p.strt % 512 AS BIGINT) AS seq_offset
+       |FROM keep2 k JOIN pos p USING (doc_id)
+       |ORDER BY k.doc_id""".stripMargin
+
   /** DuckDB twin of Similarity.embeddingOutliers — the knn_ivf coarse
     * k-means CTEs, each vector's squared L2 to its own centroid (the
     * cross-engine-exact VecDot arithmetic), top-50 by (dist desc, id). */
@@ -2198,7 +2317,11 @@ object SparkEntry {
             val nameStart = p
             while (p < n && isWord(sql(p))) p += 1
             val name = sql.substring(nameStart, p)
-            val afterName = skipWs(p)
+            // optional column list: `name(col, ...) AS (` — DuckDB accepts
+            // MATERIALIZED after the list, so skip it and continue to AS
+            var afterName = skipWs(p)
+            if (name.nonEmpty && afterName < n && sql(afterName) == '(')
+              afterName = skipWs(skipBalanced(afterName))
             if (name.nonEmpty && wordAt(afterName, "AS")) {
               val afterAs = skipWs(afterName + 2)
               if (afterAs < n && sql(afterAs) == '(') {
@@ -2231,7 +2354,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlRaw.map { case (k, v) => k -> materializeCtes(v) }
 
-  private def oracleSqlRaw: Map[String, String] = Map(
+  private[graft] def oracleSqlRaw: Map[String, String] = Map(
     "word_count" ->
       """SELECT word, count(1) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -2711,9 +2834,14 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhashOracleSql,
 
     "dedup_incremental" -> dedupIncrementalOracleSql,
+    // the fold-in row's contract IS dedup_incremental's oracle: a screen
+    // over the folded two-generation index must equal the from-scratch build
+    "dedup_index_foldin" -> dedupIncrementalOracleSql,
     "decontaminate_minhash" -> decontaminateMinhashOracleSql,
     // streaming final state == the batch screen — the oracle verbatim
     "stream_decontaminate" -> decontaminateMinhashOracleSql,
+    // the stateless ingest shape must flag the identical set
+    "stream_decontaminate_stateless" -> decontaminateMinhashOracleSql,
 
     "dedup_simhash" -> dedupSimhashOracleSql,
     "dedup_simhash_wide" -> dedupSimhashWideOracleSql,
@@ -2742,6 +2870,7 @@ object SparkEntry {
     // the at-rest model answers bit-identically to the in-memory one
     // (float parquet round-trip is exact) — knn_ivf's oracle, verbatim
     "knn_ivf_persisted" -> knnIvfOracleSql,
+    "knn_ivf_refresh" -> knnIvfRefreshOracleSql,
 
     "knn_pq" -> knnPqOracleSql,
 
@@ -2776,6 +2905,9 @@ object SparkEntry {
     // streaming final state == the batch brute-force answer — the oracle
     // is knn_bruteforce's, verbatim
     "stream_knn" -> knnBruteForceOracleSql,
+    // TTL-evicting serving state, TTL beyond the bounded stream: final
+    // state must still equal the batch brute-force answer
+    "stream_knn_ttl" -> knnBruteForceOracleSql,
 
     "pmi_cooccur" -> pmiCooccurOracleSql,
 
@@ -2788,6 +2920,7 @@ object SparkEntry {
     "doc_novelty" -> docNoveltyOracleSql,
 
     "pipeline_select_dsir" -> pipelineSelectDsirOracleSql,
+    "pipeline_end_to_end" -> pipelineEndToEndOracleSql,
 
     "pipeline_apply_mixture" -> pipelineApplyMixtureOracleSql,
 

@@ -1377,6 +1377,51 @@ object Graft {
     if (keepEmpty) df.select(col(idCol)).join(sigs, Seq(idCol), "left") else sigs
   }
 
+  /** SQL fragment twin of the Column hash `xxHash63` (abs(xxhash64)), for
+    * hashing inside a higher-order lambda. Parity matters: `xxhashGramSql`
+    * is the RAW xxhash64 (winnowing's choice); this one matches what
+    * minhashSignatures' default baseHash produces. */
+  val xx63GramSql: String => String = g => s"abs(xxhash64($g))"
+
+  /** ROW-LOCAL MinHash signature: the same shingle construction and
+    * permutation minima as minhashSignatures, but as array expressions on
+    * each row instead of an exploded groupBy — NO shuffle, NO keyed state.
+    * Value-identical to minhashSignatures(keepEmpty = false) for the same
+    * gram hash (min over the same shingle set of the same (a·h+b) mod P;
+    * docs with fewer than `shingleN` tokens are dropped on both paths).
+    *
+    * When to use which: the BATCH dedup family deliberately uses the
+    * exploded groupBy — its self-joins reuse the materialized signature
+    * exchange, and the hash runs codegen'd after the explode (the row-local
+    * form's in-lambda hash is interpreted, measured ~50% slower there). On
+    * a STREAM each document is screened once at ingest and never reused, so
+    * the exchange buys nothing — while the groupBy's keyed state grows with
+    * every document ever seen. Row-local flips both terms: zero state,
+    * no reuse to lose. This is what makes streaming decontamination
+    * stateless (VERDICT r10 task 4). */
+  def minhashSignatureRowLocal(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleN: Int = 3,
+      gramHashSql: String => String = xx63GramSql): DataFrame = {
+    val P = 2147483647L
+    val as = (0 until numHashes).map(i => 2L * i * i + 3L * i + 1L)
+    val bs = (0 until numHashes).map(i => 7L * i * i + 5L * i + 3L)
+    val n = shingleN
+    val shingleExpr =
+      s"""CASE WHEN size(__toks) >= $n THEN
+         |  array_distinct(transform(sequence(1, size(__toks) - ${n - 1}),
+         |    i -> array_join(slice(__toks, i, $n), ' ')))
+         |ELSE array() END""".stripMargin
+    val mins = (0 until numHashes).map(i =>
+      s"array_min(transform(__hs, h -> (${as(i)}L * h + ${bs(i)}L) % ${P}L))")
+      .mkString("array(", ", ", ")")
+    df.select(col(idCol), col(textCol))
+      .withColumn("__toks", split(col(textCol), " ", -1))
+      .withColumn("__sh", expr(shingleExpr))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__hs", expr(s"transform(__sh, g -> ${gramHashSql("g")} % ${P}L)"))
+      .select(col(idCol), expr(mins).as("sig"))
+  }
+
   /** Banded-LSH candidate pairs from MinHash signatures, with the estimated
     * Jaccard (matching signature fraction). Pair volume is sum(|bucket|²)
     * over band buckets — never N². Signatures travel WITH the banded rows, so

@@ -213,6 +213,52 @@ object Dedup {
       .orderBy("new_id", "index_id")
   }
 
+  /** At-rest index FOLD-IN (VERDICT r10 task 6, dedup side): the lifecycle
+    * step dedupIncremental leaves open — after a batch is screened, its
+    * signatures must JOIN the index, or batch N+2 would silently not be
+    * checked against batch N+1. Three generations here: the initial index
+    * (doc_id % 10 ∈ 0..7) is persisted; the first increment (% 10 = 8) is
+    * folded in as an anti-join append — only ids not already present are
+    * written, which is "dedup on doc id" done incrementally (the new batch
+    * is the small side; no index rewrite, no index self-join); a marker
+    * file commits the fold (append jobs rewrite _SUCCESS, so the marker —
+    * written only after the append returns — is the crash-safe generation
+    * boundary: a crash mid-fold rebuilds from scratch instead of serving a
+    * half-folded index). The second increment (% 10 = 9) then screens
+    * against the FOLDED index read back from parquet. Oracle: the screen
+    * over the folded two-generation index must equal a from-scratch build
+    * over all non-batch docs — dedup_incremental's oracle verbatim. */
+  def dedupIndexFoldin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def sigs(part: DataFrame): DataFrame = graft.api.Graft.minhashSignatures(
+      part, "doc_id", "text", numHashes = 32,
+      baseHash = graft.api.Graft.md5Hash60)
+    val root = s"/tmp/graft_minhash_foldin/${s.sparkContext.applicationId}"
+    val base = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    Formats.registerCleanup(root)
+    val indexPath = base + "/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_FOLDIN_DONE")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(indexPath), true)
+      // generation 0: initial index
+      sigs(docs.filter(col("doc_id") % 10 <= 7))
+        .write.mode("overwrite").parquet(indexPath)
+      // generation 1: fold in the screened batch — anti-join keeps the
+      // append id-unique without rewriting the index
+      val existingIds = s.read.parquet(indexPath).select("doc_id")
+      sigs(docs.filter(col("doc_id") % 10 === 8))
+        .join(existingIds, Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(indexPath)
+      fs.create(marker, true).close()
+    }
+    graft.api.Graft.minhashCandidatesAgainst(
+        sigs(docs.filter(col("doc_id") % 10 === 9)),
+        s.read.parquet(indexPath),
+        "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .orderBy("new_id", "index_id")
+  }
+
   /** Edit-distance near-dup (Graft.editDistanceDedup): Levenshtein over
     * 60-char document heads, blocked on (lang, source, 20-char prefix) — the
     * same bucket-then-compare contract as every other near-dup variant.

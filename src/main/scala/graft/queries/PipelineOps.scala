@@ -453,4 +453,76 @@ object PipelineOps {
         col("lang"), col("source"))
       .orderBy("doc_id")
   }
+
+  /** The FLAGSHIP end-to-end curation job (VERDICT r10 task 7) — the full
+    * training-data pipeline every extension operator exists for, composed as
+    * ONE DAG: hold out the eval split (doc_id % 97 = 0) → Gopher rule gate →
+    * exact dedup (min-id representative per normalized content hash) →
+    * MinHash near-dup clustering over the survivors (banded LSH pairs →
+    * connected components → one representative per cluster) → FUZZY
+    * decontamination of the representatives against the eval split (the
+    * banded new×index screen, never index×index) → DSIR importance model
+    * fit on the clean survivors (target = the English slice) → budget-prefix
+    * selection to 8000 tokens → pack_sequences(512) assigning each selected
+    * document its training-sequence id and offset.
+    *
+    * Scale shape: every stage is an already-oracled operator in its
+    * 100 TB form — row-local gates, one |docs|·32-long signature shuffle
+    * REUSED by both the self-join candidates and the decontamination screen
+    * (one localCheckpoint barrier), pointer-jumping CC, broadcast DSIR
+    * model, distributed two-phase prefix sums for both the budget cut and
+    * the packing. Oracle: the whole chain unrolled into one DuckDB
+    * WITH RECURSIVE — the final packed output hash-matches. */
+  def pipelineEndToEnd(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // 1. Gopher gate
+    val gated = graft.api.Graft.gopherRules(corpus, "text")
+      .filter(col("passes"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // 2. exact dedup among the gated survivors
+    val kept = gated.join(
+        graft.api.Graft.dedupExact(gated, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), "doc_id")
+      .localCheckpoint(true) // consumed by sigs, cluster join, DSIR fit+apply
+    // 3. MinHash signatures of the kept docs — ONE shuffle reused by the
+    //    near-dup self-candidates AND the decontamination screen
+    val sigs = graft.api.Graft.minhashSignatures(kept, "doc_id", "text",
+        numHashes = 32, baseHash = graft.api.Graft.md5Hash60,
+        keepEmpty = false)
+      .localCheckpoint(true)
+    val pairs = graft.api.Graft.minhashCandidates(sigs, "doc_id",
+        bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val reps = kept.join(
+        graft.api.Graft.clustersFromEdges(kept, "doc_id", pairs), "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // 4. fuzzy decontamination: representatives screened against the eval
+    //    split's signatures (new × index only)
+    val evalSigs = graft.api.Graft.minhashSignatures(
+      all.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+      numHashes = 32, baseHash = graft.api.Graft.md5Hash60, keepEmpty = false)
+    val flagged = graft.api.Graft.minhashCandidatesAgainst(
+        sigs.join(reps.select("doc_id"), "doc_id"), evalSigs,
+        "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .select(col("new_id").as("doc_id")).distinct()
+    val clean = reps.join(flagged, Seq("doc_id"), "left_anti")
+    // 5. DSIR importance fit on the clean survivors, budget cut at 8000
+    val scored = graft.api.Graft.dsirWeights(clean, "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 256)
+    val selected = graft.api.Graft.budgetedPrefix(scored, "n_tokens",
+      Seq(col("llr").desc, col("doc_id").asc), budgetTokens = 8000L)
+    // 6. pack the selected docs into 512-token training sequences
+    val packed = graft.api.Graft.packSequences(
+        clean.join(selected.select("doc_id"), "doc_id")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", seqLen = 512)
+      .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+    selected.join(packed, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("llr"),
+        col("cum_tokens"), col("seq_id"), col("seq_offset"))
+      .orderBy("doc_id")
+  }
 }

@@ -211,6 +211,64 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
   }
 
+  /** At-rest IVF index REFRESH (VERDICT r10 task 6, ANN side): the
+    * lifecycle step knnIvfPersisted leaves open — new vectors should join
+    * the index WITHOUT retraining. Base vectors (vec_id % 10 ≠ 9) train
+    * the k-means model once and persist centroids + postings; the new
+    * batch (% 10 = 9) is then assigned against the FROZEN centroids read
+    * back from parquet (one broadcast nearest-centroid pass — the same
+    * distance + c_id tie-break the training assignment uses, so a
+    * fold-in assignment is bit-identical to what training would have
+    * produced for that vector) and appended to the postings. A marker
+    * file commits the refresh (appends rewrite _SUCCESS, so the marker is
+    * the generation boundary; a crash mid-refresh rebuilds). Queries then
+    * search the refreshed index covering ALL vectors. Oracle: closed-form
+    * kmeans unroll TRAINED ON THE BASE SUBSET, assignment of every vector
+    * against those centroids, same IVF search — proving the incremental
+    * fold-in equals the from-scratch assignment. */
+  def knnIvfRefresh(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val root = s"/tmp/graft_ivf_refresh/${s.sparkContext.applicationId}"
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val base = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + pathHash
+    graft.queries.Formats.registerCleanup(root)
+    val cPath = base + "/centroids"; val pPath = base + "/postings"
+    val marker = new org.apache.hadoop.fs.Path(base, "_REFRESH_DONE")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val e = Tables.embeddings(s, d)
+      val baseVecs = e.filter(col("vec_id") % 10 =!= 9)
+      val km = graft.api.Graft.kmeans(
+        baseVecs.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k = 10, iters = 3)
+      km.centroids.write.mode("overwrite").parquet(cPath)
+      baseVecs.join(km.assignments, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("label"), col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(pPath)
+      // refresh: assign ONLY the new batch against the frozen persisted
+      // centroids — no Lloyd iteration, no touch of existing postings
+      val frozen = s.read.parquet(cPath)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("__dist").asc, col("c_id").asc)
+      e.filter(col("vec_id") % 10 === 9)
+        .crossJoin(broadcast(frozen))
+        .withColumn("__dist", expr(
+          "vec_dot(embedding, embedding) - 2 * vec_dot(embedding, centroid)" +
+          " + vec_dot(centroid, centroid)"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("c_id").as("list_id"))
+        .write.mode("append").partitionBy("list_id").parquet(pPath)
+      fs.create(marker, true).close()
+    }
+    ivfSearch(s, s.read.parquet(cPath), s.read.parquet(pPath),
+      Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+  }
+
   /** ANN via PRODUCT QUANTIZATION with asymmetric distance computation
     * (Jégou '11 — the memory-bound tier of the standard billion-scale stack
     * below IVF): Graft.productQuantize splits the 64 dims into 4 subspaces,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Per-key running count+sum on the Spark 4.x transformWithState API — the
   * reference's I6 rolling keyed aggregate as typed arbitrary state, emitting a
@@ -20,6 +20,69 @@ class RunningAggProcessor extends StatefulProcessor[Long, (Long, Double), (Long,
     rows.foreach { r => n += 1; total += r._2 }
     st.update((n, total))
     Iterator((key, n, total))
+  }
+}
+
+/** One scored candidate row flowing into the serving-shape kNN state. */
+case class KnnCand(q_id: Long, c_id: Long, label: Int, score: Double,
+    ts: java.sql.Timestamp)
+
+/** Serving-shape streaming kNN state with IDLE-QUERY TTL (VERDICT r10 task
+  * 4): per-query top-k in typed state, evicted by an EVENT-TIME TIMER when
+  * the query has been idle past `ttlMs` — the piece that makes a query
+  * firehose with unbounded distinct q_ids scale-safe (the complete-mode
+  * aggregate variant `streamKnn` keeps every query's top-k forever, fine
+  * for its bounded oracle contract, wrong for serving). Each input batch
+  * merges its candidates into the stored top-k under the SAME ordering as
+  * the fused TopKNeighbors aggregate (score DESC, c_id ASC), re-arms the
+  * idle timer at maxEventTime + ttl, and emits the refreshed top-k tagged
+  * with the cumulative candidate count `n_seen` (monotone per key — the
+  * update-mode final-state readout, same max_by pattern as
+  * streamRollingSumTws). On expiry the handler checks lastSeen: a timer
+  * armed before later activity is stale and re-arms instead of evicting;
+  * a genuinely idle query's state is CLEARED — a fresh probe then
+  * re-creates it from scratch (pinned by the Round11 suite). */
+class KnnServingProcessor(k: Int, ttlMs: Long)
+    extends StatefulProcessor[Long, KnnCand, (Long, Int, Long, Int, Double, Long)] {
+  @transient private var topk: ListState[graft.functions.Neighbor] = _
+  @transient private var meta: ValueState[(Long, Long)] = _ // (lastSeenTs, nSeen)
+  private val ord: Ordering[graft.functions.Neighbor] =
+    Ordering.by((n: graft.functions.Neighbor) => (-n.score, n.c_id))
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    topk = getHandle.getListState[graft.functions.Neighbor]("topk",
+      Encoders.product[graft.functions.Neighbor], TTLConfig.NONE)
+    meta = getHandle.getValueState[(Long, Long)]("meta",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[KnnCand],
+      timerValues: TimerValues): Iterator[(Long, Int, Long, Int, Double, Long)] = {
+    val batch = rows.toArray
+    val incoming = batch.map(r => graft.functions.Neighbor(r.c_id, r.label, r.score))
+    val merged = (topk.get().toArray ++ incoming).sorted(ord).take(k)
+    topk.clear()
+    merged.foreach(topk.appendValue)
+    val maxTs = batch.map(_.ts.getTime).max
+    val nSeen = (if (meta.exists()) meta.get()._2 else 0L) + batch.length
+    meta.update((math.max(maxTs, if (meta.exists()) meta.get()._1 else 0L), nSeen))
+    getHandle.registerTimer(maxTs + ttlMs)
+    merged.iterator.zipWithIndex.map { case (nb, i) =>
+      (key, i + 1, nb.c_id, nb.label, nb.score, nSeen)
+    }
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Int, Long, Int, Double, Long)] = {
+    val last = if (meta.exists()) meta.get()._1 else Long.MinValue
+    if (expiredTimerInfo.getExpiryTimeInMs() >= last + ttlMs) {
+      // idle past TTL: evict — the state store forgets this query entirely
+      topk.clear(); meta.clear()
+    } else {
+      // stale timer from an earlier batch; activity since then re-arms
+      getHandle.registerTimer(last + ttlMs)
+    }
+    Iterator.empty
   }
 }
 
@@ -447,6 +510,90 @@ object StreamingQueries {
         col("nb.c_id").as("c_id"), col("nb.label").as("label"),
         round(col("nb.score"), 4).as("cos_sim"))
       .orderBy("q_id", "rn")
+  }
+
+  /** streamKnn through the TTL-evicting serving state (KnnServingProcessor)
+    * — the scale-safe form of the query-firehose shape: per-query top-k
+    * lives in transformWithState typed state with an idle-query TTL armed
+    * by event-time timers, so an unbounded stream of distinct query ids
+    * cannot grow state without bound (VERDICT r10 task 4). Here the TTL is
+    * far beyond the bounded test stream (nothing evicts — eviction itself
+    * is pinned deterministically by the Round11 suite with a small TTL),
+    * so the final state equals the batch brute-force answer and the
+    * oracle is knn_bruteforce's verbatim, unchanged. Final-state readout:
+    * n_seen is monotone per query, so max_by(n_seen) rows are the last
+    * emission — the same update-mode pattern streamRollingSumTws pins. */
+  def streamKnnTtl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val corpus = graft.Tables.embeddings(s, d)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
+      val queries = readStreamTable(s, d, "embeddings")
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+        .withWatermark("ts", "0 seconds")
+      val cands = queries.join(corpus, col("q_id") =!= col("c_id"))
+        .withColumn("score6", round(
+          expr("vec_dot(qv, cv) / (sqrt(vec_dot(qv, qv)) * sqrt(vec_dot(cv, cv)))"), 6))
+        .select(col("q_id"), col("c_id"), col("label"),
+          col("score6").as("score"), col("ts"))
+        .as[KnnCand]
+      val served = cands.groupByKey(_.q_id)
+        .transformWithState(new KnnServingProcessor(5, ttlMs = 365L * 24 * 3600 * 1000),
+          TimeMode.EventTime(), OutputMode.Update(),
+          Encoders.product[(Long, Int, Long, Int, Double, Long)])
+        .toDF("q_id", "rn", "c_id", "label", "score6", "n_seen")
+      runToMemory(s, served, "graft_stream_knn_ttl", "update")
+        .groupBy("q_id", "rn")
+        .agg(expr("max_by(c_id, n_seen)").as("c_id"),
+          expr("max_by(label, n_seen)").as("label"),
+          round(expr("max_by(score6, n_seen)"), 4).as("cos_sim"))
+        .select(col("q_id"), col("rn").cast("int").as("rn"), col("c_id"),
+          col("label"), col("cos_sim"))
+        .orderBy("q_id", "rn")
+    } finally {
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
+  /** STATELESS streaming decontamination — the scale-safe form of
+    * streamDecontaminate's signature state (VERDICT r10 task 4's second
+    * half). The grouped-aggregation variant keeps every arriving document's
+    * 32-long signature in the state store FOREVER (each doc's state is
+    * complete after its single input row, but a groupBy aggregation cannot
+    * know that); at ingest scale that is unbounded state for zero benefit.
+    * Since a document arrives as ONE row, its signature is computable
+    * ROW-LOCALLY (the same shingle construction and permutation minima as
+    * Graft.minhashSignatures, as array expressions instead of an exploded
+    * groupBy — the batch path deliberately rejects this form because its
+    * self-join reuses the materialized signature exchange; a stream doc is
+    * screened once, so there is nothing to reuse), leaving only the banded
+    * screen against the STATIC eval index and a per-candidate-pair max —
+    * state bounded by FLAGGED pairs (output-sized), not by corpus size.
+    * Oracle: identical flagged set to streamDecontaminate, hash-matched. */
+  def streamDecontaminateStateless(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val evalSigs = graft.api.Graft.minhashSignatures(
+      docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+      numHashes = 32, baseHash = graft.api.Graft.md5Hash60)
+    val streamSigs = graft.api.Graft.minhashSignatureRowLocal(
+      readStreamTable(s, d, "documents")
+        .filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", numHashes = 32,
+      gramHashSql = graft.api.Graft.md5GramSql)
+    val flagged = graft.api.Graft.minhashCandidatesAgainst(streamSigs, evalSigs,
+        "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .select(col("new_id").as("doc_id"), col("index_id").as("eval_id"),
+        col("est_jaccard"))
+    runToMemory(s, flagged, "graft_stream_decontaminate_stateless", "complete")
+      .orderBy("doc_id", "eval_id")
   }
 
   /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed

@@ -120,9 +120,9 @@ class ExtensionSpec extends SparkSpec {
       .as[(Int, Int, Int, Double, Int, Int, Double)].head()
     val (text, nChars) = Tables.documents(spark, sf)
       .filter(col("doc_id") === 0).select("text", "n_chars")
-      .as[(String, Int)].head()
+      .as[(String, Long)].head()
     // by-hand model of the fixture: 5 chained md5 digests, truncated to w*h
-    val w = nChars % 8 + 4; val h = 6
+    val w = (nChars % 8 + 4).toInt; val h = 6
     val buf = (0 until 5).flatMap { i =>
       java.security.MessageDigest.getInstance("MD5")
         .digest(s"$text-$i".getBytes("UTF-8"))
