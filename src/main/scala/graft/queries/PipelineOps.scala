@@ -508,12 +508,20 @@ object PipelineOps {
         sigs.join(reps.select("doc_id"), "doc_id"), evalSigs,
         "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
       .select(col("new_id").as("doc_id")).distinct()
+    // materialized ONCE: the DSIR fit pass, the DSIR scoring pass, and the
+    // packing join all read the clean frame — without the barrier each
+    // consumer re-runs the cluster join + decontamination anti-join
     val clean = reps.join(flagged, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     // 5. DSIR importance fit on the clean survivors, budget cut at 8000
     val scored = graft.api.Graft.dsirWeights(clean, "doc_id", "text",
       isTarget = col("lang") === "en", buckets = 256)
+    // materialized ONCE: the packing input and the final join both read the
+    // selection — without the barrier the whole DSIR model + score + prefix
+    // chain runs twice
     val selected = graft.api.Graft.budgetedPrefix(scored, "n_tokens",
-      Seq(col("llr").desc, col("doc_id").asc), budgetTokens = 8000L)
+        Seq(col("llr").desc, col("doc_id").asc), budgetTokens = 8000L)
+      .localCheckpoint(true)
     // 6. pack the selected docs into 512-token training sequences
     val packed = graft.api.Graft.packSequences(
         clean.join(selected.select("doc_id"), "doc_id")
