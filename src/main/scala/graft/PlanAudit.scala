@@ -252,6 +252,15 @@ object PlanAudit {
         "hybrid RRF: query tokens and query vectors both broadcast; fusion joins are Q·N-sized"),
       ("dedup_simhash", p => !p.contains("CartesianProduct"),
         "simhash: block-key equi-join over distinct signatures; expansion joins are output-bound"),
+      // round-11 pins
+      ("knn_ivf_refresh", p => p.contains("dynamicpruning")
+        && p.contains("PartitionFilters") && !p.contains("CartesianProduct"),
+        "refreshed IVF: the folded postings scan keeps dynamic partition pruning " +
+          "on list_id — appending a batch must not cost the pruned layout"),
+      ("dedup_simhash_wide", p => !p.contains("CartesianProduct"),
+        "wide simhash: two-long block-key equi-join; 9.2-bit blocks, expansion output-bound"),
+      ("pipeline_end_to_end", p => !p.contains("CartesianProduct"),
+        "end-to-end curation: every stage equi-joins or broadcasts; no all-pairs anywhere"),
     )
 
     var failed = 0
