@@ -522,13 +522,16 @@ object PipelineOps {
     val selected = graft.api.Graft.budgetedPrefix(scored, "n_tokens",
         Seq(col("llr").desc, col("doc_id").asc), budgetTokens = 8000L)
       .localCheckpoint(true)
-    // 6. pack the selected docs into 512-token training sequences
+    // 6. pack the selected docs into 512-token training sequences. The
+    // selection is budget-BOUNDED by construction (≤ budget/min-doc-tokens
+    // rows at any corpus size), so it broadcasts — the checkpointed frame
+    // carries no stats, and without the hint Spark sort-merge-joins it
     val packed = graft.api.Graft.packSequences(
-        clean.join(selected.select("doc_id"), "doc_id")
+        clean.join(broadcast(selected.select("doc_id")), "doc_id")
           .select(col("doc_id"), col("text")),
         "doc_id", "text", seqLen = 512)
       .select(col("doc_id"), col("seq_id"), col("seq_offset"))
-    selected.join(packed, "doc_id")
+    broadcast(selected).join(packed, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("llr"),
         col("cum_tokens"), col("seq_id"), col("seq_offset"))
       .orderBy("doc_id")
