@@ -149,4 +149,44 @@ class Round11Spec extends SparkSpec {
       "WITH RECURSIVE r AS MATERIALIZED (SELECT 1 UNION ALL SELECT n + 1 FROM r) " +
       "SELECT * FROM r")
   }
+
+  test("fold-in marker is the crash boundary: a missing marker forces a full rebuild") {
+    // run once to build both index generations and commit the marker
+    val first = queries.Dedup.dedupIndexFoldin(spark, sf).collect()
+    val root = s"/tmp/graft_minhash_foldin/${spark.sparkContext.applicationId}"
+    val base = root + "/" + sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val marker = new java.io.File(base, "_FOLDIN_DONE")
+    val index = new java.io.File(base, "index")
+    assert(marker.exists(), "fold-in must commit its marker")
+    val filesAfterBuild = index.listFiles().map(_.getName).toSet
+    // second call with the marker present: index untouched (served at rest)
+    val second = queries.Dedup.dedupIndexFoldin(spark, sf).collect()
+    assert(index.listFiles().map(_.getName).toSet == filesAfterBuild,
+      "a committed index must be served, not rebuilt")
+    assert(second.toSeq == first.toSeq)
+    // crash simulation: marker gone, index half-present → full rebuild, and
+    // the screen result is unchanged (rebuild ≡ original build)
+    assert(marker.delete())
+    index.listFiles().take(1).foreach(f => assert(f.delete()))
+    val third = queries.Dedup.dedupIndexFoldin(spark, sf).collect()
+    assert(marker.exists(), "rebuild must re-commit the marker")
+    assert(third.toSeq == first.toSeq,
+      "a rebuild after a simulated crash must reproduce the screen exactly")
+  }
+
+  test("IVF refresh marker: committed index served at rest, missing marker rebuilds") {
+    val first = queries.Similarity.knnIvfRefresh(spark, sf).collect()
+    val root = s"/tmp/graft_ivf_refresh/${spark.sparkContext.applicationId}"
+    val baseDir = new java.io.File(root).listFiles()
+      .find(_.getName.startsWith(sf.replaceAll("[^A-Za-z0-9.]", "_")))
+      .getOrElse(fail(s"no refresh dir under $root"))
+    val marker = new java.io.File(baseDir, "_REFRESH_DONE")
+    assert(marker.exists(), "refresh must commit its marker")
+    val second = queries.Similarity.knnIvfRefresh(spark, sf).collect()
+    assert(second.toSeq == first.toSeq)
+    assert(marker.delete())
+    val third = queries.Similarity.knnIvfRefresh(spark, sf).collect()
+    assert(marker.exists() && third.toSeq == first.toSeq,
+      "a rebuild after a simulated crash must reproduce the search exactly")
+  }
 }
