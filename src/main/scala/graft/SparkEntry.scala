@@ -204,6 +204,7 @@ object SparkEntry {
     "stream_knn"        -> StreamingQueries.streamKnn _,
     "stream_knn_ttl"    -> StreamingQueries.streamKnnTtl _,
     "stream_decontaminate" -> StreamingQueries.streamDecontaminate _,
+    "stream_online_dedup" -> StreamingQueries.streamOnlineDedup _,
     "stream_decontaminate_stateless" -> StreamingQueries.streamDecontaminateStateless _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
@@ -553,6 +554,29 @@ object SparkEntry {
        |  JOIN sig sb ON sb.doc_id = index_id)
        |SELECT new_id, index_id, est_jaccard FROM est
        |WHERE est_jaccard >= 0.2 ORDER BY new_id, index_id""".stripMargin
+
+  /** DuckDB twin of StreamingQueries.streamOnlineDedup — the whole online
+    * ingest loop is closed-form because batch membership is doc_id % 3 and
+    * the fold makes "screened against" = "every earlier tercile": a pair is
+    * flagged iff the two docs share a band and the new doc's tercile is
+    * strictly later. Signatures are row-local, so computing them over the
+    * full corpus ≡ per-batch computation. */
+  private def streamOnlineDedupOracleSql: String =
+    s"""$minhashSigCtePrefix,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band
+       |   AND a.doc_id % 3 > b.doc_id % 3),
+       |est AS (
+       |  SELECT new_id, index_id,
+       |    $minhashEstExpr
+       |      AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = new_id
+       |  JOIN sig sb ON sb.doc_id = index_id)
+       |SELECT new_id AS doc_id, index_id AS dup_of, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2 ORDER BY doc_id, dup_of""".stripMargin
 
   /** DuckDB twin of PipelineOps.decontaminateMinhash — the
     * dedup_incremental banded new×index machinery with the eval side
@@ -2840,6 +2864,7 @@ object SparkEntry {
     "decontaminate_minhash" -> decontaminateMinhashOracleSql,
     // streaming final state == the batch screen — the oracle verbatim
     "stream_decontaminate" -> decontaminateMinhashOracleSql,
+    "stream_online_dedup" -> streamOnlineDedupOracleSql,
     // the stateless ingest shape must flag the identical set
     "stream_decontaminate_stateless" -> decontaminateMinhashOracleSql,
 

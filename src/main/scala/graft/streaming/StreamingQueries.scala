@@ -596,6 +596,87 @@ object StreamingQueries {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** The ONLINE INGEST LOOP closed end-to-end: a document stream arrives in
+    * REAL micro-batches (the corpus split into three tercile files by
+    * doc_id % 3, mod-times pinned so the file source ingests them in order,
+    * maxFilesPerTrigger = 1 + AvailableNow → three true batches), and each
+    * micro-batch (a) computes ROW-LOCAL minhash signatures (zero keyed
+    * state — minhashSignatureRowLocal), (b) SCREENS against the at-rest
+    * signature index (banded new×index, never index×index), (c) appends
+    * the flagged (doc, dup_of, est) pairs, and (d) FOLDS its signatures
+    * into the index — so batch N+1 is screened against everything ingested
+    * before it. This is dedup_index_foldin's lifecycle driven by a real
+    * stream: the keep-FIRST online dedup a 100 TB ingest pipeline runs.
+    *
+    * Contract (and what the oracle checks): a document is flagged iff some
+    * EARLIER-batch document is a banded near-dup (est ≥ 0.2) — within-batch
+    * pairs are deliberately not flagged (the fold happens at batch close;
+    * intra-batch dedup is the batch operator's job, and a production loop
+    * composes dedup_minhash per batch with this cross-batch screen). The
+    * tercile batch assignment makes "earlier" a closed form
+    * (doc_id % 3 ordering), so DuckDB mirrors the whole loop exactly. */
+  def streamOnlineDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/tmp/graft_stream_online/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    // clean slate per run (same per-run hygiene as streamKvUpsert)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // three ordered ingest files; pinned mod-times fix the source order
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val t0 = 1700000000000L
+    for (b <- 0 until 3) {
+      val stage = new java.io.File(base, s"stage$b")
+      docs.filter(col("doc_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part in $stage"))
+      val dst = new java.io.File(srcDir, s"batch$b.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + b * 60000L): Unit
+      rm(stage)
+    }
+    val indexPath = base + "/index"; val flagsPath = base + "/flags"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sigs = graft.api.Graft.minhashSignatureRowLocal(batch,
+          "doc_id", "text", numHashes = 32,
+          gramHashSql = graft.api.Graft.md5GramSql)
+        if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS"))) {
+          graft.api.Graft.minhashCandidatesAgainst(sigs,
+              s.read.parquet(indexPath), "doc_id",
+              bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+            .write.mode("append").parquet(flagsPath)
+          sigs.write.mode("append").parquet(indexPath)
+        } else {
+          // first batch seeds the index; nothing earlier to screen against
+          sigs.write.mode("overwrite").parquet(indexPath)
+        }
+        ()
+      }
+      .start()
+    try q.awaitTermination() finally q.stop()
+    if (fs.exists(new org.apache.hadoop.fs.Path(flagsPath, "_SUCCESS")))
+      s.read.parquet(flagsPath)
+        .select(col("new_id").as("doc_id"), col("index_id").as("dup_of"),
+          col("est_jaccard"))
+        .orderBy("doc_id", "dup_of")
+    else {
+      import s.implicits._
+      Seq.empty[(Long, Long, Double)].toDF("doc_id", "dup_of", "est_jaccard")
+    }
+  }
+
   /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed
     * stream (`keyBy(0).sum(1)`), running on the RocksDB state store provider
     * (declared surface D6 — flink-statebackend-rocksdb, study/pom.xml:70-74). */
