@@ -97,6 +97,84 @@ object RollingHash {
   }
 }
 
+/** Per-element md5-60 over a string array: `md5h60_array(arr)` ≡
+  * `transform(arr, g -> conv(substring(md5(g), 1, 15), 16, 10))` but as ONE
+  * native call — higher-order-function lambda bodies evaluate INTERPRETED
+  * per element (an expression-tree walk per gram), which is the dominant
+  * tax of the row-local minhash signature (the stateless streaming rows).
+  * This loops the array in compiled code: thread-local MessageDigest, top
+  * 60 bits of the digest taken as (first-8-bytes big-endian) >>> 4 —
+  * bit-identical to Graft.md5Hash60 / the DuckDB
+  * ('0x' || substring(md5(g), 1, 15))::BIGINT twin (15 hex chars = the
+  * first 15 nibbles = bits 127..68). */
+case class Md5Hash60Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5h60_array"
+  override def nullSafeEval(v: Any): Any =
+    Md5Hash60Array.hashAll(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60Array.hashAll($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Hash60Array {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  // called from generated code
+  def hashAll(arr: ArrayData): ArrayData = {
+    val md = digests.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var b = 0L
+      var j = 0
+      while (j < 8) { b = (b << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = b >>> 4
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Per-element abs(xxhash64) over a string array — the production-default
+  * twin of md5h60_array (`xx63_array(arr)` ≡ `transform(arr, g ->
+  * abs(xxhash64(g)))`, Graft.xxHash63's value). Same rationale: one native
+  * call instead of an interpreted per-element lambda. Uses Spark's own
+  * XXH64 with the engine's default seed 42, abs'd into [0, 2^63). */
+case class XxHash63Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xx63_array"
+  override def nullSafeEval(v: Any): Any =
+    XxHash63Array.hashAll(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.XxHash63Array.hashAll($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object XxHash63Array {
+  // called from generated code
+  def hashAll(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, org.apache.spark.sql.types.StringType, 42L)
+      out(i) = math.abs(h)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Idempotently registers the native functions in the session's function
     * registry so queries can use them via `expr(...)` / SQL. */
@@ -105,6 +183,10 @@ object VectorFunctions {
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5h60_array", exprs => Md5Hash60Array(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xx63_array", exprs => XxHash63Array(exprs.head), "scala_udf")
   }
 }
 
@@ -127,5 +209,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5h60_array"),
+      new ExpressionInfo(classOf[Md5Hash60Array].getName, "md5h60_array"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Hash60Array(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xx63_array"),
+      new ExpressionInfo(classOf[XxHash63Array].getName, "xx63_array"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        XxHash63Array(exprs.head)))
   }
 }
