@@ -1191,6 +1191,25 @@ object Graft {
     * keeps it cross-engine exact. Output: (idCol, n_kgrams, n_fingerprints,
     * density) for docs with ≥ 1 gram; density = selected/grams by the
     * integer ratio4 rule. */
+  /** The k-gram hash array shared by the winnowing family. The md5 gram
+    * hash routes through the native md5h60_array (one compiled digest loop
+    * instead of an interpreted md5+conv tree PER GRAM — the gram-string
+    * build stays in the lambda either way, the digest was the tax); other
+    * fragments keep the general in-lambda form. Values are identical —
+    * the winnow oracles and profiles are unchanged. */
+  private def winnowGramHashes(df: DataFrame, k: Int,
+      gramHash: String => String): String = {
+    val gramArr =
+      s"""transform(sequence(1, size(__ts) - ${k - 1}),
+         |  i -> array_join(slice(__ts, i, $k), ' '))""".stripMargin
+    if (gramHash eq md5GramSql) {
+      graft.functions.VectorFunctions.register(df.sparkSession)
+      s"md5h60_array($gramArr)"
+    } else
+      s"""transform(sequence(1, size(__ts) - ${k - 1}),
+         |  i -> ${gramHash(s"array_join(slice(__ts, i, $k), ' ')")})""".stripMargin
+  }
+
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 5,
       gramHash: String => String = xxhashGramSql): DataFrame = {
@@ -1198,9 +1217,7 @@ object Graft {
       .withColumn("__ts", expr(
         s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
       .filter(size(col("__ts")) >= k)
-      .withColumn("__hs", expr(
-        s"""transform(sequence(1, size(__ts) - ${k - 1}),
-           |  i -> ${gramHash(s"array_join(slice(__ts, i, $k), ' ')")})""".stripMargin))
+      .withColumn("__hs", expr(winnowGramHashes(df, k, gramHash)))
       // fewer grams than the window → one window over all of them (the
       // degenerate case the paper folds into "select the min of what's there")
       .withColumn("__sel", expr(
@@ -1226,9 +1243,7 @@ object Graft {
       .withColumn("__ts", expr(
         s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
       .filter(size(col("__ts")) >= k)
-      .withColumn("__hs", expr(
-        s"""transform(sequence(1, size(__ts) - ${k - 1}),
-           |  i -> ${gramHash(s"array_join(slice(__ts, i, $k), ' ')")})""".stripMargin))
+      .withColumn("__hs", expr(winnowGramHashes(df, k, gramHash)))
       .select(col(idCol), explode(expr(
         s"""array_distinct(transform(
            |  sequence(1, greatest(size(__hs) - ${w - 1}, 1)),
