@@ -662,7 +662,15 @@ object Graft {
     * that don't need cross-engine verification. Always non-negative
     * (< 2^60), so downstream shift/mod arithmetic never sees a sign. */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+    // native expression (round 11): bit-identical to
+    // conv(substring(md5(c), 1, 15), 16, 10).cast("bigint") — the composed
+    // form paid digest → hex-string → substring → radix-parse allocations
+    // per value even under codegen; the native computes the digest and
+    // extracts bits 127..68 directly (parity pinned in Round11Spec and by
+    // every md5-oracled gate row). Wrapped directly (no registry needed),
+    // so it works in any session.
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.Md5Hash60Expr(org.apache.spark.sql.GraftShims.expression(c)))
 
   /** SQL-FRAGMENT builders of the two base hashes, for gram hashing that
     * MUST happen inside a higher-order lambda — the winnowing family,
@@ -808,7 +816,10 @@ object Graft {
     * DuckDB mirror is ('0x' || substring(md5(x), 16, 15))::BIGINT. Used as
     * the hi-half base hash of the cross-engine-verifiable 120-bit SimHash. */
   def md5Hash60b(c: Column): Column =
-    conv(substring(md5(c), 16, 15), 16, 10).cast("bigint")
+    // native twin of md5Hash60 for the hi half (hex chars 16-30); see the
+    // parity note there
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.Md5Hash60bExpr(org.apache.spark.sql.GraftShims.expression(c)))
 
   /** WIDE SimHash signature: TWO independent base hashes per token give a
     * 2·`bitsPerHalf`-bit signature carried as two longs (`sim_lo`,

@@ -97,6 +97,77 @@ object RollingHash {
   }
 }
 
+/** Scalar md5-60: `md5h60(s)` ≡ `conv(substring(md5(s), 1, 15), 16, 10)
+  * ::BIGINT` — the engine's cross-engine base hash (Graft.md5Hash60) as ONE
+  * native expression. The composed form pays three allocations per value
+  * even under codegen (digest → 32-char hex UTF8String → substring slice →
+  * conv's radix parse); this computes the digest and takes bits 127..68
+  * directly ((first-8-bytes big-endian) >>> 4 = the first 15 hex nibbles).
+  * Bit-identical to the composed form and to the DuckDB
+  * ('0x' || substring(md5(s), 1, 15))::BIGINT twin — every md5-oracled
+  * operator keeps its hash matches (pinned by Round11Spec + the full gate). */
+case class Md5Hash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5h60 requires a STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5h60"
+  override def nullSafeEval(v: Any): Any =
+    Md5Hash60Expr.hash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60Expr.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Hash60Expr {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  // called from generated code
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var b = 0L
+    var j = 0
+    while (j < 8) { b = (b << 8) | (d(j) & 0xffL); j += 1 }
+    b >>> 4
+  }
+  // hex chars 16-30 of the same digest (Graft.md5Hash60b): the low nibble
+  // of byte 7 followed by bytes 8..14 — 15 nibbles = 60 bits
+  def hashB(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var b = (d(7) & 0x0fL) << 56
+    var j = 8
+    while (j < 15) { b |= (d(j) & 0xffL) << (8 * (14 - j)); j += 1 }
+    b
+  }
+}
+
+/** Scalar twin for the hi half of the 120-bit SimHash (Graft.md5Hash60b):
+  * hex chars 16-30 of the digest as a 60-bit long. */
+case class Md5Hash60bExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5h60b requires a STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5h60b"
+  override def nullSafeEval(v: Any): Any =
+    Md5Hash60Expr.hashB(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash60Expr.hashB($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-element md5-60 over a string array: `md5h60_array(arr)` ≡
   * `transform(arr, g -> conv(substring(md5(g), 1, 15), 16, 10))` but as ONE
   * native call — higher-order-function lambda bodies evaluate INTERPRETED
@@ -183,6 +254,10 @@ object VectorFunctions {
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5h60", exprs => Md5Hash60Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5h60b", exprs => Md5Hash60bExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5h60_array", exprs => Md5Hash60Array(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
