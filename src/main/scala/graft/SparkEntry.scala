@@ -259,6 +259,7 @@ object SparkEntry {
     "pack_sequences"    -> PipelineOps.packSequencesRollup _,
     "quality_repetition" -> PipelineOps.qualityRepetition _,
     "decontaminate_ngrams" -> PipelineOps.decontaminateNgrams _,
+    "decontaminate_bloom" -> PipelineOps.decontaminateBloom _,
     "decontaminate_minhash" -> PipelineOps.decontaminateMinhash _,
     "mixture_weights"   -> PipelineOps.mixtureWeights _,
     "mixture_temperature" -> PipelineOps.mixtureTemperature _,
@@ -4082,6 +4083,20 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "decontaminate_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+        |      FROM t, UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),
+        |ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_hits,
+        |       count(DISTINCT ev.eval_id) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.gram = ev.gram
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // The Bloom prescreen is semantics-free (prune + exact confirm), so the
+    // oracle is decontaminate_ngrams' verbatim — the hash match PROVES the
+    // sketch path changes nothing but the plan.
+    "decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
         |      FROM t, UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),

@@ -2575,6 +2575,47 @@ object Graft {
         count_distinct(col("__eval_id")).as("n_eval_docs"))
   }
 
+  /** `ngramDecontaminate` at RUNTIME-FILTER cost: identical output (the
+    * Bloom filter only PRUNES; survivors are exact-confirmed against the
+    * eval gram set, so false positives cannot flag a document), but the
+    * training side's gram stream hits a broadcast-sized Bloom sketch BEFORE
+    * any join — the same `bloom_filter_agg(xxhash64)` → `might_contain`
+    * pair Spark's own `InjectRuntimeFilter` inserts for shuffle-join
+    * pruning, here built explicitly because the eval set is a fixed
+    * decontamination list, not a join side the optimizer can see. At
+    * 100 TB the distinction matters: the exact join still only ships
+    * MATCHING grams, but without the prescreen every training gram pays
+    * the join-side hash + (at high selectivity) the probe against the
+    * broadcast map; the Bloom gate is one codegen'd long-hash test per
+    * gram with a ~1-in-2^10 false-positive tail, so the join input
+    * collapses to approximately the true contamination volume. The sketch
+    * is size-bounded (`numBits`, default 4 MiB) regardless of eval-set
+    * cardinality and travels as a scalar subquery — no driver collect.
+    * Eval sets beyond `expectedGrams` distinct grams degrade FP rate, not
+    * correctness (the exact confirm holds either way). */
+  def bloomDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 6,
+      expectedGrams: Long = 4000000L, numBits: Long = 33554432L): DataFrame = {
+    val s = train.sparkSession
+    graft.functions.VectorFunctions.register(s)
+    val evalGrams = shingles(evalSet.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col("shingle"), col(idCol).as("__eval_id")).distinct()
+    val trainGrams = shingles(train.select(col(idCol), col(textCol)), idCol, textCol, n)
+    evalGrams.createOrReplaceTempView("graft_bloom_eval_grams")
+    trainGrams.createOrReplaceTempView("graft_bloom_train_grams")
+    s.sql(
+      s"""WITH bf AS (SELECT bloom_agg(xxhash64(shingle), ${expectedGrams}L,
+         |                             ${numBits}L) AS f
+         |            FROM (SELECT DISTINCT shingle FROM graft_bloom_eval_grams)),
+         |cand AS (SELECT $idCol, shingle FROM graft_bloom_train_grams
+         |         WHERE might_contain((SELECT f FROM bf), xxhash64(shingle)))
+         |SELECT /*+ BROADCAST(e) */ c.$idCol,
+         |       count(DISTINCT c.shingle) AS n_hits,
+         |       count(DISTINCT e.__eval_id) AS n_eval_docs
+         |FROM cand c JOIN graft_bloom_eval_grams e ON c.shingle = e.shingle
+         |GROUP BY c.$idCol""".stripMargin)
+  }
+
   /** Transitive near-dup clusters for any (id, text) frame: documents sharing
     * a head-`keyTokens` OR tail-`keyTokens` token key are candidates; star
     * edges (each doc → its bucket's min id, edge volume 2·N — never

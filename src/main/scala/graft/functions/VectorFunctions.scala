@@ -262,6 +262,20 @@ object VectorFunctions {
       "md5h60_array", exprs => Md5Hash60Array(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "xx63_array", exprs => XxHash63Array(exprs.head), "scala_udf")
+    // Spark's OWN runtime-filter machinery (InjectRuntimeFilter builds
+    // exactly bloom_filter_agg(xxhash64(k)) + might_contain on the probe
+    // side), surfaced as SQL functions so operators can build an explicit
+    // semi-join prescreen: the Bloom side is a bounded binary sketch that
+    // travels as a scalar subquery, the probe filter stays codegen'd.
+    // No behavior is re-implemented — these builders just name the
+    // existing catalyst expressions (the analyzer wraps the raw
+    // AggregateFunction the same way it wraps built-in aggregates).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 }
 

@@ -314,6 +314,22 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** `decontaminate_ngrams` through the Bloom-prescreen path
+    * (Graft.bloomDecontaminate): same flagged set, hash-matched against the
+    * SAME DuckDB oracle — the sketch only prunes, survivors are
+    * exact-confirmed. The row exists to pin the 100 TB ingest shape: a
+    * broadcast-sized Bloom gate (Spark's own runtime-filter expressions,
+    * built explicitly) collapses the training gram stream to ~the true
+    * contamination volume before the first join. */
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.api.Graft.bloomDecontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 6)
+      .orderBy("doc_id")
+  }
+
   /** FUZZY benchmark decontamination (the Brown '20 §C production reading:
     * eval overlap is removed by NEAR-dup match, not only verbatim n-gram
     * hits — a lightly paraphrased eval document still leaks): the training
