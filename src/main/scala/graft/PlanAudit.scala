@@ -78,6 +78,10 @@ object PlanAudit {
         "rank<=k pushes a per-group limit below the window sort"),
       ("decontaminate_ngrams", p => p.contains("BroadcastHashJoin"),
         "eval-set gram index broadcast (training side never shuffles on gram)"),
+      ("decontaminate_bloom", p => p.contains("might_contain")
+        && p.contains("BroadcastHashJoin") && p.contains("Subquery"),
+        "bloom gate filters the gram stream via a scalar-subquery sketch " +
+          "BEFORE the broadcast exact-confirm join"),
       ("quality_repetition", p => !p.contains("Join") && !p.contains("HashAggregate"),
         "repetition metrics are pure row-local compute (no join, no agg)"),
       ("sample_stratified", p => !p.contains("Join") && !p.contains("HashAggregate")

@@ -308,5 +308,31 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[XxHash63Array].getName, "xx63_array"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         XxHash63Array(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5h60"),
+      new ExpressionInfo(classOf[Md5Hash60Expr].getName, "md5h60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Hash60Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("md5h60b"),
+      new ExpressionInfo(classOf[Md5Hash60bExpr].getName, "md5h60b"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Hash60bExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }
