@@ -203,6 +203,7 @@ object SparkEntry {
     "stream_dsir"       -> StreamingQueries.streamDsir _,
     "stream_knn"        -> StreamingQueries.streamKnn _,
     "stream_knn_ttl"    -> StreamingQueries.streamKnnTtl _,
+    "stream_knn_ivf"    -> StreamingQueries.streamKnnIvf _,
     "stream_decontaminate" -> StreamingQueries.streamDecontaminate _,
     "stream_online_dedup" -> StreamingQueries.streamOnlineDedup _,
     "stream_decontaminate_stateless" -> StreamingQueries.streamDecontaminateStateless _,
@@ -2934,6 +2935,10 @@ object SparkEntry {
     // TTL-evicting serving state, TTL beyond the bounded stream: final
     // state must still equal the batch brute-force answer
     "stream_knn_ttl" -> knnBruteForceOracleSql,
+    // per-batch probes of the persisted IVF index; the union of per-batch
+    // answers must equal the batch IVF answer — knn_ivf's closed-form
+    // unroll, verbatim (the at-rest index is bit-identical to the model)
+    "stream_knn_ivf" -> knnIvfOracleSql,
 
     "pmi_cooccur" -> pmiCooccurOracleSql,
 
