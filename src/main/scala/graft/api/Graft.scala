@@ -2601,20 +2601,26 @@ object Graft {
     val evalGrams = shingles(evalSet.select(col(idCol), col(textCol)), idCol, textCol, n)
       .select(col("shingle"), col(idCol).as("__eval_id")).distinct()
     val trainGrams = shingles(train.select(col(idCol), col(textCol)), idCol, textCol, n)
-    evalGrams.createOrReplaceTempView("graft_bloom_eval_grams")
-    trainGrams.createOrReplaceTempView("graft_bloom_train_grams")
+    // per-call view names: concurrent bloomDecontaminate calls in one
+    // session must not rebind each other's inputs mid-plan
+    val tag = bloomViewSeq.incrementAndGet()
+    val evalView = s"graft_bloom_eval_grams_$tag"
+    val trainView = s"graft_bloom_train_grams_$tag"
+    evalGrams.createOrReplaceTempView(evalView)
+    trainGrams.createOrReplaceTempView(trainView)
     s.sql(
       s"""WITH bf AS (SELECT bloom_agg(xxhash64(shingle), ${expectedGrams}L,
          |                             ${numBits}L) AS f
-         |            FROM (SELECT DISTINCT shingle FROM graft_bloom_eval_grams)),
-         |cand AS (SELECT $idCol, shingle FROM graft_bloom_train_grams
+         |            FROM (SELECT DISTINCT shingle FROM $evalView)),
+         |cand AS (SELECT $idCol, shingle FROM $trainView
          |         WHERE might_contain((SELECT f FROM bf), xxhash64(shingle)))
          |SELECT /*+ BROADCAST(e) */ c.$idCol,
          |       count(DISTINCT c.shingle) AS n_hits,
          |       count(DISTINCT e.__eval_id) AS n_eval_docs
-         |FROM cand c JOIN graft_bloom_eval_grams e ON c.shingle = e.shingle
+         |FROM cand c JOIN $evalView e ON c.shingle = e.shingle
          |GROUP BY c.$idCol""".stripMargin)
   }
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Transitive near-dup clusters for any (id, text) frame: documents sharing
     * a head-`keyTokens` OR tail-`keyTokens` token key are candidates; star

@@ -13,7 +13,7 @@ object Formats {
     * own tree and concurrent sessions never share a path. */
   private val cleanupDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private[queries] def registerCleanup(dir: String): Unit =
+  private[graft] def registerCleanup(dir: String): Unit =
     if (cleanupDirs.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {

@@ -671,6 +671,7 @@ object StreamingQueries {
       f.delete(): Unit
     }
     rm(new java.io.File(base))
+    graft.queries.Formats.registerCleanup(base)
     val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
     val t0 = 1700000000000L
     for (b <- 0 until n) {
