@@ -1216,6 +1216,14 @@ object Graft {
     if (gramHash eq md5GramSql) {
       graft.functions.VectorFunctions.register(df.sparkSession)
       s"md5h60_array($gramArr)"
+    } else if (gramHash eq xxhashGramSql) {
+      // the production default pays the same per-gram lambda tax the md5
+      // path did — route through the raw-xxhash native array twin
+      graft.functions.VectorFunctions.register(df.sparkSession)
+      s"xx64_array($gramArr)"
+    } else if (gramHash eq xx63GramSql) {
+      graft.functions.VectorFunctions.register(df.sparkSession)
+      s"xx63_array($gramArr)"
     } else
       s"""transform(sequence(1, size(__ts) - ${k - 1}),
          |  i -> ${gramHash(s"array_join(slice(__ts, i, $k), ' ')")})""".stripMargin

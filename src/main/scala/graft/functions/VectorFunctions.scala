@@ -246,6 +246,36 @@ object XxHash63Array {
   }
 }
 
+/** Per-element RAW xxhash64 over a string array (`xx64_array(arr)` ≡
+  * `transform(arr, g -> xxhash64(g))`, full 64-bit range) — the native
+  * twin for the winnowing family's production-default gram hash, where
+  * the sign carries signal and no abs is applied. */
+case class XxHash64Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xx64_array"
+  override def nullSafeEval(v: Any): Any =
+    XxHash64Array.hashAll(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.XxHash64Array.hashAll($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object XxHash64Array {
+  // called from generated code
+  def hashAll(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        arr.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Idempotently registers the native functions in the session's function
     * registry so queries can use them via `expr(...)` / SQL. */
@@ -262,6 +292,8 @@ object VectorFunctions {
       "md5h60_array", exprs => Md5Hash60Array(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "xx63_array", exprs => XxHash63Array(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xx64_array", exprs => XxHash64Array(exprs.head), "scala_udf")
     // Spark's OWN runtime-filter machinery (InjectRuntimeFilter builds
     // exactly bloom_filter_agg(xxhash64(k)) + might_contain on the probe
     // side), surfaced as SQL functions so operators can build an explicit
