@@ -594,16 +594,20 @@ object StreamingQueries {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", base + "/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // exactly-once: batch_id-keyed OVERWRITE, so a retried batch
+        // rewrites its own partition instead of double-appending answers
         graft.queries.Similarity.ivfSearch(s,
             s.read.parquet(cPath), s.read.parquet(pPath),
             batch.select(col("vec_id").as("q_id"), col("embedding").as("qv")))
-          .write.mode("append").parquet(answers)
+          .write.mode("overwrite").parquet(answers + s"/batch_id=$id")
         ()
       }
       .start()
     try q.awaitTermination() finally q.stop()
-    s.read.parquet(answers).orderBy("q_id", "rn")
+    s.read.parquet(answers)
+      .select("q_id", "rn", "c_id", "label", "cos_sim")
+      .orderBy("q_id", "rn")
   }
 
   /** STATELESS streaming decontamination — the scale-safe form of
@@ -705,25 +709,10 @@ object StreamingQueries {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", base + "/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val sigs = graft.api.Graft.minhashSignatureRowLocal(batch,
-          "doc_id", "text", numHashes = 32,
-          gramHashSql = graft.api.Graft.md5GramSql)
-        if (fs.exists(new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS"))) {
-          graft.api.Graft.minhashCandidatesAgainst(sigs,
-              s.read.parquet(indexPath), "doc_id",
-              bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
-            .write.mode("append").parquet(flagsPath)
-          sigs.write.mode("append").parquet(indexPath)
-        } else {
-          // first batch seeds the index; nothing earlier to screen against
-          sigs.write.mode("overwrite").parquet(indexPath)
-        }
-        ()
-      }
+      .foreachBatch(onlineDedupBatch(s, indexPath, flagsPath) _)
       .start()
     try q.awaitTermination() finally q.stop()
-    if (fs.exists(new org.apache.hadoop.fs.Path(flagsPath, "_SUCCESS")))
+    if (fs.exists(new org.apache.hadoop.fs.Path(flagsPath)))
       s.read.parquet(flagsPath)
         .select(col("new_id").as("doc_id"), col("index_id").as("dup_of"),
           col("est_jaccard"))
@@ -732,6 +721,34 @@ object StreamingQueries {
       import s.implicits._
       Seq.empty[(Long, Long, Double)].toDF("doc_id", "dup_of", "est_jaccard")
     }
+  }
+
+  /** One ingest batch of the online dedup loop, EXACTLY-ONCE: a Structured
+    * Streaming foreachBatch may RETRY a batch after a failure, and the
+    * original append-mode writes were not retry-safe (a replayed batch
+    * would double-append its flags AND screen against an index already
+    * holding its own signatures — self-matches). Both writes are now keyed
+    * by `batch_id=<id>` partition directories in OVERWRITE mode, so a
+    * retry rewrites its own partition byte-for-byte, and the screen reads
+    * `batch_id < id` explicitly — strictly-earlier batches, the keep-first
+    * contract, independent of how many times this batch runs. Factored out
+    * so the suite can replay a batch and pin idempotence. */
+  private[graft] def onlineDedupBatch(s: SparkSession, indexPath: String,
+      flagsPath: String)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sigs = graft.api.Graft.minhashSignatureRowLocal(batch,
+      "doc_id", "text", numHashes = 32,
+      gramHashSql = graft.api.Graft.md5GramSql)
+    if (id > 0 && fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
+      val earlier = s.read.parquet(indexPath)
+        .filter(col("batch_id") < id).drop("batch_id")
+      graft.api.Graft.minhashCandidatesAgainst(sigs, earlier, "doc_id",
+          bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+        .write.mode("overwrite").parquet(flagsPath + s"/batch_id=$id")
+    }
+    sigs.write.mode("overwrite").parquet(indexPath + s"/batch_id=$id")
   }
 
   /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed
