@@ -219,6 +219,7 @@ object SparkEntry {
     // modern-SQL surface (Spark 4.x)
     "variant_funcs"     -> Modern.variantFuncs _,
     "recursive_cte"     -> Modern.recursiveCte _,
+    "pipe_syntax"       -> Modern.pipeSyntax _,
     "listagg_groups"    -> Modern.listaggGroups _,
     "mode_median"       -> Modern.modeMedian _,
     "xml_roundtrip"     -> Modern.xmlRoundtrip _,
@@ -3634,6 +3635,18 @@ object SparkEntry {
         |SELECT w.depth, w.nk, n.n_name
         |FROM walk w JOIN nation n ON n.n_nationkey = w.nk
         |ORDER BY w.depth""".stripMargin,
+
+    // the pipe form must answer exactly what its clause form answers — the
+    // oracle IS the clause form
+    "pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "listagg_groups" ->
       """SELECT r.r_name, count(1) AS n_nations,

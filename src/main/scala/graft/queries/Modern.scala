@@ -32,6 +32,27 @@ object Modern {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** SQL pipe syntax (Spark 4.x `|>` operators, the GoogleSQL pipe
+    * notation): the scan → filter → extend → aggregate → having → order
+    * flow the clause form nests, written as a linear pipeline. Purely a
+    * parser surface — Catalyst produces the identical plan (same scan
+    * pushdown, same partial aggregation), which is the point: modern
+    * notation at zero execution cost. The revenue sum goes through the
+    * DECIMAL(18,4) exact pattern q1 uses so the oracle is bit-stable. */
+  def pipeSyntax(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_pipe_lineitem")
+    s.sql(
+      """FROM graft_pipe_lineitem
+        ||> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,4))
+        |          * CAST(1 - l_discount AS DECIMAL(18,4)) AS disc_price
+        ||> AGGREGATE count(*) AS n_items,
+        |            CAST(round(sum(disc_price), 2) AS DOUBLE) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n_items > 10
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   /** Recursive CTE (Spark 4.x): a 25-step modular walk over the nation graph
     * (step +7 mod 25 is coprime with 25, so the walk visits every nation
     * exactly once from key 0). The recursion happens on the driver plan side
