@@ -220,6 +220,7 @@ object SparkEntry {
     "variant_funcs"     -> Modern.variantFuncs _,
     "recursive_cte"     -> Modern.recursiveCte _,
     "pipe_syntax"       -> Modern.pipeSyntax _,
+    "sql_udf"           -> Modern.sqlUdf _,
     "listagg_groups"    -> Modern.listaggGroups _,
     "mode_median"       -> Modern.modeMedian _,
     "xml_roundtrip"     -> Modern.xmlRoundtrip _,
@@ -3647,6 +3648,18 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |HAVING count(*) > 10
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // SQL UDFs inline to expressions — the oracle is the inlined form
+    "sql_udf" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag, band
+        |ORDER BY l_returnflag, band""".stripMargin,
 
     "listagg_groups" ->
       """SELECT r.r_name, count(1) AS n_nations,

@@ -53,6 +53,31 @@ object Modern {
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Declarative SQL UDFs (Spark 4.x `CREATE FUNCTION … RETURN expr`): the
+    * governed way to share scalar logic — the body is a SQL expression, so
+    * Catalyst INLINES it (full codegen, pushdown through it) instead of
+    * the black-box boundary a Scala/Python UDF imposes. The oracle is the
+    * inlined expression, so the hash match proves the UDF layer is
+    * semantics-free. */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_sqludf_lineitem")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, disc DOUBLE)
+            |RETURNS DECIMAL(18,4)
+            |RETURN CAST(p AS DECIMAL(18,4)) * CAST(1 - disc AS DECIMAL(18,4))""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE)
+            |RETURNS STRING
+            |RETURN CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid'
+            |            ELSE 'high' END""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag, graft_qty_band(l_quantity) AS band,
+        |  count(*) AS n_items,
+        |  CAST(round(sum(graft_disc_price(l_extendedprice, l_discount)), 2)
+        |       AS DOUBLE) AS revenue
+        |FROM graft_sqludf_lineitem
+        |GROUP BY l_returnflag, band
+        |ORDER BY l_returnflag, band""".stripMargin)
+  }
+
   /** Recursive CTE (Spark 4.x): a 25-step modular walk over the nation graph
     * (step +7 mod 25 is coprime with 25, so the walk visits every nation
     * exactly once from key 0). The recursion happens on the driver plan side
