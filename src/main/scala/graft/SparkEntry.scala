@@ -206,6 +206,7 @@ object SparkEntry {
     "stream_knn_ivf"    -> StreamingQueries.streamKnnIvf _,
     "stream_decontaminate" -> StreamingQueries.streamDecontaminate _,
     "stream_online_dedup" -> StreamingQueries.streamOnlineDedup _,
+    "stream_online_curate" -> StreamingQueries.streamOnlineCurate _,
     "stream_decontaminate_stateless" -> StreamingQueries.streamDecontaminateStateless _,
     // serde surface (D8)
     "json_roundtrip"    -> Formats.jsonRoundtrip _,
@@ -581,6 +582,80 @@ object SparkEntry {
        |  JOIN sig sb ON sb.doc_id = index_id)
        |SELECT new_id AS doc_id, index_id AS dup_of, est_jaccard FROM est
        |WHERE est_jaccard >= 0.2 ORDER BY doc_id, dup_of""".stripMargin
+
+  /** DuckDB twin of StreamingQueries.streamOnlineCurate — the online
+    * curation loop unrolled: arrival order is the doc_id%3 tercile order,
+    * so the closed form is (1) the Gopher gate over the %17<>0 stream,
+    * (2) keep-first exact dedup = row_number ordered by (tercile, doc_id)
+    * per text hash over GATED docs, (3) the banded eval screen restricted
+    * to the kept set, (4) the fixed-point DSIR model fit on the FULL
+    * static corpus scoring the clean survivors. Every fragment reuses an
+    * exactness argument proven by its standalone oracle (quality_gopher,
+    * dedup_exact, decontaminate_minhash, stream_dsir). */
+  private def streamOnlineCurateOracleSql: String =
+    s"""$minhashSigCtePrefix,
+       |tok0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+       |  FROM documents WHERE doc_id % 17 <> 0),
+       |gp AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+       |      CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sumlen,
+       |      CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+       |      CAST(len(list_filter(['the','a','of','and','is'],
+       |        s2 -> list_contains(ts, s2))) AS BIGINT) AS n_stop
+       |    FROM tok0 WHERE len(ts) >= 1)
+       |  WHERE n_words BETWEEN 20 AND 100000 AND 3 * n_words <= sumlen
+       |    AND sumlen <= 10 * n_words AND 5 * alpha >= 4 * n_words
+       |    AND n_stop >= 2),
+       |kp AS (
+       |  SELECT doc_id FROM (
+       |    SELECT d.doc_id, row_number() OVER (
+       |        PARTITION BY md5(lower(trim(d.text)))
+       |        ORDER BY d.doc_id % 3, d.doc_id) AS rn
+       |    FROM documents d JOIN gp USING (doc_id))
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band
+       |   AND a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+       |  JOIN kp k ON k.doc_id = a.doc_id),
+       |est AS (
+       |  SELECT new_id, index_id,
+       |    $minhashEstExpr
+       |      AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = new_id
+       |  JOIN sig sb ON sb.doc_id = index_id),
+       |clean AS (
+       |  SELECT doc_id FROM kp WHERE doc_id NOT IN (
+       |    SELECT new_id FROM est WHERE est_jaccard >= 0.2)),
+       |mtok AS (
+       |  SELECT CAST(lang = 'en' AS BIGINT) AS t,
+       |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS b
+       |  FROM (SELECT lang,
+       |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+       |        FROM documents)),
+       |obs AS (SELECT b, sum(t) AS ct, count(1) AS cs FROM mtok GROUP BY b),
+       |counts AS (
+       |  SELECT ab.b, coalesce(o.ct, 0) AS ct, coalesce(o.cs, 0) AS cs
+       |  FROM (SELECT unnest(range(0, 256)) AS b) ab LEFT JOIN obs o USING (b)),
+       |totals AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM counts),
+       |model AS (
+       |  SELECT b,
+       |    CAST(floor(ln((ct + 1)::DOUBLE / (tt + 256)::DOUBLE) * 1048576.0) AS BIGINT)
+       |    - CAST(floor(ln((cs + 1)::DOUBLE / (ts + 256)::DOUBLE) * 1048576.0) AS BIGINT) AS lrq
+       |  FROM counts CROSS JOIN totals),
+       |stok AS (
+       |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 256 AS b
+       |  FROM (SELECT d.doc_id,
+       |          unnest(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS tok
+       |        FROM documents d JOIN clean c ON c.doc_id = d.doc_id))
+       |SELECT doc_id, count(1) AS n_tokens,
+       |  round(sum(lrq)::DOUBLE / 1048576.0, 4) AS llr
+       |FROM stok JOIN model USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of PipelineOps.decontaminateMinhash — the
     * dedup_incremental banded new×index machinery with the eval side
@@ -2869,6 +2944,9 @@ object SparkEntry {
     // streaming final state == the batch screen — the oracle verbatim
     "stream_decontaminate" -> decontaminateMinhashOracleSql,
     "stream_online_dedup" -> streamOnlineDedupOracleSql,
+    // the whole ingest-time curation loop is closed-form under tercile
+    // arrival order — gate → ordered keep-first → eval screen → DSIR
+    "stream_online_curate" -> streamOnlineCurateOracleSql,
     // the stateless ingest shape must flag the identical set
     "stream_decontaminate_stateless" -> decontaminateMinhashOracleSql,
 

@@ -751,6 +751,101 @@ object StreamingQueries {
     sigs.write.mode("overwrite").parquet(indexPath + s"/batch_id=$id")
   }
 
+  /** The ONLINE CURATION LOOP — pipeline_end_to_end's gates running AT
+    * INGEST, the production shape where data is curated as it lands rather
+    * than in a batch afterthought. Documents arrive in three REAL
+    * micro-batches (the shared staged-file firehose); each batch runs:
+    * (1) the Gopher quality gate — row-local, stateless; (2) EXACT
+    * keep-first dedup — in-batch min-id per text hash, then a screen
+    * against the at-rest hash index of earlier batches (`batch_id < id`),
+    * folding this batch's kept hashes in (the exactly-once batch-keyed
+    * overwrite contract of onlineDedupBatch); (3) fuzzy DECONTAMINATION —
+    * row-local MinHash signatures screened against the STATIC eval-split
+    * signatures fit once before ingest (zero keyed state, the
+    * stream_decontaminate_stateless shape); (4) DSIR importance scoring
+    * with the static-corpus model, also fit once. Survivors append
+    * batch-keyed. Arrival order is the doc_id%3 tercile order, so the
+    * keep-first winner is min by (tercile, doc_id) — closed-form, which
+    * is what makes the whole loop ORACLED: the flagged/kept/scored set
+    * hash-matches a DuckDB unroll of gate → ordered keep-first → banded
+    * eval screen → fixed-point DSIR. Scale: every stage is stateless or
+    * index-backed — no keyed streaming state anywhere; state lives in the
+    * at-rest hash index, the broadcast eval signatures, and the 256-row
+    * model. */
+  def streamOnlineCurate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/tmp/graft_stream_curate/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val all = graft.Tables.documents(s, d)
+    val stream0 = all.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val srcDir = stageOrderedBatches(stream0, base, "doc_id", 3)
+    // static artifacts, fit ONCE before ingest and reused by every batch:
+    // the eval-split signatures and the full-corpus DSIR model
+    val evalSigs = graft.api.Graft.minhashSignatures(
+        all.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+        numHashes = 32, baseHash = graft.api.Graft.md5Hash60,
+        keepEmpty = false)
+      .localCheckpoint(true)
+    val model = graft.api.Graft.dsirModel(all, "text",
+        col("lang") === "en", buckets = 256)
+      .localCheckpoint(true)
+    val indexPath = base + "/index"; val keptPath = base + "/kept"
+    val stream = s.readStream.schema(stream0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", base + "/ckpt")
+      .foreachBatch(onlineCurateBatch(s, indexPath, keptPath, evalSigs, model) _)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(keptPath)
+      .select("doc_id", "n_tokens", "llr")
+      .orderBy("doc_id")
+  }
+
+  /** One ingest batch of the online curation loop (see streamOnlineCurate);
+    * factored out on the same exactly-once contract as onlineDedupBatch —
+    * batch-keyed overwrites, screens read strictly-earlier partitions. */
+  private[graft] def onlineCurateBatch(s: SparkSession, indexPath: String,
+      keptPath: String, evalSigs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame)(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // 1. Gopher gate — row-local
+    val gated = graft.api.Graft.gopherRules(batch.toDF(), "text")
+      .filter(col("passes")).select(col("doc_id"), col("text"))
+    // 2. exact keep-first: min doc_id per text hash IN batch, then screen
+    //    against the at-rest index of strictly earlier batches
+    val hashed = gated.withColumn("__h", md5(lower(trim(col("text")))))
+    val inBatch = hashed.join(
+      hashed.groupBy("__h").agg(min("doc_id").as("doc_id")),
+      Seq("__h", "doc_id"))
+    val kept = (if (id > 0 && fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+        inBatch.join(
+          s.read.parquet(indexPath).filter(col("batch_id") < id).select("__h"),
+          Seq("__h"), "left_anti")
+      else inBatch)
+      .localCheckpoint(true) // consumed by the index fold-in, sigs, and score
+    // fold in: kept hashes cover every hash this batch saw (in-batch dups
+    // share their keeper's hash; earlier-batch dups are already indexed)
+    kept.select("__h").distinct()
+      .write.mode("overwrite").parquet(indexPath + s"/batch_id=$id")
+    // 3. decontaminate: row-local signatures vs the static eval signatures
+    val sigs = graft.api.Graft.minhashSignatureRowLocal(
+      kept.select(col("doc_id"), col("text")), "doc_id", "text",
+      numHashes = 32, gramHashSql = graft.api.Graft.md5GramSql)
+    val flagged = graft.api.Graft.minhashCandidatesAgainst(sigs, evalSigs,
+        "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+      .select(col("new_id").as("doc_id")).distinct()
+    val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
+    // 4. DSIR score with the static model; survivors land batch-keyed
+    graft.api.Graft.dsirScore(clean, "doc_id", "text", model, buckets = 256)
+      .select(col("doc_id"), col("n_tokens"), col("llr"))
+      .write.mode("overwrite").parquet(keptPath + s"/batch_id=$id")
+  }
+
   /** The reference's I6 exactly: per-key rolling sum over an unbounded keyed
     * stream (`keyBy(0).sum(1)`), running on the RocksDB state store provider
     * (declared surface D6 — flink-statebackend-rocksdb, study/pom.xml:70-74). */
