@@ -879,16 +879,22 @@ object Graft {
     val base = bits / nBlocks; val extra = bits % nBlocks
     val lens = (0 until nBlocks).map(b => if (b < extra) base + 1 else base)
     val offsets = lens.scanLeft(0)(_ + _)
+    // (1L << 64) wraps to 1 under Scala's mod-64 shift, which would turn a
+    // 64-bit-wide block's mask into 0 and collapse the pigeonhole prescreen
+    // into an all-pairs join (silently — the exact Hamming gate still
+    // filters, only the blocking dies). 64-bit blocks are reachable with
+    // bitsPerHalf = 64 and few blocks, so mask width 64 gets -1L explicitly.
+    def maskOf(len: Int): Long = if (len >= 64) -1L else (1L << len) - 1L
     def blockKey(b: Int): Column = {
       val o = offsets(b); val len = lens(b)
       val loLen = math.max(0, math.min(len, bitsPerHalf - o))
       val hiLen = len - loLen
       val loPart: Column =
-        if (loLen > 0) shiftright(col(loCol), o).bitwiseAND(lit((1L << loLen) - 1L))
+        if (loLen > 0) shiftright(col(loCol), o).bitwiseAND(lit(maskOf(loLen)))
         else lit(0L)
       val hiPart: Column =
         if (hiLen > 0) shiftright(col(hiCol), math.max(0, o - bitsPerHalf))
-          .bitwiseAND(lit((1L << hiLen) - 1L))
+          .bitwiseAND(lit(maskOf(hiLen)))
         else lit(0L)
       loPart.bitwiseOR(shiftleft(hiPart, loLen))
     }
@@ -2616,7 +2622,7 @@ object Graft {
     val trainView = s"graft_bloom_train_grams_$tag"
     evalGrams.createOrReplaceTempView(evalView)
     trainGrams.createOrReplaceTempView(trainView)
-    s.sql(
+    val out = s.sql(
       s"""WITH bf AS (SELECT bloom_agg(xxhash64(shingle), ${expectedGrams}L,
          |                             ${numBits}L) AS f
          |            FROM (SELECT DISTINCT shingle FROM $evalView)),
@@ -2627,6 +2633,12 @@ object Graft {
          |       count(DISTINCT e.__eval_id) AS n_eval_docs
          |FROM cand c JOIN $evalView e ON c.shingle = e.shingle
          |GROUP BY c.$idCol""".stripMargin)
+    // sql() analyzes eagerly — the returned plan holds the resolved
+    // relations, so the views can be dropped immediately (a long-lived
+    // ingest session would otherwise accumulate two pinned plans per call)
+    s.catalog.dropTempView(evalView)
+    s.catalog.dropTempView(trainView)
+    out
   }
   private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 

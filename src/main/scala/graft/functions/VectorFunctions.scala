@@ -178,8 +178,56 @@ case class Md5Hash60bExpr(child: Expression) extends UnaryExpression {
   * bit-identical to Graft.md5Hash60 / the DuckDB
   * ('0x' || substring(md5(g), 1, 15))::BIGINT twin (15 hex chars = the
   * first 15 nibbles = bits 127..68). */
-case class Md5Hash60Array(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+/** Shared contract of the per-element string-array hash expressions:
+  * analysis-time input validation (ARRAY<STRING>, mirroring the scalar
+  * expressions' checkInputDataTypes) and null-element transparency — a
+  * null element hashes to a null element, exactly like the `transform`
+  * lambda forms these natives replace, instead of an NPE at runtime. */
+trait StringArrayHashExpr extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+}
+
+object StringArrayHashExpr {
+  /** Null-transparent driver for the hash loops: the all-non-null fast
+    * path stays a primitive long array; a null element switches to the
+    * boxed path with nulls preserved positionally. */
+  def mapHash(arr: ArrayData, hash1: org.apache.spark.unsafe.types.UTF8String => Long): ArrayData = {
+    val n = arr.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { if (arr.isNullAt(i)) hasNull = true; i += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      var k = 0
+      while (k < n) { out(k) = hash1(arr.getUTF8String(k)); k += 1 }
+      ArrayData.toArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      var k = 0
+      while (k < n) {
+        out(k) = if (arr.isNullAt(k)) null
+                 else java.lang.Long.valueOf(hash1(arr.getUTF8String(k)))
+        k += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
+case class Md5Hash60Array(child: Expression) extends UnaryExpression
+    with StringArrayHashExpr {
   override def prettyName: String = "md5h60_array"
   override def nullSafeEval(v: Any): Any =
     Md5Hash60Array.hashAll(v.asInstanceOf[ArrayData])
@@ -195,22 +243,16 @@ object Md5Hash60Array {
       java.security.MessageDigest.getInstance("MD5")
   }
   // called from generated code
-  def hashAll(arr: ArrayData): ArrayData = {
-    val md = digests.get()
-    val n = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
+  def hashAll(arr: ArrayData): ArrayData =
+    StringArrayHashExpr.mapHash(arr, { s =>
+      val md = digests.get()
       md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val d = md.digest(s.getBytes)
       var b = 0L
       var j = 0
       while (j < 8) { b = (b << 8) | (d(j) & 0xffL); j += 1 }
-      out(i) = b >>> 4
-      i += 1
-    }
-    ArrayData.toArrayData(out)
-  }
+      b >>> 4
+    })
 }
 
 /** Per-element abs(xxhash64) over a string array — the production-default
@@ -218,8 +260,8 @@ object Md5Hash60Array {
   * abs(xxhash64(g)))`, Graft.xxHash63's value). Same rationale: one native
   * call instead of an interpreted per-element lambda. Uses Spark's own
   * XXH64 with the engine's default seed 42, abs'd into [0, 2^63). */
-case class XxHash63Array(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+case class XxHash63Array(child: Expression) extends UnaryExpression
+    with StringArrayHashExpr {
   override def prettyName: String = "xx63_array"
   override def nullSafeEval(v: Any): Any =
     XxHash63Array.hashAll(v.asInstanceOf[ArrayData])
@@ -231,27 +273,18 @@ case class XxHash63Array(child: Expression) extends UnaryExpression {
 
 object XxHash63Array {
   // called from generated code
-  def hashAll(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        s, org.apache.spark.sql.types.StringType, 42L)
-      out(i) = math.abs(h)
-      i += 1
-    }
-    ArrayData.toArrayData(out)
-  }
+  def hashAll(arr: ArrayData): ArrayData =
+    StringArrayHashExpr.mapHash(arr, s => math.abs(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, org.apache.spark.sql.types.StringType, 42L)))
 }
 
 /** Per-element RAW xxhash64 over a string array (`xx64_array(arr)` ≡
   * `transform(arr, g -> xxhash64(g))`, full 64-bit range) — the native
   * twin for the winnowing family's production-default gram hash, where
   * the sign carries signal and no abs is applied. */
-case class XxHash64Array(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+case class XxHash64Array(child: Expression) extends UnaryExpression
+    with StringArrayHashExpr {
   override def prettyName: String = "xx64_array"
   override def nullSafeEval(v: Any): Any =
     XxHash64Array.hashAll(v.asInstanceOf[ArrayData])
@@ -263,17 +296,10 @@ case class XxHash64Array(child: Expression) extends UnaryExpression {
 
 object XxHash64Array {
   // called from generated code
-  def hashAll(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        arr.getUTF8String(i), org.apache.spark.sql.types.StringType, 42L)
-      i += 1
-    }
-    ArrayData.toArrayData(out)
-  }
+  def hashAll(arr: ArrayData): ArrayData =
+    StringArrayHashExpr.mapHash(arr,
+      s => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, org.apache.spark.sql.types.StringType, 42L))
 }
 
 object VectorFunctions {

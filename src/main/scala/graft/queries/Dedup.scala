@@ -233,9 +233,10 @@ object Dedup {
     def sigs(part: DataFrame): DataFrame = graft.api.Graft.minhashSignatures(
       part, "doc_id", "text", numHashes = 32,
       baseHash = graft.api.Graft.md5Hash60)
-    val root = s"/tmp/graft_minhash_foldin/${s.sparkContext.applicationId}"
-    val base = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_")
-    Formats.registerCleanup(root)
+    // artifactBase carries the raw-path md5 disambiguation — without it,
+    // /data/sf1 and /data_sf1 sanitize to one key and the second dataset
+    // silently screens against the first one's fold-in index
+    val base = Formats.artifactBase(s, "graft_minhash_foldin", d)
     val indexPath = base + "/index"
     val marker = new org.apache.hadoop.fs.Path(base, "_FOLDIN_DONE")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -24,6 +24,22 @@ object Formats {
       }))
     }
 
+  /** App-unique, DATASET-unique artifact directory under /tmp/`rootName`:
+    * the sanitized dataset path PLUS an md5 prefix of the raw path —
+    * sanitization alone maps distinct dirs (/data/sf1, /data_sf1) to one
+    * key, silently serving one dataset's artifact for the other. One
+    * derivation shared by every at-rest artifact (IVF index, IVF refresh,
+    * minhash fold-in index) so the disambiguation cannot be forgotten.
+    * Registers `root` for JVM-exit cleanup. */
+  private[graft] def artifactBase(s: org.apache.spark.sql.SparkSession,
+      rootName: String, d: String): String = {
+    val root = s"/tmp/$rootName/${s.sparkContext.applicationId}"
+    registerCleanup(root)
+    val pathHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + pathHash
+  }
+
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(

@@ -191,14 +191,7 @@ object Similarity {
     * consumers, which is the production relationship. */
   private[graft] def ensurePersistedIvf(s: SparkSession, d: String): (String, String) = {
     VectorFunctions.register(s)
-    val root = s"/tmp/graft_ivf_index/${s.sparkContext.applicationId}"
-    // cache key: sanitized name PLUS an md5 prefix of the raw path —
-    // sanitization alone maps distinct dirs (/data/sf1, /data_sf1) to one
-    // key, silently serving one dataset's index for the other
-    val pathHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val base = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + pathHash
-    graft.queries.Formats.registerCleanup(root)
+    val base = graft.queries.Formats.artifactBase(s, "graft_ivf_index", d)
     val cPath = base + "/centroids"; val pPath = base + "/postings"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -238,11 +231,7 @@ object Similarity {
     * fold-in equals the from-scratch assignment. */
   def knnIvfRefresh(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val root = s"/tmp/graft_ivf_refresh/${s.sparkContext.applicationId}"
-    val pathHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val base = root + "/" + d.replaceAll("[^A-Za-z0-9.]", "_") + "_" + pathHash
-    graft.queries.Formats.registerCleanup(root)
+    val base = graft.queries.Formats.artifactBase(s, "graft_ivf_refresh", d)
     val cPath = base + "/centroids"; val pPath = base + "/postings"
     val marker = new org.apache.hadoop.fs.Path(base, "_REFRESH_DONE")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -46,6 +46,7 @@ class KnnServingProcessor(k: Int, ttlMs: Long)
     extends StatefulProcessor[Long, KnnCand, (Long, Int, Long, Int, Double, Long)] {
   @transient private var topk: ListState[graft.functions.Neighbor] = _
   @transient private var meta: ValueState[(Long, Long)] = _ // (lastSeenTs, nSeen)
+  @transient private var armed: ValueState[Long] = _ // currently registered expiry
   private val ord: Ordering[graft.functions.Neighbor] =
     Ordering.by((n: graft.functions.Neighbor) => (-n.score, n.c_id))
 
@@ -54,6 +55,8 @@ class KnnServingProcessor(k: Int, ttlMs: Long)
       Encoders.product[graft.functions.Neighbor], TTLConfig.NONE)
     meta = getHandle.getValueState[(Long, Long)]("meta",
       Encoders.product[(Long, Long)], TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[KnnCand],
@@ -65,8 +68,15 @@ class KnnServingProcessor(k: Int, ttlMs: Long)
     merged.foreach(topk.appendValue)
     val maxTs = batch.map(_.ts.getTime).max
     val nSeen = (if (meta.exists()) meta.get()._2 else 0L) + batch.length
-    meta.update((math.max(maxTs, if (meta.exists()) meta.get()._1 else 0L), nSeen))
-    getHandle.registerTimer(maxTs + ttlMs)
+    val lastSeen = math.max(maxTs, if (meta.exists()) meta.get()._1 else 0L)
+    meta.update((lastSeen, nSeen))
+    // ONE outstanding timer per key: delete the previously armed expiry
+    // before registering the refreshed one — without this, timer state
+    // grows by one entry per micro-batch inside each TTL window (the
+    // firehose this class exists for makes that batches/TTL × keys)
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    getHandle.registerTimer(lastSeen + ttlMs)
+    armed.update(lastSeen + ttlMs)
     merged.iterator.zipWithIndex.map { case (nb, i) =>
       (key, i + 1, nb.c_id, nb.label, nb.score, nSeen)
     }
@@ -77,10 +87,13 @@ class KnnServingProcessor(k: Int, ttlMs: Long)
     val last = if (meta.exists()) meta.get()._1 else Long.MinValue
     if (expiredTimerInfo.getExpiryTimeInMs() >= last + ttlMs) {
       // idle past TTL: evict — the state store forgets this query entirely
-      topk.clear(); meta.clear()
+      topk.clear(); meta.clear(); armed.clear()
     } else {
-      // stale timer from an earlier batch; activity since then re-arms
+      // defensive: with delete-before-register only the freshest timer can
+      // exist, so a stale firing shouldn't occur — but if one does (e.g. a
+      // checkpoint from a pre-delete version), re-arm at the true expiry
       getHandle.registerTimer(last + ttlMs)
+      armed.update(last + ttlMs)
     }
     Iterator.empty
   }
