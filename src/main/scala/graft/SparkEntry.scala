@@ -251,6 +251,7 @@ object SparkEntry {
     "q22_global_sales_opp" -> TpchMore.q22GlobalSalesOpp _,
 
     "dedup_clusters"    -> PipelineOps.dedupClusters _,
+    "dedup_keep_best"   -> PipelineOps.dedupKeepBest _,
     "sample_stratified" -> PipelineOps.sampleStratified _,
     "sketch_top_k"      -> PipelineOps.sketchTopK _,
     "sketch_count_min"  -> PipelineOps.sketchCountMin _,
@@ -4034,6 +4035,40 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // same transitive clusters, quality-aware keep rule: the representative
+    // is the integer-exact argmax (longest text, then min doc_id) — the
+    // row_number form is the deterministic cross-engine mirror of the
+    // Spark side's lexicographic struct-max aggregate
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS k_head,
+        |        md5(array_to_string(list_slice(toks, greatest(1, len(toks) - 7), len(toks)), ' ')) AS k_tail
+        |      FROM t),
+        |e0 AS (
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_head) AS b FROM k
+        |  UNION ALL
+        |  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k_tail) AS b FROM k),
+        |edges AS (
+        |  SELECT a, b FROM e0 WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM e0 WHERE a <> b),
+        |reach(v, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v),
+        |comp AS (SELECT v AS doc_id, min(m) AS cluster_id FROM reach GROUP BY v),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, length(d.text) AS len,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY length(d.text) DESC, c.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+        |  FROM comp c JOIN documents d USING (doc_id))
+        |SELECT cluster_id, doc_id AS rep_id, CAST(len AS BIGINT) AS rep_len,
+        |       cluster_size
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // The same recursive-CTE transitive closure as dedup_clusters, then the
     // per-CLUSTER md5 split rule — near-dups cannot straddle by construction.

@@ -41,6 +41,32 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware cluster representatives — the CCNet/production reading
+    * of dedup: a near-dup cluster keeps its BEST document, not its
+    * first-by-id. "Best" here is the integer-exact key (longest text,
+    * then min doc_id) so the choice is deterministic cross-engine; a
+    * production caller swaps in any quality column with the same
+    * struct-max shape. The per-cluster argmax runs as ONE aggregate of a
+    * lexicographic struct (max(struct(len, -doc_id))) — an aggregate with
+    * map-side combine, NOT a partition window, so a hot boilerplate
+    * cluster at 100 TB streams instead of buffering in one task.
+    * Output: one keep-list row per cluster. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val clustered = headTailClusters(docs)
+    val sized = clustered.join(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("__len")),
+      "doc_id")
+    sized.groupBy("cluster_id")
+      .agg(max(struct(col("__len"), (-col("doc_id")).as("__negid"))).as("__b"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"),
+        (-col("__b.__negid")).as("rep_id"),
+        col("__b.__len").as("rep_len"),
+        col("cluster_size"))
+      .orderBy("cluster_id")
+  }
+
   /** The COMPOSED curation pipeline — what a training-data run actually
     * executes, end to end: hold out the eval split → row-local
     * repetition-quality gate → transitive near-dup clustering, keeping one
