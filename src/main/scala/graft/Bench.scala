@@ -82,31 +82,75 @@ object Bench {
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val (selected, passes) =
       if (args.nonEmpty) (all.filter { case (n, _) => args.contains(n) }, 3) else (all, 1)
-    val results = (1 to passes).map { _ =>
-      selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Release the query's persisted blocks AFTER the timer stops: every
-        // localCheckpoint(true) barrier leaves MEMORY_AND_DISK blocks that
-        // are dead once the query returns, but without an unpersist they
-        // accumulate across the whole registry — at sf1 the storage pool
-        // fills after the ann_* family and unrelated downstream queries
-        // thrash (measured: date_funcs 151.7 s polluted vs 0.51 s isolated
-        // min-of-3; cumulate_windows 85.3 vs 3.8). A production job releases
-        // its checkpoints at job end; per-query isolation is the honest
-        // per-query cost.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        name -> dt
-      }
+    // Times one query end to end, then releases its persisted blocks AFTER
+    // the timer stops: every localCheckpoint(true) barrier leaves
+    // MEMORY_AND_DISK blocks that are dead once the query returns, but
+    // without an unpersist they accumulate across the whole registry — at
+    // sf1 the storage pool fills after the ann_* family and unrelated
+    // downstream queries thrash (measured: date_funcs 151.7 s polluted vs
+    // 0.51 s isolated min-of-3; cumulate_windows 85.3 vs 3.8). A production
+    // job releases its checkpoints at job end; per-query isolation is the
+    // honest per-query cost.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
+    }
+    val inPass = (1 to passes).map { _ =>
+      selected.map { case (name, fn) => name -> timeOnce(fn) }
     }.reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
+    // SELF-RULING full pass (VERDICT r11 task 2): a single full pass has
+    // breached the 2× gate twice (r9, r11) on unchanged-plan queries during
+    // machine-contention windows, forcing a next-round min-of-3 ruling. The
+    // full run now carries its own ruling: any query whose in-pass reading
+    // exceeds 2× its frozen profile (tools/profiles.json, min over committed
+    // sf0.1 readings on current-era plans; floor 2 s — sub-second queries are
+    // noise-dominated) is re-timed min-of-3 after the pass completes, and
+    // BOTH readings ship in the output. The official per-query value is the
+    // min (a clean re-run at profile proves the in-pass spike was load, the
+    // same evidence standard BASELINE.md Protocol #2 already codifies; a
+    // real regression reproduces in the re-time and stays visible).
+    val profiles: Map[String, Double] =
+      if (args.nonEmpty || !sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Map.empty
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File("tools/profiles.json")).get("profiles")
+        import scala.jdk.CollectionConverters._
+        node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case _: Throwable => Map.empty }
+    val byNameSel = selected.toMap
+    val flagged = inPass.filter { case (n, dt) =>
+      profiles.get(n).exists(p => dt > math.max(2.0, 2.0 * p))
+    }.map(_._1)
+    val retimed: Map[String, Double] = flagged.map { n =>
+      n -> (1 to 3).map(_ => timeOnce(byNameSel(n))).min
+    }.toMap
+    val results = inPass.map { case (n, dt) =>
+      n -> math.min(dt, retimed.getOrElse(n, dt))
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Self-ruling detail: for every re-timed query, both the in-pass reading
+    // and the clean min-of-3 — the official artifact carries its own
+    // contention ruling (VERDICT r11 task 2).
+    def rulingsJson(sel: Map[String, Double]): String =
+      if (sel.isEmpty) ""
+      else sel.toSeq.sortBy(_._1).map { case (n, m3) =>
+        s"""\"$n\":{"inpass":${fmt(inPass.toMap.apply(n))},"min3":${fmt(m3)}}"""
+      }.mkString(""","rulings":{""", ",", "}")
+    val rulings = rulingsJson(retimed)
+    // stdout last line is budget-bound (~2000 chars): cap inline rulings to
+    // the 10 largest inpass/min3 ratios; the full set is in BENCH_DETAIL.json
+    val rulingsLine = rulingsJson(
+      retimed.toSeq.sortBy { case (n, m3) => -(inPass.toMap.apply(n) / math.max(m3, 0.001)) }
+        .take(10).toMap)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${dict(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${dict(results)}$rulings,"sf":"$sfDir"}"""
     // Full per-query detail: a file plus an earlier stdout line (both outside
     // the last-line contract, which only the compact line below satisfies).
     try {
@@ -140,7 +184,7 @@ object Bench {
     val headline = results.filter { case (k, _) => headlineNames.contains(k) }
     // ADVICE r2: stop() may throw or hang shutdown chatter — never lose the line.
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"families":${dict(familyTotals)},"queries":${dict(headline)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"families":${dict(familyTotals)},"queries":${dict(headline)}$rulingsLine,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     Console.out.flush()
   }
 }
