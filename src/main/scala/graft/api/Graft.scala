@@ -2622,17 +2622,21 @@ object Graft {
     val trainView = s"graft_bloom_train_grams_$tag"
     evalGrams.createOrReplaceTempView(evalView)
     trainGrams.createOrReplaceTempView(trainView)
+    // identifier quoted (ADVICE r11): an id column needing backticks
+    // (spaces, hyphens, keywords) must work here like it does in the
+    // Column-API siblings, which go through col(idCol)
+    val idq = "`" + idCol.replace("`", "``") + "`"
     val out = s.sql(
       s"""WITH bf AS (SELECT bloom_agg(xxhash64(shingle), ${expectedGrams}L,
          |                             ${numBits}L) AS f
          |            FROM (SELECT DISTINCT shingle FROM $evalView)),
-         |cand AS (SELECT $idCol, shingle FROM $trainView
+         |cand AS (SELECT $idq, shingle FROM $trainView
          |         WHERE might_contain((SELECT f FROM bf), xxhash64(shingle)))
-         |SELECT /*+ BROADCAST(e) */ c.$idCol,
+         |SELECT /*+ BROADCAST(e) */ c.$idq,
          |       count(DISTINCT c.shingle) AS n_hits,
          |       count(DISTINCT e.__eval_id) AS n_eval_docs
          |FROM cand c JOIN $evalView e ON c.shingle = e.shingle
-         |GROUP BY c.$idCol""".stripMargin)
+         |GROUP BY c.$idq""".stripMargin)
     // sql() analyzes eagerly — the returned plan holds the resolved
     // relations, so the views can be dropped immediately (a long-lived
     // ingest session would otherwise accumulate two pinned plans per call)

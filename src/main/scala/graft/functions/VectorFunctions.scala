@@ -303,94 +303,70 @@ object XxHash64Array {
 }
 
 object VectorFunctions {
+  /** ONE builder table feeding BOTH registration paths (`register` and
+    * `GraftExtensions`): the two paths drifted in r11 — `xx64_array` was
+    * registered but never injected, so a deployment loading the engine via
+    * `spark.sql.extensions` got "undefined function" on the winnowing
+    * family's production-default hash (VERDICT r11 finding 2). A single
+    * source of truth makes silent drift impossible; ExtensionSpec
+    * additionally pins that both paths expose this exact name set.
+    *
+    * Entries: (name, implementing class for ExpressionInfo, builder).
+    * The bloom pair surfaces Spark's OWN runtime-filter machinery
+    * (InjectRuntimeFilter builds exactly bloom_filter_agg(xxhash64(k)) +
+    * might_contain on the probe side) as SQL functions so operators can
+    * build an explicit semi-join prescreen: the Bloom side is a bounded
+    * binary sketch that travels as a scalar subquery, the probe filter
+    * stays codegen'd. No behavior is re-implemented — the builders just
+    * name the existing catalyst expressions (the analyzer wraps the raw
+    * AggregateFunction the same way it wraps built-in aggregates). */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[VecDot],
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),
+    ("rolling_hash", classOf[RollingHash],
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    ("md5h60", classOf[Md5Hash60Expr],
+      (exprs: Seq[Expression]) => Md5Hash60Expr(exprs.head)),
+    ("md5h60b", classOf[Md5Hash60bExpr],
+      (exprs: Seq[Expression]) => Md5Hash60bExpr(exprs.head)),
+    ("md5h60_array", classOf[Md5Hash60Array],
+      (exprs: Seq[Expression]) => Md5Hash60Array(exprs.head)),
+    ("xx63_array", classOf[XxHash63Array],
+      (exprs: Seq[Expression]) => XxHash63Array(exprs.head)),
+    ("xx64_array", classOf[XxHash64Array],
+      (exprs: Seq[Expression]) => XxHash64Array(exprs.head)),
+    ("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions
+        .aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2))),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      (exprs: Seq[Expression]) => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
+
   /** Idempotently registers the native functions in the session's function
     * registry so queries can use them via `expr(...)` / SQL. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5h60", exprs => Md5Hash60Expr(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5h60b", exprs => Md5Hash60bExpr(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5h60_array", exprs => Md5Hash60Array(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "xx63_array", exprs => XxHash63Array(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "xx64_array", exprs => XxHash64Array(exprs.head), "scala_udf")
-    // Spark's OWN runtime-filter machinery (InjectRuntimeFilter builds
-    // exactly bloom_filter_agg(xxhash64(k)) + might_contain on the probe
-    // side), surfaced as SQL functions so operators can build an explicit
-    // semi-join prescreen: the Bloom side is a bounded binary sketch that
-    // travels as a scalar subquery, the probe filter stays codegen'd.
-    // No behavior is re-implemented — these builders just name the
-    // existing catalyst expressions (the analyzer wraps the raw
-    // AggregateFunction the same way it wraps built-in aggregates).
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_agg", exprs => new org.apache.spark.sql.catalyst.expressions
-        .aggregate.BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "might_contain", exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }
 
 /** SparkSessionExtensions entry point: lets a deployment load the engine's
   * native functions at session build time —
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions` — instead of the
-  * per-session `VectorFunctions.register` call the registry queries use. */
+  * per-session `VectorFunctions.register` call the registry queries use.
+  * Injects exactly `VectorFunctions.builders` — the same table `register`
+  * consumes, so the two paths cannot drift. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDot(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("rolling_hash"),
-      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollingHash(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("md5h60_array"),
-      new ExpressionInfo(classOf[Md5Hash60Array].getName, "md5h60_array"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Hash60Array(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("xx63_array"),
-      new ExpressionInfo(classOf[XxHash63Array].getName, "xx63_array"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        XxHash63Array(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("md5h60"),
-      new ExpressionInfo(classOf[Md5Hash60Expr].getName, "md5h60"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Hash60Expr(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("md5h60b"),
-      new ExpressionInfo(classOf[Md5Hash60bExpr].getName, "md5h60b"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Hash60bExpr(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("bloom_agg"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-        "bloom_agg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
-    ext.injectFunction((
-      FunctionIdentifier("might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "might_contain"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(exprs(0), exprs(1))))
+    VectorFunctions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
   }
 }

@@ -39,10 +39,18 @@ object Modern {
     * pushdown, same partial aggregation), which is the point: modern
     * notation at zero execution cost. The revenue sum goes through the
     * DECIMAL(18,4) exact pattern q1 uses so the oracle is bit-stable. */
+  // per-call view/function sequencing (ADVICE r11): concurrent calls in one
+  // session with different datasets must not rebind each other's temp
+  // objects mid-plan — the same hazard Graft.bloomDecontaminate fixed
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def pipeSyntax(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_pipe_lineitem")
-    s.sql(
-      """FROM graft_pipe_lineitem
+    val view = s"graft_pipe_lineitem_${viewSeq.incrementAndGet()}"
+    Tables.lineitem(s, d).createOrReplaceTempView(view)
+    // sql() analyzes eagerly — the returned plan holds the resolved
+    // relation, so the view is dropped before returning
+    val out = s.sql(
+      s"""FROM $view
         ||> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,4))
         |          * CAST(1 - l_discount AS DECIMAL(18,4)) AS disc_price
@@ -51,6 +59,8 @@ object Modern {
         |   GROUP BY l_returnflag, l_linestatus
         ||> WHERE n_items > 10
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    s.catalog.dropTempView(view)
+    out
   }
 
   /** Declarative SQL UDFs (Spark 4.x `CREATE FUNCTION … RETURN expr`): the
@@ -60,22 +70,31 @@ object Modern {
     * inlined expression, so the hash match proves the UDF layer is
     * semantics-free. */
   def sqlUdf(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("graft_sqludf_lineitem")
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, disc DOUBLE)
+    val tag = viewSeq.incrementAndGet()
+    val view = s"graft_sqludf_lineitem_$tag"
+    Tables.lineitem(s, d).createOrReplaceTempView(view)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price_$tag(p DOUBLE, disc DOUBLE)
             |RETURNS DECIMAL(18,4)
             |RETURN CAST(p AS DECIMAL(18,4)) * CAST(1 - disc AS DECIMAL(18,4))""".stripMargin)
-    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE)
+    s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band_$tag(q DOUBLE)
             |RETURNS STRING
             |RETURN CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid'
             |            ELSE 'high' END""".stripMargin)
-    s.sql(
-      """SELECT l_returnflag, graft_qty_band(l_quantity) AS band,
+    // the UDF bodies are INLINED at analysis, so after the eager sql() the
+    // temp functions and view can be dropped — a long-lived session would
+    // otherwise accumulate two functions per call forever
+    val out = s.sql(
+      s"""SELECT l_returnflag, graft_qty_band_$tag(l_quantity) AS band,
         |  count(*) AS n_items,
-        |  CAST(round(sum(graft_disc_price(l_extendedprice, l_discount)), 2)
+        |  CAST(round(sum(graft_disc_price_$tag(l_extendedprice, l_discount)), 2)
         |       AS DOUBLE) AS revenue
-        |FROM graft_sqludf_lineitem
+        |FROM $view
         |GROUP BY l_returnflag, band
         |ORDER BY l_returnflag, band""".stripMargin)
+    s.catalog.dropTempView(view)
+    s.sql(s"DROP TEMPORARY FUNCTION IF EXISTS graft_qty_band_$tag")
+    s.sql(s"DROP TEMPORARY FUNCTION IF EXISTS graft_disc_price_$tag")
+    out
   }
 
   /** Recursive CTE (Spark 4.x): a 25-step modular walk over the nation graph

@@ -101,6 +101,36 @@ class ExtensionSpec extends SparkSpec {
     new functions.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("register() and GraftExtensions expose the IDENTICAL function-name set") {
+    // VERDICT r11 finding 2: the two registration paths drifted (xx64_array
+    // was registered but not injected). Both now consume
+    // VectorFunctions.builders; this pins that (a) every builder name
+    // resolves through the session registry after register(), and (b) the
+    // extensions path injects exactly the builder-name set — read back from
+    // the SparkSessionExtensions instance, so a future hand-added
+    // injectFunction call outside the table is caught too.
+    val names = functions.VectorFunctions.builders.map(_._1).toSet
+    functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    names.foreach { n =>
+      assert(spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(n)),
+        s"register() did not register $n")
+    }
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new functions.GraftExtensions().apply(ext)
+    val injected = ext.getClass.getDeclaredFields.collectFirst {
+      case f if f.getName.contains("injectedFunctions") =>
+        f.setAccessible(true)
+        f.get(ext).asInstanceOf[scala.collection.mutable.Buffer[
+          (FunctionIdentifier, org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              org.apache.spark.sql.catalyst.expressions.Expression)]]
+          .map(_._1.funcName).toSet
+    }.getOrElse(fail("SparkSessionExtensions.injectedFunctions field not found"))
+    assert(injected == names,
+      s"extension path drifted: missing ${names -- injected}, extra ${injected -- names}")
+  }
+
   test("rolling_hash matches a by-hand polynomial fold") {
     functions.VectorFunctions.register(spark)
     def ref(s: String): Long = {
