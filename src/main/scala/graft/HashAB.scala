@@ -37,7 +37,21 @@ object HashAB {
       ("doc_winnowing", "md5", () => Graft.winnowFingerprints(docs,
         "doc_id", "text", gramHash = Graft.md5GramSql).count()),
       ("doc_winnowing", "xxh", () => Graft.winnowFingerprints(docs,
-        "doc_id", "text").count()))
+        "doc_id", "text").count()),
+      // the two ingest loops (VERDICT r11 task 7): registry rows pay the
+      // in-lambda md5 oracle tax; production passes the xx63 pair. Each
+      // call re-stages its batches and re-runs the full stream (the staging
+      // harness wipes the loop's base dir), so the timing is a cold loop.
+      ("stream_online_dedup", "md5", () => graft.streaming.StreamingQueries
+        .streamOnlineDedup(spark, sfDir, Graft.md5GramSql).count()),
+      ("stream_online_dedup", "xxh", () => graft.streaming.StreamingQueries
+        .streamOnlineDedup(spark, sfDir, Graft.xx63GramSql).count()),
+      ("stream_decontaminate_stateless", "md5", () => graft.streaming
+        .StreamingQueries.streamDecontaminateStateless(spark, sfDir,
+          Graft.md5GramSql, Graft.md5Hash60).count()),
+      ("stream_decontaminate_stateless", "xxh", () => graft.streaming
+        .StreamingQueries.streamDecontaminateStateless(spark, sfDir,
+          Graft.xx63GramSql, Graft.xxHash63).count()))
     // untimed warmup
     spark.range(1000).selectExpr("id % 7 AS k").groupBy("k").count().count()
     val best = cases.map { case (op, hash, run) =>

@@ -170,7 +170,12 @@ object SparkEntry {
     "gap_fill"          -> EventTime.gapFill _,
     // dedup (round 2)
     "dedup_levenshtein" -> Dedup.dedupLevenshtein _,
-    "dedup_minhash_mllib" -> Dedup.dedupMinhashMllib _,
+    // dedup_minhash_mllib (the MLlib MinHashLSH library path) is SUITE-ONLY
+    // since r12 (Round12Spec pins it against the hand-rolled banded LSH):
+    // MLlib's private hash family has no SQL twin, so as a registry row it
+    // was the single rows-only entry — demoting it makes the registry 100%
+    // oracled (VERDICT r11 task 4, option 2) and drops its 2.6 s (sf0.1) /
+    // 68 s (sf1) fit+self-join cost from the official bench.
     // fused top-k aggregate
     "knn_topk_agg"      -> Similarity.knnTopkAgg _,
     // multimodal columns
@@ -203,6 +208,7 @@ object SparkEntry {
     "stream_dsir"       -> StreamingQueries.streamDsir _,
     "stream_knn"        -> StreamingQueries.streamKnn _,
     "stream_knn_ttl"    -> StreamingQueries.streamKnnTtl _,
+    "stream_knn_ttl_evict" -> StreamingQueries.streamKnnTtlEvict _,
     "stream_knn_ivf"    -> StreamingQueries.streamKnnIvf _,
     "stream_decontaminate" -> StreamingQueries.streamDecontaminate _,
     "stream_online_dedup" -> StreamingQueries.streamOnlineDedup _,
@@ -3016,6 +3022,32 @@ object SparkEntry {
     // TTL-evicting serving state, TTL beyond the bounded stream: final
     // state must still equal the batch brute-force answer
     "stream_knn_ttl" -> knnBruteForceOracleSql,
+    // eviction witness: each key's final state is the brute-force top-5 of
+    // its LAST probe vector — keys 0..4 revisit with vectors 20..24 AFTER
+    // their 1-hour idle TTL fired, so a hash match proves the pre-eviction
+    // state did NOT merge into the revisit answer (a no-evict run would
+    // produce per-candidate best-of-both-vectors scores instead)
+    "stream_knn_ttl_evict" ->
+      """WITH probes AS (
+        |  SELECT i AS q_id, CASE WHEN i < 5 THEN i + 20 ELSE i END AS src_id
+        |  FROM range(0, 10) t(i)),
+        |q AS (
+        |  SELECT p.q_id, e.embedding AS qv
+        |  FROM probes p JOIN embeddings e ON e.vec_id = p.src_id),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv, label FROM embeddings),
+        |p AS (
+        |  SELECT q_id, c_id, label,
+        |    round(list_dot_product(qv::DOUBLE[], cv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+        |       sqrt(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]))), 6) AS score6
+        |  FROM q JOIN c ON q_id <> c_id),
+        |r AS (
+        |  SELECT q_id, c_id, label, score6,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score6 DESC, c_id ASC) AS INTEGER) AS rn
+        |  FROM p)
+        |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
+        |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     // per-batch probes of the persisted IVF index; the union of per-batch
     // answers must equal the batch IVF answer — knn_ivf's closed-form
     // unroll, verbatim (the at-rest index is bit-identical to the model)

@@ -43,7 +43,7 @@ case class KnnCand(q_id: Long, c_id: Long, label: Int, score: Double,
   * a genuinely idle query's state is CLEARED — a fresh probe then
   * re-creates it from scratch (pinned by the Round11 suite). */
 class KnnServingProcessor(k: Int, ttlMs: Long)
-    extends StatefulProcessor[Long, KnnCand, (Long, Int, Long, Int, Double, Long)] {
+    extends StatefulProcessor[Long, KnnCand, (Long, Int, Long, Int, Double, Long, Long)] {
   @transient private var topk: ListState[graft.functions.Neighbor] = _
   @transient private var meta: ValueState[(Long, Long)] = _ // (lastSeenTs, nSeen)
   @transient private var armed: ValueState[Long] = _ // currently registered expiry
@@ -60,10 +60,15 @@ class KnnServingProcessor(k: Int, ttlMs: Long)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[KnnCand],
-      timerValues: TimerValues): Iterator[(Long, Int, Long, Int, Double, Long)] = {
+      timerValues: TimerValues): Iterator[(Long, Int, Long, Int, Double, Long, Long)] = {
     val batch = rows.toArray
     val incoming = batch.map(r => graft.functions.Neighbor(r.c_id, r.label, r.score))
-    val merged = (topk.get().toArray ++ incoming).sorted(ord).take(k)
+    // dedupe by candidate id, keeping the best score (ADVICE r11): a
+    // candidate re-scored or re-delivered for the same query in a later
+    // micro-batch must not occupy multiple top-k slots
+    val merged = (topk.get().toArray ++ incoming)
+      .groupBy(_.c_id).valuesIterator.map(_.min(ord)).toArray
+      .sorted(ord).take(k)
     topk.clear()
     merged.foreach(topk.appendValue)
     val maxTs = batch.map(_.ts.getTime).max
@@ -77,13 +82,17 @@ class KnnServingProcessor(k: Int, ttlMs: Long)
     if (armed.exists()) getHandle.deleteTimer(armed.get())
     getHandle.registerTimer(lastSeen + ttlMs)
     armed.update(lastSeen + ttlMs)
+    // last_ts rides along so a final-state readout can pick the LAST
+    // emission per key even across an evict-and-re-form (n_seen resets on
+    // re-form, so max_by(n_seen) alone can tie or pick a pre-eviction row
+    // — the registry eviction scenario reads out by max_by(last_ts))
     merged.iterator.zipWithIndex.map { case (nb, i) =>
-      (key, i + 1, nb.c_id, nb.label, nb.score, nSeen)
+      (key, i + 1, nb.c_id, nb.label, nb.score, nSeen, lastSeen)
     }
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Int, Long, Int, Double, Long)] = {
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Int, Long, Int, Double, Long, Long)] = {
     val last = if (meta.exists()) meta.get()._1 else Long.MinValue
     if (expiredTimerInfo.getExpiryTimeInMs() >= last + ttlMs) {
       // idle past TTL: evict — the state store forgets this query entirely
@@ -560,13 +569,85 @@ object StreamingQueries {
       val served = cands.groupByKey(_.q_id)
         .transformWithState(new KnnServingProcessor(5, ttlMs = 365L * 24 * 3600 * 1000),
           TimeMode.EventTime(), OutputMode.Update(),
-          Encoders.product[(Long, Int, Long, Int, Double, Long)])
-        .toDF("q_id", "rn", "c_id", "label", "score6", "n_seen")
+          Encoders.product[(Long, Int, Long, Int, Double, Long, Long)])
+        .toDF("q_id", "rn", "c_id", "label", "score6", "n_seen", "last_ts")
       runToMemory(s, served, "graft_stream_knn_ttl", "update")
         .groupBy("q_id", "rn")
         .agg(expr("max_by(c_id, n_seen)").as("c_id"),
           expr("max_by(label, n_seen)").as("label"),
           round(expr("max_by(score6, n_seen)"), 4).as("cos_sim"))
+        .select(col("q_id"), col("rn").cast("int").as("rn"), col("c_id"),
+          col("label"), col("cos_sim"))
+        .orderBy("q_id", "rn")
+    } finally {
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
+  /** REGISTRY-VISIBLE TTL eviction (VERDICT r11 task 8): streamKnnTtl's
+    * registry row runs with a TTL the bounded stream never reaches, so
+    * eviction was only suite-pinned. This scenario makes an
+    * evicted-then-re-created key's final state ORACLE-checked: four staged
+    * micro-batches against a 1-hour TTL —
+    *   b0 (T0)        queries 0..9 probe their own embeddings;
+    *   b1 (T0+2h)     sentinel query 10 advances the watermark past every
+    *                  b0 key's idle deadline (T0+1h);
+    *   b2 (T0+2h10m)  sentinel query 11 — processing it fires the expired
+    *                  timers (timers fire one batch after the watermark
+    *                  passes them), EVICTING queries 0..9;
+    *   b3 (T0+2h20m)  queries 0..4 REVISIT under their old q_ids but with
+    *                  the embeddings of vectors 20..24.
+    * Because state was evicted, each revisited key re-forms from scratch:
+    * its final top-k is the 20..24-vector answer ONLY. Had eviction not
+    * happened, the revisit would have merged into the stored top-k (per-
+    * candidate best score across BOTH probe vectors — a different set),
+    * so the DuckDB oracle (per key: brute-force top-5 of its LAST probe
+    * vector) hash-matches iff eviction and re-creation actually occurred.
+    * Readout is max_by(last_ts) — n_seen resets on re-form, so the
+    * n_seen readout of the no-evict row would tie pre- and post-eviction
+    * emissions. */
+  def streamKnnTtlEvict(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = s"/tmp/graft_stream_ttl_evict/${s.sparkContext.applicationId}/" +
+        d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val spec = ((0L to 9L).map(q => (q, q, "2024-01-01 00:00:00", 0)) ++
+        Seq((10L, 10L, "2024-01-01 02:00:00", 1),
+            (11L, 11L, "2024-01-01 02:10:00", 2)) ++
+        (0L to 4L).map(q => (q, q + 20L, "2024-01-01 02:20:00", 3)))
+        .toDF("q_id", "src_id", "ts_s", "batch")
+      val probes = spec.join(emb, col("src_id") === col("vec_id"))
+        .select(col("q_id"), col("embedding").as("qv"),
+          to_timestamp(col("ts_s")).as("ts"), col("batch"))
+      val srcDir = stageOrderedBatches(probes, base, "batch", 4)
+      val corpus = graft.Tables.embeddings(s, d)
+        .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label"))
+      val stream = s.readStream.schema(probes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withWatermark("ts", "0 seconds")
+      val cands = stream.join(corpus, col("q_id") =!= col("c_id"))
+        .withColumn("score6", round(
+          expr("vec_dot(qv, cv) / (sqrt(vec_dot(qv, qv)) * sqrt(vec_dot(cv, cv)))"), 6))
+        .select(col("q_id"), col("c_id"), col("label"),
+          col("score6").as("score"), col("ts"))
+        .as[KnnCand]
+      val served = cands.groupByKey(_.q_id)
+        .transformWithState(new KnnServingProcessor(5, ttlMs = 3600L * 1000),
+          TimeMode.EventTime(), OutputMode.Update(),
+          Encoders.product[(Long, Int, Long, Int, Double, Long, Long)])
+        .toDF("q_id", "rn", "c_id", "label", "score6", "n_seen", "last_ts")
+      runToMemory(s, served, "graft_stream_knn_ttl_evict", "update")
+        .filter(col("q_id") < 10)
+        .groupBy("q_id", "rn")
+        .agg(expr("max_by(c_id, last_ts)").as("c_id"),
+          expr("max_by(label, last_ts)").as("label"),
+          round(expr("max_by(score6, last_ts)"), 4).as("cos_sim"))
         .select(col("q_id"), col("rn").cast("int").as("rn"), col("c_id"),
           col("label"), col("cos_sim"))
         .orderBy("q_id", "rn")
@@ -638,17 +719,27 @@ object StreamingQueries {
     * screen against the STATIC eval index and a per-candidate-pair max —
     * state bounded by FLAGGED pairs (output-sized), not by corpus size.
     * Oracle: identical flagged set to streamDecontaminate, hash-matched. */
-  def streamDecontaminateStateless(s: SparkSession, d: String): DataFrame = {
+  def streamDecontaminateStateless(s: SparkSession, d: String): DataFrame =
+    streamDecontaminateStateless(s, d, graft.api.Graft.md5GramSql,
+      graft.api.Graft.md5Hash60)
+
+  /** Hash-parameterized form (VERDICT r11 task 7): the registry row pays
+    * the interpreted in-lambda md5 gram hash so DuckDB can mirror the
+    * signatures; a production ingest passes `Graft.xx63GramSql` /
+    * `Graft.xxHash63` — the measured sf1 A/B for both is in SCALE.md. */
+  private[graft] def streamDecontaminateStateless(s: SparkSession, d: String,
+      gramHashSql: String => String,
+      baseHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
     val evalSigs = graft.api.Graft.minhashSignatures(
       docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
-      numHashes = 32, baseHash = graft.api.Graft.md5Hash60)
+      numHashes = 32, baseHash = baseHash)
     val streamSigs = graft.api.Graft.minhashSignatureRowLocal(
       readStreamTable(s, d, "documents")
         .filter(col("doc_id") % 17 =!= 0)
         .select(col("doc_id"), col("text")),
       "doc_id", "text", numHashes = 32,
-      gramHashSql = graft.api.Graft.md5GramSql)
+      gramHashSql = gramHashSql)
     val flagged = graft.api.Graft.minhashCandidatesAgainst(streamSigs, evalSigs,
         "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
       .select(col("new_id").as("doc_id"), col("index_id").as("eval_id"),
@@ -705,7 +796,14 @@ object StreamingQueries {
     srcDir.toString
   }
 
-  def streamOnlineDedup(s: SparkSession, d: String): DataFrame = {
+  def streamOnlineDedup(s: SparkSession, d: String): DataFrame =
+    streamOnlineDedup(s, d, graft.api.Graft.md5GramSql)
+
+  /** Hash-parameterized form (VERDICT r11 task 7): the registry row pays
+    * the in-lambda md5 gram hash (the oracle tax); production passes
+    * `Graft.xx63GramSql`. Measured sf1 A/B in SCALE.md. */
+  private[graft] def streamOnlineDedup(s: SparkSession, d: String,
+      gramHashSql: String => String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val base = s"/tmp/graft_stream_online/${s.sparkContext.applicationId}/" +
       d.replaceAll("[^A-Za-z0-9.]", "_")
@@ -722,7 +820,7 @@ object StreamingQueries {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", base + "/ckpt")
-      .foreachBatch(onlineDedupBatch(s, indexPath, flagsPath) _)
+      .foreachBatch(onlineDedupBatch(s, indexPath, flagsPath, gramHashSql) _)
       .start()
     try q.awaitTermination() finally q.stop()
     if (fs.exists(new org.apache.hadoop.fs.Path(flagsPath)))
@@ -747,13 +845,14 @@ object StreamingQueries {
     * contract, independent of how many times this batch runs. Factored out
     * so the suite can replay a batch and pin idempotence. */
   private[graft] def onlineDedupBatch(s: SparkSession, indexPath: String,
-      flagsPath: String)(
+      flagsPath: String,
+      gramHashSql: String => String = graft.api.Graft.md5GramSql)(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val sigs = graft.api.Graft.minhashSignatureRowLocal(batch,
       "doc_id", "text", numHashes = 32,
-      gramHashSql = graft.api.Graft.md5GramSql)
+      gramHashSql = gramHashSql)
     if (id > 0 && fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
       val earlier = s.read.parquet(indexPath)
         .filter(col("batch_id") < id).drop("batch_id")

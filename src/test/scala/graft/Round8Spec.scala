@@ -107,18 +107,21 @@ class Round8Spec extends SparkSpec {
   // ---------- at-rest incremental dedup (VERDICT r7 #6) ----------
 
   test("dedupIncremental persists the index once and reuses it") {
+    // r12: the at-rest index is the SHARED signature artifact
+    // (Dedup.ensureSignatureTable, /tmp/graft_minhash_sigs/<appId>/...),
+    // filter-pruned to the index ids — built on first use, untouched after
     val first = graft.queries.Dedup.dedupIncremental(spark, sf).collect()
-    val indexRoot = new java.io.File(
-      s"/tmp/graft_minhash_index/${spark.sparkContext.applicationId}")
-    assert(indexRoot.exists(), "index side table written on first use")
-    val mtimes = indexRoot.listFiles().flatMap(d =>
-      Option(d.listFiles()).getOrElse(Array.empty)).map(_.lastModified()).sorted
+    val sigRoot = new java.io.File(
+      s"/tmp/graft_minhash_sigs/${spark.sparkContext.applicationId}")
+    assert(sigRoot.exists(), "shared signature table written on first use")
+    def mtimes() = sigRoot.listFiles().flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)).flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array(d))).map(_.lastModified()).sorted
+    val m1 = mtimes()
     val second = graft.queries.Dedup.dedupIncremental(spark, sf).collect()
-    val mtimes2 = indexRoot.listFiles().flatMap(d =>
-      Option(d.listFiles()).getOrElse(Array.empty)).map(_.lastModified()).sorted
-    // same result, index files untouched by the second increment
+    // same result, artifact files untouched by the second increment
     assert(first.toSeq === second.toSeq)
-    assert(mtimes.toSeq === mtimes2.toSeq)
+    assert(m1.toSeq === mtimes().toSeq)
   }
 
   // ---------- MinKByDistance ≡ window top-k ----------
