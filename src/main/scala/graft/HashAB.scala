@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions.col
 object HashAB {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // Optional op-name filter (args 2..n) so an sf1 run can pay for only the
+    // cells under study instead of the whole table.
+    val only: Set[String] = args.drop(1).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,7 +57,8 @@ object HashAB {
           Graft.xx63GramSql, Graft.xxHash63).count()))
     // untimed warmup
     spark.range(1000).selectExpr("id % 7 AS k").groupBy("k").count().count()
-    val best = cases.map { case (op, hash, run) =>
+    val selected = if (only.isEmpty) cases else cases.filter(c => only(c._1))
+    val best = selected.map { case (op, hash, run) =>
       val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
       }.min
