@@ -165,7 +165,8 @@ object Bench {
       "chunk_", "vocab_", "select_", "mixture_", "pack_", "pipeline_",
       "split_", "lang_", "tfidf_", "text_", "token_", "ngram_",
       "decontaminate_", "ann_", "vector_", "zorder_", "sample_",
-      "multimodal_", "pii_", "word_", "pmi_", "source_", "hybrid_")
+      "multimodal_", "pii_", "word_", "pmi_", "source_", "hybrid_",
+      "contamination_")
     def family(name: String): String =
       if (name.matches("q\\d+_.*")) "tpch"
       else if (name.startsWith("stream_")) "streaming"

@@ -282,6 +282,9 @@ object SparkEntry {
     "pipeline_apply_mixture" -> PipelineOps.pipelineApplyMixture _,
     "source_divergence" -> TextAnalysis.sourceDivergence _,
     "doc_novelty"       -> TextAnalysis.docNovelty _,
+    "mixture_waterfill" -> PipelineOps.mixtureWaterfillQuery _,
+    "contamination_report" -> PipelineOps.contaminationReport _,
+    "quality_ensemble"  -> TextAnalysis.qualityEnsemble _,
   )
 
   /** DuckDB twin of PipelineOps.pipelineCurateMultimodal: the
@@ -684,6 +687,172 @@ object SparkEntry {
        |  JOIN sig sb ON sb.doc_id = index_id)
        |SELECT new_id AS doc_id, index_id AS eval_id, est_jaccard FROM est
        |WHERE est_jaccard >= 0.2 ORDER BY doc_id, eval_id""".stripMargin
+
+  /** DuckDB twin of PipelineOps.contaminationReport: the decontaminate_
+    * minhash signature CTEs (verbatim prefix) plus the exact-md5 and
+    * 6-gram screens over the same % 17 split, each collapsed to its
+    * (flagged train docs, eval docs hit) counts; the flag rate is the
+    * integer ratio4 over the training-doc count. */
+  private def contaminationReportOracleSql: String =
+    s"""$minhashSigCtePrefix,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band
+       |   AND a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0),
+       |est AS (
+       |  SELECT new_id, index_id,
+       |    $minhashEstExpr
+       |      AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = new_id
+       |  JOIN sig sb ON sb.doc_id = index_id),
+       |mh_r AS (
+       |  SELECT 'minhash' AS signal, count(DISTINCT new_id) AS n_flagged_train,
+       |    count(DISTINCT index_id) AS n_eval_hit
+       |  FROM est WHERE est_jaccard >= 0.2),
+       |fpx AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM documents),
+       |ex_r AS (
+       |  SELECT 'exact' AS signal, count(DISTINCT t.doc_id) AS n_flagged_train,
+       |    count(DISTINCT e.doc_id) AS n_eval_hit
+       |  FROM fpx t JOIN fpx e ON t.f = e.f
+       |   AND t.doc_id % 17 <> 0 AND e.doc_id % 17 = 0),
+       |g6 AS (
+       |  SELECT doc_id, array_to_string(list_slice(toks, i, i + 5), ' ') AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |    UNNEST(range(1, greatest(1, len(toks) - 4))) AS u(i)),
+       |ng_r AS (
+       |  SELECT 'ngram6' AS signal, count(DISTINCT a.doc_id) AS n_flagged_train,
+       |    count(DISTINCT b.doc_id) AS n_eval_hit
+       |  FROM g6 a JOIN g6 b ON a.gram = b.gram
+       |   AND a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0),
+       |nt AS (SELECT count(1) AS n FROM documents WHERE doc_id % 17 <> 0)
+       |SELECT signal, n_flagged_train, n_eval_hit,
+       |  CAST((20000 * n_flagged_train + n) // (2 * n) AS DOUBLE) / 10000.0
+       |    AS flag_rate4
+       |FROM (SELECT * FROM ex_r UNION ALL SELECT * FROM mh_r
+       |      UNION ALL SELECT * FROM ng_r) CROSS JOIN nt
+       |ORDER BY signal""".stripMargin
+
+  /** DuckDB twin of Graft.mixtureWaterfill over the per-lang token
+    * inventory (weights = doc counts, budget = 2/3 of corpus tokens): the
+    * float ratio only ORDERS rows; saturation, the floor split, and the
+    * Hamilton remainder are pure integer arithmetic — bit-identical
+    * cross-engine. */
+  private def mixtureWaterfillOracleSql: String =
+    """WITH inv AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail,
+      |    count(1) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |b AS (SELECT CAST(sum(avail) * 2 // 3 AS BIGINT) AS budget FROM inv),
+      |r AS (
+      |  SELECT lang, avail, n_docs AS weight, budget,
+      |    sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cum,
+      |    sum(n_docs) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cumw,
+      |    sum(n_docs) OVER () AS totw
+      |  FROM inv CROSS JOIN b),
+      |s1 AS (
+      |  SELECT *, CASE WHEN avail * (totw - cumw + weight)
+      |      <= (budget - cum + avail) * weight THEN 1 ELSE 0 END AS satraw
+      |  FROM r),
+      |s2 AS (
+      |  SELECT *, min(satraw) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, lang ASC) = 1 AS saturated
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, budget - sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS pool,
+      |    greatest(totw - sum(CASE WHEN saturated THEN weight ELSE 0 END) OVER (), 1) AS remw
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *, CASE WHEN saturated THEN avail ELSE (pool * weight) // remw END AS base,
+      |    CASE WHEN saturated THEN 0 ELSE (pool * weight) % remw END AS fracrem
+      |  FROM s3),
+      |s5 AS (
+      |  SELECT *, (sum(fracrem) OVER ()) // remw AS leftn,
+      |    row_number() OVER (ORDER BY CASE WHEN saturated THEN 1 ELSE 0 END ASC,
+      |      fracrem DESC, lang ASC) AS fr
+      |  FROM s4),
+      |s6 AS (
+      |  SELECT lang, avail, weight, saturated,
+      |    CASE WHEN saturated THEN avail
+      |      ELSE base + CASE WHEN fr <= leftn THEN 1 ELSE 0 END END AS alloc
+      |  FROM s5)
+      |SELECT lang, avail AS avail_tokens, weight AS n_docs, saturated,
+      |  CAST(alloc AS BIGINT) AS alloc,
+      |  CAST((20000 * alloc + avail) // (2 * avail) AS DOUBLE) / 10000.0 AS fill_share4
+      |FROM s6 ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.qualityEnsemble: the quality_gopher,
+    * quality_classifier, and quality_perplexity oracle CTEs verbatim,
+    * joined per document, then per-source percentile-disc thresholds on
+    * the ratio4 grids (cumulative counts over the grid — integer compares)
+    * and the three-way keep rollup. */
+  private def qualityEnsembleOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |gm AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sumlen,
+      |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+      |    CAST(len(list_filter(['the','a','of','and','is'], w -> list_contains(ts, w))) AS BIGINT) AS n_stop
+      |  FROM tk WHERE len(ts) >= 1),
+      |gp AS (
+      |  SELECT doc_id, (n_words BETWEEN 20 AND 100000) AND (3 * n_words <= sumlen)
+      |    AND (sumlen <= 10 * n_words) AND (5 * alpha >= 4 * n_words)
+      |    AND (n_stop >= 2) AS passes
+      |  FROM gm),
+      |cw AS (
+      |  SELECT b AS bucket,
+      |    ('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS weight
+      |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+      |cb AS (
+      |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS bucket
+      |  FROM (SELECT doc_id, unnest(ts) AS tok FROM tk)),
+      |ca AS (
+      |  SELECT doc_id, count(1) AS n_tokens, CAST(sum(weight) AS BIGINT) AS sw
+      |  FROM cb JOIN cw USING (bucket) GROUP BY doc_id),
+      |cs AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN sw >= 0 THEN (20000 * sw + n_tokens) // (2 * n_tokens)
+      |      ELSE -((20000 * -sw + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score
+      |  FROM ca),
+      |bg AS (
+      |  SELECT doc_id, i AS pos, ts[i - 1] AS prev, ts[i] AS cur
+      |  FROM tk, UNNEST(range(2, len(ts) + 1)) AS r(i)),
+      |cbg AS (SELECT prev, cur, count(1) AS c FROM bg GROUP BY prev, cur),
+      |cctx AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cc FROM cbg GROUP BY prev),
+      |vo AS (SELECT count(DISTINCT t) AS vs FROM (SELECT unnest(ts) AS t FROM tk)),
+      |nl AS (
+      |  SELECT doc_id, pos,
+      |    -(floor(ln((CAST(c AS DOUBLE) + 1.0)
+      |      / (CAST(cc AS DOUBLE) + 1.0 * CAST(vs AS DOUBLE))) * 1048576.0) / 1048576.0) AS nll
+      |  FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev) CROSS JOIN vo),
+      |pp AS (
+      |  SELECT doc_id, round(list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) / count(1), 4) AS nll
+      |  FROM nl GROUP BY doc_id),
+      |j AS (
+      |  SELECT tk.source, gp.doc_id, gp.passes, cs.score, pp.nll
+      |  FROM gp JOIN cs USING (doc_id) JOIN pp USING (doc_id)
+      |  JOIN tk ON tk.doc_id = gp.doc_id),
+      |tsg AS (
+      |  SELECT source, score, sum(c) OVER (PARTITION BY source ORDER BY score ASC) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM (SELECT source, score, count(1) AS c FROM j GROUP BY source, score)),
+      |thr_s AS (SELECT source, min(score) AS thr_score FROM tsg WHERE cum * 10 >= n * 3 GROUP BY source),
+      |tng AS (
+      |  SELECT source, nll, sum(c) OVER (PARTITION BY source ORDER BY nll ASC) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM (SELECT source, nll, count(1) AS c FROM j GROUP BY source, nll)),
+      |thr_n AS (SELECT source, min(nll) AS thr_nll FROM tng WHERE cum * 10 >= n * 7 GROUP BY source)
+      |SELECT j.source, count(1) AS n_scored,
+      |  CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+      |  min(thr_score) AS thr_score, min(thr_nll) AS thr_nll,
+      |  CAST(sum(CASE WHEN passes AND score >= thr_score AND nll <= thr_nll THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST((20000 * sum(CASE WHEN passes AND score >= thr_score AND nll <= thr_nll THEN 1 ELSE 0 END)
+      |    + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS keep_share4
+      |FROM j JOIN thr_s USING (source) JOIN thr_n USING (source)
+      |GROUP BY j.source ORDER BY j.source""".stripMargin
 
   /** DuckDB twin of Dedup.dedupSimhash: per-token-occurrence md5Hash60,
     * 60 positional bit-count sums, majority-sign signature, top-bit prefix
@@ -4321,6 +4490,10 @@ object SparkEntry {
     "stream_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "mixture_waterfill" -> mixtureWaterfillOracleSql,
+    "contamination_report" -> contaminationReportOracleSql,
+    "quality_ensemble" -> qualityEnsembleOracleSql,
 
     "mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)

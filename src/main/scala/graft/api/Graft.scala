@@ -2809,6 +2809,83 @@ object Graft {
       .drop("rate")
   }
 
+  /** Water-filling token-budget allocator — the mixture-planning step
+    * between "publish target weights" and "sample the mix": given one row
+    * per source with its available token volume and an INTEGER target
+    * weight, allocate a total `budget` of tokens so that each source gets
+    * tokens proportional to its weight, CAPPED at its availability, with
+    * the budget freed by saturated (capped) sources re-flowing to the
+    * rest — the classic water-filling recursion, solved in one sorted
+    * pass. A training-mix plan hits this constantly: the target mixture
+    * says 30% code, but the code source only HAS 12% of the budget's
+    * worth, so the remaining 18% must redistribute proportionally.
+    *
+    * Algorithm (all INTEGER arithmetic — cross-engine exact): sort sources
+    * by avail/weight ascending (the saturation order; the float key only
+    * ORDERS rows — every decision below is integer). A source k saturates
+    * iff avail_k · remw_{k-1} ≤ (budget − cum_{k-1}) · w_k, where cum/remw
+    * are the prefix token sum and the remaining weight mass; the condition
+    * is monotone along the sort, and a cumulative-min guard makes the
+    * prefix property structural. Unsaturated sources split the leftover
+    * pool as floor(pool·w_i / remw), and the integer remainder distributes
+    * one token at a time by largest fractional part (Hamilton
+    * apportionment; ties break on the key) — so Σ alloc = min(budget,
+    * Σ avail) EXACTLY, not approximately.
+    *
+    * Scale shape (100 TB): the caller aggregates the corpus to one row per
+    * source (map-side combined); this solver touches only that tiny frame —
+    * its unpartitioned windows hold source-count rows, never data. Output:
+    * (keyCol, avail, weight, saturated, alloc, fill_share4 = alloc/avail
+    * on the integer ratio4 grid); callers order as needed. */
+  def mixtureWaterfill(counts: DataFrame, keyCol: String, availCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    val base = counts.select(col(keyCol),
+        col(availCol).cast("long").as("avail"),
+        col(weightCol).cast("long").as("weight"))
+    val ord = Window.orderBy(
+      (col("avail").cast("double") / col("weight").cast("double")).asc,
+      col(keyCol).asc)
+    val all = Window.partitionBy()
+    val ranked = base
+      .withColumn("__cum", sum("avail").over(ord))
+      .withColumn("__cumw", sum("weight").over(ord))
+      .withColumn("__totw", sum("weight").over(all))
+      .withColumn("__satraw",
+        col("avail") * (col("__totw") - col("__cumw") + col("weight"))
+          <= (lit(budget) - col("__cum") + col("avail")) * col("weight"))
+      // the condition is monotone in exact arithmetic; the cumulative min
+      // makes prefix-ness structural rather than assumed
+      .withColumn("saturated", min(col("__satraw").cast("int")).over(ord) === 1)
+    val sat = ranked
+      .withColumn("__satavail",
+        sum(when(col("saturated"), col("avail")).otherwise(0L)).over(all))
+      .withColumn("__satw",
+        sum(when(col("saturated"), col("weight")).otherwise(0L)).over(all))
+      .withColumn("__pool", lit(budget) - col("__satavail"))
+      .withColumn("__remw", greatest(col("__totw") - col("__satw"), lit(1L)))
+      .withColumn("__base", when(col("saturated"), col("avail"))
+        .otherwise(expr("(__pool * weight) DIV __remw")))
+      .withColumn("__fracrem", when(col("saturated"), lit(0L))
+        .otherwise(expr("(__pool * weight) % __remw")))
+    val out = sat
+      // leftover whole tokens after the floor split, then +1 to the largest
+      // fractional parts (integer-exact: Σ frac ≡ 0 mod remw over the
+      // unsaturated set, so __left tokens remain)
+      .withColumn("__left", expr(
+        "(sum(__fracrem) OVER ()) DIV __remw"))
+      .withColumn("__fr", row_number().over(
+        Window.orderBy(col("saturated").cast("int").asc,
+          col("__fracrem").desc, col(keyCol).asc)))
+      .withColumn("alloc",
+        when(col("saturated"), col("avail"))
+          .otherwise(col("__base") +
+            when(col("__fr") <= col("__left"), lit(1L)).otherwise(lit(0L))))
+      .withColumn("fill_share4", expr(
+        "CAST((20000L * alloc + avail) DIV (2L * avail) AS DOUBLE) / 10000.0"))
+    out.select(col(keyCol), col("avail"), col("weight"), col("saturated"),
+      col("alloc"), col("fill_share4"))
+  }
+
   /** SCD1 snapshot merge: rows of `changes` replace same-key rows of `base`;
     * unmatched base rows survive. One anti-join + union, both partitioned on
     * the key (the change set broadcasts when small). Schemas must align.

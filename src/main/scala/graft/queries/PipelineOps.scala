@@ -578,4 +578,70 @@ object PipelineOps {
         col("cum_tokens"), col("seq_id"), col("seq_offset"))
       .orderBy("doc_id")
   }
+
+  /** Water-filling budget allocation (Graft.mixtureWaterfill) over the
+    * per-language token inventory: weights proportional to DOC counts
+    * (the "keep the document mix" target), budget = 2/3 of the corpus
+    * token volume — low-volume languages saturate (every token taken) and
+    * their shortfall re-flows to the rest, Σ alloc == budget EXACTLY
+    * (integer Hamilton apportionment of the remainder). One corpus
+    * aggregate; the solver windows over the language-count frame only. */
+  def mixtureWaterfillQuery(s: SparkSession, d: String): DataFrame = {
+    val inv = Tables.documents(s, d)
+      .withColumn("__nt", size(split(col("text"), " ", -1)).cast("long"))
+      .groupBy("lang")
+      .agg(sum("__nt").as("avail_tokens"), count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // consumed twice: budget aggregate + solver
+    val budget = inv.agg(sum("avail_tokens")).head().getLong(0) * 2L / 3L
+    graft.api.Graft.mixtureWaterfill(inv, "lang", "avail_tokens",
+        weightCol = "n_docs", budget = budget)
+      .withColumnRenamed("avail", "avail_tokens")
+      .withColumnRenamed("weight", "n_docs")
+      .orderBy("lang")
+  }
+
+  /** Multi-signal contamination REPORT — the rollup a curation run reads
+    * before deciding which decontamination screen to trust: the same
+    * train/eval split (doc_id % 17) screened three ways — verbatim
+    * (normalized-text md5 equality), 6-gram overlap (the
+    * decontaminate_ngrams machinery), and MinHash near-dup at est-Jaccard
+    * ≥ 0.2 (the decontaminate_minhash machinery) — and per signal: flagged
+    * training docs, eval docs hit, and the flag rate over the training
+    * corpus (integer ratio4). Exact-verbatim misses paraphrases, n-gram
+    * catches verbatim spans, MinHash catches global near-dups; the widths
+    * differ and this report quantifies by how much. Every signal is one
+    * linear pass over training with a broadcast eval side (eval sets are
+    * tiny by nature); nothing is ever train×train. */
+  def contaminationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") % 17 =!= 0)
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+    val nTrain = train.count()
+    def report(signal: String, flagged: DataFrame, trainIdCol: String,
+        evalIdCol: String): DataFrame =
+      flagged.agg(
+          countDistinct(col(trainIdCol)).as("n_flagged_train"),
+          countDistinct(col(evalIdCol)).as("n_eval_hit"))
+        .select(lit(signal).as("signal"), col("n_flagged_train"),
+          col("n_eval_hit"),
+          expr(s"CAST((20000L * n_flagged_train + ${nTrain}L) DIV " +
+            s"(2L * ${nTrain}L) AS DOUBLE) / 10000.0").as("flag_rate4"))
+    def fp(part: DataFrame, out: String) = part.select(
+      col("doc_id").as(out), md5(lower(trim(col("text")))).as("__fp"))
+    val exactHits = fp(train, "t_id")
+      .join(broadcast(fp(evalSet, "e_id")), "__fp")
+    val gramHits = graft.api.Graft
+      .shingles(train, "doc_id", "text", n = 6)
+      .join(broadcast(graft.api.Graft.shingles(evalSet, "doc_id", "text", n = 6)
+        .select(col("shingle"), col("doc_id").as("e_id")).distinct()), "shingle")
+    def sigs(part: DataFrame) = graft.api.Graft.minhashSignatures(part,
+      "doc_id", "text", numHashes = 32, baseHash = graft.api.Graft.md5Hash60)
+    val mhHits = graft.api.Graft.minhashCandidatesAgainst(
+      sigs(train), sigs(evalSet), "doc_id",
+      bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
+    report("exact", exactHits, "t_id", "e_id")
+      .unionByName(report("minhash", mhHits, "new_id", "index_id"))
+      .unionByName(report("ngram6", gramHits, "doc_id", "e_id"))
+      .orderBy("signal")
+  }
 }

@@ -356,4 +356,59 @@ object TextAnalysis {
   def sourceDivergence(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.sourceDivergence(Tables.documents(s, d), "text", "source")
       .orderBy("source")
+
+  /** Quality ENSEMBLE with per-source calibrated thresholds — the CCNet
+    * observation (Wenzek '19 §4.3) that one global cutoff over-filters
+    * some sources and under-filters others, applied to three independent
+    * signals this registry already proves individually: the Gopher rule
+    * bundle (pass/fail), the hashed linear classifier (score), and the
+    * bigram-LM perplexity (nll). Per SOURCE, the score threshold is the
+    * 30th-percentile grid value (drop the bottom 30% of that source) and
+    * the nll threshold the 70th (drop that source's worst 30%); a document
+    * survives only if it clears all three. Thresholds are PERCENTILE-DISC
+    * on the ratio4 grid computed integer-exactly: counts per (source,
+    * grid value), one cumulative window over that GRID-sized frame —
+    * never a rank window over documents, so no source-sized sort at
+    * 100 TB; the three signal plans are each scan + broadcast-model
+    * shapes. One barrier on the joined signal frame (consumed by two
+    * threshold aggregates and the final rollup — without it the bigram-LM
+    * join chain runs three times). Output per source: docs scored, Gopher
+    * passes, both thresholds, docs kept, keep share (ratio4). */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gop = graft.api.Graft.gopherRules(
+        docs.select(col("doc_id"), col("text")), "text", minWords = 20L)
+      .select(col("doc_id"), col("passes"))
+    val cls = graft.api.Graft.linearClassify(docs, "doc_id", "text",
+        buckets = 1024)
+      .select(col("doc_id"), col("score"))
+    val ppl = graft.api.Graft.lmPerplexity(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("doc_id"), col("nll"))
+    val scored = docs.select(col("doc_id"), col("source"))
+      .join(gop, "doc_id").join(cls, "doc_id").join(ppl, "doc_id")
+      .localCheckpoint(true)
+    def gridThreshold(valueCol: String, tenths: Int, out: String): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(col(valueCol).asc)
+      val tot = Window.partitionBy("source")
+      scored.groupBy(col("source"), col(valueCol))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum("__c").over(w))
+        .withColumn("__n", sum("__c").over(tot))
+        .filter(col("__cum") * 10 >= col("__n") * tenths)
+        .groupBy("source").agg(min(valueCol).as(out))
+    }
+    scored
+      .join(broadcast(gridThreshold("score", 3, "thr_score")), "source")
+      .join(broadcast(gridThreshold("nll", 7, "thr_nll")), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        min("thr_score").as("thr_score"), min("thr_nll").as("thr_nll"),
+        sum(when(col("passes") && col("score") >= col("thr_score")
+          && col("nll") <= col("thr_nll"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_share4", expr(
+        "CAST((20000L * n_keep + n_scored) DIV (2L * n_scored) AS DOUBLE) / 10000.0"))
+      .orderBy("source")
+  }
 }

@@ -62,4 +62,65 @@ class Round12Spec extends SparkSpec {
     assert(strong.forall(found.contains),
       s"strong pairs missed: ${strong.filterNot(found.contains)}")
   }
+
+  test("mixtureWaterfill: exact budget conservation, caps, and saturation structure") {
+    // hand-built inventory: one source FAR below its proportional share
+    // (saturates), one exactly at it, two large ones that absorb the reflow
+    val inv = Seq(
+      ("code", 100L, 3L),   // proportional share of 1000 at w=3/10 = 300 ≫ 100 → saturates
+      ("de", 400L, 2L),
+      ("en", 900L, 4L),
+      ("fr", 250L, 1L)
+    ).toDF("src", "avail", "w")
+    val out = api.Graft.mixtureWaterfill(inv, "src", "avail", "w", budget = 1000L)
+      .select("src", "avail", "weight", "saturated", "alloc", "fill_share4")
+      .as[(String, Long, Long, Boolean, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // per-source caps
+    out.values.foreach { case (s, avail, _, _, alloc, _) =>
+      assert(alloc <= avail && alloc >= 0L, s"$s: alloc $alloc vs avail $avail") }
+    // budget < total avail (1650) → Σ alloc == budget EXACTLY
+    assert(out.values.map(_._5).sum == 1000L)
+    // code saturates (100 ≪ its 300 proportional share)
+    assert(out("code")._4 && out("code")._5 == 100L)
+    // the 900 tokens re-flow 4:2:1 over en/de/fr: floors en 514, de 257,
+    // fr 128 (Σ 899); the 1 leftover token goes to the largest fractional
+    // part — fr, whose 900·1 mod 7 = 4 beats en's 2 and de's 1
+    assert(out("en")._5 == 514L, s"en got ${out("en")._5}")
+    assert(out("de")._5 == 257L)
+    assert(out("fr")._5 == 129L, s"fr got ${out("fr")._5}")
+    assert(!out("en")._4 && !out("de")._4 && !out("fr")._4)
+    // budget >= total avail → everything saturates, Σ alloc == Σ avail
+    val all = api.Graft.mixtureWaterfill(inv, "src", "avail", "w", budget = 5000L)
+      .select("saturated", "alloc").as[(Boolean, Long)].collect()
+    assert(all.forall(_._1) && all.map(_._2).sum == 1650L)
+  }
+
+  test("qualityEnsemble: per-source thresholds drop at most the targeted shares") {
+    val out = queries.TextAnalysis.qualityEnsemble(spark, sf)
+      .select("source", "n_scored", "n_gopher_pass", "n_keep")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, n, gp, keep) =>
+      assert(keep <= gp, s"$src: kept $keep > gopher passes $gp")
+      // score keeps >= 70% of the source and nll keeps >= 70%, so the two
+      // grid filters TOGETHER can drop at most 60% of it — keep is bounded
+      // below by gopher_pass - 0.6*n (inclusive-percentile slack rounds up)
+      assert(10L * keep >= 10L * gp - 6L * n - 10L,
+        s"$src: keep $keep improbably low vs gopher $gp of $n")
+    }
+  }
+
+  test("contaminationReport: signal widths are consistent on the same split") {
+    val r = queries.PipelineOps.contaminationReport(spark, sf)
+      .select("signal", "n_flagged_train", "n_eval_hit")
+      .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r.keySet == Set("exact", "minhash", "ngram6"))
+    // an exact duplicate shares every 3-gram band and every 6-gram: the
+    // verbatim screen can never flag MORE than either fuzzy screen
+    assert(r("exact")._1 <= r("minhash")._1,
+      s"exact ${r("exact")} wider than minhash ${r("minhash")}")
+    assert(r("exact")._1 <= r("ngram6")._1,
+      s"exact ${r("exact")} wider than ngram6 ${r("ngram6")}")
+  }
 }
