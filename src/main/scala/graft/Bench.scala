@@ -113,11 +113,19 @@ object Bench {
     // min (a clean re-run at profile proves the in-pass spike was load, the
     // same evidence standard BASELINE.md Protocol #2 already codifies; a
     // real regression reproduces in the re-time and stays visible).
+    // r12: sf1 passes self-rule too (tools/profiles_sf1.json — the r12 sf1
+    // pass hit the same alphabetical contention window the sf0.1 passes
+    // kept hitting; see SCALE.md "Round-12 sf1 full pass + ruling").
+    val profileFile = sfDir.replaceAll("/+$", "") match {
+      case p if p.endsWith("sf0.1") => "tools/profiles.json"
+      case p if p.endsWith("sf1") || p.endsWith("graft_sf1") => "tools/profiles_sf1.json"
+      case _ => ""
+    }
     val profiles: Map[String, Double] =
-      if (args.nonEmpty || !sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Map.empty
+      if (args.nonEmpty || profileFile.isEmpty) Map.empty
       else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File("tools/profiles.json")).get("profiles")
+          .readTree(new java.io.File(profileFile)).get("profiles")
         import scala.jdk.CollectionConverters._
         node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
       } catch { case _: Throwable => Map.empty }

@@ -265,6 +265,19 @@ object PlanAudit {
         "wide simhash: two-long block-key equi-join; 9.2-bit blocks, expansion output-bound"),
       ("pipeline_end_to_end", p => !p.contains("CartesianProduct"),
         "end-to-end curation: every stage equi-joins or broadcasts; no all-pairs anywhere"),
+      // round-12 pins
+      ("mixture_waterfill", p => !p.contains("CartesianProduct")
+        && !p.contains("SortMergeJoin"),
+        "water-filling: one corpus aggregate; the solver's windows hold the " +
+          "source-count frame only — no data-sized join anywhere"),
+      ("contamination_report", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct") && !p.contains("Window"),
+        "contamination report: every screen joins training against a BROADCAST " +
+          "eval side; no train-by-train pairing, no window"),
+      ("quality_ensemble", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"),
+        "quality ensemble: classifier model and per-source thresholds ride " +
+          "broadcasts; threshold windows run over the grid frame, never documents"),
     )
 
     var failed = 0
