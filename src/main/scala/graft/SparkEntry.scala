@@ -285,6 +285,9 @@ object SparkEntry {
     "mixture_waterfill" -> PipelineOps.mixtureWaterfillQuery _,
     "contamination_report" -> PipelineOps.contaminationReport _,
     "quality_ensemble"  -> TextAnalysis.qualityEnsemble _,
+    "cluster_balanced_sample" -> PipelineOps.clusterBalancedSample _,
+    "corpus_diff"       -> PipelineOps.corpusDiff _,
+    "boilerplate_scrub" -> Dedup.boilerplateScrub _,
   )
 
   /** DuckDB twin of PipelineOps.pipelineCurateMultimodal: the
@@ -781,6 +784,101 @@ object SparkEntry {
       |  CAST((20000 * alloc + avail) // (2 * avail) AS DOUBLE) / 10000.0 AS fill_share4
       |FROM s6 ORDER BY lang""".stripMargin
 
+  /** DuckDB twin of PipelineOps.clusterBalancedSample: the knn_ivf kmeans
+    * CTE prefix VERBATIM (fixed-point Lloyd — cross-engine exact), the
+    * mixture_waterfill integer chain over the k-row cluster inventory with
+    * equal weights and budget = ⌊N/2⌋, and md5-ranked picks per cluster
+    * (identical 32-hex string compares in both engines). */
+  private def clusterBalancedSampleOracleSql: String =
+    s"""${kmeansAssignedCtesSql("")},
+       |inv AS (
+       |  SELECT list_id, count(1) AS avail, 1::BIGINT AS weight
+       |  FROM assigned GROUP BY list_id),
+       |b AS (SELECT count(1) // 2 AS budget FROM embeddings),
+       |r AS (
+       |  SELECT list_id, avail, weight, budget,
+       |    sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, list_id ASC) AS cum,
+       |    sum(weight) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, list_id ASC) AS cumw,
+       |    sum(weight) OVER () AS totw
+       |  FROM inv CROSS JOIN b),
+       |s1 AS (
+       |  SELECT *, CASE WHEN avail * (totw - cumw + weight)
+       |      <= (budget - cum + avail) * weight THEN 1 ELSE 0 END AS satraw
+       |  FROM r),
+       |s2 AS (
+       |  SELECT *, min(satraw) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, list_id ASC) = 1 AS saturated
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT *, budget - sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS pool,
+       |    greatest(totw - sum(CASE WHEN saturated THEN weight ELSE 0 END) OVER (), 1) AS remw
+       |  FROM s2),
+       |s4 AS (
+       |  SELECT *, CASE WHEN saturated THEN avail ELSE (pool * weight) // remw END AS base,
+       |    CASE WHEN saturated THEN 0 ELSE (pool * weight) % remw END AS fracrem
+       |  FROM s3),
+       |s5 AS (
+       |  SELECT *, (sum(fracrem) OVER ()) // remw AS leftn,
+       |    row_number() OVER (ORDER BY CASE WHEN saturated THEN 1 ELSE 0 END ASC,
+       |      fracrem DESC, list_id ASC) AS fr
+       |  FROM s4),
+       |alloc AS (
+       |  SELECT list_id, CAST(avail AS BIGINT) AS cluster_size,
+       |    CAST(CASE WHEN saturated THEN avail
+       |      ELSE base + CASE WHEN fr <= leftn THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+       |  FROM s5),
+       |ranked AS (
+       |  SELECT vec_id, list_id,
+       |    CAST(row_number() OVER (PARTITION BY list_id
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS BIGINT) AS pick_rank
+       |  FROM assigned)
+       |SELECT r.vec_id, r.list_id, r.pick_rank, a.cluster_size, a.alloc
+       |FROM ranked r JOIN alloc a USING (list_id)
+       |WHERE r.pick_rank <= a.alloc
+       |ORDER BY r.list_id, r.pick_rank""".stripMargin
+
+  /** DuckDB twin of Dedup.boilerplateScrub — the dedup_paragraphs CTEs with
+    * the per-fingerprint stat switched from keep-first occurrence to
+    * COUNT(DISTINCT host doc), and the rollup to the ≥ 3-doc boilerplate
+    * rule. */
+  private def boilerplateScrubOracleSql: String =
+    """WITH pars AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(array_to_string(ts[(w*16+1):(w*16+16)], ' ')), 1, 15))::BIGINT AS fp
+      |  FROM (
+      |    SELECT doc_id, ts, unnest(range(0, CAST(ceil(len(ts) / 16.0) AS INT))) AS w
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |    WHERE len(ts) >= 1)),
+      |stats AS (SELECT fp, count(DISTINCT doc_id) AS docs FROM pars GROUP BY fp)
+      |SELECT p.doc_id, count(1) AS n_pars,
+      |  CAST(count_if(docs >= 3) AS BIGINT) AS n_boiler,
+      |  CAST(count(1) - count_if(docs >= 3) AS BIGINT) AS n_kept,
+      |  CAST((20000 * count_if(docs >= 3) + count(1))
+      |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS boiler4
+      |FROM pars p JOIN stats USING (fp)
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  /** DuckDB twin of PipelineOps.corpusDiff: both snapshot derivations, md5
+    * text fingerprints, the full-outer status classification, per-source
+    * rollup. */
+  private def corpusDiffOracleSql: String =
+    """WITH v0 AS (
+      |  SELECT doc_id, md5(text) AS f FROM documents WHERE doc_id % 13 <> 5),
+      |v1 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END) AS f
+      |  FROM documents WHERE doc_id % 13 <> 7),
+      |d AS (
+      |  SELECT coalesce(v0.doc_id, v1.doc_id) AS doc_id,
+      |    CASE WHEN v0.f IS NULL THEN 'added'
+      |         WHEN v1.f IS NULL THEN 'removed'
+      |         WHEN v0.f = v1.f THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id)
+      |SELECT s.source, d.status, count(1) AS n_docs
+      |FROM d JOIN documents s USING (doc_id)
+      |GROUP BY s.source, d.status
+      |ORDER BY s.source, d.status""".stripMargin
+
   /** DuckDB twin of TextAnalysis.qualityEnsemble: the quality_gopher,
     * quality_classifier, and quality_perplexity oracle CTEs verbatim,
     * joined per document, then per-source percentile-disc thresholds on
@@ -931,15 +1029,23 @@ object SparkEntry {
   private def knnIvfRefreshOracleSql: String =
     knnIvfOracleSqlImpl(trainWhere = "WHERE e.vec_id % 10 <> 9")
 
-  private def knnIvfOracleSqlImpl(trainWhere: String): String = {
+  /** Centroid distance fragment shared by the kmeans CTE prefix and the
+    * probe CTEs that extend it. */
+  private def ivfDistSql(c: String): String =
+    s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+       |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
+       |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+
+  /** The kmeans-training unroll (c0 seed, 3 assign/means iterations, final
+    * corpus-wide `assigned` CTE) — the knn_ivf prefix, shared verbatim by
+    * the IVF oracles and cluster_balanced_sample. Returns the text from
+    * `WITH` through `assigned`, no trailing comma. */
+  private def kmeansAssignedCtesSql(trainWhere: String): String = {
     val k = 10
     val dims = 64
     // c0 has no `e` alias; reuse the same predicate textually
     val seedWhere = trainWhere.replace("e.vec_id", "vec_id")
-    val dist = (c: String) =>
-      s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
-         |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
-         |          + list_dot_product($c.centroid::DOUBLE[], $c.centroid::DOUBLE[]))""".stripMargin
+    val dist = (c: String) => ivfDistSql(c)
     def assignCte(n: Int): String =
       s"""a$n AS (
          |  SELECT vec_id, c_id FROM (
@@ -960,10 +1066,6 @@ object SparkEntry {
          |  FROM c${n - 1} p LEFT JOIN m$n m USING (c_id))""".stripMargin
     }
     val iterations = (1 to 3).map(n => s"${assignCte(n)},\n${meansCte(n)}").mkString(",\n")
-    val cos =
-      """list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[])))""".stripMargin
     s"""WITH c0 AS (
        |  SELECT vec_id AS c_id, embedding AS centroid
        |  FROM embeddings $seedWhere ORDER BY vec_id LIMIT $k),
@@ -974,7 +1076,16 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${dist("c")} ASC, c.c_id ASC) AS rn
        |    FROM embeddings e CROSS JOIN c3 c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def knnIvfOracleSqlImpl(trainWhere: String): String = {
+    val dist = (c: String) => ivfDistSql(c)
+    val cos =
+      """list_dot_product(eq.embedding::DOUBLE[], ec.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(ec.embedding::DOUBLE[], ec.embedding::DOUBLE[])))""".stripMargin
+    s"""${kmeansAssignedCtesSql(trainWhere)},
        |probes AS (
        |  SELECT q_id, list_id FROM (
        |    SELECT e.vec_id AS q_id, c.c_id AS list_id,
@@ -4494,6 +4605,9 @@ object SparkEntry {
     "mixture_waterfill" -> mixtureWaterfillOracleSql,
     "contamination_report" -> contaminationReportOracleSql,
     "quality_ensemble" -> qualityEnsembleOracleSql,
+    "cluster_balanced_sample" -> clusterBalancedSampleOracleSql,
+    "corpus_diff" -> corpusDiffOracleSql,
+    "boilerplate_scrub" -> boilerplateScrubOracleSql,
 
     "mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)

@@ -1912,6 +1912,52 @@ object Graft {
         col("dup_of").isNull.cast("int").as("keep"))
   }
 
+  /** CLUSTER-BALANCED selection (the diversity-sampling step of D4 —
+    * Tirumala et al. 2023, arXiv:2308.12284 — and SemDeDup-style pipelines):
+    * pick `budget` rows so that over-represented semantic clusters are
+    * flattened toward an equal per-cluster share. k-means buckets the
+    * embedding space; `mixtureWaterfill` with EQUAL weights turns the
+    * per-cluster inventory into exact integer allocations (small clusters
+    * saturate — every row kept — and their shortfall re-flows to the big
+    * ones, Σ alloc == min(budget, N) EXACTLY); within each cluster the
+    * picks are the md5-lowest ids — a deterministic uniform sample, the
+    * same RNG-free rule `leakageFreeSplit` and sampled k-means training
+    * use.
+    *
+    * Scale shape: training is kmeans' contract (hash-sampled via
+    * `trainHexDigits` at 100 TB, broadcast centroids); the inventory and
+    * waterfill solver run on the k-row cluster frame; the per-cluster rank
+    * is ONE shuffle sort on (list_id, md5(id)) — row_number is a running
+    * frame, so the sort streams (external sort, no per-cluster buffering)
+    * — and the k-row allocation table broadcasts back. Everything after
+    * assignment is integer/md5-exact → fully oracle-able by unrolling the
+    * kmeans CTEs (the knn_ivf prefix) plus the waterfill chain.
+    * Output: (id, list_id, pick_rank, cluster_size, alloc), exactly
+    * min(budget, N) rows. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, budget: Long, iters: Int = 3,
+      trainHexDigits: Seq[String] = Nil): DataFrame = {
+    val assign = kmeans(df, idCol, vecCol, k, iters,
+      trainHexDigits = trainHexDigits).assignments
+      // two consumers (inventory + ranked picks) of the final assignment
+      // pass — without the barrier the whole Lloyd loop replays per branch
+      .localCheckpoint(true)
+    val inv = assign.groupBy("list_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .withColumn("__w", lit(1L))
+    val alloc = mixtureWaterfill(inv, "list_id", "cluster_size", "__w", budget)
+      .select(col("list_id"), col("avail").as("cluster_size"), col("alloc"))
+    val ranked = assign
+      .withColumn("__hk", md5(col(idCol).cast("string")))
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy("list_id")
+          .orderBy(col("__hk").asc, col(idCol).asc)).cast("long"))
+    ranked.join(broadcast(alloc), "list_id")
+      .filter(col("pick_rank") <= col("alloc"))
+      .select(col(idCol), col("list_id"), col("pick_rank"),
+        col("cluster_size"), col("alloc"))
+  }
+
   /** Top principal component by POWER ITERATION over the covariance of a
     * float-vector column — the tall-skinny PCA a feature pipeline runs
     * before whitening/projection. Covariance is the one corpus-sized pass:
@@ -2544,6 +2590,71 @@ object Graft {
         expr("""CAST((20000L * n_kept + n_pars)
                |  DIV (2L * n_pars) AS DOUBLE) / 10000.0""".stripMargin)
           .as("kept4"))
+  }
+
+  /** FREQUENCY-based boilerplate detection — the complement of
+    * `paragraphDedup`'s keep-first rule: a paragraph that occurs in at
+    * least `minDocs` DISTINCT documents is boilerplate (headers, footers,
+    * navigation chrome — the lines CCNet/RefinedWeb drop by corpus-level
+    * frequency, NOT by first-occurrence: keep-first would retain one copy
+    * of the header, frequency scrubbing drops them all). Same paragraph
+    * construction as `paragraphDedup` (consecutive `parTokens`-token runs;
+    * on real data swap in a split-on-\n\n explode). Per document: paragraph
+    * count, how many are boilerplate, how many survive the scrub, and the
+    * boilerplate share.
+    *
+    * Scale shape: one row-local explode, ONE groupBy(fingerprint) counting
+    * DISTINCT host docs (map-side partial distinct on (fp, id) first —
+    * Spark rewrites count_distinct that way), one join back, one per-doc
+    * rollup — linear, never doc×doc. Integer ratio4 grid + md5-base
+    * fingerprints → fully oracle-able. */
+  def boilerplateParagraphs(df: DataFrame, idCol: String, textCol: String,
+      parTokens: Int = 16, minDocs: Int = 3,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val n = parTokens
+    val pars = df
+      .withColumn("__toks", split(col(textCol), " ", -1))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(__toks) / $n.0) AS INT) - 1),
+           |  w -> array_join(slice(__toks, w * $n + 1, $n), ' '))""".stripMargin))
+        .as(Seq("__pi", "__p")))
+      .select(col(idCol), col("__pi"), baseHash(col("__p")).as("fp"))
+      // two-consumer barrier: the per-fp doc counts and the join back both
+      // read the explode
+      .localCheckpoint(true)
+    val stats = pars.groupBy("fp")
+      .agg(count_distinct(col(idCol)).as("__docs"))
+    pars.join(stats, "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pars"),
+        count_if(col("__docs") >= minDocs.toLong).as("n_boiler"))
+      .select(col(idCol), col("n_pars"), col("n_boiler"),
+        (col("n_pars") - col("n_boiler")).as("n_kept"),
+        expr("""CAST((20000L * n_boiler + n_pars)
+               |  DIV (2L * n_pars) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("boiler4"))
+  }
+
+  /** Corpus SNAPSHOT DIFF — the manifest comparison a versioned data lake
+    * runs between two corpus generations before promoting one: per id,
+    * whether the document was added, removed, changed (fingerprint differs)
+    * or unchanged. Fingerprints (md5 of the text) compute AT THE SCAN on
+    * each side, so the join shuffles (id, 32-hex) rows — never document
+    * bodies; the full-outer join on the id is the one shuffle and statuses
+    * roll up map-side. At 100 TB both snapshots are parquet at rest and
+    * this is the integrity check between ingest runs (the dedup_incremental
+    * lifecycle's missing audit step). Output: (id, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("__fo"))
+    val nw = newDf.select(col(idCol), md5(col(textCol)).as("__fn"))
+    o.join(nw, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fo").isNull, lit("added"))
+          .when(col("__fn").isNull, lit("removed"))
+          .when(col("__fo") === col("__fn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
   }
 
   /** Repetition-quality metrics in the C4 (Raffel et al., JMLR '20) /

@@ -438,4 +438,17 @@ object Dedup {
         "doc_id", "text", parTokens = 16,
         baseHash = graft.api.Graft.md5Hash60)
       .orderBy("doc_id")
+
+  /** Frequency-based boilerplate scrub (Graft.boilerplateParagraphs): a
+    * 16-token paragraph occurring in ≥ 3 DISTINCT documents is boilerplate
+    * and drops from ALL of them — the corpus-frequency rule that catches
+    * headers/footers keep-first dedup would half-retain. Per document:
+    * paragraph count, boilerplate count, survivors, boilerplate share.
+    * Same md5Hash60 fingerprints as dedup_paragraphs → fully oracled. */
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.boilerplateParagraphs(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", parTokens = 16, minDocs = 3,
+        baseHash = graft.api.Graft.md5Hash60)
+      .orderBy("doc_id")
 }

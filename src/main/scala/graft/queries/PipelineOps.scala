@@ -644,4 +644,43 @@ object PipelineOps {
       .unionByName(report("ngram6", gramHits, "doc_id", "e_id"))
       .orderBy("signal")
   }
+
+  /** Cluster-balanced selection (Graft.clusterBalancedSample — the D4
+    * diversity-sampling step, Tirumala '23) over the embeddings table:
+    * k-means (k=10, the knn_ivf model verbatim) buckets the space, the
+    * water-filling allocator hands each cluster an EQUAL share of a
+    * half-corpus budget (small clusters saturate, their shortfall re-flows),
+    * and each cluster keeps its md5-lowest ids. Exactly ⌊N/2⌋ output rows —
+    * the conservation property the suite pins. Fully oracled: the knn_ivf
+    * kmeans CTE prefix + the waterfill integer chain + md5 rank. */
+  def clusterBalancedSample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val budget = e.count() / 2
+    graft.api.Graft.clusterBalancedSample(
+        e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 10, budget = budget, iters = 3)
+      .orderBy("list_id", "pick_rank")
+  }
+
+  /** Corpus snapshot diff (Graft.snapshotDiff): two deterministic
+    * generations of the documents table — v0 drops doc_id % 13 = 5, v1
+    * drops % 13 = 7 and rewrites (uppercases) % 13 = 2 — full-outer
+    * fingerprint join, statuses rolled up per source. The audit step
+    * between ingest runs: what did this generation add, drop, and touch,
+    * and in which sources. */
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v0 = docs.filter(col("doc_id") % 13 =!= 5)
+    val v1 = docs.filter(col("doc_id") % 13 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 2, upper(col("text")))
+          .otherwise(col("text")))
+    graft.api.Graft.snapshotDiff(v0, v1, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
 }

@@ -123,4 +123,78 @@ class Round12Spec extends SparkSpec {
     assert(r("exact")._1 <= r("ngram6")._1,
       s"exact ${r("exact")} wider than ngram6 ${r("ngram6")}")
   }
+
+  test("clusterBalancedSample: exact budget, per-cluster caps, md5-lowest picks") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val out = queries.PipelineOps.clusterBalancedSample(spark, sf)
+      .select("vec_id", "list_id", "pick_rank", "cluster_size", "alloc")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // conservation: exactly floor(N/2) rows, cluster by cluster == alloc
+    assert(out.length.toLong == n / 2, s"${out.length} picks vs budget ${n / 2}")
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      val (size, alloc) = (rows.head._4, rows.head._5)
+      assert(rows.length.toLong == alloc, s"cluster $c: ${rows.length} vs alloc $alloc")
+      assert(alloc <= size, s"cluster $c: alloc $alloc > size $size")
+      // pick_rank is 1..alloc dense
+      assert(rows.map(_._3).sorted.toSeq == (1L to alloc).toSeq)
+    }
+    // cluster sizes must cover the corpus
+    assert(byCluster.values.map(_.head._4).sum == n)
+    // the picks really are the md5-lowest ids of their cluster: re-derive
+    // membership from the same deterministic kmeans and compare one cluster
+    val assign = api.Graft.kmeans(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k = 10, iters = 3)
+      .assignments.as[(Long, Long)].collect().groupBy(_._2)
+    val c0 = byCluster.keys.head
+    val expected = assign(c0).map(_._1)
+      .sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
+      .take(byCluster(c0).length).toSet
+    assert(byCluster(c0).map(_._1).toSet == expected,
+      s"cluster $c0 picks are not the md5-lowest ids")
+  }
+
+  test("boilerplateScrub: partition identity and the >=3-distinct-doc rule") {
+    val out = queries.Dedup.boilerplateScrub(spark, sf)
+      .select("doc_id", "n_pars", "n_boiler", "n_kept", "boiler4")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length.toLong == docs)
+    out.foreach { case (id, np, nb, nk, b4) =>
+      assert(nb + nk == np, s"doc $id: $nb + $nk != $np")
+      assert(b4 >= 0.0 && b4 <= 1.0)
+    }
+    // ground truth recompute: paragraphs of one flagged doc, frequency over
+    // the whole corpus by raw paragraph STRING (no hashing) — the md5-60
+    // fingerprint path must agree
+    val pars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        t.split(" ", -1).grouped(16).map(g => (id, g.mkString(" "))) }
+    val freq = pars.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._1).distinct.size }
+    val truth = pars.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.count(x => freq(x._2) >= 3).toLong }
+    out.foreach { case (id, _, nb, _, _) =>
+      assert(truth(id) == nb, s"doc $id: recompute ${truth(id)} vs $nb") }
+    assert(out.map(_._3).sum > 0, "synthetic corpus should carry boilerplate")
+  }
+
+  test("corpusDiff: statuses reconcile with the snapshot derivations") {
+    val byStatus = queries.PipelineOps.corpusDiff(spark, sf)
+      .groupBy("status").agg(sum("n_docs").as("n")).as[(String, Long)]
+      .collect().toMap
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    val added = ids.count(i => i % 13 == 5 && i % 13 != 7).toLong
+    val removed = ids.count(i => i % 13 == 7 && i % 13 != 5).toLong
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.getOrElse("removed", 0L) == removed)
+    // %13==2 docs are rewritten; with lowercase corpora upper() != identity,
+    // so every surviving %13==2 doc is 'changed'
+    val changed = ids.count(i => i % 13 == 2).toLong
+    assert(byStatus.getOrElse("changed", 0L) == changed,
+      s"changed ${byStatus.get("changed")} vs expected $changed")
+    assert(byStatus.values.sum == ids.length.toLong)
+  }
 }
