@@ -288,6 +288,8 @@ object SparkEntry {
     "cluster_balanced_sample" -> PipelineOps.clusterBalancedSample _,
     "corpus_diff"       -> PipelineOps.corpusDiff _,
     "boilerplate_scrub" -> Dedup.boilerplateScrub _,
+    "dedup_eval_pr"     -> Dedup.dedupEvalPr _,
+    "tokenizer_fertility" -> TextAnalysis.tokenizerFertility _,
   )
 
   /** DuckDB twin of PipelineOps.pipelineCurateMultimodal: the
@@ -835,6 +837,93 @@ object SparkEntry {
        |FROM ranked r JOIN alloc a USING (list_id)
        |WHERE r.pick_rank <= a.alloc
        |ORDER BY r.list_id, r.pick_rank""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupEvalPr (Graft.minhashScreenEval): the
+    * decontaminate_minhash signature CTEs (verbatim prefix — md5Hash60 base
+    * hash, 32 permutations, 8×4 bands), the dedup_ngram_jaccard capped
+    * inverted index, the two-method pair universe, exact Jaccard from the
+    * full shingle sets, and the integer confusion rollup. */
+  private def dedupEvalPrOracleSql: String =
+    s"""$minhashSigCtePrefix,
+       |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id),
+       |postings AS (SELECT shingle, count(1) AS df FROM sh GROUP BY shingle),
+       |idx AS (
+       |  SELECT sh.doc_id, sh.shingle
+       |  FROM sh JOIN postings USING (shingle) WHERE df <= 128),
+       |cand_sh AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM idx a JOIN idx b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |cand_mh AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ex a JOIN ex b
+       |    ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    $minhashEstExpr
+       |      AS est_jaccard
+       |  FROM cand_mh
+       |  JOIN sig sa ON sa.doc_id = id_a
+       |  JOIN sig sb ON sb.doc_id = id_b),
+       |uni AS (SELECT id_a, id_b FROM cand_sh
+       |        UNION SELECT id_a, id_b FROM cand_mh),
+       |inter AS (
+       |  SELECT u.id_a, u.id_b, count(1) AS nc
+       |  FROM uni u
+       |  JOIN sh a ON a.doc_id = u.id_a
+       |  JOIN sh b ON b.doc_id = u.id_b AND b.shingle = a.shingle
+       |  GROUP BY u.id_a, u.id_b),
+       |scored AS (
+       |  SELECT
+       |    round(CAST(coalesce(i.nc, 0) AS DOUBLE)
+       |      / (sa.n_sh + sb.n_sh - coalesce(i.nc, 0)), 4) AS j,
+       |    coalesce(e.est_jaccard, 0.0) AS est
+       |  FROM uni u
+       |  LEFT JOIN inter i ON i.id_a = u.id_a AND i.id_b = u.id_b
+       |  JOIN sizes sa ON sa.doc_id = u.id_a
+       |  JOIN sizes sb ON sb.doc_id = u.id_b
+       |  LEFT JOIN est e ON e.id_a = u.id_a AND e.id_b = u.id_b),
+       |agg AS (
+       |  SELECT count(1) AS n_pairs,
+       |    CAST(count_if(j >= 0.2) AS BIGINT) AS n_true,
+       |    CAST(count_if(est >= 0.2) AS BIGINT) AS n_pred,
+       |    CAST(count_if(j >= 0.2 AND est >= 0.2) AS BIGINT) AS n_tp,
+       |    CAST(count_if(est >= 0.2 AND j < 0.2) AS BIGINT) AS n_fp,
+       |    CAST(count_if(j >= 0.2 AND est < 0.2) AS BIGINT) AS n_fn
+       |  FROM scored)
+       |SELECT n_pairs, n_true, n_pred, n_tp, n_fp, n_fn,
+       |  CAST((20000 * n_tp + greatest(n_pred, 1))
+       |    // (2 * greatest(n_pred, 1)) AS DOUBLE) / 10000.0 AS precision4,
+       |  CAST((20000 * n_tp + greatest(n_true, 1))
+       |    // (2 * greatest(n_true, 1)) AS DOUBLE) / 10000.0 AS recall4
+       |FROM agg""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.tokenizerFertility (Graft.bpeFertility):
+    * the bpe_merges/bpe_encode unrolled training CTEs (bpeCtesSql — 10
+    * merges over the corpus word-type histogram), per-word symbol widths
+    * from the final symbolization, per-language word counts, integer-ratio4
+    * fertility and chars-per-token. */
+  private def tokenizerFertilityOracleSql: String =
+    s"""${bpeCtesSql(10)},
+       |pw AS (
+       |  SELECT replace(ws, chr(31), '') AS w,
+       |    CAST(len(string_split(trim(ws, chr(31)), chr(31) || chr(31))) AS BIGINT) AS wt
+       |  FROM s10),
+       |lw AS (
+       |  SELECT lang, word AS w, count(1) AS c
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE length(word) > 0 GROUP BY lang, word),
+       |agg AS (
+       |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_words,
+       |    CAST(sum(c * wt) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(sum(c * length(w)) AS BIGINT) AS n_chars
+       |  FROM lw JOIN pw USING (w) GROUP BY lang)
+       |SELECT lang, n_words, n_bpe_tokens, n_chars,
+       |  CAST((20000 * n_bpe_tokens + n_words)
+       |    // (2 * n_words) AS DOUBLE) / 10000.0 AS fertility4,
+       |  CAST((20000 * n_chars + n_bpe_tokens)
+       |    // (2 * n_bpe_tokens) AS DOUBLE) / 10000.0 AS chars_per_token4
+       |FROM agg ORDER BY lang""".stripMargin
 
   /** DuckDB twin of Dedup.boilerplateScrub — the dedup_paragraphs CTEs with
     * the per-fingerprint stat switched from keep-first occurrence to
@@ -4608,6 +4697,8 @@ object SparkEntry {
     "cluster_balanced_sample" -> clusterBalancedSampleOracleSql,
     "corpus_diff" -> corpusDiffOracleSql,
     "boilerplate_scrub" -> boilerplateScrubOracleSql,
+    "dedup_eval_pr" -> dedupEvalPrOracleSql,
+    "tokenizer_fertility" -> tokenizerFertilityOracleSql,
 
     "mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)

@@ -216,6 +216,48 @@ object Graft {
       .select(col("token"), col("n_occurrences"), col("n_word_types"))
   }
 
+  /** TOKENIZER FERTILITY per group (the multilingual-pipeline metric:
+    * Ács '19 popularized it as BPE tokens emitted per word — a tokenizer
+    * trained on the corpus majority over-fragments minority languages, and
+    * this report is how a mixture run detects that before training): train
+    * the `budget`-merge BPE on the WHOLE corpus (bpeMerges' loop verbatim),
+    * then measure per `groupCol` how many symbols the learned merge table
+    * emits per word occurrence and how many characters ride in each symbol.
+    * Output per group: word occurrences, BPE tokens, characters,
+    * fertility4 (tokens/word) and chars_per_token4 (integer ratio4 grid).
+    *
+    * Scale shape: training is the word-TYPE histogram (vocabulary-sized,
+    * not corpus-sized) — the corpus is touched once for the histogram and
+    * once for the per-group word counts; the per-word symbol widths join
+    * on the word type. All-integer counts → fully oracle-able with the
+    * same unrolled merge CTEs as bpe_merges/bpe_encode. */
+  def bpeFertility(docs: DataFrame, textCol: String, groupCol: String,
+      budget: Int = 10): DataFrame = {
+    val SEP = "\u001f"
+    val perWord = bpeTrain(docs, textCol, budget)._2
+      .select(regexp_replace(col("__ws"), SEP, "").as("__w"),
+        size(expr(s"split(btrim(__ws, '$SEP'), '$SEP$SEP')")).cast("long")
+          .as("__wt"))
+    val words = docs
+      .select(col(groupCol), explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    words.join(perWord, "__w")
+      .groupBy(col(groupCol))
+      .agg(sum("__c").as("n_words"),
+        sum(col("__c") * col("__wt")).as("n_bpe_tokens"),
+        sum(col("__c") * length(col("__w")).cast("long")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        expr("""CAST((20000L * n_bpe_tokens + n_words)
+               |  DIV (2L * n_words) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("fertility4"),
+        expr("""CAST((20000L * n_chars + n_bpe_tokens)
+               |  DIV (2L * n_bpe_tokens) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("chars_per_token4"))
+  }
+
   /** Shared BPE training loop: returns (merge table, final symbolization
     * (__ws wrapped string, __n word count)). See `bpeMerges` for the
     * representation and greedy-merge arguments. */
@@ -1535,6 +1577,83 @@ object Graft {
       .groupBy("new_id", "index_id").agg(max("est").as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("new_id", "index_id", "est_jaccard")
+  }
+
+  /** PRECISION/RECALL of the MinHash screen against EXACT shingle Jaccard —
+    * the measurement a pipeline runs before trusting a band configuration
+    * at 100 TB (Broder '97 gives the expectation; this reports what the
+    * configured bands/rows actually do on THIS corpus). The pair universe
+    * is everything either method can surface: pairs sharing a banded
+    * signature ∪ pairs sharing any non-viral shingle (postings ≤
+    * `maxPostings` — the same recall-scope cap every inverted-index
+    * operator documents). Every universe pair gets its EXACT Jaccard from
+    * the full shingle sets (truth: ≥ `tau`) and its banded MinHash estimate
+    * (prediction: est ≥ `tau`; unbanded pairs predict negative). One
+    * summary row: universe size, truth/prediction counts, the confusion
+    * triple, and integer-ratio4 precision and recall.
+    *
+    * Scale shape: signature pass is minhashSignatures' contract; the band
+    * join and the capped shingle join are both Σ|bucket|² with bounded
+    * buckets; exact scores touch |universe|·shingles/doc — never doc×doc.
+    * All-integer confusion counts + md5-base hashes → fully oracle-able. */
+  def minhashScreenEval(df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4, maxPostings: Long = 128L,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    // four consumers of the shingle explode (postings, index join, both
+    // exact-score sides) — same barrier rationale as ngramJaccardCandidates
+    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(true)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
+    val postings = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val idx = sh.join(postings, "shingle").filter(col("__df") <= maxPostings)
+      .drop("__df")
+    val a = idx.as("a"); val b = idx.as("b")
+    val candSh = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN,
+      baseHash)
+    // minEstJaccard = 0: keep EVERY banded pair — sub-tau banded pairs are
+    // negative predictions inside the universe, not absent from it
+    val pred = minhashCandidates(sig, idCol, bands, rowsPerBand,
+        minEstJaccard = 0.0)
+      // three consumers: the universe union and the est re-attach
+      .localCheckpoint(true)
+    val uni = candSh.union(pred.select("id_a", "id_b")).distinct()
+      .localCheckpoint(true)
+    val inter = uni
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__nc"))
+    val scored = uni
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("__n_sh").as("__sa")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n_sh").as("__sb")), "id_b")
+      .join(pred, Seq("id_a", "id_b"), "left")
+      .select(
+        round(coalesce(col("__nc"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - coalesce(col("__nc"), lit(0L))), 4)
+          .as("__j"),
+        coalesce(col("est_jaccard"), lit(0.0)).as("__est"))
+    scored.agg(
+        count(lit(1)).as("n_pairs"),
+        count_if(col("__j") >= tau).as("n_true"),
+        count_if(col("__est") >= tau).as("n_pred"),
+        count_if(col("__j") >= tau && col("__est") >= tau).as("n_tp"),
+        count_if(col("__est") >= tau && col("__j") < tau).as("n_fp"),
+        count_if(col("__j") >= tau && col("__est") < tau).as("n_fn"))
+      .select(col("n_pairs"), col("n_true"), col("n_pred"),
+        col("n_tp"), col("n_fp"), col("n_fn"),
+        expr("""CAST((20000L * n_tp + greatest(n_pred, 1L))
+               |  DIV (2L * greatest(n_pred, 1L)) AS DOUBLE) / 10000.0"""
+          .stripMargin).as("precision4"),
+        expr("""CAST((20000L * n_tp + greatest(n_true, 1L))
+               |  DIV (2L * greatest(n_true, 1L)) AS DOUBLE) / 10000.0"""
+          .stripMargin).as("recall4"))
   }
 
   // ---------- distinct counting at scale ----------

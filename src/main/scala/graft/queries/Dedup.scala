@@ -451,4 +451,15 @@ object Dedup {
         "doc_id", "text", parTokens = 16, minDocs = 3,
         baseHash = graft.api.Graft.md5Hash60)
       .orderBy("doc_id")
+
+  /** MinHash screen evaluation (Graft.minhashScreenEval): precision/recall
+    * of the 8×4-band screen at τ=0.2 against exact shingle Jaccard over
+    * the two-method candidate universe — the confusion-matrix readout that
+    * justifies (or rejects) a band configuration before a 100 TB pass.
+    * One summary row, all-integer counts → fully oracled. */
+  def dedupEvalPr(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.minhashScreenEval(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", tau = 0.2,
+      baseHash = graft.api.Graft.md5Hash60)
 }

@@ -259,6 +259,16 @@ object TextAnalysis {
     graft.api.Graft.bpeEncode(Tables.documents(s, d), "text", budget = 10,
       topK = 20)
 
+  /** Per-language tokenizer fertility (Graft.bpeFertility): BPE tokens per
+    * word and characters per token under the corpus-trained 10-merge table
+    * — the over-fragmentation readout for minority languages before a
+    * mixture commits to one tokenizer. Same unrolled-CTE oracle machinery
+    * as bpe_merges/bpe_encode. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.bpeFertility(Tables.documents(s, d), "text", "lang",
+        budget = 10)
+      .orderBy("lang")
+
   /** Winnowing fingerprint selection (Graft.winnowFingerprints — the MOSS
     * algorithm, Schleimer '03): per-document selected-fingerprint stats at
     * k=4, w=5. Row-local array arithmetic, zero shuffles, md5-hash grams →

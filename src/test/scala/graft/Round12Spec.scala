@@ -181,6 +181,51 @@ class Round12Spec extends SparkSpec {
     assert(out.map(_._3).sum > 0, "synthetic corpus should carry boilerplate")
   }
 
+  test("minhashScreenEval: confusion partitions and the universe misses no true pair") {
+    val r = queries.Dedup.dedupEvalPr(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].head()
+    val (nPairs, nTrue, nPred, tp, fp, fn, p4, r4) = r
+    assert(tp + fp == nPred, s"tp $tp + fp $fp != n_pred $nPred")
+    assert(tp + fn == nTrue, s"tp $tp + fn $fn != n_true $nTrue")
+    assert(nTrue <= nPairs && nPred <= nPairs)
+    assert(p4 >= 0.0 && p4 <= 1.0 && r4 >= 0.0 && r4 <= 1.0)
+    // completeness of n_true: brute-force exact Jaccard over ALL doc pairs
+    // (no capped index, no bands) — every true pair must be in the universe
+    // and counted, so the capped-index recall scope loses nothing here
+    val shingleSets = api.Graft.shingles(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .groupBy("doc_id").agg(collect_set("shingle").as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.toSet }
+    val bruteTrue = (for {
+      (a, sa) <- shingleSets; (b, sb) <- shingleSets if a < b
+      j = if (sa.isEmpty && sb.isEmpty) 1.0
+          else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // the operator rounds to 4 before the gate — mirror it
+      if math.rint(j * 10000) / 10000 >= 0.2
+    } yield (a, b)).size.toLong
+    assert(nTrue == bruteTrue, s"n_true $nTrue vs brute-force $bruteTrue")
+  }
+
+  test("bpeFertility: per-group volumes match direct counts; ratios are sane") {
+    val out = queries.TextAnalysis.tokenizerFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val direct = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("nw"), sum(length(col("w")).cast("long")).as("nc"))
+      .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    out.foreach { case (lang, nw, nt, nc, f4, c4) =>
+      assert(direct(lang) == ((nw, nc)), s"$lang: $nw/$nc vs ${direct(lang)}")
+      // every word is >= 1 symbol and every symbol >= 1 char
+      assert(nt >= nw && nt <= nc, s"$lang: tokens $nt outside [$nw, $nc]")
+      assert(f4 >= 1.0 && c4 >= 1.0)
+    }
+  }
+
   test("corpusDiff: statuses reconcile with the snapshot derivations") {
     val byStatus = queries.PipelineOps.corpusDiff(spark, sf)
       .groupBy("status").agg(sum("n_docs").as("n")).as[(String, Long)]
