@@ -278,6 +278,23 @@ object PlanAudit {
         && !p.contains("CartesianProduct"),
         "quality ensemble: classifier model and per-source thresholds ride " +
           "broadcasts; threshold windows run over the grid frame, never documents"),
+      ("cluster_balanced_sample", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"),
+        "cluster-balanced picks: the k-row allocation table broadcasts back " +
+          "onto the ranked assignments; no data-sized join"),
+      ("corpus_diff", p => !p.contains("CartesianProduct")
+        && !p.contains("Window"),
+        "snapshot diff: fingerprint equi-joins on the id, statuses roll up " +
+          "with map-side combine; no window, no pairing"),
+      ("dedup_eval_pr", p => !p.contains("CartesianProduct"),
+        "screen evaluation: banded + capped-index candidate joins only; " +
+          "exact scores ride the pair explode, never doc-by-doc"),
+      ("boilerplate_scrub", p => !p.contains("CartesianProduct")
+        && p.contains("HashAggregate"),
+        "boilerplate scrub: one fingerprint aggregate + join back; linear"),
+      ("dedup_eval_sweep", p => !p.contains("CartesianProduct"),
+        "band sweep: all three layouts ride ONE fused band self-join with " +
+          "viral-bucket cap; exact scores ride the pair explode"),
     )
 
     var failed = 0

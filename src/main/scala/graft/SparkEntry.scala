@@ -289,6 +289,7 @@ object SparkEntry {
     "corpus_diff"       -> PipelineOps.corpusDiff _,
     "boilerplate_scrub" -> Dedup.boilerplateScrub _,
     "dedup_eval_pr"     -> Dedup.dedupEvalPr _,
+    "dedup_eval_sweep"  -> Dedup.dedupEvalSweep _,
     "tokenizer_fertility" -> TextAnalysis.tokenizerFertility _,
   )
 
@@ -501,7 +502,12 @@ object SparkEntry {
     * explode. Ends at the `ex` CTE; callers append their candidate join. */
   private val minhashP = 2147483647L
   private val minhashN = 32
-  private def minhashSigCtePrefix: String = {
+  private def minhashSigCtePrefix: String = minhashSigCtePrefixWhere("")
+
+  /** The signature prefix with a WHERE on the documents scan — the sweep
+    * row runs on the 1-in-2 demo sample; "" reproduces the shared prefix
+    * byte-identically. */
+  private def minhashSigCtePrefixWhere(where: String): String = {
     val P = minhashP
     val n = minhashN
     val mins = (0 until n).map { i =>
@@ -520,7 +526,7 @@ object SparkEntry {
        |        i -> string_split(text, ' ')[i] || ' ' ||
        |             string_split(text, ' ')[i + 1] || ' ' ||
        |             string_split(text, ' ')[i + 2])) AS shingles
-       |    FROM documents)),
+       |    FROM documents$where)),
        |h AS (SELECT doc_id, ${md5h60("shingle")} % $P::BIGINT AS h FROM sh),
        |m AS (SELECT doc_id,
        |    $mins
@@ -897,6 +903,85 @@ object SparkEntry {
        |  CAST((20000 * n_tp + greatest(n_true, 1))
        |    // (2 * greatest(n_true, 1)) AS DOUBLE) / 10000.0 AS recall4
        |FROM agg""".stripMargin
+
+  /** DuckDB twin of Dedup.dedupEvalSweep (Graft.minhashScreenSweep): the
+    * dedup_eval_pr CTEs generalized — one signature table, a generated
+    * banding CTE per (bands × rowsPerBand) layout, shared union-universe
+    * ground truth, per-layout confusion rollup. */
+  private def dedupEvalSweepOracleSql: String = {
+    val configs = Seq((4, 8), (8, 4), (16, 2))
+    val bandCtes = configs.map { case (bands, rpb) =>
+      val slices = (0 until bands).map(k =>
+        s"sig[${rpb * k + 1}:${rpb * (k + 1)}]").mkString("([", ", ", "])")
+      s"""exc_$bands AS (
+         |  SELECT doc_id, i, $slices[i + 1] AS band FROM sig, range($bands) t(i)),
+         |excf_$bands AS (
+         |  SELECT e.doc_id, e.i, e.band
+         |  FROM exc_$bands e JOIN (
+         |    SELECT i, band, count(1) AS occ FROM exc_$bands GROUP BY i, band) o
+         |    ON o.i = e.i AND o.band = e.band
+         |  WHERE occ <= 1024),
+         |cand_$bands AS (
+         |  SELECT DISTINCT $bands AS bands, $rpb AS rows_per_band,
+         |    a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM excf_$bands a JOIN excf_$bands b
+         |    ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val bandedUnion = configs.map { case (b, _) => s"SELECT * FROM cand_$b" }
+      .mkString("\n        UNION ALL ")
+    s"""${minhashSigCtePrefixWhere(" WHERE doc_id % 2 = 0")},
+       |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id),
+       |postings AS (SELECT shingle, count(1) AS df FROM sh GROUP BY shingle),
+       |idx AS (
+       |  SELECT sh.doc_id, sh.shingle
+       |  FROM sh JOIN postings USING (shingle) WHERE df <= 128),
+       |cand_sh AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM idx a JOIN idx b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |$bandCtes,
+       |banded AS ($bandedUnion),
+       |est AS (
+       |  SELECT bands, rows_per_band, id_a, id_b,
+       |    $minhashEstExpr
+       |      AS est_jaccard
+       |  FROM banded
+       |  JOIN sig sa ON sa.doc_id = id_a
+       |  JOIN sig sb ON sb.doc_id = id_b),
+       |uni AS (SELECT id_a, id_b FROM cand_sh
+       |        UNION SELECT id_a, id_b FROM banded),
+       |inter AS (
+       |  SELECT u.id_a, u.id_b, count(1) AS nc
+       |  FROM uni u
+       |  JOIN sh a ON a.doc_id = u.id_a
+       |  JOIN sh b ON b.doc_id = u.id_b AND b.shingle = a.shingle
+       |  GROUP BY u.id_a, u.id_b),
+       |truth AS (
+       |  SELECT u.id_a, u.id_b,
+       |    round(CAST(coalesce(i.nc, 0) AS DOUBLE)
+       |      / (sa.n_sh + sb.n_sh - coalesce(i.nc, 0)), 4) >= 0.2 AS t
+       |  FROM uni u
+       |  LEFT JOIN inter i ON i.id_a = u.id_a AND i.id_b = u.id_b
+       |  JOIN sizes sa ON sa.doc_id = u.id_a
+       |  JOIN sizes sb ON sb.doc_id = u.id_b),
+       |gl AS (
+       |  SELECT count(1) AS n_pairs, CAST(count_if(t) AS BIGINT) AS n_true
+       |  FROM truth),
+       |per AS (
+       |  SELECT bands, rows_per_band,
+       |    CAST(count_if(est_jaccard >= 0.2) AS BIGINT) AS n_pred,
+       |    CAST(count_if(est_jaccard >= 0.2 AND t) AS BIGINT) AS n_tp,
+       |    CAST(count_if(est_jaccard >= 0.2 AND NOT t) AS BIGINT) AS n_fp
+       |  FROM est JOIN truth USING (id_a, id_b)
+       |  GROUP BY bands, rows_per_band)
+       |SELECT bands, rows_per_band, n_pairs, n_true, n_pred, n_tp, n_fp,
+       |  n_true - n_tp AS n_fn,
+       |  CAST((20000 * n_tp + greatest(n_pred, 1))
+       |    // (2 * greatest(n_pred, 1)) AS DOUBLE) / 10000.0 AS precision4,
+       |  CAST((20000 * n_tp + greatest(n_true, 1))
+       |    // (2 * greatest(n_true, 1)) AS DOUBLE) / 10000.0 AS recall4
+       |FROM per CROSS JOIN gl ORDER BY bands""".stripMargin
+  }
 
   /** DuckDB twin of TextAnalysis.tokenizerFertility (Graft.bpeFertility):
     * the bpe_merges/bpe_encode unrolled training CTEs (bpeCtesSql — 10
@@ -4698,6 +4783,7 @@ object SparkEntry {
     "corpus_diff" -> corpusDiffOracleSql,
     "boilerplate_scrub" -> boilerplateScrubOracleSql,
     "dedup_eval_pr" -> dedupEvalPrOracleSql,
+    "dedup_eval_sweep" -> dedupEvalSweepOracleSql,
     "tokenizer_fertility" -> tokenizerFertilityOracleSql,
 
     "mixture_weights" ->

@@ -1656,6 +1656,119 @@ object Graft {
           .stripMargin).as("recall4"))
   }
 
+  /** BAND-CONFIGURATION SWEEP of `minhashScreenEval` — precision/recall for
+    * several (bands × rowsPerBand) layouts of the SAME signature, the
+    * ann_probe_sweep analogue for dedup: the S-curve P(candidate) =
+    * 1-(1-j^r)^b steepens with r, and this reports where each layout
+    * actually lands on THIS corpus, so a pipeline picks its banding from
+    * data rather than the asymptotic formula. The signature is computed
+    * ONCE (every layout slices the same `numHashes` minima — that is the
+    * point of the sweep being cheap); ground truth is computed ONCE over
+    * the union universe (all layouts' banded pairs ∪ the capped-index
+    * pairs), so recall is comparable across rows. Output: one row per
+    * layout — (bands, rows_per_band, n_pred, n_tp, n_fp, n_fn,
+    * precision4, recall4) — against the shared (n_pairs, n_true) columns.
+    * Same scale shape as minhashScreenEval; the sweep multiplies only the
+    * band-join stage, never the signature or exact-score passes. */
+  def minhashScreenSweep(df: DataFrame, idCol: String, textCol: String,
+      configs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2)),
+      tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
+      maxPostings: Long = 128L, maxBandBucket: Long = 1024L,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    require(configs.forall { case (b, r) => b * r == numHashes },
+      s"every (bands, rowsPerBand) must multiply to numHashes=$numHashes")
+    val docs = df.select(col(idCol), col(textCol))
+    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(true)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
+    val postings = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val idx = sh.join(postings, "shingle").filter(col("__df") <= maxPostings)
+      .drop("__df")
+    val a = idx.as("a"); val b = idx.as("b")
+    val candSh = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // ONE signature pass; every layout re-bands these minima. All layouts'
+    // bands ride ONE exploded frame and ONE self-join keyed on (layout,
+    // band index, band signature) — 3 band joins + 3 pair dedups fold into
+    // one shuffle join + one groupBy (the slice widths differ, so the
+    // composite key never matches across layouts).
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN,
+        baseHash)
+      .localCheckpoint(true)
+    val bandExpr = configs.map { case (bands, rpb) =>
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> struct($bands AS bands, $rpb AS rows_per_band, b AS band,
+         |              slice(sig, b * $rpb + 1, $rpb) AS bandsig))""".stripMargin
+    }.mkString("concat(", ", ", ")")
+    val bandedAll = sig.filter(col("sig").isNotNull)
+      .select(col(idCol), col("sig"), explode(expr(bandExpr)).as("__cb"))
+      .select(col(idCol), col("sig"), col("__cb.bands"),
+        col("__cb.rows_per_band"), col("__cb.band"), col("__cb.bandsig"))
+      // the capped-inverted-index rule applied to band buckets: the
+      // shallow-banding end of the sweep (rowsPerBand = 2) collides whole
+      // weak-similarity neighborhoods into one bucket, and bucket pair
+      // volume is Σ|bucket|² — a viral bucket (> maxBandBucket members)
+      // carries no per-pair signal and is dropped from candidate
+      // generation, exactly like maxPostings on shingle postings
+      .localCheckpoint(true)
+    val bucketSizes = bandedAll.groupBy("bands", "band", "bandsig")
+      .agg(count(lit(1)).as("__occ"))
+    val banded = bandedAll.join(bucketSizes, Seq("bands", "band", "bandsig"))
+      .filter(col("__occ") <= maxBandBucket).drop("__occ")
+    val ba = banded.as("ba"); val bb = banded.as("bb")
+    val bandedPerCfg = ba.join(bb,
+        col("ba.bands") === col("bb.bands") &&
+        col("ba.band") === col("bb.band") &&
+        col("ba.bandsig") === col("bb.bandsig") &&
+        col(s"ba.$idCol") < col(s"bb.$idCol"))
+      .select(col("ba.bands").as("bands"),
+        col("ba.rows_per_band").as("rows_per_band"),
+        col(s"ba.$idCol").as("id_a"), col(s"bb.$idCol").as("id_b"),
+        round(expr(s"size(filter(zip_with(ba.sig, bb.sig, (x, y) -> x = y), v -> v))")
+          / numHashes.toDouble, 4).as("__est"))
+      .groupBy("bands", "rows_per_band", "id_a", "id_b")
+      .agg(max("__est").as("est_jaccard"))
+      .localCheckpoint(true)
+    val uni = candSh
+      .union(bandedPerCfg.select("id_a", "id_b")).distinct()
+      .localCheckpoint(true)
+    val inter = uni
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__nc"))
+    val truth = uni
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("__n_sh").as("__sa")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n_sh").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (round(coalesce(col("__nc"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - coalesce(col("__nc"), lit(0L))), 4)
+          >= tau).as("__t"))
+      // consumed once per layout row + the shared n_true aggregate
+      .localCheckpoint(true)
+    val globals = truth.agg(count(lit(1)).as("n_pairs"),
+      count_if(col("__t")).as("n_true"))
+    val perCfg = bandedPerCfg
+      .join(truth, Seq("id_a", "id_b"), "left")
+      .groupBy("bands", "rows_per_band")
+      .agg(count_if(col("est_jaccard") >= tau).as("n_pred"),
+        count_if(col("est_jaccard") >= tau && col("__t")).as("n_tp"),
+        count_if(col("est_jaccard") >= tau && !col("__t")).as("n_fp"))
+    perCfg.crossJoin(broadcast(globals))
+      .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+        col("n_true"), col("n_pred"), col("n_tp"), col("n_fp"),
+        (col("n_true") - col("n_tp")).as("n_fn"),
+        expr("""CAST((20000L * n_tp + greatest(n_pred, 1L))
+               |  DIV (2L * greatest(n_pred, 1L)) AS DOUBLE) / 10000.0"""
+          .stripMargin).as("precision4"),
+        expr("""CAST((20000L * n_tp + greatest(n_true, 1L))
+               |  DIV (2L * greatest(n_true, 1L)) AS DOUBLE) / 10000.0"""
+          .stripMargin).as("recall4"))
+  }
+
   // ---------- distinct counting at scale ----------
 
   /** Exact distinct count of an integer key per group via RoaringBitmap-style

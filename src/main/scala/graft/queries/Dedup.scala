@@ -462,4 +462,22 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       "doc_id", "text", tau = 0.2,
       baseHash = graft.api.Graft.md5Hash60)
+
+  /** Band-layout sweep (Graft.minhashScreenSweep): precision/recall of the
+    * 4×8, 8×4, and 16×2 bandings of the SAME 32-value signature at τ=0.2
+    * against the shared exact-Jaccard ground truth — the data-driven
+    * banding choice (steeper S-curve ⇒ fewer false candidates, lower
+    * recall). One signature pass; all three layouts ride one fused band
+    * join. The shallow 16×2 end is pair-quadratic in bucket occupancy, so
+    * the row runs on the family's 1-in-2 doc_id demo sample (the
+    * dedup_ngram_jaccard bound) — a measurement harness samples at ANY
+    * corpus size; production passes a fixed-size hash sample. */
+  def dedupEvalSweep(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.minhashScreenSweep(
+        Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text",
+        configs = Seq((4, 8), (8, 4), (16, 2)), tau = 0.2,
+        baseHash = graft.api.Graft.md5Hash60)
+      .orderBy("bands")
 }

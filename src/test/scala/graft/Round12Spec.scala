@@ -208,6 +208,39 @@ class Round12Spec extends SparkSpec {
     assert(nTrue == bruteTrue, s"n_true $nTrue vs brute-force $bruteTrue")
   }
 
+  test("minhashScreenSweep: nested bandings are monotone and 8x4 matches the single eval") {
+    val rows = queries.Dedup.dedupEvalSweep(spark, sf)
+      .select("bands", "rows_per_band", "n_pairs", "n_true", "n_pred",
+        "n_tp", "n_fp", "n_fn")
+      .as[(Int, Int, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((4, 8), (8, 4), (16, 2)))
+    // shared ground truth across layout rows
+    assert(rows.map(_._3).distinct.length == 1 && rows.map(_._4).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r._6 + r._7 == r._5, s"row $r: tp+fp != n_pred")
+      assert(r._6 + r._8 == r._4, s"row $r: tp+fn != n_true")
+    }
+    // slices NEST: a matching 8-wide band implies both 4-wide halves match,
+    // so candidate sets (and tp, n_pred) grow monotonically with bands
+    assert(rows(0)._5 <= rows(1)._5 && rows(1)._5 <= rows(2)._5,
+      "n_pred must be monotone in bands")
+    assert(rows(0)._6 <= rows(1)._6 && rows(1)._6 <= rows(2)._6,
+      "tp must be monotone in bands")
+    // the 8x4 row's predictions coincide with the single-layout eval run
+    // on the same 1-in-2 sample (same signature, same banding, same est
+    // gate; truth computed identically on every banded pair; the band
+    // bucket cap cannot bind at suite scale)
+    val single = api.Graft.minhashScreenEval(
+        Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", tau = 0.2,
+        baseHash = api.Graft.md5Hash60)
+      .select("n_pred", "n_tp").as[(Long, Long)].head()
+    assert((rows(1)._5, rows(1)._6) == single,
+      s"8x4 sweep row ${(rows(1)._5, rows(1)._6)} vs single eval $single")
+  }
+
   test("bpeFertility: per-group volumes match direct counts; ratios are sane") {
     val out = queries.TextAnalysis.tokenizerFertility(spark, sf)
       .as[(String, Long, Long, Long, Double, Double)].collect()
