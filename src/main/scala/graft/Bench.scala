@@ -106,9 +106,12 @@ object Bench {
     // breached the 2× gate twice (r9, r11) on unchanged-plan queries during
     // machine-contention windows, forcing a next-round min-of-3 ruling. The
     // full run now carries its own ruling: any query whose in-pass reading
-    // exceeds 2× its frozen profile (tools/profiles.json, min over committed
-    // sf0.1 readings on current-era plans; floor 2 s — sub-second queries are
-    // noise-dominated) is re-timed min-of-3 after the pass completes, and
+    // exceeds 1.5× its frozen profile (tools/profiles.json, min over committed
+    // sf0.1 readings on current-era plans; floor 1.5 s — sub-second queries are
+    // noise-dominated; the r12 full passes showed ambient load elevates the
+    // whole pass ~1.5-1.9× while every min-of-3 re-time lands at profile, so
+    // the 2× trigger left real contention uncorrected) is re-timed min-of-3
+    // after the pass completes, and
     // BOTH readings ship in the output. The official per-query value is the
     // min (a clean re-run at profile proves the in-pass spike was load, the
     // same evidence standard BASELINE.md Protocol #2 already codifies; a
@@ -131,7 +134,7 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val byNameSel = selected.toMap
     val flagged = inPass.filter { case (n, dt) =>
-      profiles.get(n).exists(p => dt > math.max(2.0, 2.0 * p))
+      profiles.get(n).exists(p => dt > math.max(1.5, 1.5 * p))
     }.map(_._1)
     val retimed: Map[String, Double] = flagged.map { n =>
       n -> (1 to 3).map(_ => timeOnce(byNameSel(n))).min

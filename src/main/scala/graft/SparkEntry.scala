@@ -203,6 +203,7 @@ object SparkEntry {
     "stream_dedup_wm"   -> StreamingQueries.streamDedupWatermark _,
     "stream_hll"        -> StreamingQueries.streamHllDistinct _,
     "stream_quality_filter" -> StreamingQueries.streamQualityFilter _,
+    "stream_boilerplate" -> StreamingQueries.streamBoilerplateScrub _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4785,6 +4786,9 @@ object SparkEntry {
     "dedup_eval_pr" -> dedupEvalPrOracleSql,
     "dedup_eval_sweep" -> dedupEvalSweepOracleSql,
     "tokenizer_fertility" -> tokenizerFertilityOracleSql,
+    // the streaming twin's contract IS the batch scrub's oracle: same
+    // fingerprints, same >= 3-distinct-doc rule, per-doc counters
+    "stream_boilerplate" -> boilerplateScrubOracleSql,
 
     "mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)

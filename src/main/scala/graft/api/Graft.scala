@@ -2840,18 +2840,27 @@ object Graft {
     * Spark rewrites count_distinct that way), one join back, one per-doc
     * rollup — linear, never doc×doc. Integer ratio4 grid + md5-base
     * fingerprints → fully oracle-able. */
-  def boilerplateParagraphs(df: DataFrame, idCol: String, textCol: String,
-      parTokens: Int = 16, minDocs: Int = 3,
+  /** The (id, paragraph index, fingerprint) explode shared by
+    * `paragraphDedup`-family operators and their streaming twins: each
+    * consecutive `parTokens`-token run hashes row-locally — works unchanged
+    * on a streaming frame (no shuffle, no state). */
+  def paragraphFingerprints(df: DataFrame, idCol: String, textCol: String,
+      parTokens: Int = 16,
       baseHash: Column => Column = xxHash63): DataFrame = {
     val n = parTokens
-    val pars = df
-      .withColumn("__toks", split(col(textCol), " ", -1))
+    df.withColumn("__toks", split(col(textCol), " ", -1))
       .filter(size(col("__toks")) >= 1)
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(__toks) / $n.0) AS INT) - 1),
            |  w -> array_join(slice(__toks, w * $n + 1, $n), ' '))""".stripMargin))
         .as(Seq("__pi", "__p")))
       .select(col(idCol), col("__pi"), baseHash(col("__p")).as("fp"))
+  }
+
+  def boilerplateParagraphs(df: DataFrame, idCol: String, textCol: String,
+      parTokens: Int = 16, minDocs: Int = 3,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val pars = paragraphFingerprints(df, idCol, textCol, parTokens, baseHash)
       // two-consumer barrier: the per-fp doc counts and the join back both
       // read the explode
       .localCheckpoint(true)

@@ -221,6 +221,43 @@ object StreamingQueries {
     * grouped state, and the output rolls up to per-label counts + token
     * volume (integer tally + exact long sum — no float aggregation).
     * Batch/stream polymorphism pinned on model inference. */
+  /** Boilerplate scrubbing at INGEST — the streaming twin of
+    * boilerplate_scrub with the production division of labor: the
+    * boilerplate fingerprint set is an AT-REST artifact (built once from
+    * the batch corpus — corpus-frequency stats are inherently a batch
+    * job), broadcast against the stream; arriving documents explode to
+    * paragraph fingerprints ROW-LOCALLY (Graft.paragraphFingerprints — no
+    * shuffle), mark boilerplate by stream-static left join, and the one
+    * streaming aggregation keeps per-doc (n_pars, n_boiler) counters. The
+    * final state hash-matches the batch operator's oracle verbatim —
+    * batch/stream polymorphism pinned on the scrub. */
+  def streamBoilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    val boilerFps = graft.api.Graft.paragraphFingerprints(
+        graft.Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", parTokens = 16,
+        baseHash = graft.api.Graft.md5Hash60)
+      .groupBy("fp")
+      .agg(count_distinct(col("doc_id")).as("__docs"))
+      .filter(col("__docs") >= 3L)
+      .select(col("fp"), lit(1L).as("__boiler"))
+    val streamPars = graft.api.Graft.paragraphFingerprints(
+      readStreamTable(s, d, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", parTokens = 16,
+      baseHash = graft.api.Graft.md5Hash60)
+    val agg = streamPars
+      .join(boilerFps, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pars"),
+        count_if(col("__boiler").isNotNull).as("n_boiler"))
+    runToMemory(s, agg, "graft_stream_boiler", "complete")
+      .select(col("doc_id"), col("n_pars"), col("n_boiler"),
+        (col("n_pars") - col("n_boiler")).as("n_kept"),
+        expr("""CAST((20000L * n_boiler + n_pars)
+               |  DIV (2L * n_pars) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("boiler4"))
+      .orderBy("doc_id")
+  }
+
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     // ONE streaming aggregation (per-doc scores — chained streaming aggs are
     // unsupported); the per-label rollup reads the final in-memory state as

@@ -259,6 +259,15 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("streamBoilerplateScrub: the streaming twin equals the batch scrub row-for-row") {
+    val batch = queries.Dedup.boilerplateScrub(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val stream = streaming.StreamingQueries.streamBoilerplateScrub(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(stream == batch,
+      s"stream/batch diverge: ${stream.diff(batch).take(3)} vs ${batch.diff(stream).take(3)}")
+  }
+
   test("corpusDiff: statuses reconcile with the snapshot derivations") {
     val byStatus = queries.PipelineOps.corpusDiff(spark, sf)
       .groupBy("status").agg(sum("n_docs").as("n")).as[(String, Long)]
