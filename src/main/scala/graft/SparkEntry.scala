@@ -204,6 +204,7 @@ object SparkEntry {
     "stream_hll"        -> StreamingQueries.streamHllDistinct _,
     "stream_quality_filter" -> StreamingQueries.streamQualityFilter _,
     "stream_boilerplate" -> StreamingQueries.streamBoilerplateScrub _,
+    "stream_apply_mixture" -> StreamingQueries.streamApplyMixture _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4789,6 +4790,8 @@ object SparkEntry {
     // the streaming twin's contract IS the batch scrub's oracle: same
     // fingerprints, same >= 3-distinct-doc rule, per-doc counters
     "stream_boilerplate" -> boilerplateScrubOracleSql,
+    // same contract: the md5 gate admits the identical doc set at ingest
+    "stream_apply_mixture" -> pipelineApplyMixtureOracleSql,
 
     "mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)

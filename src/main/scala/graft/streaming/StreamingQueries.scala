@@ -258,6 +258,37 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** Mixture sampling at INGEST — the streaming twin of
+    * pipeline_apply_mixture: the √n temperature rates FIT on the static
+    * corpus (mixture planning is a batch decision), broadcast against the
+    * stream, and Graft.applyMixture's 16-bit md5 gate admits documents
+    * ROW-LOCALLY — zero keyed state in the gate itself; the one streaming
+    * aggregation tallies per-language admitted docs + token volume. The
+    * readout joins the static per-language corpus counts, so the final
+    * table (and its achieved-rate readback) hash-matches the batch
+    * operator's oracle verbatim. This is the shape a 100 TB ingest uses:
+    * deterministic hash gates mean a replayed batch re-admits EXACTLY the
+    * same documents — sampling that composes with exactly-once sinks. */
+  def streamApplyMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val rates = graft.api.Graft.temperatureMixture(docs, "lang", temperature = 2.0)
+      .select(col("lang"), col("rate"))
+    val mix = graft.api.Graft.applyMixture(
+        readStreamTable(s, d, "documents"), "doc_id", "lang", rates)
+      .withColumn("__nt", size(split(col("text"), " ", -1)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("__nt").as("tok_volume"))
+    val sampled = runToMemory(s, mix, "graft_stream_mixture", "complete")
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("tok_volume"), lit(0L)).as("tok_volume"))
+      .withColumn("achieved4", expr(
+        "CAST((20000L * n_sampled + n_docs) DIV (2L * n_docs) AS DOUBLE) / 10000.0"))
+      .orderBy("lang")
+  }
+
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     // ONE streaming aggregation (per-doc scores — chained streaming aggs are
     // unsupported); the per-label rollup reads the final in-memory state as

@@ -268,6 +268,14 @@ class Round12Spec extends SparkSpec {
       s"stream/batch diverge: ${stream.diff(batch).take(3)} vs ${batch.diff(stream).take(3)}")
   }
 
+  test("streamApplyMixture: the md5 gate admits the identical mix at ingest") {
+    val batch = queries.PipelineOps.pipelineApplyMixture(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val stream = streaming.StreamingQueries.streamApplyMixture(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(stream == batch, s"stream/batch diverge: $stream vs $batch")
+  }
+
   test("corpusDiff: statuses reconcile with the snapshot derivations") {
     val byStatus = queries.PipelineOps.corpusDiff(spark, sf)
       .groupBy("status").agg(sum("n_docs").as("n")).as[(String, Long)]
