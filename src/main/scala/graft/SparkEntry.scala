@@ -851,8 +851,13 @@ object SparkEntry {
     * hash, 32 permutations, 8×4 bands), the dedup_ngram_jaccard capped
     * inverted index, the two-method pair universe, exact Jaccard from the
     * full shingle sets, and the integer confusion rollup. */
+  /** The 1-in-4 md5-digit audit slice both eval rows run on (the
+    * trainHexDigits rule — deterministic, identical in DuckDB). */
+  private val evalSliceWhere: String =
+    " WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')"
+
   private def dedupEvalPrOracleSql: String =
-    s"""$minhashSigCtePrefix,
+    s"""${minhashSigCtePrefixWhere(evalSliceWhere)},
        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id),
        |postings AS (SELECT shingle, count(1) AS df FROM sh GROUP BY shingle),
        |idx AS (
@@ -931,7 +936,7 @@ object SparkEntry {
     }.mkString(",\n")
     val bandedUnion = configs.map { case (b, _) => s"SELECT * FROM cand_$b" }
       .mkString("\n        UNION ALL ")
-    s"""${minhashSigCtePrefixWhere(" WHERE doc_id % 2 = 0")},
+    s"""${minhashSigCtePrefixWhere(evalSliceWhere)},
        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY doc_id),
        |postings AS (SELECT shingle, count(1) AS df FROM sh GROUP BY shingle),
        |idx AS (

@@ -1599,8 +1599,18 @@ object Graft {
   def minhashScreenEval(df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8, rowsPerBand: Int = 4, maxPostings: Long = 128L,
+      sampleHexDigits: Seq[String] = Nil,
       baseHash: Column => Column = xxHash63): DataFrame = {
-    val docs = df.select(col(idCol), col(textCol))
+    // AUDIT-SLICE sampling (the kmeans trainHexDigits rule): a PR estimate
+    // does not improve with corpus size beyond sampling error, but the pair
+    // universe grows quadratically in band-bucket occupancy — at 100 TB the
+    // harness MUST run on a hash slice sized for constant cost (pick digits
+    // ∝ 1/N). Deterministic and oracle-mirrorable, unlike an RNG sample.
+    val base =
+      if (sampleHexDigits.isEmpty) df
+      else df.filter(substring(md5(col(idCol).cast("string")), 1, 1)
+        .isin(sampleHexDigits: _*))
+    val docs = base.select(col(idCol), col(textCol))
     // four consumers of the shingle explode (postings, index join, both
     // exact-score sides) — same barrier rationale as ngramJaccardCandidates
     val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(true)
@@ -1674,10 +1684,16 @@ object Graft {
       configs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2)),
       tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
       maxPostings: Long = 128L, maxBandBucket: Long = 1024L,
+      sampleHexDigits: Seq[String] = Nil,
       baseHash: Column => Column = xxHash63): DataFrame = {
     require(configs.forall { case (b, r) => b * r == numHashes },
       s"every (bands, rowsPerBand) must multiply to numHashes=$numHashes")
-    val docs = df.select(col(idCol), col(textCol))
+    // same audit-slice rule as minhashScreenEval — see there
+    val base =
+      if (sampleHexDigits.isEmpty) df
+      else df.filter(substring(md5(col(idCol).cast("string")), 1, 1)
+        .isin(sampleHexDigits: _*))
+    val docs = base.select(col(idCol), col(textCol))
     val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(true)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
     val postings = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))

@@ -456,11 +456,16 @@ object Dedup {
     * of the 8×4-band screen at τ=0.2 against exact shingle Jaccard over
     * the two-method candidate universe — the confusion-matrix readout that
     * justifies (or rejects) a band configuration before a 100 TB pass.
-    * One summary row, all-integer counts → fully oracled. */
+    * Runs on the 1-in-4 md5-digit AUDIT SLICE (the harness's scale knob —
+    * the full-corpus run read 180 s at sf1, 38× on 10× data, because the
+    * pair universe is band-bucket quadratic; a PR estimate needs a fixed
+    * sample, not the corpus). One summary row, all-integer counts →
+    * fully oracled. */
   def dedupEvalPr(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.minhashScreenEval(
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       "doc_id", "text", tau = 0.2,
+      sampleHexDigits = Seq("0", "1", "2", "3"),
       baseHash = graft.api.Graft.md5Hash60)
 
   /** Band-layout sweep (Graft.minhashScreenSweep): precision/recall of the
@@ -469,15 +474,15 @@ object Dedup {
     * banding choice (steeper S-curve ⇒ fewer false candidates, lower
     * recall). One signature pass; all three layouts ride one fused band
     * join. The shallow 16×2 end is pair-quadratic in bucket occupancy, so
-    * the row runs on the family's 1-in-2 doc_id demo sample (the
-    * dedup_ngram_jaccard bound) — a measurement harness samples at ANY
-    * corpus size; production passes a fixed-size hash sample. */
+    * the row runs on the 1-in-4 md5-digit AUDIT SLICE (same knob as
+    * dedup_eval_pr; the 1-in-2 doc_id variant read 228 s at sf1) —
+    * a measurement harness samples at ANY corpus size. */
   def dedupEvalSweep(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.minhashScreenSweep(
-        Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"), col("text")),
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text",
         configs = Seq((4, 8), (8, 4), (16, 2)), tau = 0.2,
+        sampleHexDigits = Seq("0", "1", "2", "3"),
         baseHash = graft.api.Graft.md5Hash60)
       .orderBy("bands")
 }

@@ -190,10 +190,14 @@ class Round12Spec extends SparkSpec {
     assert(nTrue <= nPairs && nPred <= nPairs)
     assert(p4 >= 0.0 && p4 <= 1.0 && r4 >= 0.0 && r4 <= 1.0)
     // completeness of n_true: brute-force exact Jaccard over ALL doc pairs
-    // (no capped index, no bands) — every true pair must be in the universe
-    // and counted, so the capped-index recall scope loses nothing here
+    // of the same 1-in-4 audit slice (no capped index, no bands) — every
+    // true pair must be in the universe and counted, so the capped-index
+    // recall scope loses nothing here
     val shingleSets = api.Graft.shingles(
-        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        Tables.documents(spark, sf)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2", "3"))
+          .select(col("doc_id"), col("text")),
         "doc_id", "text")
       .groupBy("doc_id").agg(collect_set("shingle").as("sh"))
       .as[(Long, Seq[String])].collect()
@@ -228,13 +232,14 @@ class Round12Spec extends SparkSpec {
     assert(rows(0)._6 <= rows(1)._6 && rows(1)._6 <= rows(2)._6,
       "tp must be monotone in bands")
     // the 8x4 row's predictions coincide with the single-layout eval run
-    // on the same 1-in-2 sample (same signature, same banding, same est
-    // gate; truth computed identically on every banded pair; the band
-    // bucket cap cannot bind at suite scale)
+    // on the same 1-in-4 audit slice (same signature, same banding, same
+    // est gate; truth computed identically on every banded pair; the band
+    // bucket cap cannot bind at suite scale) — both registry rows use the
+    // same slice, so this is dedup_eval_pr's exact configuration
     val single = api.Graft.minhashScreenEval(
-        Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"), col("text")),
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
         "doc_id", "text", tau = 0.2,
+        sampleHexDigits = Seq("0", "1", "2", "3"),
         baseHash = api.Graft.md5Hash60)
       .select("n_pred", "n_tp").as[(Long, Long)].head()
     assert((rows(1)._5, rows(1)._6) == single,
