@@ -295,6 +295,12 @@ object PlanAudit {
       ("dedup_eval_sweep", p => !p.contains("CartesianProduct"),
         "band sweep: all three layouts ride ONE fused band self-join with " +
           "viral-bucket cap; exact scores ride the pair explode"),
+      ("curriculum_order", p => !p.contains("CartesianProduct")
+        && p.contains("Broadcast"),
+        "curriculum: thresholds and bucket offsets broadcast; the rank is " +
+          "the two-phase bucketed window, never a single global partition"),
+      ("span_corruption", p => !p.contains("Join") && !p.contains("Window"),
+        "span plan: entirely row-local list arithmetic — no join, no window"),
     )
 
     var failed = 0

@@ -205,6 +205,8 @@ object SparkEntry {
     "stream_quality_filter" -> StreamingQueries.streamQualityFilter _,
     "stream_boilerplate" -> StreamingQueries.streamBoilerplateScrub _,
     "stream_apply_mixture" -> StreamingQueries.streamApplyMixture _,
+    "curriculum_order"  -> PipelineOps.curriculumOrder _,
+    "span_corruption"   -> TextAnalysis.spanCorruption _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1743,6 +1745,41 @@ object SparkEntry {
       |agg AS (
       |  SELECT doc_id, count(1) AS n_tokens, CAST(sum(weight) AS BIGINT) AS s
       |  FROM t JOIN w USING (bucket) GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of PipelineOps.curriculumOrder: the classifier CTEs, the
+    * ratio4-grid tercile thresholds (cumulative counts over the grid), and
+    * ONE global row_number per stage — semantically identical to the Scala
+    * side's two-phase bucketed rank (the md5 hex prefix orders buckets
+    * consistently with the full (hk, doc_id) key, so offset+local ≡
+    * global). floor(score·10⁴) is exact: score is intval/10⁴ correctly
+    * rounded, and its re-scaling rounds back to intval in both engines. */
+  private def curriculumOrderOracleSql: String =
+    s"""$classifierCtesSql,
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN s >= 0 THEN (20000 * s + n_tokens) // (2 * n_tokens)
+       |         ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score
+       |  FROM agg),
+       |qv AS (
+       |  SELECT doc_id, score,
+       |    CAST(floor(score * 10000.0) AS BIGINT) AS qi
+       |  FROM sc),
+       |nn AS (SELECT count(1) AS n FROM qv),
+       |grid AS (SELECT qi, count(1) AS c FROM qv GROUP BY qi),
+       |cg AS (SELECT qi, sum(c) OVER (ORDER BY qi) AS cum FROM grid),
+       |th AS (
+       |  SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN qi END) AS t_lo,
+       |         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN qi END) AS t_hi
+       |  FROM cg CROSS JOIN nn),
+       |st AS (
+       |  SELECT doc_id, score,
+       |    CASE WHEN qi > t_hi THEN 1 WHEN qi > t_lo THEN 2 ELSE 3 END AS stage
+       |  FROM qv CROSS JOIN th)
+       |SELECT doc_id, stage,
+       |  CAST(row_number() OVER (PARTITION BY stage
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos,
+       |  score
+       |FROM st ORDER BY stage, pos""".stripMargin
 
   /** DuckDB twin of Graft.linearClassify over the deterministic md5 model:
     * the weight table, the hashed-token join, and the signed ratio4 mean
@@ -4797,6 +4834,30 @@ object SparkEntry {
     "stream_boilerplate" -> boilerplateScrubOracleSql,
     // same contract: the md5 gate admits the identical doc set at ingest
     "stream_apply_mixture" -> pipelineApplyMixtureOracleSql,
+    "curriculum_order" -> curriculumOrderOracleSql,
+
+    // row-local T5 masking plan: (id, position)-hash start decisions,
+    // covered-index union of clipped spans — all list arithmetic
+    "span_corruption" ->
+      """WITH ts AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(ts) AS n FROM ts WHERE len(ts) >= 1),
+        |st AS (
+        |  SELECT doc_id, n,
+        |    list_filter(range(0, n),
+        |      i -> ('0x' || substring(md5(doc_id || '_' || i), 1, 15))::BIGINT % 20 = 0) AS starts
+        |  FROM base),
+        |cov AS (
+        |  SELECT doc_id, n, len(starts) AS n_spans,
+        |    len(list_distinct(flatten(list_transform(starts,
+        |      p -> range(p, least(p + 3, n)))))) AS n_masked
+        |  FROM st)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(n_masked AS BIGINT) AS n_masked,
+        |  CAST((20000 * n_masked + n) // (2 * n) AS DOUBLE) / 10000.0 AS mask4
+        |FROM cov ORDER BY doc_id""".stripMargin,
 
     "mixture_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)

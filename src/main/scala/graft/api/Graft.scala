@@ -216,6 +216,44 @@ object Graft {
       .select(col("token"), col("n_occurrences"), col("n_word_types"))
   }
 
+  /** SPAN-CORRUPTION PLAN (the T5 pretraining objective's data-prep step —
+    * Raffel '20 masks ~15% of tokens in mean-length-3 spans): a
+    * DETERMINISTIC plan of which token spans get masked, so the objective
+    * is reproducible across reruns and engines (production pipelines seed
+    * per document for exactly this property; here the seed IS the
+    * (id, position) hash). Position i starts a span iff
+    * md5₆₀(id ⊕ '_' ⊕ i) ≡ 0 (mod everyK) — E[starts] = n/everyK, span
+    * length `spanLen`, overlapping spans merge via the covered-index
+    * union, everyK=20 × spanLen=3 ≈ the 15% target. Entirely ROW-LOCAL
+    * array arithmetic (the winnowing scale class): zero shuffles, zero
+    * state, the hash runs through the native md5h60_array expression.
+    * Output: (id, n_tokens, n_spans, n_masked, mask4). */
+  def spanCorruptionPlan(df: DataFrame, idCol: String, textCol: String,
+      everyK: Int = 20, spanLen: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol), expr(
+        s"filter(split(`$textCol`, ' ', -1), x -> length(x) > 0)").as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+      .withColumn("__n", size(col("__ts")))
+      .withColumn("__starts", expr(
+        // the hash array is zipped with positions so it evaluates once per
+        // row, not once per filter probe
+        s"""filter(zip_with(sequence(0, __n - 1),
+           |  md5h60_array(transform(sequence(0, __n - 1),
+           |    j -> concat(CAST(`$idCol` AS STRING), '_', CAST(j AS STRING)))),
+           |  (i, h) -> named_struct('i', i, 'hit', h % $everyK = 0)),
+           |  s -> s.hit)""".stripMargin))
+      .withColumn("__starts", expr("transform(__starts, s -> s.i)"))
+      .select(col(idCol), col("__n").cast("long").as("n_tokens"),
+        size(col("__starts")).cast("long").as("n_spans"),
+        expr(
+          s"""size(array_distinct(flatten(transform(__starts,
+             |  p -> sequence(p, least(p + ${spanLen - 1}, __n - 1))))))"""
+            .stripMargin).cast("long").as("n_masked"))
+      .withColumn("mask4", expr(
+        "CAST((20000L * n_masked + n_tokens) DIV (2L * n_tokens) AS DOUBLE) / 10000.0"))
+  }
+
   /** TOKENIZER FERTILITY per group (the multilingual-pipeline metric:
     * Ács '19 popularized it as BPE tokens emitted per word — a tokenizer
     * trained on the corpus majority over-fragments minority languages, and

@@ -663,6 +663,51 @@ object PipelineOps {
       .orderBy("list_id", "pick_rank")
   }
 
+  /** CURRICULUM training order — the staged schedule curriculum-learning
+    * runs produce from a quality signal (Bengio '09 for the idea; modern
+    * corpus pipelines stage by classifier quality): documents split into
+    * terciles of the integer-exact linearClassify score (percentile-disc
+    * thresholds on the ratio4 grid — cumulative counts over the GRID,
+    * never a document-sized rank window), best tercile first, and within
+    * a stage the order is the deterministic md5 shuffle. The position is
+    * a DISTRIBUTED two-phase rank: 16 hash-RANGE buckets (the md5 hex
+    * prefix orders buckets consistently with the full key), a per-(stage,
+    * bucket) local row_number, and a 48-row broadcast offset table — no
+    * global single-partition window anywhere; at 100 TB grow the prefix
+    * to 256/4096 buckets. Output: (doc_id, stage, pos, score) — the
+    * materialized training schedule. */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val scored = graft.api.Graft.linearClassify(
+        Tables.documents(s, d), "doc_id", "text", buckets = 1024)
+      .select(col("doc_id"), col("score"),
+        floor(col("score") * 10000.0).cast("long").as("__qi"))
+      // consumed by the count, the grid, and the staging join
+      .localCheckpoint(true)
+    val n = scored.count()
+    val grid = scored.groupBy("__qi").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(Window.orderBy("__qi")))
+    val th = grid.agg(
+      min(when(col("__cum") >= lit((n + 2) / 3), col("__qi"))).as("__t_lo"),
+      min(when(col("__cum") >= lit((2 * n + 2) / 3), col("__qi"))).as("__t_hi"))
+    val staged = scored.crossJoin(broadcast(th))
+      .withColumn("stage",
+        when(col("__qi") > col("__t_hi"), lit(1))
+          .when(col("__qi") > col("__t_lo"), lit(2)).otherwise(lit(3)))
+      .withColumn("__hk", md5(col("doc_id").cast("string")))
+      .withColumn("__b", substring(col("__hk"), 1, 1))
+    val local = staged.withColumn("__lr", row_number().over(
+      Window.partitionBy("stage", "__b").orderBy(col("__hk"), col("doc_id"))))
+    val offs = staged.groupBy("stage", "__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(
+        Window.partitionBy("stage").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage"), col("__b"), col("__off"))
+    local.join(broadcast(offs), Seq("stage", "__b"))
+      .select(col("doc_id"), col("stage"),
+        (col("__off") + col("__lr")).as("pos"), col("score"))
+      .orderBy("stage", "pos")
+  }
+
   /** Corpus snapshot diff (Graft.snapshotDiff): two deterministic
     * generations of the documents table — v0 drops doc_id % 13 = 5, v1
     * drops % 13 = 7 and rewrites (uppercases) % 13 = 2 — full-outer

@@ -269,6 +269,15 @@ object TextAnalysis {
         budget = 10)
       .orderBy("lang")
 
+  /** T5 span-corruption plan (Graft.spanCorruptionPlan): the deterministic
+    * ~15% masking schedule (everyK=20 starts × span 3) — row-local array
+    * arithmetic, zero shuffles, reproducible across reruns and engines. */
+  def spanCorruption(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.spanCorruptionPlan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", everyK = 20, spanLen = 3)
+      .orderBy("doc_id")
+
   /** Winnowing fingerprint selection (Graft.winnowFingerprints — the MOSS
     * algorithm, Schleimer '03): per-document selected-fingerprint stats at
     * k=4, w=5. Row-local array arithmetic, zero shuffles, md5-hash grams →

@@ -281,6 +281,54 @@ class Round12Spec extends SparkSpec {
     assert(stream == batch, s"stream/batch diverge: $stream vs $batch")
   }
 
+  test("curriculumOrder: two-phase rank equals global rank; stages are ordered terciles") {
+    val rows = queries.PipelineOps.curriculumOrder(spark, sf)
+      .select("doc_id", "stage", "pos", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == docs)
+    // per stage: positions are a dense 1..N_stage permutation, and the
+    // bucketed offset+local rank must equal the plain global rank over
+    // (md5(id), id) — the two-phase numbering's whole claim
+    rows.groupBy(_._2).foreach { case (stage, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length.toLong).toSeq,
+        s"stage $stage positions not dense")
+      val expected = rs.map(_._1)
+        .sortBy(id => (org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString), id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      rs.foreach { case (id, _, pos, _) =>
+        assert(expected(id) == pos, s"doc $id: two-phase pos $pos != global ${expected(id)}") }
+    }
+    // tercile ordering: every stage-1 score strictly above every stage-2
+    // score, etc. (stages split on the floor(score*10^4) grid)
+    val byStage = rows.groupBy(_._2).view.mapValues(_.map(_._4)).toMap
+    if (byStage.contains(1) && byStage.contains(2))
+      assert(byStage(1).min > byStage(2).max)
+    if (byStage.contains(2) && byStage.contains(3))
+      assert(byStage(2).min > byStage(3).max)
+  }
+
+  test("spanCorruptionPlan: hash-seeded starts recompute exactly; ~15% coverage") {
+    val rows = queries.TextAnalysis.spanCorruption(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    def h60(sx: String): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(sx).take(15), 16)
+    rows.take(50).foreach { case (id, nTok, nSpans, nMasked, _) =>
+      val n = texts(id).split(" ", -1).count(_.nonEmpty)
+      assert(n.toLong == nTok, s"doc $id token count")
+      val starts = (0 until n).filter(i => h60(s"${id}_$i") % 20 == 0)
+      assert(starts.length.toLong == nSpans, s"doc $id spans")
+      val covered = starts.flatMap(p => p to math.min(p + 2, n - 1)).distinct
+      assert(covered.length.toLong == nMasked, s"doc $id masked")
+    }
+    val (m, t) = (rows.map(_._4).sum.toDouble, rows.map(_._2).sum.toDouble)
+    assert(m / t > 0.05 && m / t < 0.30, s"corpus mask share ${m / t} far from 15%")
+  }
+
   test("corpusDiff: statuses reconcile with the snapshot derivations") {
     val byStatus = queries.PipelineOps.corpusDiff(spark, sf)
       .groupBy("status").agg(sum("n_docs").as("n")).as[(String, Long)]
