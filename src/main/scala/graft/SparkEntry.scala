@@ -207,6 +207,7 @@ object SparkEntry {
     "stream_apply_mixture" -> StreamingQueries.streamApplyMixture _,
     "curriculum_order"  -> PipelineOps.curriculumOrder _,
     "span_corruption"   -> TextAnalysis.spanCorruption _,
+    "source_overlap"    -> PipelineOps.sourceOverlap _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4835,6 +4836,22 @@ object SparkEntry {
     // same contract: the md5 gate admits the identical doc set at ingest
     "stream_apply_mixture" -> pipelineApplyMixtureOracleSql,
     "curriculum_order" -> curriculumOrderOracleSql,
+
+    // the dedup_paragraphs fingerprint construction on the (source,
+    // fingerprint)-distinct frame, self-joined across sources
+    "source_overlap" ->
+      """WITH pars AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substring(md5(array_to_string(ts[(w*16+1):(w*16+16)], ' ')), 1, 15))::BIGINT AS fp
+        |  FROM (
+        |    SELECT source, ts, unnest(range(0, CAST(ceil(len(ts) / 16.0) AS INT))) AS w
+        |    FROM (SELECT source, string_split(text, ' ') AS ts FROM documents)
+        |    WHERE len(ts) >= 1))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(1) AS n_shared_fps
+        |FROM pars a JOIN pars b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // row-local T5 masking plan: (id, position)-hash start decisions,
     // covered-index union of clipped spans — all list arithmetic

@@ -2931,6 +2931,30 @@ object Graft {
           .as("boiler4"))
   }
 
+  /** CROSS-SOURCE text-overlap matrix — the "where is my corpus duplicated
+    * FROM" audit (mirror sites, syndication, scraper overlap): for every
+    * unordered pair of strata, how many distinct `parTokens`-token
+    * paragraph fingerprints occur in BOTH — sub-document granularity, the
+    * level at which real cross-source duplication lives (whole-document
+    * exact dups are rare; shared boilerplate and syndicated passages are
+    * not). The join runs on the (strata, fingerprint)-DISTINCT frame, so
+    * per-fingerprint fan-out is bounded by the STRATA count, never by
+    * document occupancy — linear in corpus paragraphs no matter how viral
+    * a fingerprint is. Output: (source_a, source_b, n_shared_fps) with
+    * source_a < source_b. */
+  def crossSourceOverlap(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, parTokens: Int = 16,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val sp = paragraphFingerprints(
+        df.select(col(strataCol).as("__st"), col(idCol), col(textCol)),
+        "__st", textCol, parTokens, baseHash)
+      .select(col("__st"), col("fp")).distinct()
+    val a = sp.as("a"); val b = sp.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.__st") < col("b.__st"))
+      .groupBy(col("a.__st").as("source_a"), col("b.__st").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Corpus SNAPSHOT DIFF — the manifest comparison a versioned data lake
     * runs between two corpus generations before promoting one: per id,
     * whether the document was added, removed, changed (fingerprint differs)

@@ -708,6 +708,18 @@ object PipelineOps {
       .orderBy("stage", "pos")
   }
 
+  /** Cross-source overlap matrix (Graft.crossSourceOverlap): distinct
+    * 16-token paragraph fingerprints shared by each source pair — the
+    * mirror/syndication audit a curation run reads before deciding which
+    * source to keep. Strata-distinct join: fan-out bounded by the source
+    * count, never paragraph occupancy. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.crossSourceOverlap(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", "text", "source", parTokens = 16,
+        baseHash = graft.api.Graft.md5Hash60)
+      .orderBy("source_a", "source_b")
+
   /** Corpus snapshot diff (Graft.snapshotDiff): two deterministic
     * generations of the documents table — v0 drops doc_id % 13 = 5, v1
     * drops % 13 = 7 and rewrites (uppercases) % 13 = 2 — full-outer

@@ -329,6 +329,24 @@ class Round12Spec extends SparkSpec {
     assert(m / t > 0.05 && m / t < 0.30, s"corpus mask share ${m / t} far from 15%")
   }
 
+  test("sourceOverlap: shared paragraph counts recompute from raw strings") {
+    val rows = queries.PipelineOps.sourceOverlap(spark, sf)
+      .as[(String, String, Long)].collect()
+    rows.foreach { case (a, b, n) =>
+      assert(a < b, s"pair ($a,$b) not ordered"); assert(n > 0) }
+    // ground truth by raw paragraph STRING per source (no hashing)
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, xs) =>
+        src -> xs.flatMap(x => x._2.split(" ", -1).grouped(16).map(_.mkString(" "))).toSet }
+    val truth = (for {
+      (a, pa) <- bySource; (b, pb) <- bySource if a < b
+      n = pa.intersect(pb).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == truth,
+      s"matrix diverges from raw-string recompute")
+  }
+
   test("corpusDiff: statuses reconcile with the snapshot derivations") {
     val byStatus = queries.PipelineOps.corpusDiff(spark, sf)
       .groupBy("status").agg(sum("n_docs").as("n")).as[(String, Long)]
