@@ -208,6 +208,8 @@ object SparkEntry {
     "curriculum_order"  -> PipelineOps.curriculumOrder _,
     "span_corruption"   -> TextAnalysis.spanCorruption _,
     "source_overlap"    -> PipelineOps.sourceOverlap _,
+    "mixture_epochs"    -> PipelineOps.mixtureEpochs _,
+    "schema_evolution"  -> Formats.schemaEvolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -795,6 +797,52 @@ object SparkEntry {
       |SELECT lang, avail AS avail_tokens, weight AS n_docs, saturated,
       |  CAST(alloc AS BIGINT) AS alloc,
       |  CAST((20000 * alloc + avail) // (2 * avail) AS DOUBLE) / 10000.0 AS fill_share4
+      |FROM s6 ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of PipelineOps.mixtureEpochs — the mixture_waterfill
+    * integer chain with avail' = 4·avail (the Muennighoff 4-epoch cap) and
+    * budget = 1.5× the corpus, plus the epochs readback on the real
+    * inventory. */
+  private def mixtureEpochsOracleSql: String =
+    """WITH inv AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS realav,
+      |    count(1) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |b AS (SELECT CAST(sum(realav) * 3 // 2 AS BIGINT) AS budget FROM inv),
+      |r AS (
+      |  SELECT lang, realav, realav * 4 AS avail, n_docs AS weight, budget,
+      |    sum(realav * 4) OVER (ORDER BY CAST(realav * 4 AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cum,
+      |    sum(n_docs) OVER (ORDER BY CAST(realav * 4 AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cumw,
+      |    sum(n_docs) OVER () AS totw
+      |  FROM inv CROSS JOIN b),
+      |s1 AS (
+      |  SELECT *, CASE WHEN avail * (totw - cumw + weight)
+      |      <= (budget - cum + avail) * weight THEN 1 ELSE 0 END AS satraw
+      |  FROM r),
+      |s2 AS (
+      |  SELECT *, min(satraw) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, lang ASC) = 1 AS saturated
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, budget - sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS pool,
+      |    greatest(totw - sum(CASE WHEN saturated THEN weight ELSE 0 END) OVER (), 1) AS remw
+      |  FROM s2),
+      |s4 AS (
+      |  SELECT *, CASE WHEN saturated THEN avail ELSE (pool * weight) // remw END AS base,
+      |    CASE WHEN saturated THEN 0 ELSE (pool * weight) % remw END AS fracrem
+      |  FROM s3),
+      |s5 AS (
+      |  SELECT *, (sum(fracrem) OVER ()) // remw AS leftn,
+      |    row_number() OVER (ORDER BY CASE WHEN saturated THEN 1 ELSE 0 END ASC,
+      |      fracrem DESC, lang ASC) AS fr
+      |  FROM s4),
+      |s6 AS (
+      |  SELECT lang, realav, weight, saturated,
+      |    CASE WHEN saturated THEN avail
+      |      ELSE base + CASE WHEN fr <= leftn THEN 1 ELSE 0 END END AS alloc
+      |  FROM s5)
+      |SELECT lang, realav AS avail_tokens, weight AS n_docs,
+      |  saturated AS capped, CAST(alloc AS BIGINT) AS alloc,
+      |  CAST((20000 * alloc + realav) // (2 * realav) AS DOUBLE) / 10000.0 AS epochs4
       |FROM s6 ORDER BY lang""".stripMargin
 
   /** DuckDB twin of PipelineOps.clusterBalancedSample: the knn_ivf kmeans
@@ -4836,6 +4884,14 @@ object SparkEntry {
     // same contract: the md5 gate admits the identical doc set at ingest
     "stream_apply_mixture" -> pipelineApplyMixtureOracleSql,
     "curriculum_order" -> curriculumOrderOracleSql,
+    "mixture_epochs" -> mixtureEpochsOracleSql,
+
+    // generation-1 rows (doc_id % 3 = 0) never carried the evolved column
+    "schema_evolution" ->
+      """SELECT lang, count(1) AS n_docs,
+        |  CAST(count_if(doc_id % 3 <> 0) AS BIGINT) AS n_evolved,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars END), 0) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the dedup_paragraphs fingerprint construction on the (source,
     // fingerprint)-distinct frame, self-joined across sources

@@ -81,6 +81,33 @@ object Formats {
       .orderBy("fmt", "lang")
   }
 
+  /** SCHEMA EVOLUTION across ingest generations — the lakehouse capability
+    * every long-lived corpus table exercises: generation 1 writes
+    * (doc_id, lang), generation 2 adds an `n_chars` column, and a
+    * mergeSchema read unions the footers — generation-1 rows surface the
+    * new column as NULL, nothing rewrites. The readout proves the merge:
+    * per language, total docs vs docs CARRYING the evolved column, plus
+    * the evolved column's sum (old rows contribute nothing). At 100 TB
+    * mergeSchema's footer-scan cost is why production pins the schema in
+    * a metastore/catalog and evolves it there; this row demonstrates the
+    * file-level mechanics the catalog automates. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = artifactBase(s, "graft_schema_evo", d)
+    val docs = Tables.documents(s, d)
+    val g1 = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"))
+    val g2 = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    g1.write.mode("overwrite").parquet(s"$base/gen1")
+    g2.write.mode("overwrite").parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_evolved"),
+        coalesce(sum("n_chars"), lit(0L)).as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Hive-style JSON path surface: json_tuple (generator form, LATERAL VIEW)
     * and get_json_object (scalar path) — the pre-VARIANT JSON access idioms
     * ported pipelines still carry. */

@@ -708,6 +708,36 @@ object PipelineOps {
       .orderBy("stage", "pos")
   }
 
+  /** DATA-CONSTRAINED epoch plan (Muennighoff '23, arXiv:2305.16264 —
+    * repeating data up to ~4 epochs is nearly as valuable as fresh data):
+    * when the training budget EXCEEDS the corpus (here 1.5× the token
+    * volume), allocate with per-source repetition caps — each language may
+    * contribute up to 4×its inventory, the water-filling solver splits the
+    * budget proportionally to doc counts, saturation now means "hit the
+    * 4-epoch cap", and `epochs4` reads back how many passes over each
+    * source the plan implies. Pure reuse of `Graft.mixtureWaterfill` with
+    * avail' = 4·avail: the solver's integer-exactness argument transfers
+    * verbatim (alloc conservation, Hamilton remainder), so the plan is
+    * cross-engine exact. */
+  def mixtureEpochs(s: SparkSession, d: String): DataFrame = {
+    val inv = Tables.documents(s, d)
+      .withColumn("__nt", size(split(col("text"), " ", -1)).cast("long"))
+      .groupBy("lang")
+      .agg(sum("__nt").as("avail_tokens"), count(lit(1)).as("n_docs"))
+      .withColumn("__cap", col("avail_tokens") * 4L)
+      .localCheckpoint(true) // budget aggregate + solver both read it
+    val budget = inv.agg(sum("avail_tokens")).head().getLong(0) * 3L / 2L
+    graft.api.Graft.mixtureWaterfill(inv, "lang", "__cap",
+        weightCol = "n_docs", budget = budget)
+      .select(col("lang"), expr("avail DIV 4L").as("avail_tokens"),
+        col("weight").as("n_docs"), col("saturated").as("capped"),
+        col("alloc"),
+        expr("""CAST((20000L * alloc + (avail DIV 4L))
+               |  DIV (2L * (avail DIV 4L)) AS DOUBLE) / 10000.0"""
+          .stripMargin).as("epochs4"))
+      .orderBy("lang")
+  }
+
   /** Cross-source overlap matrix (Graft.crossSourceOverlap): distinct
     * 16-token paragraph fingerprints shared by each source pair — the
     * mirror/syndication audit a curation run reads before deciding which

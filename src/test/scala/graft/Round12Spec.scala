@@ -347,6 +347,41 @@ class Round12Spec extends SparkSpec {
       s"matrix diverges from raw-string recompute")
   }
 
+  test("mixtureEpochs: budget conserved, 4-epoch cap binds, epochs bounded") {
+    val rows = queries.PipelineOps.mixtureEpochs(spark, sf)
+      .select("lang", "avail_tokens", "n_docs", "capped", "alloc", "epochs4")
+      .as[(String, Long, Long, Boolean, Long, Double)].collect()
+    val total = rows.map(_._2).sum
+    // budget = 1.5x corpus < 4x corpus, so Σ alloc == budget exactly
+    assert(rows.map(_._5).sum == total * 3 / 2)
+    rows.foreach { r =>
+      assert(r._5 <= 4 * r._2, s"${r._1}: alloc ${r._5} beyond 4 epochs")
+      assert(r._6 <= 4.0001 && r._6 >= 0.0)
+    }
+    // a source whose weight demands far more than its 4-epoch cap SATURATES
+    // at exactly 4 epochs (hand inventory through the same solver shape)
+    val inv = Seq(("tiny", 10L, 100L), ("big", 10000L, 1L))
+      .toDF("src", "av", "w").withColumn("cap", col("av") * 4L)
+    val out = api.Graft.mixtureWaterfill(inv, "src", "cap", "w", budget = 5000L)
+      .select("src", "saturated", "alloc").as[(String, Boolean, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("tiny")._2 && out("tiny")._3 == 40L, s"tiny: ${out("tiny")}")
+    assert(out.values.map(_._3).sum == 5000L)
+  }
+
+  test("schemaEvolution: merged read carries the evolved column, old rows null") {
+    val out = queries.Formats.schemaEvolution(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val truth = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        count_if(col("doc_id") % 3 =!= 0).as("ev"),
+        coalesce(sum(when(col("doc_id") % 3 =!= 0, col("n_chars"))), lit(0L)).as("tc"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out == truth, s"merged-read rollup diverges: $out vs $truth")
+    out.values.foreach { case (lang, n, ev, _) =>
+      assert(ev <= n, s"$lang: evolved $ev > docs $n") }
+  }
+
   test("corpusDiff: statuses reconcile with the snapshot derivations") {
     val byStatus = queries.PipelineOps.corpusDiff(spark, sf)
       .groupBy("status").agg(sum("n_docs").as("n")).as[(String, Long)]
