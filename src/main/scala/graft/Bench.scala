@@ -177,7 +177,8 @@ object Bench {
       "split_", "lang_", "tfidf_", "text_", "token_", "ngram_",
       "decontaminate_", "ann_", "vector_", "zorder_", "sample_",
       "multimodal_", "pii_", "word_", "pmi_", "source_", "hybrid_",
-      "contamination_", "cluster_", "corpus_", "boilerplate_", "tokenizer_")
+      "contamination_", "cluster_", "corpus_", "boilerplate_", "tokenizer_",
+      "span_", "curriculum_")
     def family(name: String): String =
       if (name.matches("q\\d+_.*")) "tpch"
       else if (name.startsWith("stream_")) "streaming"
