@@ -116,22 +116,40 @@ object Bench {
     // min (a clean re-run at profile proves the in-pass spike was load, the
     // same evidence standard BASELINE.md Protocol #2 already codifies; a
     // real regression reproduces in the re-time and stays visible).
+    // KNOWN LIMIT: for shared-artifact rows (dedup_incremental/_foldin,
+    // knn_ivf_persisted) the re-time is warm, so the one-time artifact
+    // BUILD cost is charged to no query — the documented AB semantics
+    // (BASELINE r11/r12 rulings), but it also means a regression confined
+    // to the cold build path never trips the ruler; the build is timed
+    // separately in SCALE.md when it changes.
     // r12: sf1 passes self-rule too (tools/profiles_sf1.json — the r12 sf1
     // pass hit the same alphabetical contention window the sf0.1 passes
     // kept hitting; see SCALE.md "Round-12 sf1 full pass + ruling").
     val profileFile = sfDir.replaceAll("/+$", "") match {
       case p if p.endsWith("sf0.1") => "tools/profiles.json"
-      case p if p.endsWith("sf1") || p.endsWith("graft_sf1") => "tools/profiles_sf1.json"
+      case p if p.endsWith("sf1") => "tools/profiles_sf1.json"
       case _ => ""
     }
+    // A load failure must NOT silently disable the ruling machinery: a full
+    // pass without profiles ships contention-polluted readings as official
+    // values — the exact failure this feature corrects. Warn loudly (the
+    // driver captures stderr) so a CWD or key-rename mistake is visible.
     val profiles: Map[String, Double] =
       if (args.nonEmpty || profileFile.isEmpty) Map.empty
       else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(profileFile)).get("profiles")
         import scala.jdk.CollectionConverters._
-        node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
-      } catch { case _: Throwable => Map.empty }
+        val m = node.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+        if (m.isEmpty) System.err.println(
+          s"[bench] WARNING: $profileFile loaded but empty — self-ruling disabled")
+        m
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: could not load $profileFile " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — self-ruling " +
+          "DISABLED for this pass; in-pass readings ship unruled")
+        Map.empty
+      }
     val byNameSel = selected.toMap
     val flagged = inPass.filter { case (n, dt) =>
       profiles.get(n).exists(p => dt > math.max(1.5, 1.5 * p))

@@ -511,9 +511,9 @@ object SparkEntry {
   private val minhashN = 32
   private def minhashSigCtePrefix: String = minhashSigCtePrefixWhere("")
 
-  /** The signature prefix with a WHERE on the documents scan — the sweep
-    * row runs on the 1-in-2 demo sample; "" reproduces the shared prefix
-    * byte-identically. */
+  /** The signature prefix with a WHERE on the documents scan — the two
+    * eval rows run on the 1-in-4 md5-digit audit slice (`evalSliceWhere`);
+    * "" reproduces the shared prefix byte-identically. */
   private def minhashSigCtePrefixWhere(where: String): String = {
     val P = minhashP
     val n = minhashN
@@ -752,114 +752,21 @@ object SparkEntry {
        |      UNION ALL SELECT * FROM ng_r) CROSS JOIN nt
        |ORDER BY signal""".stripMargin
 
-  /** DuckDB twin of Graft.mixtureWaterfill over the per-lang token
-    * inventory (weights = doc counts, budget = 2/3 of corpus tokens): the
-    * float ratio only ORDERS rows; saturation, the floor split, and the
-    * Hamilton remainder are pure integer arithmetic — bit-identical
-    * cross-engine. */
-  private def mixtureWaterfillOracleSql: String =
-    """WITH inv AS (
-      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail,
-      |    count(1) AS n_docs
-      |  FROM documents GROUP BY lang),
-      |b AS (SELECT CAST(sum(avail) * 2 // 3 AS BIGINT) AS budget FROM inv),
-      |r AS (
-      |  SELECT lang, avail, n_docs AS weight, budget,
-      |    sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cum,
-      |    sum(n_docs) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cumw,
-      |    sum(n_docs) OVER () AS totw
-      |  FROM inv CROSS JOIN b),
-      |s1 AS (
-      |  SELECT *, CASE WHEN avail * (totw - cumw + weight)
-      |      <= (budget - cum + avail) * weight THEN 1 ELSE 0 END AS satraw
-      |  FROM r),
-      |s2 AS (
-      |  SELECT *, min(satraw) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, lang ASC) = 1 AS saturated
-      |  FROM s1),
-      |s3 AS (
-      |  SELECT *, budget - sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS pool,
-      |    greatest(totw - sum(CASE WHEN saturated THEN weight ELSE 0 END) OVER (), 1) AS remw
-      |  FROM s2),
-      |s4 AS (
-      |  SELECT *, CASE WHEN saturated THEN avail ELSE (pool * weight) // remw END AS base,
-      |    CASE WHEN saturated THEN 0 ELSE (pool * weight) % remw END AS fracrem
-      |  FROM s3),
-      |s5 AS (
-      |  SELECT *, (sum(fracrem) OVER ()) // remw AS leftn,
-      |    row_number() OVER (ORDER BY CASE WHEN saturated THEN 1 ELSE 0 END ASC,
-      |      fracrem DESC, lang ASC) AS fr
-      |  FROM s4),
-      |s6 AS (
-      |  SELECT lang, avail, weight, saturated,
-      |    CASE WHEN saturated THEN avail
-      |      ELSE base + CASE WHEN fr <= leftn THEN 1 ELSE 0 END END AS alloc
-      |  FROM s5)
-      |SELECT lang, avail AS avail_tokens, weight AS n_docs, saturated,
-      |  CAST(alloc AS BIGINT) AS alloc,
-      |  CAST((20000 * alloc + avail) // (2 * avail) AS DOUBLE) / 10000.0 AS fill_share4
-      |FROM s6 ORDER BY lang""".stripMargin
-
-  /** DuckDB twin of PipelineOps.mixtureEpochs — the mixture_waterfill
-    * integer chain with avail' = 4·avail (the Muennighoff 4-epoch cap) and
-    * budget = 1.5× the corpus, plus the epochs readback on the real
-    * inventory. */
-  private def mixtureEpochsOracleSql: String =
-    """WITH inv AS (
-      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS realav,
-      |    count(1) AS n_docs
-      |  FROM documents GROUP BY lang),
-      |b AS (SELECT CAST(sum(realav) * 3 // 2 AS BIGINT) AS budget FROM inv),
-      |r AS (
-      |  SELECT lang, realav, realav * 4 AS avail, n_docs AS weight, budget,
-      |    sum(realav * 4) OVER (ORDER BY CAST(realav * 4 AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cum,
-      |    sum(n_docs) OVER (ORDER BY CAST(realav * 4 AS DOUBLE) / CAST(n_docs AS DOUBLE) ASC, lang ASC) AS cumw,
-      |    sum(n_docs) OVER () AS totw
-      |  FROM inv CROSS JOIN b),
-      |s1 AS (
-      |  SELECT *, CASE WHEN avail * (totw - cumw + weight)
-      |      <= (budget - cum + avail) * weight THEN 1 ELSE 0 END AS satraw
-      |  FROM r),
-      |s2 AS (
-      |  SELECT *, min(satraw) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, lang ASC) = 1 AS saturated
-      |  FROM s1),
-      |s3 AS (
-      |  SELECT *, budget - sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS pool,
-      |    greatest(totw - sum(CASE WHEN saturated THEN weight ELSE 0 END) OVER (), 1) AS remw
-      |  FROM s2),
-      |s4 AS (
-      |  SELECT *, CASE WHEN saturated THEN avail ELSE (pool * weight) // remw END AS base,
-      |    CASE WHEN saturated THEN 0 ELSE (pool * weight) % remw END AS fracrem
-      |  FROM s3),
-      |s5 AS (
-      |  SELECT *, (sum(fracrem) OVER ()) // remw AS leftn,
-      |    row_number() OVER (ORDER BY CASE WHEN saturated THEN 1 ELSE 0 END ASC,
-      |      fracrem DESC, lang ASC) AS fr
-      |  FROM s4),
-      |s6 AS (
-      |  SELECT lang, realav, weight, saturated,
-      |    CASE WHEN saturated THEN avail
-      |      ELSE base + CASE WHEN fr <= leftn THEN 1 ELSE 0 END END AS alloc
-      |  FROM s5)
-      |SELECT lang, realav AS avail_tokens, weight AS n_docs,
-      |  saturated AS capped, CAST(alloc AS BIGINT) AS alloc,
-      |  CAST((20000 * alloc + realav) // (2 * realav) AS DOUBLE) / 10000.0 AS epochs4
-      |FROM s6 ORDER BY lang""".stripMargin
-
-  /** DuckDB twin of PipelineOps.clusterBalancedSample: the knn_ivf kmeans
-    * CTE prefix VERBATIM (fixed-point Lloyd — cross-engine exact), the
-    * mixture_waterfill integer chain over the k-row cluster inventory with
-    * equal weights and budget = ⌊N/2⌋, and md5-ranked picks per cluster
-    * (identical 32-hex string compares in both engines). */
-  private def clusterBalancedSampleOracleSql: String =
-    s"""${kmeansAssignedCtesSql("")},
-       |inv AS (
-       |  SELECT list_id, count(1) AS avail, 1::BIGINT AS weight
-       |  FROM assigned GROUP BY list_id),
-       |b AS (SELECT count(1) // 2 AS budget FROM embeddings),
-       |r AS (
-       |  SELECT list_id, avail, weight, budget,
-       |    sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, list_id ASC) AS cum,
-       |    sum(weight) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, list_id ASC) AS cumw,
+  /** The water-filling solver's integer CTE chain (Graft.mixtureWaterfill's
+    * DuckDB twin), PARAMETERIZED over the key column and any carried
+    * columns — one implementation for the three consumers
+    * (mixture_waterfill, mixture_epochs, cluster_balanced_sample), so a
+    * fix to the saturation guard or the Hamilton tie-break cannot silently
+    * apply to only one. Expects upstream CTEs `inv($key[, carry...], avail,
+    * weight)` and `b(budget)`; emits r..s6 with s6 = ($key[, carry...],
+    * avail, weight, saturated, alloc). The float ratio only ORDERS rows —
+    * every decision is integer arithmetic, bit-identical cross-engine. */
+  private def waterfillChainSql(key: String, carry: Seq[String] = Nil): String = {
+    val c = carry.map(x => s"$x, ").mkString
+    s"""r AS (
+       |  SELECT $key, ${c}avail, weight, budget,
+       |    sum(avail) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, $key ASC) AS cum,
+       |    sum(weight) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, $key ASC) AS cumw,
        |    sum(weight) OVER () AS totw
        |  FROM inv CROSS JOIN b),
        |s1 AS (
@@ -867,7 +774,7 @@ object SparkEntry {
        |      <= (budget - cum + avail) * weight THEN 1 ELSE 0 END AS satraw
        |  FROM r),
        |s2 AS (
-       |  SELECT *, min(satraw) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, list_id ASC) = 1 AS saturated
+       |  SELECT *, min(satraw) OVER (ORDER BY CAST(avail AS DOUBLE) / CAST(weight AS DOUBLE) ASC, $key ASC) = 1 AS saturated
        |  FROM s1),
        |s3 AS (
        |  SELECT *, budget - sum(CASE WHEN saturated THEN avail ELSE 0 END) OVER () AS pool,
@@ -880,13 +787,62 @@ object SparkEntry {
        |s5 AS (
        |  SELECT *, (sum(fracrem) OVER ()) // remw AS leftn,
        |    row_number() OVER (ORDER BY CASE WHEN saturated THEN 1 ELSE 0 END ASC,
-       |      fracrem DESC, list_id ASC) AS fr
+       |      fracrem DESC, $key ASC) AS fr
        |  FROM s4),
+       |s6 AS (
+       |  SELECT $key, ${c}avail, weight, saturated,
+       |    CASE WHEN saturated THEN avail
+       |      ELSE base + CASE WHEN fr <= leftn THEN 1 ELSE 0 END END AS alloc
+       |  FROM s5)""".stripMargin
+  }
+
+  /** DuckDB twin of Graft.mixtureWaterfill over the per-lang token
+    * inventory (weights = doc counts, budget = 2/3 of corpus tokens). */
+  private def mixtureWaterfillOracleSql: String =
+    s"""WITH inv AS (
+       |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail,
+       |    count(1) AS weight
+       |  FROM documents GROUP BY lang),
+       |b AS (SELECT CAST(sum(avail) * 2 // 3 AS BIGINT) AS budget FROM inv),
+       |${waterfillChainSql("lang")}
+       |SELECT lang, avail AS avail_tokens, weight AS n_docs, saturated,
+       |  CAST(alloc AS BIGINT) AS alloc,
+       |  CAST((20000 * alloc + avail) // (2 * avail) AS DOUBLE) / 10000.0 AS fill_share4
+       |FROM s6 ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of PipelineOps.mixtureEpochs — the mixture_waterfill
+    * integer chain with avail' = 4·avail (the Muennighoff 4-epoch cap) and
+    * budget = 1.5× the corpus, plus the epochs readback on the real
+    * inventory. */
+  private def mixtureEpochsOracleSql: String =
+    s"""WITH inv AS (
+       |  SELECT lang, realav, realav * 4 AS avail, weight FROM (
+       |    SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS realav,
+       |      count(1) AS weight
+       |    FROM documents GROUP BY lang)),
+       |b AS (SELECT CAST(sum(realav) * 3 // 2 AS BIGINT) AS budget FROM inv),
+       |${waterfillChainSql("lang", carry = Seq("realav"))}
+       |SELECT lang, realav AS avail_tokens, weight AS n_docs,
+       |  saturated AS capped, CAST(alloc AS BIGINT) AS alloc,
+       |  CAST((20000 * alloc + realav) // (2 * realav) AS DOUBLE) / 10000.0 AS epochs4
+       |FROM s6 ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of PipelineOps.clusterBalancedSample: the knn_ivf kmeans
+    * CTE prefix VERBATIM (fixed-point Lloyd — cross-engine exact), the
+    * mixture_waterfill integer chain over the k-row cluster inventory with
+    * equal weights and budget = ⌊N/2⌋, and md5-ranked picks per cluster
+    * (identical 32-hex string compares in both engines). */
+  private def clusterBalancedSampleOracleSql: String =
+    s"""${kmeansAssignedCtesSql("")},
+       |inv AS (
+       |  SELECT list_id, count(1) AS avail, 1::BIGINT AS weight
+       |  FROM assigned GROUP BY list_id),
+       |b AS (SELECT count(1) // 2 AS budget FROM embeddings),
+       |${waterfillChainSql("list_id")},
        |alloc AS (
        |  SELECT list_id, CAST(avail AS BIGINT) AS cluster_size,
-       |    CAST(CASE WHEN saturated THEN avail
-       |      ELSE base + CASE WHEN fr <= leftn THEN 1 ELSE 0 END END AS BIGINT) AS alloc
-       |  FROM s5),
+       |    CAST(alloc AS BIGINT) AS alloc
+       |  FROM s6),
        |ranked AS (
        |  SELECT vec_id, list_id,
        |    CAST(row_number() OVER (PARTITION BY list_id

@@ -1634,16 +1634,17 @@ object Graft {
     * join and the capped shingle join are both Σ|bucket|² with bounded
     * buckets; exact scores touch |universe|·shingles/doc — never doc×doc.
     * All-integer confusion counts + md5-base hashes → fully oracle-able. */
-  def minhashScreenEval(df: DataFrame, idCol: String, textCol: String,
-      tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, rowsPerBand: Int = 4, maxPostings: Long = 128L,
-      sampleHexDigits: Seq[String] = Nil,
-      baseHash: Column => Column = xxHash63): DataFrame = {
-    // AUDIT-SLICE sampling (the kmeans trainHexDigits rule): a PR estimate
-    // does not improve with corpus size beyond sampling error, but the pair
-    // universe grows quadratically in band-bucket occupancy — at 100 TB the
-    // harness MUST run on a hash slice sized for constant cost (pick digits
-    // ∝ 1/N). Deterministic and oracle-mirrorable, unlike an RNG sample.
+  /** Shared prelude of the screen-evaluation harness: the (optionally
+    * hash-sliced) doc frame, the barriered shingle explode, per-doc sizes,
+    * and the capped-inverted-index candidate pairs. AUDIT-SLICE sampling
+    * (the kmeans trainHexDigits rule): a PR estimate does not improve with
+    * corpus size beyond sampling error, but the pair universe grows
+    * quadratically in band-bucket occupancy — at 100 TB the harness MUST
+    * run on a hash slice sized for constant cost (pick digits ∝ 1/N).
+    * Deterministic and oracle-mirrorable, unlike an RNG sample. */
+  private def screenEvalBase(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxPostings: Long, sampleHexDigits: Seq[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val base =
       if (sampleHexDigits.isEmpty) df
       else df.filter(substring(md5(col(idCol).cast("string")), 1, 1)
@@ -1662,6 +1663,38 @@ object Graft {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    (docs, sh, sizes, candSh)
+  }
+
+  /** Exact shingle Jaccard for every (id_a, id_b) universe pair — the
+    * shared ground truth of minhashScreenEval and minhashScreenSweep (one
+    * implementation, so the two harnesses cannot diverge): intersection
+    * from the full shingle sets, zero-common pairs kept via the left join,
+    * round-4 like every consumer's gate. Returns (id_a, id_b, __j). */
+  private def exactPairJaccard(uni: DataFrame, sh: DataFrame,
+      sizes: DataFrame, idCol: String): DataFrame = {
+    val inter = uni
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__nc"))
+    uni
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col(idCol).as("id_a"), col("__n_sh").as("__sa")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("__n_sh").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(coalesce(col("__nc"), lit(0L)).cast("double") /
+          (col("__sa") + col("__sb") - coalesce(col("__nc"), lit(0L))), 4)
+          .as("__j"))
+  }
+
+  def minhashScreenEval(df: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, rowsPerBand: Int = 4, maxPostings: Long = 128L,
+      sampleHexDigits: Seq[String] = Nil,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val (docs, sh, sizes, candSh) = screenEvalBase(df, idCol, textCol,
+      shingleN, maxPostings, sampleHexDigits)
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN,
       baseHash)
     // minEstJaccard = 0: keep EVERY banded pair — sub-tau banded pairs are
@@ -1672,20 +1705,9 @@ object Graft {
       .localCheckpoint(true)
     val uni = candSh.union(pred.select("id_a", "id_b")).distinct()
       .localCheckpoint(true)
-    val inter = uni
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__nc"))
-    val scored = uni
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col(idCol).as("id_a"), col("__n_sh").as("__sa")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("__n_sh").as("__sb")), "id_b")
+    val scored = exactPairJaccard(uni, sh, sizes, idCol)
       .join(pred, Seq("id_a", "id_b"), "left")
-      .select(
-        round(coalesce(col("__nc"), lit(0L)).cast("double") /
-          (col("__sa") + col("__sb") - coalesce(col("__nc"), lit(0L))), 4)
-          .as("__j"),
+      .select(col("__j"),
         coalesce(col("est_jaccard"), lit(0.0)).as("__est"))
     scored.agg(
         count(lit(1)).as("n_pairs"),
@@ -1726,23 +1748,8 @@ object Graft {
       baseHash: Column => Column = xxHash63): DataFrame = {
     require(configs.forall { case (b, r) => b * r == numHashes },
       s"every (bands, rowsPerBand) must multiply to numHashes=$numHashes")
-    // same audit-slice rule as minhashScreenEval — see there
-    val base =
-      if (sampleHexDigits.isEmpty) df
-      else df.filter(substring(md5(col(idCol).cast("string")), 1, 1)
-        .isin(sampleHexDigits: _*))
-    val docs = base.select(col(idCol), col(textCol))
-    val sh = shingles(docs, idCol, textCol, shingleN).localCheckpoint(true)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("__n_sh"))
-    val postings = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    val idx = sh.join(postings, "shingle").filter(col("__df") <= maxPostings)
-      .drop("__df")
-    val a = idx.as("a"); val b = idx.as("b")
-    val candSh = a.join(b,
-        col("a.shingle") === col("b.shingle") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    val (docs, sh, sizes, candSh) = screenEvalBase(df, idCol, textCol,
+      shingleN, maxPostings, sampleHexDigits)
     // ONE signature pass; every layout re-bands these minima. All layouts'
     // bands ride ONE exploded frame and ONE self-join keyed on (layout,
     // band index, band signature) — 3 band joins + 3 pair dedups fold into
@@ -1788,19 +1795,8 @@ object Graft {
     val uni = candSh
       .union(bandedPerCfg.select("id_a", "id_b")).distinct()
       .localCheckpoint(true)
-    val inter = uni
-      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__nc"))
-    val truth = uni
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col(idCol).as("id_a"), col("__n_sh").as("__sa")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("__n_sh").as("__sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (round(coalesce(col("__nc"), lit(0L)).cast("double") /
-          (col("__sa") + col("__sb") - coalesce(col("__nc"), lit(0L))), 4)
-          >= tau).as("__t"))
+    val truth = exactPairJaccard(uni, sh, sizes, idCol)
+      .select(col("id_a"), col("id_b"), (col("__j") >= tau).as("__t"))
       // consumed once per layout row + the shared n_true aggregate
       .localCheckpoint(true)
     val globals = truth.agg(count(lit(1)).as("n_pairs"),

@@ -204,19 +204,27 @@ object Dedup {
     * `_SUCCESS`-guarded like the IVF index (a crash mid-write can never
     * serve a torn table). Signatures are integers, so the parquet round
     * trip is value-exact and every consumer's oracle is unchanged. */
-  private[graft] def ensureSignatureTable(s: SparkSession, d: String): String = {
-    val path = Formats.artifactBase(s, "graft_minhash_sigs", d) + "/sigs"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
-      graft.api.Graft.minhashSignatures(
-          Tables.documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", "text", numHashes = 32,
-          baseHash = graft.api.Graft.md5Hash60)
-        .write.mode("overwrite").parquet(path)
+  private[graft] def ensureSignatureTable(s: SparkSession, d: String): String =
+    // JVM-level lock: the exists→write guard alone is check-then-act — two
+    // session threads racing it would run overlapping overwrite jobs into
+    // the same path (the second deleting files the first just committed).
+    // Cross-SESSION writers are already isolated by artifactBase's
+    // application-id scoping; this lock closes the same-session window.
+    buildLock.synchronized {
+      val path = Formats.artifactBase(s, "graft_minhash_sigs", d) + "/sigs"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+        graft.api.Graft.minhashSignatures(
+            Tables.documents(s, d).select(col("doc_id"), col("text")),
+            "doc_id", "text", numHashes = 32,
+            baseHash = graft.api.Graft.md5Hash60)
+          .write.mode("overwrite").parquet(path)
+      }
+      path
     }
-    path
-  }
+
+  private val buildLock = new Object
 
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -286,8 +294,16 @@ object Dedup {
       val idx = new org.apache.hadoop.fs.Path(indexPath)
       fs.listStatus(new org.apache.hadoop.fs.Path(staging))
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach(f => fs.rename(f.getPath,
-          new org.apache.hadoop.fs.Path(idx, f.getPath.getName)))
+        .foreach { f =>
+          val dest = new org.apache.hadoop.fs.Path(idx, f.getPath.getName)
+          // rename reports failure by RETURNING false on several
+          // FileSystems (collision, cross-device, object-store connectors)
+          // — ignoring it would commit the marker over a half-folded index
+          // and generation-1 near-dups would silently never be flagged
+          if (!fs.rename(f.getPath, dest))
+            throw new java.io.IOException(
+              s"fold-in staging move failed: ${f.getPath} -> $dest")
+        }
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       fs.create(marker, true).close()
     }

@@ -616,16 +616,20 @@ object PipelineOps {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val train = docs.filter(col("doc_id") % 17 =!= 0)
     val evalSet = docs.filter(col("doc_id") % 17 === 0)
-    val nTrain = train.count()
+    // denominator rides the plan as a broadcast 1-row frame (the oracle's
+    // `nt` CTE) — no eager count(), no extra corpus scan per invocation
+    val nTrain = train.agg(count(lit(1)).as("__nt"))
     def report(signal: String, flagged: DataFrame, trainIdCol: String,
         evalIdCol: String): DataFrame =
       flagged.agg(
           countDistinct(col(trainIdCol)).as("n_flagged_train"),
           countDistinct(col(evalIdCol)).as("n_eval_hit"))
+        .crossJoin(broadcast(nTrain))
         .select(lit(signal).as("signal"), col("n_flagged_train"),
           col("n_eval_hit"),
-          expr(s"CAST((20000L * n_flagged_train + ${nTrain}L) DIV " +
-            s"(2L * ${nTrain}L) AS DOUBLE) / 10000.0").as("flag_rate4"))
+          expr("""CAST((20000L * n_flagged_train + __nt) DIV
+                 |  (2L * __nt) AS DOUBLE) / 10000.0""".stripMargin)
+            .as("flag_rate4"))
     def fp(part: DataFrame, out: String) = part.select(
       col("doc_id").as(out), md5(lower(trim(col("text")))).as("__fp"))
     val exactHits = fp(train, "t_id")
