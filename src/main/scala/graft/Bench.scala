@@ -79,9 +79,47 @@ object Bench {
     // min-of-3 per query — the one-command contention check VERDICT r4 asked
     // for (a wall-time spike on an untouched plan is machine noise iff a
     // clean back-to-back re-run lands at the frozen profile).
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_BREAK=<name>: fault injection for exercising the
+    // loud-failure path (VERDICT r12 task 2) — the named query throws
+    // instead of running, and the run must visibly fail (failures key +
+    // nonzero exit), never ship a silent "fast pass".
+    val breakName = sys.env.get("SPARK_GRAFT_BENCH_BREAK")
+    val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      if (breakName.contains(n))
+        n -> ((_: SparkSession, _: String) => sys.error(
+          s"deliberate fault injection: SPARK_GRAFT_BENCH_BREAK=$n"))
+      else n -> fn
+    }
     val (selected, passes) =
       if (args.nonEmpty) (all.filter { case (n, _) => args.contains(n) }, 3) else (all, 1)
+    // COLD-BUILD ACCOUNTING (VERDICT r12 task 5): the shared at-rest
+    // artifacts (minhash signature table; IVF centroid/posting tables) are
+    // built once per session; untimed here they'd be charged to whichever
+    // consumer runs first in-pass and then erased by its warm re-time — a
+    // regression confined to the BUILD path would never trip the ruler.
+    // Build them explicitly, timed, before the pass; costs ship in
+    // BENCH_DETAIL.json under "builds" with the queries each serves.
+    val selNames = selected.map(_._1).toSet
+    def timedBuild[T](f: => T): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val builds: Seq[(String, Double, Seq[String])] = Seq[
+        (String, () => Any, Seq[String])](
+      ("minhash_sig_table",
+        () => graft.queries.Dedup.ensureSignatureTable(spark, sfDir),
+        Seq("dedup_incremental", "dedup_index_foldin")),
+      ("ivf_index",
+        () => graft.queries.Similarity.ensurePersistedIvf(spark, sfDir),
+        Seq("knn_ivf_persisted", "stream_knn_ivf"))
+    ).filter { case (_, _, serves) => serves.exists(selNames.contains) }
+      .flatMap { case (name, build, serves) =>
+        try Some((name, timedBuild(build()), serves))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] WARNING: artifact build $name failed " +
+            s"(${e.getClass.getSimpleName}) — its consumers will build inline")
+          None
+        }
+      }
     // Times one query end to end, then releases its persisted blocks AFTER
     // the timer stops: every localCheckpoint(true) barrier leaves
     // MEMORY_AND_DISK blocks that are dead once the query returns, but
@@ -91,16 +129,28 @@ object Bench {
     // 0.51 s isolated min-of-3; cumulate_windows 85.3 vs 3.8). A production
     // job releases its checkpoints at job end; per-query isolation is the
     // honest per-query cost.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // LOUD FAILURES (VERDICT r12 task 2): a thrown query must never ship
+    // its wall time as a normal reading — the error is recorded per query,
+    // surfaced in BENCH_DETAIL.json and the final line, and fails the run
+    // with a nonzero exit. A later successful invocation of the same query
+    // (AB pass, re-time) clears the record: only a query whose LAST
+    // invocation failed is a failure.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); failures.remove(name) }
+      catch { case e: Throwable =>
+        failures(name) = (s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).replaceAll("[\"\\\\\\s]+", " ").take(160))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       dt
     }
     val inPass = (1 to passes).map { _ =>
-      selected.map { case (name, fn) => name -> timeOnce(fn) }
+      selected.map { case (name, fn) => name -> timeOnce(name, fn) }
     }.reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
     // SELF-RULING full pass (VERDICT r11 task 2): a single full pass has
     // breached the 2× gate twice (r9, r11) on unchanged-plan queries during
@@ -151,11 +201,14 @@ object Bench {
         Map.empty
       }
     val byNameSel = selected.toMap
+    // a failed query's wall time is an error artifact, not a slow reading —
+    // re-timing it would just fail thrice more
     val flagged = inPass.filter { case (n, dt) =>
-      profiles.get(n).exists(p => dt > math.max(1.5, 1.5 * p))
+      !failures.contains(n) &&
+        profiles.get(n).exists(p => dt > math.max(1.5, 1.5 * p))
     }.map(_._1)
     val retimed: Map[String, Double] = flagged.map { n =>
-      n -> (1 to 3).map(_ => timeOnce(byNameSel(n))).min
+      n -> (1 to 3).map(_ => timeOnce(n, byNameSel(n))).min
     }.toMap
     val results = inPass.map { case (n, dt) =>
       n -> math.min(dt, retimed.getOrElse(n, dt))
@@ -178,8 +231,22 @@ object Bench {
     val rulingsLine = rulingsJson(
       retimed.toSeq.sortBy { case (n, m3) => -(inPass.toMap.apply(n) / math.max(m3, 0.001)) }
         .take(10).toMap)
+    // per-query failure records ("failed": true + the error head) — a
+    // thrown query is visible in the artifact, never a quiet fast "pass"
+    def failuresJson: String =
+      if (failures.isEmpty) ""
+      else failures.toSeq.sortBy(_._1).map { case (n, msg) =>
+        s"""\"$n\":{"failed":true,"error":"$msg"}"""
+      }.mkString(""","failures":{""", ",", "}")
+    // artifact build costs beside the readings of the queries they serve
+    val buildsJson =
+      if (builds.isEmpty) ""
+      else builds.map { case (name, sec, serves) =>
+        s"""\"$name\":{"sec":${fmt(sec)},"serves":${
+          serves.mkString("[\"", "\",\"", "\"]")}}"""
+      }.mkString(""","builds":{""", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${dict(results)}$rulings,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${dict(results)}$rulings$buildsJson$failuresJson,"sf":"$sfDir"}"""
     // Full per-query detail: a file plus an earlier stdout line (both outside
     // the last-line contract, which only the compact line below satisfies).
     try {
@@ -215,7 +282,17 @@ object Bench {
     val headline = results.filter { case (k, _) => headlineNames.contains(k) }
     // ADVICE r2: stop() may throw or hang shutdown chatter — never lose the line.
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"families":${dict(familyTotals)},"queries":${dict(headline)}$rulingsLine,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // final line carries the failed NAMES (bounded; messages live in
+    // BENCH_DETAIL.json) so a broken query is visible even from the
+    // driver's last-line capture alone
+    val failLine =
+      if (failures.isEmpty) ""
+      else s""","failures":${failures.keys.toSeq.sorted.take(8)
+        .mkString("[\"", "\",\"", "\"]")},"n_failed":${failures.size}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"families":${dict(familyTotals)},"queries":${dict(headline)}$rulingsLine$failLine,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     Console.out.flush()
+    // nonzero exit on any failed query (VERDICT r12 task 2): a bench with a
+    // thrown query must not look like a clean pass to ANY consumer
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

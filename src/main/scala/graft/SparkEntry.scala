@@ -856,12 +856,27 @@ object SparkEntry {
   /** DuckDB twin of Dedup.dedupEvalPr (Graft.minhashScreenEval): the
     * decontaminate_minhash signature CTEs (verbatim prefix — md5Hash60 base
     * hash, 32 permutations, 8×4 bands), the dedup_ngram_jaccard capped
-    * inverted index, the two-method pair universe, exact Jaccard from the
-    * full shingle sets, and the integer confusion rollup. */
-  /** The 1-in-4 md5-digit audit slice both eval rows run on (the
-    * trainHexDigits rule — deterministic, identical in DuckDB). */
-  private val evalSliceWhere: String =
-    " WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')"
+    * inverted index, the 1024-member band-bucket cap (exo/exf — the
+    * sweep's excf rule, ADVICE r12), the two-method pair universe, exact
+    * Jaccard from the full shingle sets, and the integer confusion
+    * rollup. */
+  /** The CONSTANT-SIZE md5 audit slice both eval rows run on (VERDICT r12
+    * task 1 — Graft.auditSliceThresholdHex): the slice fraction is derived
+    * from the corpus count so the slice SIZE stays ~evalSliceTargetDocs at
+    * any scale. Integer-exact mirror of the Scala side: threshold =
+    * (target·2^32) // N as an 8-hex string (equal-length hex compares
+    * lexicographically as numbers; DuckDB hex() is uppercase, md5() is
+    * lowercase — hence lower()); N ≤ target means no slicing at all. At
+    * sf0.1 (N = 5000) the threshold is '40000000' — byte-identical to
+    * r12's 1-in-4 first-digit slice. */
+  private val evalSliceWhere: String = {
+    val target = graft.queries.Dedup.evalSliceTargetDocs
+    s"""
+       | WHERE (SELECT count(*) FROM documents) <= $target
+       |    OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |       (SELECT lpad(lower(hex(${target * 4294967296L} // count(*))), 8, '0')
+       |        FROM documents)""".stripMargin
+  }
 
   private def dedupEvalPrOracleSql: String =
     s"""${minhashSigCtePrefixWhere(evalSliceWhere)},
@@ -874,9 +889,13 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM idx a JOIN idx b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |exo AS (SELECT i, band, count(1) AS occ FROM ex GROUP BY i, band),
+       |exf AS (
+       |  SELECT e.doc_id, e.i, e.band
+       |  FROM ex e JOIN exo USING (i, band) WHERE occ <= 1024),
        |cand_mh AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM ex a JOIN ex b
+       |  FROM exf a JOIN exf b
        |    ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id),
        |est AS (
        |  SELECT id_a, id_b,

@@ -13,12 +13,49 @@ import org.apache.spark.sql.SparkSession
   * across all cores, which is the structural reason the Spark design scales
   * past it on one node and then horizontally.
   *
-  * Run: `runMain graft.StreamBench [seconds]` → one JSON line:
-  * lines/sec and words/sec (8 words per synthesized line) over the run.
+  * SELF-RULING (VERDICT r12 task 3): the raw number swung 499 k ↔ 1.296 M
+  * lines/s across rounds on byte-identical code with no in-artifact evidence
+  * either way (host-side CPU steal is invisible to the guest except through
+  * wall time). Two mechanisms now ship IN the artifact:
+  *   - best-of-N spaced sessions (default 3, 2 s apart) — a contention
+  *     window shorter than the whole run is escaped by the best run;
+  *   - a CALIBRATION micro-job (fixed CPU-bound shuffle, below) timed
+  *     before each session: under steal the calibration inflates by the
+  *     same factor the throughput deflates, so
+  *     `calibrated = raw · cal/calRef` is contention-invariant to first
+  *     order. calRef is the frozen near-idle min-of-5 (2026-08-15, r13
+  *     binaries); re-freeze it whenever the calibration job or the host
+  *     changes — the raw best-of-N stays the round-over-round headline,
+  *     the calibrated value is the ruling.
+  *
+  * Run: `runMain graft.StreamBench [seconds] [runs]` → one JSON line:
+  * best-of-N raw lines/sec and words/sec (8 words per synthesized line),
+  * per-run raw+calibration detail, and the calibrated ruling value.
   */
 object StreamBench {
+  /** Fixed CPU-bound calibration work: hash + shuffle + aggregate over all
+    * cores — the same resource mix as the word-count micro-batches. Rows
+    * sized so one reading is ~1.3 s on an idle 32-thread host: long enough
+    * to sample a contention window, short enough to run per session. */
+  private val calRows = 800000000L
+
+  /** Frozen near-idle calibration reference (seconds): min over 5 spaced
+    * in-session readings, local[32], guest load ≈ 0.9, 2026-08-15 (r13).
+    * Same-session raw throughput read 1.66 M lines/s — the healthy-machine
+    * band — so this reference anchors "calibrated == raw" to that state. */
+  private val calRefSec = 0.985
+
+  private def calibrate(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, calRows, 1L, cpus)
+      .selectExpr("pmod(xxhash64(id), 1000) AS k")
+      .groupBy("k").count().count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val seconds = args.headOption.map(_.toInt).getOrElse(20)
+    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,17 +65,6 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // rate-micro-batch delivers a FIXED batch size immediately on each
-    // trigger (no wall-clock pacing), so the measured rate is engine-bound:
-    // throughput = completed batches × rowsPerBatch / elapsed.
-    val rate = spark.readStream.format("rate-micro-batch")
-      .option("rowsPerBatch", 2000000L)
-      .option("numPartitions", cpus.toInt)
-      .load()
-    // one 8-word line per row from a 1000-word vocabulary — same shape as the
-    // reference's socket lines, synthesized instead of TCP-read
-    val lines = rate.selectExpr(
-      "concat_ws(' ', transform(sequence(0, 7), i -> concat('w', pmod(value * 31 + i * 7, 1000)))) AS text")
     // A listener tallies every progress event — q.recentProgress retains only
     // the last ~100 updates, which under-reports long runs.
     val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
@@ -51,19 +77,50 @@ object StreamBench {
       }
       override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
-    val counts = graft.api.Graft.rollingWordCount(lines, "text")
-    val q = counts.writeStream.outputMode("update").format("noop").start()
 
-    val t0 = System.nanoTime()
-    while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(200)
-    // Snapshot rows AND elapsed at the same instant, before stop(): batches
-    // that complete during stop() would otherwise count toward rows but not
-    // time, inflating the reported rate by up to a full batch.
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    val rows = rowsSeen.get()
-    q.stop()
+    // untimed engine warm-up (micro-batch planner, state-store classes,
+    // codegen) so run 1 measures the same machinery as runs 2..N
+    calibrate(spark, cpus.toInt)
+
+    def oneRun(): (Double, Long, Double) = {
+      // rate-micro-batch delivers a FIXED batch size immediately on each
+      // trigger (no wall-clock pacing), so the measured rate is engine-bound:
+      // throughput = completed batches × rowsPerBatch / elapsed.
+      val rate = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 2000000L)
+        .option("numPartitions", cpus.toInt)
+        .load()
+      // one 8-word line per row from a 1000-word vocabulary — same shape as
+      // the reference's socket lines, synthesized instead of TCP-read
+      val lines = rate.selectExpr(
+        "concat_ws(' ', transform(sequence(0, 7), i -> concat('w', pmod(value * 31 + i * 7, 1000)))) AS text")
+      val counts = graft.api.Graft.rollingWordCount(lines, "text")
+      val rows0 = rowsSeen.get(); val batches0 = batchesSeen.get()
+      val q = counts.writeStream.outputMode("update").format("noop").start()
+      val t0 = System.nanoTime()
+      while ((System.nanoTime() - t0) / 1e9 < seconds) Thread.sleep(200)
+      // Snapshot rows AND elapsed at the same instant, before stop(): batches
+      // that complete during stop() would otherwise count toward rows but not
+      // time, inflating the reported rate by up to a full batch.
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val rows = rowsSeen.get() - rows0
+      q.stop()
+      (rows / elapsed, batchesSeen.get() - batches0, elapsed)
+    }
+
+    val detail = (1 to runs).map { i =>
+      if (i > 1) Thread.sleep(2000) // spaced sessions — escape short windows
+      val cal = calibrate(spark, cpus.toInt)
+      val (lps, batches, elapsed) = oneRun()
+      (lps, cal, lps * cal / calRefSec, batches, elapsed)
+    }
+    val bestRaw = detail.map(_._1).max
+    val bestCal = detail.map(_._3).max
     spark.stop()
-    println(f"""{"metric":"stream_wordcount_throughput","lines_per_sec":${rows / elapsed}%.0f,"words_per_sec":${8 * rows / elapsed}%.0f,"batches":${batchesSeen.get()},"seconds":$elapsed%.1f}""")
+    val runsJson = detail.map { case (lps, cal, clps, batches, elapsed) =>
+      f"""{"lines_per_sec":$lps%.0f,"cal_sec":$cal%.3f,"calibrated_lines_per_sec":$clps%.0f,"batches":$batches,"seconds":$elapsed%.1f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"stream_wordcount_throughput","lines_per_sec":$bestRaw%.0f,"words_per_sec":${8 * bestRaw}%.0f,"calibrated_lines_per_sec":$bestCal%.0f,"calibrated_words_per_sec":${8 * bestCal}%.0f,"cal_ref_sec":$calRefSec,"runs":$runsJson,"n_runs":$runs,"seconds_per_run":$seconds}""")
     Console.out.flush()
   }
 }

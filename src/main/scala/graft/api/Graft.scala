@@ -1564,14 +1564,34 @@ object Graft {
     * the estimate is computed inline on the joined pair and duplicates
     * (pairs sharing several bands) collapse in a scalar groupBy — no
     * re-attach joins, and (with row-local signatures) exactly two shuffles:
-    * the band join and the pair dedup. */
+    * the band join and the pair dedup.
+    *
+    * `maxBandBucket` (default unlimited — existing callers' plans and
+    * oracles are unchanged): drop band buckets with more than this many
+    * members before pairing, the capped-inverted-index rule applied to
+    * band buckets — a viral bucket carries no per-pair signal and its
+    * Σ|bucket|² pair volume is exactly the quadratic knee. The evaluation
+    * harness passes 1024 so the single-layout eval and the sweep's rows
+    * are the same measurement by construction (ADVICE r12). */
   def minhashCandidates(sig: DataFrame, idCol: String,
-      bands: Int = 8, rowsPerBand: Int = 4, minEstJaccard: Double = 0.2): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4, minEstJaccard: Double = 0.2,
+      maxBandBucket: Long = Long.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val banded = sig.filter(col("sig").isNotNull).select(col(idCol), col("sig"),
+    val bandedRaw = sig.filter(col("sig").isNotNull).select(col(idCol), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"))
         .as(Seq("band", "bandsig")))
+    val banded =
+      if (maxBandBucket == Long.MaxValue) bandedRaw
+      else {
+        // three consumers in the capped branch (occupancy + both join
+        // sides) — barrier the explode like the sweep does
+        val bc = bandedRaw.localCheckpoint(true)
+        val occ = bc.groupBy("band", "bandsig")
+          .agg(count(lit(1)).as("__occ"))
+        bc.join(occ, Seq("band", "bandsig"))
+          .filter(col("__occ") <= maxBandBucket).drop("__occ")
+      }
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig") &&
@@ -1634,19 +1654,50 @@ object Graft {
     * join and the capped shingle join are both Σ|bucket|² with bounded
     * buckets; exact scores touch |universe|·shingles/doc — never doc×doc.
     * All-integer confusion counts + md5-base hashes → fully oracle-able. */
+  /** Hex threshold for a CONSTANT-SIZE md5 audit slice: keep rows whose
+    * 8-hex md5(id) prefix sorts strictly below the returned string — a
+    * deterministic, oracle-mirrorable ~`targetDocs`-row sample at ANY
+    * corpus size (slice fraction = floor(2^32·target/n)/2^32, so fraction
+    * ∝ 1/n and SIZE stays constant — the 100 TB audit-slice rule SCALE.md
+    * documents). Integer-exact: a DuckDB oracle reproduces it as
+    * `lpad(lower(hex((target*4294967296) // n)), 8, '0')`, and hex strings
+    * of equal length compare lexicographically as numbers. None when
+    * n ≤ target (no slicing needed — the whole corpus IS the slice). */
+  def auditSliceThresholdHex(n: Long, targetDocs: Long): Option[String] = {
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    if (n <= targetDocs) None
+    else Some(f"${((BigInt(targetDocs) << 32) / n).toLong}%08x")
+  }
+
   /** Shared prelude of the screen-evaluation harness: the (optionally
     * hash-sliced) doc frame, the barriered shingle explode, per-doc sizes,
     * and the capped-inverted-index candidate pairs. AUDIT-SLICE sampling
     * (the kmeans trainHexDigits rule): a PR estimate does not improve with
     * corpus size beyond sampling error, but the pair universe grows
     * quadratically in band-bucket occupancy — at 100 TB the harness MUST
-    * run on a hash slice sized for constant cost (pick digits ∝ 1/N).
-    * Deterministic and oracle-mirrorable, unlike an RNG sample. */
+    * run on a hash slice sized for constant cost. `targetSliceDocs` is the
+    * CONSTANT-SIZE form (VERDICT r12 task 1): a cheap corpus count derives
+    * an md5-prefix threshold whose fraction scales as 1/N, so the slice
+    * holds ~targetSliceDocs documents at ANY corpus size — the harness
+    * cost is then scale-invariant, not merely scale-discounted.
+    * `sampleHexDigits` remains as the explicit-fraction form (suite pins).
+    * Both are deterministic and oracle-mirrorable, unlike an RNG sample. */
   private def screenEvalBase(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, maxPostings: Long, sampleHexDigits: Seq[String])
+      shingleN: Int, maxPostings: Long, sampleHexDigits: Seq[String],
+      targetSliceDocs: Long)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(sampleHexDigits.isEmpty || targetSliceDocs <= 0,
+      "pass sampleHexDigits OR targetSliceDocs, not both")
     val base =
-      if (sampleHexDigits.isEmpty) df
+      if (targetSliceDocs > 0)
+        // one count-star job (parquet metadata-cheap) sizes the slice; the
+        // threshold compare itself rides the scan as a pushable predicate
+        auditSliceThresholdHex(df.count(), targetSliceDocs) match {
+          case None => df
+          case Some(thr) => df.filter(
+            substring(md5(col(idCol).cast("string")), 1, 8) < lit(thr))
+        }
+      else if (sampleHexDigits.isEmpty) df
       else df.filter(substring(md5(col(idCol).cast("string")), 1, 1)
         .isin(sampleHexDigits: _*))
     val docs = base.select(col(idCol), col(textCol))
@@ -1691,16 +1742,20 @@ object Graft {
   def minhashScreenEval(df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
       bands: Int = 8, rowsPerBand: Int = 4, maxPostings: Long = 128L,
-      sampleHexDigits: Seq[String] = Nil,
+      maxBandBucket: Long = 1024L,
+      sampleHexDigits: Seq[String] = Nil, targetSliceDocs: Long = 0L,
       baseHash: Column => Column = xxHash63): DataFrame = {
     val (docs, sh, sizes, candSh) = screenEvalBase(df, idCol, textCol,
-      shingleN, maxPostings, sampleHexDigits)
+      shingleN, maxPostings, sampleHexDigits, targetSliceDocs)
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN,
       baseHash)
     // minEstJaccard = 0: keep EVERY banded pair — sub-tau banded pairs are
-    // negative predictions inside the universe, not absent from it
+    // negative predictions inside the universe, not absent from it.
+    // maxBandBucket mirrors the sweep's bucket cap (ADVICE r12): a pair
+    // surfacing only through a viral bucket predicts negative here exactly
+    // as it does in the sweep's 8×4 row.
     val pred = minhashCandidates(sig, idCol, bands, rowsPerBand,
-        minEstJaccard = 0.0)
+        minEstJaccard = 0.0, maxBandBucket = maxBandBucket)
       // three consumers: the universe union and the est re-attach
       .localCheckpoint(true)
     val uni = candSh.union(pred.select("id_a", "id_b")).distinct()
@@ -1744,12 +1799,12 @@ object Graft {
       configs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2)),
       tau: Double = 0.2, shingleN: Int = 3, numHashes: Int = 32,
       maxPostings: Long = 128L, maxBandBucket: Long = 1024L,
-      sampleHexDigits: Seq[String] = Nil,
+      sampleHexDigits: Seq[String] = Nil, targetSliceDocs: Long = 0L,
       baseHash: Column => Column = xxHash63): DataFrame = {
     require(configs.forall { case (b, r) => b * r == numHashes },
       s"every (bands, rowsPerBand) must multiply to numHashes=$numHashes")
     val (docs, sh, sizes, candSh) = screenEvalBase(df, idCol, textCol,
-      shingleN, maxPostings, sampleHexDigits)
+      shingleN, maxPostings, sampleHexDigits, targetSliceDocs)
     // ONE signature pass; every layout re-bands these minima. All layouts'
     // bands ride ONE exploded frame and ONE self-join keyed on (layout,
     // band index, band signature) — 3 band joins + 3 pair dedups fold into
@@ -3260,11 +3315,16 @@ object Graft {
     *
     * Scale shape (100 TB): the caller aggregates the corpus to one row per
     * source (map-side combined); this solver touches only that tiny frame —
-    * its unpartitioned windows hold source-count rows, never data. Output:
-    * (keyCol, avail, weight, saturated, alloc, fill_share4 = alloc/avail
-    * on the integer ratio4 grid); callers order as needed. */
+    * its unpartitioned windows hold source-count rows, never data. That
+    * precondition is now a GUARD, not prose (VERDICT r12 task 6): the
+    * row count rides the same global window the solver already pays for,
+    * and exceeding `solverMaxRows` raises at execution time — a caller
+    * passing a document-level frame fails fast instead of silently
+    * single-partition-sorting the corpus. Output: (keyCol, avail, weight,
+    * saturated, alloc, fill_share4 = alloc/avail on the integer ratio4
+    * grid); callers order as needed. */
   def mixtureWaterfill(counts: DataFrame, keyCol: String, availCol: String,
-      weightCol: String, budget: Long): DataFrame = {
+      weightCol: String, budget: Long, solverMaxRows: Int = 10000): DataFrame = {
     val base = counts.select(col(keyCol),
         col(availCol).cast("long").as("avail"),
         col(weightCol).cast("long").as("weight"))
@@ -3273,7 +3333,20 @@ object Graft {
       col(keyCol).asc)
     val all = Window.partitionBy()
     val ranked = base
-      .withColumn("__cum", sum("avail").over(ord))
+      // in-plan fail-fast: count(*) over the global window costs nothing
+      // extra (the frame is already single-partitioned by the solver's
+      // design) and raise_error fires only when the ceiling is breached —
+      // no eager driver-side count job, no second scan of the input
+      .withColumn("__nrows", count(lit(1)).over(all))
+      .withColumn("__guard",
+        when(col("__nrows") <= lit(solverMaxRows.toLong), lit(0L))
+          .otherwise(expr(
+            s"""raise_error(concat('mixtureWaterfill: input frame has ',
+               |CAST(__nrows AS STRING), ' rows > solverMaxRows=$solverMaxRows
+               | — this is a SOLVER over one-row-per-source frames;
+               | aggregate the corpus to per-source counts first'))"""
+              .stripMargin.replaceAll("\n", "")).cast("long")))
+      .withColumn("__cum", sum("avail").over(ord) + col("__guard"))
       .withColumn("__cumw", sum("weight").over(ord))
       .withColumn("__totw", sum("weight").over(all))
       .withColumn("__satraw",

@@ -468,20 +468,31 @@ object Dedup {
         baseHash = graft.api.Graft.md5Hash60)
       .orderBy("doc_id")
 
+  /** The shared CONSTANT-SIZE audit-slice target of both eval rows
+    * (VERDICT r12 task 1): the slice FRACTION is derived from a cheap
+    * corpus count as floor(2^32·target/N)/2^32, so the harness always
+    * measures ~this many documents — at sf0.1 (N = 5000) the threshold is
+    * 0x40000000, byte-identical to r12's 1-in-4 first-digit slice, and at
+    * 10× the data the fraction drops 10× instead of the cost rising. */
+  private[graft] val evalSliceTargetDocs = 1250L
+
   /** MinHash screen evaluation (Graft.minhashScreenEval): precision/recall
     * of the 8×4-band screen at τ=0.2 against exact shingle Jaccard over
     * the two-method candidate universe — the confusion-matrix readout that
     * justifies (or rejects) a band configuration before a 100 TB pass.
-    * Runs on the 1-in-4 md5-digit AUDIT SLICE (the harness's scale knob —
-    * the full-corpus run read 180 s at sf1, 38× on 10× data, because the
-    * pair universe is band-bucket quadratic; a PR estimate needs a fixed
-    * sample, not the corpus). One summary row, all-integer counts →
-    * fully oracled. */
+    * Runs on the CONSTANT-SIZE md5 audit slice (`evalSliceTargetDocs` docs
+    * at any corpus size — a PR estimate needs a fixed sample, not the
+    * corpus; the unsliced run read 180 s at sf1 because the pair universe
+    * is band-bucket quadratic, and a fixed FRACTION merely discounts that
+    * instead of flattening it). Band buckets capped at 1024 members
+    * (minhashCandidates maxBandBucket — same cap as the sweep, so this row
+    * and the sweep's 8×4 row are one measurement by construction). One
+    * summary row, all-integer counts → fully oracled. */
   def dedupEvalPr(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.minhashScreenEval(
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       "doc_id", "text", tau = 0.2,
-      sampleHexDigits = Seq("0", "1", "2", "3"),
+      targetSliceDocs = evalSliceTargetDocs,
       baseHash = graft.api.Graft.md5Hash60)
 
   /** Band-layout sweep (Graft.minhashScreenSweep): precision/recall of the
@@ -490,15 +501,15 @@ object Dedup {
     * banding choice (steeper S-curve ⇒ fewer false candidates, lower
     * recall). One signature pass; all three layouts ride one fused band
     * join. The shallow 16×2 end is pair-quadratic in bucket occupancy, so
-    * the row runs on the 1-in-4 md5-digit AUDIT SLICE (same knob as
-    * dedup_eval_pr; the 1-in-2 doc_id variant read 228 s at sf1) —
-    * a measurement harness samples at ANY corpus size. */
+    * the row runs on the CONSTANT-SIZE md5 audit slice (same
+    * `evalSliceTargetDocs` knob as dedup_eval_pr) — a measurement harness
+    * samples a FIXED number of documents at ANY corpus size. */
   def dedupEvalSweep(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.minhashScreenSweep(
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text",
         configs = Seq((4, 8), (8, 4), (16, 2)), tau = 0.2,
-        sampleHexDigits = Seq("0", "1", "2", "3"),
+        targetSliceDocs = evalSliceTargetDocs,
         baseHash = graft.api.Graft.md5Hash60)
       .orderBy("bands")
 }

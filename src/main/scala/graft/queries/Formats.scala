@@ -13,6 +13,9 @@ object Formats {
     * own tree and concurrent sessions never share a path. */
   private val cleanupDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Serializes schemaEvolution's generation writes (ADVICE r12). */
+  private val evoLock = new Object
   private[graft] def registerCleanup(dir: String): Unit =
     if (cleanupDirs.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -93,13 +96,26 @@ object Formats {
     * file-level mechanics the catalog automates. */
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     val base = artifactBase(s, "graft_schema_evo", d)
-    val docs = Tables.documents(s, d)
-    val g1 = docs.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), col("lang"))
-    val g2 = docs.filter(col("doc_id") % 3 =!= 0)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    g1.write.mode("overwrite").parquet(s"$base/gen1")
-    g2.write.mode("overwrite").parquet(s"$base/gen2")
+    // build-once guard (ADVICE r12): exists→write alone is check-then-act —
+    // two same-session invocations racing it would run overlapping
+    // overwrite jobs into the same generations while a concurrent
+    // mergeSchema read lists the files (the ensureSignatureTable pattern:
+    // JVM lock + a marker written only after both generations committed;
+    // cross-session writers are isolated by artifactBase's app-id scoping)
+    evoLock.synchronized {
+      val marker = new org.apache.hadoop.fs.Path(base, "_GENS_DONE")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$base/gen1")
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$base/gen2")
+        fs.create(marker, true).close()
+      }
+    }
     s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

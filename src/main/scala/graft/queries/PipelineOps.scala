@@ -592,6 +592,10 @@ object PipelineOps {
       .groupBy("lang")
       .agg(sum("__nt").as("avail_tokens"), count(lit(1)).as("n_docs"))
       .localCheckpoint(true) // consumed twice: budget aggregate + solver
+    // eager .head() reads the CHECKPOINTED k-row language frame, not the
+    // corpus — a driver-side scalar over source-count rows (ADVICE r12:
+    // cheap by construction; a budget-as-column overload would save one
+    // tiny job, not a scan)
     val budget = inv.agg(sum("avail_tokens")).head().getLong(0) * 2L / 3L
     graft.api.Graft.mixtureWaterfill(inv, "lang", "avail_tokens",
         weightCol = "n_docs", budget = budget)
@@ -660,6 +664,8 @@ object PipelineOps {
   def clusterBalancedSample(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
+    // eager count is a parquet count-star (row-group metadata only — no
+    // column IO; ADVICE r12: cheap at any scale)
     val budget = e.count() / 2
     graft.api.Graft.clusterBalancedSample(
         e.select(col("vec_id"), col("embedding")),
@@ -687,6 +693,8 @@ object PipelineOps {
         floor(col("score") * 10000.0).cast("long").as("__qi"))
       // consumed by the count, the grid, and the staging join
       .localCheckpoint(true)
+    // eager count over the checkpointed blocks — a block-count sum, not a
+    // recompute of the classifier pass (ADVICE r12: cheap at call site)
     val n = scored.count()
     val grid = scored.groupBy("__qi").agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum("__c").over(Window.orderBy("__qi")))
@@ -730,6 +738,8 @@ object PipelineOps {
       .agg(sum("__nt").as("avail_tokens"), count(lit(1)).as("n_docs"))
       .withColumn("__cap", col("avail_tokens") * 4L)
       .localCheckpoint(true) // budget aggregate + solver both read it
+    // eager .head() over the checkpointed k-row frame — see
+    // mixtureWaterfillQuery's note (ADVICE r12: cheap by construction)
     val budget = inv.agg(sum("avail_tokens")).head().getLong(0) * 3L / 2L
     graft.api.Graft.mixtureWaterfill(inv, "lang", "__cap",
         weightCol = "n_docs", budget = budget)

@@ -192,14 +192,21 @@ class Round12Spec extends SparkSpec {
     assert(tp + fn == nTrue, s"tp $tp + fn $fn != n_true $nTrue")
     assert(nTrue <= nPairs && nPred <= nPairs)
     assert(p4 >= 0.0 && p4 <= 1.0 && r4 >= 0.0 && r4 <= 1.0)
-    // completeness of n_true: brute-force exact Jaccard over ALL doc pairs
-    // of the same 1-in-4 audit slice (no capped index, no bands) — every
-    // true pair must be in the universe and counted, so the capped-index
-    // recall scope loses nothing here
+    // completeness of n_true on a CONSTANT-SIZE audit slice: target 125 of
+    // the 500 suite docs derives threshold 0x40000000 (= r12's 1-in-4
+    // first-digit slice), small enough that maxPostings=128 cannot bind —
+    // brute-force exact Jaccard over ALL slice pairs (no capped index, no
+    // bands) must then agree exactly with the harness's n_true
+    val thr = api.Graft.auditSliceThresholdHex(
+      Tables.documents(spark, sf).count(), 125L).get
+    val sliced = api.Graft.minhashScreenEval(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        "doc_id", "text", tau = 0.2, targetSliceDocs = 125L,
+        baseHash = api.Graft.md5Hash60)
+      .select("n_true").as[Long].head()
     val shingleSets = api.Graft.shingles(
         Tables.documents(spark, sf)
-          .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
-            .isin("0", "1", "2", "3"))
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 8) < lit(thr))
           .select(col("doc_id"), col("text")),
         "doc_id", "text")
       .groupBy("doc_id").agg(collect_set("shingle").as("sh"))
@@ -212,7 +219,7 @@ class Round12Spec extends SparkSpec {
       // the operator rounds to 4 before the gate — mirror it
       if math.rint(j * 10000) / 10000 >= 0.2
     } yield (a, b)).size.toLong
-    assert(nTrue == bruteTrue, s"n_true $nTrue vs brute-force $bruteTrue")
+    assert(sliced == bruteTrue, s"n_true $sliced vs brute-force $bruteTrue")
   }
 
   test("minhashScreenSweep: nested bandings are monotone and 8x4 matches the single eval") {
@@ -235,14 +242,14 @@ class Round12Spec extends SparkSpec {
     assert(rows(0)._6 <= rows(1)._6 && rows(1)._6 <= rows(2)._6,
       "tp must be monotone in bands")
     // the 8x4 row's predictions coincide with the single-layout eval run
-    // on the same 1-in-4 audit slice (same signature, same banding, same
-    // est gate; truth computed identically on every banded pair; the band
-    // bucket cap cannot bind at suite scale) — both registry rows use the
-    // same slice, so this is dedup_eval_pr's exact configuration
+    // on the same constant-size audit slice (same signature, same banding,
+    // same est gate, same 1024 band-bucket cap — since r13 the cap is a
+    // shared parameter, so eval and sweep are one measurement by
+    // construction) — this is dedup_eval_pr's exact configuration
     val single = api.Graft.minhashScreenEval(
         Tables.documents(spark, sf).select(col("doc_id"), col("text")),
         "doc_id", "text", tau = 0.2,
-        sampleHexDigits = Seq("0", "1", "2", "3"),
+        targetSliceDocs = queries.Dedup.evalSliceTargetDocs,
         baseHash = api.Graft.md5Hash60)
       .select("n_pred", "n_tp").as[(Long, Long)].head()
     assert((rows(1)._5, rows(1)._6) == single,
