@@ -301,6 +301,14 @@ object PlanAudit {
           "the two-phase bucketed window, never a single global partition"),
       ("span_corruption", p => !p.contains("Join") && !p.contains("Window"),
         "span plan: entirely row-local list arithmetic — no join, no window"),
+      ("shard_manifest", p => !p.contains("CartesianProduct")
+        && p.contains("Broadcast"),
+        "shard manifest: two-phase bucketed prefix sum with a broadcast " +
+          "16-row offset table — never one global data-sized window"),
+      ("quality_agreement", p => !p.contains("CartesianProduct")
+        && p.contains("Broadcast"),
+        "filter agreement: thresholds are broadcast grid aggregates; the " +
+          "pair explode is row-local — no document-pair join anywhere"),
     )
 
     var failed = 0

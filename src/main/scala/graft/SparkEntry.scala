@@ -210,6 +210,8 @@ object SparkEntry {
     "source_overlap"    -> PipelineOps.sourceOverlap _,
     "mixture_epochs"    -> PipelineOps.mixtureEpochs _,
     "schema_evolution"  -> Formats.schemaEvolution _,
+    "shard_manifest"    -> PipelineOps.shardManifest _,
+    "quality_agreement" -> TextAnalysis.qualityAgreement _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1091,7 +1093,11 @@ object SparkEntry {
     * joined per document, then per-source percentile-disc thresholds on
     * the ratio4 grids (cumulative counts over the grid — integer compares)
     * and the three-way keep rollup. */
-  private def qualityEnsembleOracleSql: String =
+  /** Shared CTE prefix of the three quality signals (Gopher rule bundle →
+    * gp, hashed linear classifier → cs, bigram-LM perplexity → pp) —
+    * quality_ensemble and quality_agreement consume the same signal
+    * definitions by construction. */
+  private val qualitySignalsCtes: String =
     """WITH tk AS (
       |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
       |  FROM documents),
@@ -1135,7 +1141,10 @@ object SparkEntry {
       |  FROM bg JOIN cbg USING (prev, cur) JOIN cctx USING (prev) CROSS JOIN vo),
       |pp AS (
       |  SELECT doc_id, round(list_reduce(list(nll ORDER BY pos), (a, b) -> a + b) / count(1), 4) AS nll
-      |  FROM nl GROUP BY doc_id),
+      |  FROM nl GROUP BY doc_id)""".stripMargin
+
+  private def qualityEnsembleOracleSql: String =
+    s"""$qualitySignalsCtes,
       |j AS (
       |  SELECT tk.source, gp.doc_id, gp.passes, cs.score, pp.nll
       |  FROM gp JOIN cs USING (doc_id) JOIN pp USING (doc_id)
@@ -1158,6 +1167,66 @@ object SparkEntry {
       |    + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS keep_share4
       |FROM j JOIN thr_s USING (source) JOIN thr_n USING (source)
       |GROUP BY j.source ORDER BY j.source""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.qualityAgreement: the shared quality-signal
+    * CTEs, GLOBAL median grid thresholds (cumulative counts over the
+    * distinct-value grids), the three filter booleans, and the per-pair 2×2
+    * confusion with observed and chance agreement on the ratio4 grid. */
+  private def qualityAgreementOracleSql: String =
+    s"""$qualitySignalsCtes,
+      |j2 AS (
+      |  SELECT gp.doc_id, gp.passes AS g, cs.score, pp.nll
+      |  FROM gp JOIN cs USING (doc_id) JOIN pp USING (doc_id)),
+      |tsg2 AS (
+      |  SELECT score, sum(c) OVER (ORDER BY score ASC) AS cum, sum(c) OVER () AS n
+      |  FROM (SELECT score, count(1) AS c FROM j2 GROUP BY score)),
+      |thr_s2 AS (SELECT min(score) AS ts FROM tsg2 WHERE cum * 2 >= n),
+      |tng2 AS (
+      |  SELECT nll, sum(c) OVER (ORDER BY nll ASC) AS cum, sum(c) OVER () AS n
+      |  FROM (SELECT nll, count(1) AS c FROM j2 GROUP BY nll)),
+      |thr_n2 AS (SELECT min(nll) AS tn FROM tng2 WHERE cum * 2 >= n),
+      |f AS (
+      |  SELECT g, score >= (SELECT ts FROM thr_s2) AS c,
+      |    nll <= (SELECT tn FROM thr_n2) AS p
+      |  FROM j2),
+      |pr AS (
+      |  SELECT 'gopher|classifier' AS pair, g AS a, c AS b FROM f
+      |  UNION ALL SELECT 'gopher|perplexity' AS pair, g AS a, p AS b FROM f
+      |  UNION ALL SELECT 'classifier|perplexity' AS pair, c AS a, p AS b FROM f),
+      |cf AS (
+      |  SELECT pair, count(1) AS n_docs,
+      |    CAST(count_if(a AND b) AS BIGINT) AS n11,
+      |    CAST(count_if((NOT a) AND (NOT b)) AS BIGINT) AS n00,
+      |    CAST(count_if(a AND (NOT b)) AS BIGINT) AS n10,
+      |    CAST(count_if((NOT a) AND b) AS BIGINT) AS n01
+      |  FROM pr GROUP BY pair)
+      |SELECT pair, n_docs, n11, n00, n10, n01,
+      |  CAST((20000 * (n11 + n00) + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 AS agree4,
+      |  CAST((20000 * ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+      |    + n_docs * n_docs) // (2 * n_docs * n_docs) AS DOUBLE) / 10000.0 AS expected_agree4
+      |FROM cf ORDER BY pair""".stripMargin
+
+  /** DuckDB twin of PipelineOps.shardManifest: one global window computes
+    * the md5-ordered exclusive token prefix sum (the Spark side's two-phase
+    * bucketed rank collapses to this on one node — Round13Spec pins the
+    * equality), shard id = prefix DIV tokensPerShard, per-shard counts and
+    * the order-invariant bit_xor fingerprint of the member md5h60 ids. */
+  private def shardManifestOracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS nt,
+      |    ${md5h60("CAST(doc_id AS VARCHAR)")} AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, h, nt,
+      |    coalesce(sum(nt) OVER (ORDER BY hk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      |  FROM t)
+      |SELECT CAST(pre // 4096 AS BIGINT) AS shard_id, count(1) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(bit_xor(h) AS BIGINT) AS content_xor,
+      |  CAST((20000 * sum(nt) + 4096) // (2 * 4096) AS DOUBLE) / 10000.0 AS fill_share4
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB twin of Dedup.dedupSimhash: per-token-occurrence md5Hash60,
     * 60 positional bit-count sums, majority-sign signature, top-bit prefix
@@ -4860,6 +4929,8 @@ object SparkEntry {
     "stream_apply_mixture" -> pipelineApplyMixtureOracleSql,
     "curriculum_order" -> curriculumOrderOracleSql,
     "mixture_epochs" -> mixtureEpochsOracleSql,
+    "shard_manifest" -> shardManifestOracleSql,
+    "quality_agreement" -> qualityAgreementOracleSql,
 
     // generation-1 rows (doc_id % 3 = 0) never carried the evolved column
     "schema_evolution" ->

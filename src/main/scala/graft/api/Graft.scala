@@ -3385,6 +3385,60 @@ object Graft {
       col("alloc"), col("fill_share4"))
   }
 
+  /** TRAINING-SHARD MANIFEST — the reproducibility artifact a corpus
+    * pipeline writes beside its shards (WebDataset/TFRecord-style shard
+    * layout; The Pile / ROOTS release manifests are the published shape):
+    * documents are laid out in a DETERMINISTIC md5 order (the RNG-free
+    * shuffle every gate row uses), cut into consecutive shards of
+    * ~`tokensPerShard` whitespace tokens, and each shard's row carries the
+    * counts plus an ORDER-INVARIANT content fingerprint (bit_xor of the
+    * 60-bit md5 of each member id) — two pipeline runs that produce the
+    * same shard populations produce byte-equal manifests, and a single
+    * flipped membership flips the fingerprint.
+    *
+    * Scale shape (100 TB): the global ordered token prefix-sum is the
+    * curriculum_order two-phase rank generalized to WEIGHTED ranks — 16
+    * md5-hex-prefix RANGE buckets (the prefix orders buckets consistently
+    * with the full sort key), a per-bucket windowed running sum, and a
+    * broadcast 16-row exclusive bucket-offset table; no single-partition
+    * window anywhere (grow the prefix to 256/4096 buckets at scale).
+    * shard_id = exclusive-prefix DIV tokensPerShard, so Σ n_tokens is
+    * conserved exactly and shard ids are dense from 0. All-integer →
+    * a DuckDB oracle mirrors it with one global window. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+      tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    val base = docs.select(col(idCol),
+        expr(s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+          "x -> length(x) > 0)) AS BIGINT)").as("__nt"),
+        md5(col(idCol).cast("string")).as("__hk"),
+        md5Hash60(col(idCol).cast("string")).as("__h"))
+      .withColumn("__b", substring(col("__hk"), 1, 1))
+      // consumed by the local running sum and the bucket-offset aggregate
+      .localCheckpoint(true)
+    val local = base.withColumn("__pre",
+      coalesce(sum("__nt").over(
+        Window.partitionBy("__b").orderBy(col("__hk"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offs = base.groupBy("__b").agg(sum("__nt").as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(
+        Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offs), "__b")
+      .withColumn("shard_id",
+        expr(s"(__off + __pre) DIV ${tokensPerShard}L"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        expr("bit_xor(__h)").as("content_xor"))
+      .withColumn("fill_share4", expr(
+        s"CAST((20000L * n_tokens + ${tokensPerShard}L) DIV " +
+          s"(2L * ${tokensPerShard}L) AS DOUBLE) / 10000.0"))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        col("content_xor"), col("fill_share4"))
+  }
+
   /** SCD1 snapshot merge: rows of `changes` replace same-key rows of `base`;
     * unmatched base rows survive. One anti-join + union, both partitioned on
     * the key (the change set broadcasts when small). Schemas must align.

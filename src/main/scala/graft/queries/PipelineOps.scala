@@ -720,6 +720,19 @@ object PipelineOps {
       .orderBy("stage", "pos")
   }
 
+  /** Training-shard manifest (Graft.shardManifest): the corpus cut into
+    * consecutive ~4096-token shards along the deterministic md5 order,
+    * one manifest row per shard with counts and the order-invariant
+    * bit_xor content fingerprint — the reproducibility artifact shipped
+    * beside shard files. Distributed two-phase weighted prefix sum (16
+    * hash-range buckets + broadcast offsets), suite-pinned equal to the
+    * single-window form; fully oracled (all-integer). */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.shardManifest(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", tokensPerShard = 4096L)
+      .orderBy("shard_id")
+
   /** DATA-CONSTRAINED epoch plan (Muennighoff '23, arXiv:2305.16264 —
     * repeating data up to ~4 epochs is nearly as valuable as fresh data):
     * when the training budget EXCEEDS the corpus (here 1.5× the token

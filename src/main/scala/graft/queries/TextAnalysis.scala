@@ -376,6 +376,72 @@ object TextAnalysis {
     graft.api.Graft.sourceDivergence(Tables.documents(s, d), "text", "source")
       .orderBy("source")
 
+  /** PAIRWISE FILTER AGREEMENT — the ablation readout a pipeline checks
+    * before stacking quality filters (if two filters agree on ~everything,
+    * the second buys nothing; if they disagree wildly, their conjunction
+    * may be over-filtering): the three independent signals the registry
+    * proves individually (Gopher rule bundle, hashed linear classifier,
+    * bigram-LM perplexity), each binarized at its GLOBAL median grid
+    * threshold (keep = score ≥ 50th-percentile / nll ≤ 50th-percentile —
+    * percentile-disc on the ratio4 GRID, cumulative counts over grid-sized
+    * frames, never a document rank window), then one row per filter pair
+    * with the full 2×2 confusion, observed agreement, and the
+    * chance-agreement baseline from the marginals (the pe of Cohen's κ;
+    * all-integer ratio4, so fully oracled). One corpus-signal join, one
+    * explode-by-pair aggregate — no pairwise document work at all. */
+  def qualityAgreement(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gop = graft.api.Graft.gopherRules(
+        docs.select(col("doc_id"), col("text")), "text", minWords = 20L)
+      .select(col("doc_id"), col("passes"))
+    val cls = graft.api.Graft.linearClassify(docs, "doc_id", "text",
+        buckets = 1024)
+      .select(col("doc_id"), col("score"))
+    val ppl = graft.api.Graft.lmPerplexity(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("doc_id"), col("nll"))
+    val scored = gop.join(cls, "doc_id").join(ppl, "doc_id")
+      // consumed by two global grid thresholds + the pair aggregate
+      .localCheckpoint(true)
+    def globalGridThreshold(valueCol: String, out: String): DataFrame =
+      scored.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+        // grid-sized frame: the windows run over distinct ratio4 values
+        .withColumn("__cum", sum("__c").over(Window.orderBy(valueCol)))
+        .withColumn("__n", sum("__c").over(Window.partitionBy()))
+        .filter(col("__cum") * 2 >= col("__n"))
+        .agg(min(valueCol).as(out))
+    val flags = scored
+      .crossJoin(broadcast(globalGridThreshold("score", "__ts")))
+      .crossJoin(broadcast(globalGridThreshold("nll", "__tn")))
+      .select(col("passes").as("__g"),
+        (col("score") >= col("__ts")).as("__c"),
+        (col("nll") <= col("__tn")).as("__p"))
+    flags.select(explode(array(
+        struct(lit("gopher|classifier").as("pair"),
+          col("__g").as("a"), col("__c").as("b")),
+        struct(lit("gopher|perplexity").as("pair"),
+          col("__g").as("a"), col("__p").as("b")),
+        struct(lit("classifier|perplexity").as("pair"),
+          col("__c").as("a"), col("__p").as("b")))).as("x"))
+      .select(col("x.pair").as("pair"), col("x.a").as("a"), col("x.b").as("b"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("a") && col("b")).as("n11"),
+        count_if(!col("a") && !col("b")).as("n00"),
+        count_if(col("a") && !col("b")).as("n10"),
+        count_if(!col("a") && col("b")).as("n01"))
+      .select(col("pair"), col("n_docs"), col("n11"), col("n00"),
+        col("n10"), col("n01"),
+        expr("""CAST((20000L * (n11 + n00) + n_docs)
+               |  DIV (2L * n_docs) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("agree4"),
+        expr("""CAST((20000L * ((n11 + n10) * (n11 + n01)
+               |         + (n00 + n01) * (n00 + n10)) + n_docs * n_docs)
+               |  DIV (2L * n_docs * n_docs) AS DOUBLE) / 10000.0"""
+          .stripMargin).as("expected_agree4"))
+      .orderBy("pair")
+  }
+
   /** Quality ENSEMBLE with per-source calibrated thresholds — the CCNet
     * observation (Wenzek '19 §4.3) that one global cutoff over-filters
     * some sources and under-filters others, applied to three independent

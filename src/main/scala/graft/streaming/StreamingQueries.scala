@@ -840,7 +840,7 @@ object StreamingQueries {
     * file source's arrival order is deterministic), wiping `base` first —
     * the REAL-micro-batch firehose harness shared by the online ingest
     * loop and the streaming IVF probe. Returns the source directory. */
-  private def stageOrderedBatches(df: DataFrame, base: String,
+  private[graft] def stageOrderedBatches(df: DataFrame, base: String,
       bucketCol: String, n: Int): String = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -850,17 +850,30 @@ object StreamingQueries {
     graft.queries.Formats.registerCleanup(base)
     val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
     val t0 = 1700000000000L
+    // ONE corpus pass stages every batch (VERDICT r12 task 7): the original
+    // per-bucket `filter(...).coalesce(1).write` ran n separate jobs, and
+    // coalesce(1) collapses the whole upstream chain to one task — n
+    // SINGLE-THREADED corpus scans (measured 3×, the dominant harness
+    // cost at sf1). Here one job shuffles on the bucket value and
+    // partitionBy writes each bucket's rows as exactly one file (every
+    // bucket lives in exactly one shuffle partition), which the per-bucket
+    // move below renames into the ordered single-file layout the streaming
+    // file source ingests.
+    val stage = new java.io.File(base, "stage")
+    df.withColumn("__b", pmod(col(bucketCol), lit(n)))
+      .repartition(n, col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(stage.toString)
     for (b <- 0 until n) {
-      val stage = new java.io.File(base, s"stage$b")
-      df.filter(col(bucketCol) % n === b).coalesce(1)
-        .write.mode("overwrite").parquet(stage.toString)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part in $stage"))
+      val bucketDir = new java.io.File(stage, s"__b=$b")
+      val parts = Option(bucketDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      if (parts.length != 1) sys.error(
+        s"staging expected exactly one part in $bucketDir, got ${parts.length}")
       val dst = new java.io.File(srcDir, s"batch$b.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
+      java.nio.file.Files.move(parts(0).toPath, dst.toPath)
       dst.setLastModified(t0 + b * 60000L): Unit
-      rm(stage)
     }
+    rm(stage)
     srcDir.toString
   }
 

@@ -73,6 +73,66 @@ class Round13Spec extends SparkSpec {
     assert(out == Map("a" -> 10L, "b" -> 90L), s"waterfill drifted: $out")
   }
 
+  test("shardManifest: two-phase prefix sum equals the global order; totals conserve") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val target = 4096L
+    val out = queries.PipelineOps.shardManifest(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.nonEmpty)
+    // dense shard ids from 0
+    assert(out.map(_._1).toSeq == out.indices.map(_.toLong),
+      s"shard ids not dense: ${out.map(_._1).toSeq}")
+    // driver-side recompute of the SINGLE global window form: md5 order,
+    // exclusive token prefix, shard = pre DIV target — the two-phase
+    // bucketed rank must reproduce it exactly
+    val rows = docs.select(col("doc_id"),
+        expr("CAST(size(filter(split(text, ' ', -1), x -> length(x) > 0)) AS BIGINT)"),
+        md5(col("doc_id").cast("string")),
+        api.Graft.md5Hash60(col("doc_id").cast("string")))
+      .as[(Long, Long, String, Long)].collect()
+      .sortBy { case (id, _, hk, _) => (hk, id) }
+    var pre = 0L
+    val byShard = rows.map { case (_, nt, _, h) =>
+      val shard = pre / target; pre += nt; (shard, nt, h)
+    }.groupBy(_._1)
+    val expect = byShard.toSeq.sortBy(_._1).map { case (shard, xs) =>
+      (shard, xs.length.toLong, xs.map(_._2).sum,
+        xs.map(_._3).reduce(_ ^ _))
+    }
+    assert(out.map(x => (x._1, x._2, x._3, x._4)).toSeq == expect,
+      "two-phase manifest diverges from the global-order recompute")
+    // conservation: every token and every document lands in exactly one shard
+    assert(out.map(_._3).sum == rows.map(_._2).sum)
+    assert(out.map(_._2).sum == rows.length.toLong)
+    // every shard except possibly the last crosses the target boundary:
+    // its exclusive end prefix reaches into the next shard's range
+    out.dropRight(1).zipWithIndex.foreach { case ((id, _, _, _, fill), i) =>
+      assert(fill > 0.0, s"shard $id empty fill")
+    }
+  }
+
+  test("qualityAgreement: confusions partition, marginals match the gopher row") {
+    val out = queries.TextAnalysis.qualityAgreement(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq ==
+      Seq("classifier|perplexity", "gopher|classifier", "gopher|perplexity"))
+    // one row per pair over the SAME scored population
+    assert(out.map(_._2).distinct.length == 1)
+    out.foreach { case (pair, n, n11, n00, n10, n01, agree4, exp4) =>
+      assert(n11 + n00 + n10 + n01 == n, s"$pair: confusion does not partition")
+      assert(agree4 >= 0.0 && agree4 <= 1.0 && exp4 >= 0.0 && exp4 <= 1.0)
+    }
+    // the gopher marginal (a-side of both gopher pairs) equals the
+    // quality_gopher row's pass count on the same corpus
+    val gopherPasses = queries.TextAnalysis.qualityGopher(spark, sf)
+      .filter(col("passes")).count()
+    val gc = out.find(_._1 == "gopher|classifier").get
+    val gp = out.find(_._1 == "gopher|perplexity").get
+    assert(gc._3 + gc._5 == gopherPasses, "gopher|classifier a-marginal drifted")
+    assert(gp._3 + gp._5 == gopherPasses, "gopher|perplexity a-marginal drifted")
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
-"""Builds an sf1-equivalent scale-validation dataset (10x sf0.1) at
-/tmp/graft_sf1 by replicating the FACT tables ten times with shifted primary
-ids, preserving parquet schemas exactly (incl. TIMESTAMP(NANOS) on events).
+"""Builds an sfN-equivalent scale-validation dataset (N*10 x sf0.1) at
+/tmp/graft_sf<N> by replicating the FACT tables with shifted primary ids,
+preserving parquet schemas exactly (incl. TIMESTAMP(NANOS) on events).
+Usage: make_sf1.py [N]  (default 1 -> 10 copies at /tmp/graft_sf1;
+N=3 -> 30 copies at /tmp/graft_sf3 for the r13 slope checkpoint).
 
 Key design: o_orderkey and l_orderkey shift by the same per-copy offset so the
 order<->lineitem join scales linearly (each copy joins its own copy); foreign
@@ -16,9 +18,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import os
 
+import sys
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/graft_sf1"
-COPIES = 10
+DST = f"/tmp/graft_sf{N}"
+COPIES = 10 * N
 OFFSET = 1_000_000_000
 
 # fact table -> columns to shift per copy (same offset everywhere => joins
