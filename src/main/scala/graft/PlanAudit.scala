@@ -309,6 +309,22 @@ object PlanAudit {
         && p.contains("Broadcast"),
         "filter agreement: thresholds are broadcast grid aggregates; the " +
           "pair explode is row-local — no document-pair join anywhere"),
+      ("sample_quality_weighted", p => p.contains("BroadcastHashJoin")
+        && !p.contains("SortMergeJoin"),
+        "quality sampling: model weights broadcast to the token explode; " +
+          "the md5 coin gate is row-local after the per-doc aggregate"),
+      ("dedup_cluster_stats", p => !p.contains("Join")
+        && p.contains("partial_count"),
+        "dup-depth profile: one fingerprint aggregate with map-side " +
+          "partials; the share window runs on the depth grid only"),
+      ("mixture_doremi", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"),
+        "doremi step: ONE token pass to the domain frame (broadcast " +
+          "model); solver arithmetic is k-row windows"),
+      ("length_bucket_batches", p => !p.contains("Join")
+        && p.contains("partial_count"),
+        "length buckets: row-local bucket assignment + one grid-sized " +
+          "aggregate with map-side partials — no join, no data-sized window"),
     )
 
     var failed = 0

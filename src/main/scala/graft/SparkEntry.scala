@@ -212,6 +212,11 @@ object SparkEntry {
     "schema_evolution"  -> Formats.schemaEvolution _,
     "shard_manifest"    -> PipelineOps.shardManifest _,
     "quality_agreement" -> TextAnalysis.qualityAgreement _,
+    "dedup_cluster_stats" -> Dedup.dedupClusterStats _,
+    "sample_quality_weighted" -> TextAnalysis.sampleQualityWeighted _,
+    "quality_threshold_sweep" -> TextAnalysis.qualityThresholdSweep _,
+    "mixture_doremi"    -> PipelineOps.mixtureDoremi _,
+    "length_bucket_batches" -> PipelineOps.lengthBucketBatches _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1884,6 +1889,94 @@ object SparkEntry {
        |       ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score,
        |  CASE WHEN s > 0 THEN 'keep' ELSE 'drop' END AS label
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.sampleQualityWeighted: the classifier CTEs,
+    * the ratio4 score, and the integer md5-coin gate (top 20 hash bits vs
+    * p_int = clamp(floor(score·10⁴)+3·10⁶, 0, 6·10⁶) over 6·10⁶) — BIGINT
+    * end-to-end, so the sampled doc SET hash-matches, not just its size. */
+  private def sampleQualityWeightedOracleSql: String =
+    s"""$classifierCtesSql,
+       |sc AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(CASE WHEN s >= 0 THEN (20000 * s + n_tokens) // (2 * n_tokens)
+       |         ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score
+       |  FROM agg),
+       |g AS (
+       |  SELECT doc_id, n_tokens, score,
+       |    greatest(least(CAST(floor(score * 10000.0) AS BIGINT) + 3000000,
+       |      6000000), 0) AS p,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      // 1099511627776 AS u
+       |  FROM sc)
+       |SELECT doc_id, n_tokens, score, CAST(p AS DOUBLE) / 6000000.0 AS keep_prob
+       |FROM g WHERE u * 6000000 < p * 1048576 ORDER BY doc_id""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.qualityThresholdSweep: classifier pass to
+    * the floor(score·10⁴) grid, 9 thresholds theta-join the GRID, ratio4
+    * shares against grid totals. */
+  private def qualityThresholdSweepOracleSql: String =
+    s"""$classifierCtesSql,
+       |sc AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(CASE WHEN s >= 0 THEN (20000 * s + n_tokens) // (2 * n_tokens)
+       |         ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS DOUBLE) / 10000.0 AS score
+       |  FROM agg),
+       |grid AS (
+       |  SELECT CAST(floor(score * 10000.0) AS BIGINT) AS qi,
+       |    count(1) AS d, CAST(sum(n_tokens) AS BIGINT) AS t
+       |  FROM sc GROUP BY qi),
+       |taus AS (SELECT unnest(range(-4, 5)) * 500000 AS tau_i),
+       |tot AS (SELECT CAST(sum(d) AS BIGINT) AS td, CAST(sum(t) AS BIGINT) AS tt FROM grid),
+       |sw AS (
+       |  SELECT tau_i, CAST(coalesce(sum(d), 0) AS BIGINT) AS n_docs_kept,
+       |    CAST(coalesce(sum(t), 0) AS BIGINT) AS tok_kept
+       |  FROM taus LEFT JOIN grid ON qi >= tau_i GROUP BY tau_i)
+       |SELECT CAST(tau_i AS DOUBLE) / 10000.0 AS tau, n_docs_kept, tok_kept,
+       |  CAST((20000 * n_docs_kept + td) // (2 * td) AS DOUBLE) / 10000.0 AS doc_share,
+       |  CAST((20000 * tok_kept + tt) // (2 * tt) AS DOUBLE) / 10000.0 AS tok_share
+       |FROM sw CROSS JOIN tot ORDER BY tau""".stripMargin
+
+  /** DuckDB twin of PipelineOps.mixtureDoremi: the md5 model weights, one
+    * token pass aggregated per language, the signed ratio4 domain/global
+    * scores, and the linearized MW update — integer until the final ratio4
+    * rounds. */
+  private def mixtureDoremiOracleSql: String =
+    """WITH w AS (
+      |  SELECT b AS bucket,
+      |    ('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS weight
+      |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+      |t AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS bucket
+      |  FROM (SELECT doc_id, lang,
+      |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      |        FROM documents)),
+      |dom AS (
+      |  SELECT lang, count(1) AS n_tokens, CAST(sum(weight) AS BIGINT) AS s,
+      |    count(DISTINCT doc_id) AS n_docs
+      |  FROM t JOIN w USING (bucket) GROUP BY lang),
+      |g AS (
+      |  SELECT lang, n_docs, n_tokens,
+      |    CASE WHEN s >= 0 THEN (20000 * s + n_tokens) // (2 * n_tokens)
+      |         ELSE -((20000 * -s + n_tokens) // (2 * n_tokens)) END AS qd
+      |  FROM dom),
+      |gg AS (SELECT CAST(sum(s) AS BIGINT) AS sg, CAST(sum(n_tokens) AS BIGINT) AS ng FROM dom),
+      |q AS (
+      |  SELECT g.*,
+      |    CASE WHEN sg >= 0 THEN (20000 * sg + ng) // (2 * ng)
+      |         ELSE -((20000 * -sg + ng) // (2 * ng)) END AS qg
+      |  FROM g CROSS JOIN gg),
+      |r AS (
+      |  SELECT lang, n_docs, n_tokens, qd, qg - qd AS ex,
+      |    n_docs * greatest(1000000 + (qg - qd), 0) AS raw
+      |  FROM q),
+      |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d0, CAST(sum(raw) AS BIGINT) AS r0 FROM r)
+      |SELECT lang, n_docs, n_tokens,
+      |  CAST(qd AS DOUBLE) / 10000.0 AS domain_score,
+      |  ex AS excess,
+      |  CAST((20000 * n_docs + d0) // (2 * d0) AS DOUBLE) / 10000.0 AS w_before,
+      |  CAST((20000 * raw + r0) // (2 * r0) AS DOUBLE) / 10000.0 AS w_after
+      |FROM r CROSS JOIN tt ORDER BY lang""".stripMargin
 
   /** DuckDB twin of StreamingQueries.streamClassify — the complete-mode
     * final state IS the batch rollup of the same classifier. */
@@ -4931,6 +5024,47 @@ object SparkEntry {
     "mixture_epochs" -> mixtureEpochsOracleSql,
     "shard_manifest" -> shardManifestOracleSql,
     "quality_agreement" -> qualityAgreementOracleSql,
+    "sample_quality_weighted" -> sampleQualityWeightedOracleSql,
+    "quality_threshold_sweep" -> qualityThresholdSweepOracleSql,
+    "mixture_doremi" -> mixtureDoremiOracleSql,
+
+    // the source_overlap paragraph construction, aggregated to the
+    // duplication-depth grid instead of the source-pair matrix
+    "dedup_cluster_stats" ->
+      """WITH pars AS (
+        |  SELECT ('0x' || substring(md5(array_to_string(ts[(w*16+1):(w*16+16)], ' ')), 1, 15))::BIGINT AS fp
+        |  FROM (
+        |    SELECT ts, unnest(range(0, CAST(ceil(len(ts) / 16.0) AS INT))) AS w
+        |    FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+        |    WHERE len(ts) >= 1)),
+        |pf AS (SELECT fp, count(1) AS depth FROM pars GROUP BY fp),
+        |grid AS (
+        |  SELECT depth, count(1) AS n_fingerprints,
+        |    depth * count(1) AS n_paragraphs
+        |  FROM pf GROUP BY depth),
+        |tot AS (SELECT CAST(sum(n_paragraphs) AS BIGINT) AS t FROM grid)
+        |SELECT depth, n_fingerprints, n_paragraphs,
+        |  CAST((20000 * n_paragraphs + t) // (2 * t) AS DOUBLE) / 10000.0 AS corpus_share
+        |FROM grid CROSS JOIN tot ORDER BY depth""".stripMargin,
+
+    // all-integer bucket arithmetic (// mirrors Spark DIV exactly)
+    "length_bucket_batches" ->
+      """WITH nt AS (
+        |  SELECT CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT ((n - 1) // 16) * 16 + 16 AS cap, n FROM nt WHERE n > 0),
+        |g AS (
+        |  SELECT cap, count(1) AS n_docs, CAST(sum(n) AS BIGINT) AS real_tokens
+        |  FROM b GROUP BY cap),
+        |p AS (
+        |  SELECT cap, n_docs, real_tokens, n_docs * cap AS padded_tokens,
+        |    greatest(16384 // cap, 1) AS rpb
+        |  FROM g)
+        |SELECT cap, n_docs, real_tokens, padded_tokens,
+        |  CAST((20000 * (padded_tokens - real_tokens) + padded_tokens)
+        |    // (2 * padded_tokens) AS DOUBLE) / 10000.0 AS waste,
+        |  (n_docs + rpb - 1) // rpb AS n_batches
+        |FROM p ORDER BY cap""".stripMargin,
 
     // generation-1 rows (doc_id % 3 = 0) never carried the evolved column
     "schema_evolution" ->

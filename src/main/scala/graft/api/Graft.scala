@@ -3561,6 +3561,196 @@ object Graft {
       .agg(count_distinct(col(keyCol)).as("n_active"))
   }
 
+  // ---------- curation reports & selection policies (round 13) ----------
+
+  /** Duplication-DEPTH profile of the corpus at paragraph granularity — the
+    * histogram Lee et al. '21 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 §4) reads before choosing a dedup
+    * policy: for each duplication depth d, how many distinct paragraph
+    * fingerprints occur exactly d times, how many corpus paragraphs that
+    * accounts for, and their share of the corpus. Whole-document exact-dup
+    * histograms are near-degenerate on real crawls; the paragraph level is
+    * where duplication mass actually lives (boilerplate, syndication).
+    *
+    * Scale shape: one row-local paragraph explode, ONE groupBy(fp) with
+    * map-side partials (shuffle volume = distinct fingerprints), then a
+    * second aggregate over the DEPTH GRID (≤ max depth rows, vanishing).
+    * The final share window runs over that grid frame only — never
+    * data-sized. Nothing is quadratic in corpus or duplication depth. */
+  def dupDepthProfile(df: DataFrame, idCol: String, textCol: String,
+      parTokens: Int = 16,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val perFp = paragraphFingerprints(df, idCol, textCol, parTokens, baseHash)
+      .groupBy("fp").agg(count(lit(1)).as("depth"))
+    val grid = perFp.groupBy("depth")
+      .agg(count(lit(1)).as("n_fingerprints"))
+      .withColumn("n_paragraphs", col("depth") * col("n_fingerprints"))
+    // grid-sized total (≤ distinct depths rows); the single-partition
+    // window is over the histogram, not the corpus
+    grid.withColumn("__tot", sum("n_paragraphs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("depth"), col("n_fingerprints"), col("n_paragraphs"),
+        expr("""CAST((20000L * n_paragraphs + __tot)
+               |  DIV (2L * __tot) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("corpus_share"))
+  }
+
+  /** Quality-PROPORTIONAL document sampling (Sachdeva '24 "How to Train
+    * Data-Efficient LLMs", arXiv:2402.09668 — sampling by model-scored
+    * quality beats hard thresholding): each document survives with
+    * probability proportional to its classifier score, decided by a
+    * DETERMINISTIC md5 coin so the sample is reproducible across engines,
+    * runs, and partitionings (no rand(), no seed plumbing).
+    *
+    * Integer-exact gate: the classifier score (token-mean model weight on
+    * the ratio4 grid; empirically ±~400, std ~100 under the default md5
+    * model) maps to keep probability clamp((score + 300) / 600, 0, 1) —
+    * on the grid, p_int = clamp(floor(score·10⁴) + 3·10⁶, 0, 6·10⁶) over
+    * 6·10⁶. The coin is the top 20 bits of md5Hash60(id), kept iff
+    * u20 · 6·10⁶ < p_int · 2²⁰ — all BIGINT, peak ~6.3·10¹², mirrored
+    * verbatim in DuckDB. Scale shape: classifier inference (token explode +
+    * broadcast model join + per-doc agg) then a ROW-LOCAL gate — linear,
+    * shuffle only on the doc key. */
+  def qualityWeightedSample(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024): DataFrame =
+    linearClassify(docs, idCol, textCol, buckets)
+      .withColumn("__p", greatest(least(
+        floor(col("score") * 10000.0).cast("long") + 3000000L,
+        lit(6000000L)), lit(0L)))
+      // integer shift, not `/`: the 60-bit hash exceeds double's exact range
+      .withColumn("__u", shiftright(md5Hash60(col(idCol).cast("string")), 40))
+      .filter(col("__u") * 6000000L < col("__p") * 1048576L)
+      .select(col(idCol), col("n_tokens"), col("score"),
+        (col("__p").cast("double") / 6000000.0).as("keep_prob"))
+
+  /** Classifier-threshold RETENTION CURVE — the calibration artifact a
+    * FineWeb-Edu-style run (Penedo '24, arXiv:2406.17557 §3.2) reads to
+    * pick its keep threshold: for each candidate τ on the score grid, how
+    * many documents and tokens survive `score ≥ τ`, and their share of the
+    * corpus. Implementation is sweep-over-the-GRID, never per-τ corpus
+    * passes: one classifier pass aggregates to the floor(score·10⁴) grid
+    * (bounded by the 10⁻⁴ score granularity — ≤ ~2·10⁷ rows at ANY corpus
+    * size, in practice ≤ distinct (Σw, n) ratios), and the 9 thresholds
+    * theta-join THAT grid via a 9-row broadcast nested loop — linear in the
+    * grid, never the corpus. Shares are integer ratio4 against grid
+    * totals; τ spans ±200 in steps of 50 (≈ ±2σ of the default model). */
+  def qualityThresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val grid = linearClassify(docs, idCol, textCol, buckets)
+      .select(floor(col("score") * 10000.0).cast("long").as("__qi"),
+        col("n_tokens"))
+      .groupBy("__qi")
+      .agg(count(lit(1)).as("__d"), sum("n_tokens").as("__t"))
+      // two consumers (the sweep join and the totals) of a ≤2001-row frame
+      .localCheckpoint(true)
+    val taus = spark.range(-4, 5)
+      .select((col("id") * 500000L).as("__tau")) // τ·10⁴: τ ∈ {-200,…,200}
+    val tot = grid.agg(sum("__d").as("__td"), sum("__t").as("__tt"))
+    taus.join(grid, col("__qi") >= col("__tau"), "left")
+      .groupBy("__tau")
+      .agg(coalesce(sum("__d"), lit(0L)).as("n_docs_kept"),
+        coalesce(sum("__t"), lit(0L)).as("tok_kept"))
+      .crossJoin(broadcast(tot))
+      .select((col("__tau").cast("double") / 10000.0).as("tau"),
+        col("n_docs_kept"), col("tok_kept"),
+        expr("""CAST((20000L * n_docs_kept + __td)
+               |  DIV (2L * __td) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("doc_share"),
+        expr("""CAST((20000L * tok_kept + __tt)
+               |  DIV (2L * __tt) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("tok_share"))
+  }
+
+  /** One DOMAIN-REWEIGHTING step (DoReMi, Xie '23 arXiv:2305.10429: upweight
+    * domains with high excess loss under the proxy model). The proxy signal
+    * here is the deterministic linearClassify model (the registry's oracled
+    * stand-in for a trained reference model); "excess loss" of a domain is
+    * the global token-mean score minus the domain's (lower quality = harder
+    * = positive excess), and the update is the LINEARIZED multiplicative-
+    * weights rule w'_d ∝ w_d · (1 + η·excess_d) (Arora–Hazan–Kale '12 MW
+    * survey §2 — the linear form keeps the whole chain on the integer grid,
+    * where exp() would be the one cross-engine-inexact step). η = 0.01 per
+    * score unit, carried WITHOUT division: excess sits on the 10⁻⁴ grid, so
+    * the factor is the integer 10⁶ + excess_int over base 10⁶ — exactly
+    * 1 + 0.01·excess_score, and immune to the Spark-DIV-truncates vs
+    * DuckDB-//-floors divergence on negative numerators.
+    *
+    * Scale shape: ONE token-explode pass aggregated straight to the DOMAIN
+    * frame (map-side partials; shuffle = |domains|·3 longs), then all solver
+    * arithmetic on that k-row frame (the global mean is a window over k
+    * rows). Output: per domain, token stats, the signed excess (units 10⁻⁴),
+    * and before/after mixture shares (ratio4). */
+  def doremiReweight(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, buckets: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val w = defaultHashedWeights(spark, buckets)
+    val dom = docs
+      .select(col(domainCol), col(idCol), explode(expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)")).as("__t"))
+      .withColumn("bucket", pmod(md5Hash60(col("__t")), lit(buckets.toLong)))
+      .join(broadcast(w), "bucket")
+      .groupBy(domainCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("weight").as("__s"),
+        count_distinct(col(idCol)).as("n_docs"))
+    // everything below runs on the |domains|-row frame
+    val kw = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    dom
+      .withColumn("__qd", expr(
+        """CASE WHEN __s >= 0 THEN (20000L * __s + n_tokens) DIV (2L * n_tokens)
+          |ELSE -((20000L * -__s + n_tokens) DIV (2L * n_tokens)) END"""
+          .stripMargin))
+      .withColumn("__sg", sum("__s").over(kw))
+      .withColumn("__ng", sum("n_tokens").over(kw))
+      .withColumn("__qg", expr(
+        """CASE WHEN __sg >= 0 THEN (20000L * __sg + __ng) DIV (2L * __ng)
+          |ELSE -((20000L * -__sg + __ng) DIV (2L * __ng)) END""".stripMargin))
+      .withColumn("__ex", col("__qg") - col("__qd"))
+      .withColumn("__f", greatest(lit(1000000L) + col("__ex"), lit(0L)))
+      .withColumn("__raw", col("n_docs") * col("__f"))
+      .withColumn("__d0", sum("n_docs").over(kw))
+      .withColumn("__r0", sum("__raw").over(kw))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        (col("__qd").cast("double") / 10000.0).as("domain_score"),
+        col("__ex").as("excess"),
+        expr("""CAST((20000L * n_docs + __d0)
+               |  DIV (2L * __d0) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("w_before"),
+        expr("""CAST((20000L * __raw + __r0)
+               |  DIV (2L * __r0) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("w_after"))
+  }
+
+  /** LENGTH-BUCKETED batch plan with padding-waste accounting — the batching
+    * efficiency audit of fixed-shape training (fairseq's --max-tokens
+    * length-bucketed batching, Ott '19 arXiv:1904.01038): documents group
+    * into `bucketTokens`-wide length buckets, every row in a bucket pads to
+    * the bucket cap, and a batch carries `batchTokens` padded tokens. Per
+    * bucket: real vs padded token volume, ratio4 waste share, and the batch
+    * count ⌈n_docs / (batchTokens DIV cap)⌉. Row-local bucket assignment +
+    * ONE grid-sized aggregate — linear at any corpus size. */
+  def lengthBucketPlan(docs: DataFrame, idCol: String, textCol: String,
+      bucketTokens: Int = 64, batchTokens: Int = 16384): DataFrame =
+    docs
+      .select(expr(
+        s"size(filter(split(`$textCol`, ' ', -1), t -> length(t) > 0))")
+        .cast("long").as("__nt"))
+      .filter(col("__nt") > 0L)
+      // all-integer bucket arithmetic (DIV, never `/` — Column./ is double)
+      .withColumn("cap", expr(
+        s"((__nt - 1L) DIV ${bucketTokens}L) * ${bucketTokens}L + ${bucketTokens}L"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("cap"))
+      .withColumn("waste", expr(
+        """CAST((20000L * (padded_tokens - real_tokens) + padded_tokens)
+          |  DIV (2L * padded_tokens) AS DOUBLE) / 10000.0""".stripMargin))
+      .withColumn("__rpb", greatest(expr(s"${batchTokens}L DIV cap"), lit(1L)))
+      .withColumn("n_batches", expr("(n_docs + __rpb - 1L) DIV __rpb"))
+      .select(col("cap"), col("n_docs"), col("real_tokens"),
+        col("padded_tokens"), col("waste"), col("n_batches"))
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

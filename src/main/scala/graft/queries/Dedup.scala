@@ -512,4 +512,17 @@ object Dedup {
         targetSliceDocs = evalSliceTargetDocs,
         baseHash = graft.api.Graft.md5Hash60)
       .orderBy("bands")
+
+  /** Duplication-depth profile (Graft.dupDepthProfile, Lee '21 §4): the
+    * paragraph-granularity histogram — how many distinct 16-token
+    * fingerprints occur at each depth, the paragraph mass per depth, and
+    * its ratio4 corpus share — read before choosing a dedup policy.
+    * Corpus work is one explode + one fingerprint aggregate; the share
+    * window runs over the depth GRID only. */
+  def dedupClusterStats(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.dupDepthProfile(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", parTokens = 16,
+        baseHash = graft.api.Graft.md5Hash60)
+      .orderBy("depth")
 }

@@ -797,4 +797,25 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "status")
   }
+
+  /** One DoReMi domain-reweighting step (Graft.doremiReweight, Xie '23)
+    * over the language domains: excess loss from the deterministic proxy
+    * classifier, linearized multiplicative-weights update, before/after
+    * mixture shares. One token-explode pass straight to the 5-row domain
+    * frame; all solver arithmetic is k-row. */
+  def mixtureDoremi(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.doremiReweight(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", "lang", buckets = 1024)
+      .orderBy("lang")
+
+  /** Length-bucketed batch plan (Graft.lengthBucketPlan, fairseq-style
+    * --max-tokens batching): per 16-token length bucket, the padding-waste
+    * share and batch count at 16384 padded tokens per batch. Row-local
+    * bucketing + one grid-sized aggregate. */
+  def lengthBucketBatches(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.lengthBucketPlan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", bucketTokens = 16, batchTokens = 16384)
+      .orderBy("cap")
 }

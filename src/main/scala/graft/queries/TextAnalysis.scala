@@ -496,4 +496,24 @@ object TextAnalysis {
         "CAST((20000L * n_keep + n_scored) DIV (2L * n_scored) AS DOUBLE) / 10000.0"))
       .orderBy("source")
   }
+
+  /** Quality-proportional sampling (Graft.qualityWeightedSample, Sachdeva
+    * '24): every document kept with probability ∝ its classifier score via
+    * a deterministic md5 coin — classifier inference then a row-local
+    * integer gate, reproducible across engines and partitionings. */
+  def sampleQualityWeighted(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.qualityWeightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", buckets = 1024)
+      .orderBy("doc_id")
+
+  /** Threshold retention curve (Graft.qualityThresholdSweep, FineWeb-Edu
+    * §3.2 calibration): docs/tokens surviving score ≥ τ for 9 grid
+    * thresholds — one classifier pass to the score GRID, the sweep
+    * theta-joins that ≤2001-row frame, never the corpus. */
+  def qualityThresholdSweep(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.qualityThresholdSweep(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", buckets = 1024)
+      .orderBy("tau")
 }

@@ -133,6 +133,98 @@ class Round13Spec extends SparkSpec {
     assert(gp._3 + gp._5 == gopherPasses, "gopher|perplexity a-marginal drifted")
   }
 
+  test("dupDepthProfile: paragraph mass conserves; shares cover the corpus") {
+    val out = queries.Dedup.dedupClusterStats(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._1 >= 1L))
+    // Σ depth·n_fingerprints = total corpus paragraphs (independent recompute)
+    val totalPars = Tables.documents(spark, sf)
+      .select(expr("CAST(ceil(size(split(text, ' ', -1)) / 16.0) AS BIGINT)"))
+      .as[Long].collect().sum
+    assert(out.map(_._3).sum == totalPars,
+      s"paragraph mass drifted: ${out.map(_._3).sum} vs $totalPars")
+    out.foreach { case (d, nf, np, _) => assert(np == d * nf) }
+  }
+
+  test("qualityWeightedSample: gate is the documented integer inequality") {
+    val kept = queries.TextAnalysis.sampleQualityWeighted(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(kept.nonEmpty && kept.length < 500, "sample degenerate")
+    // independent per-doc recompute: score → p_int, top-20 hash bits → u
+    val all = api.Graft.linearClassify(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        "doc_id", "text", 1024)
+      .select(col("doc_id"), col("score"),
+        api.Graft.md5Hash60(col("doc_id").cast("string")))
+      .as[(Long, Double, Long)].collect()
+    val expect = all.filter { case (_, score, h) =>
+      val p = math.max(0L, math.min(
+        math.floor(score * 10000.0).toLong + 3000000L, 6000000L))
+      (h >> 40) * 6000000L < p * 1048576L
+    }.map(_._1).toSet
+    assert(kept.map(_._1).toSet == expect, "sampled doc set drifted")
+    kept.foreach { case (_, _, _, p) => assert(p >= 0.0 && p <= 1.0) }
+  }
+
+  test("qualityThresholdSweep: monotone retention; τ=0 row matches a direct count") {
+    val out = queries.TextAnalysis.qualityThresholdSweep(spark, sf)
+      .as[(Double, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.length == 9 && out.head._1 == -200.0 && out.last._1 == 200.0)
+    // retention is non-increasing in τ
+    assert(out.sliding(2).forall(w => w(0)._2 >= w(1)._2 && w(0)._3 >= w(1)._3))
+    // independent recompute of the τ = 0 row straight off the classifier
+    val mid = out.find(_._1 == 0.0).get
+    val direct = api.Graft.linearClassify(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+        "doc_id", "text", 1024)
+      .filter(col("score") >= 0.0)
+      .agg(count(lit(1)), coalesce(sum("n_tokens"), lit(0L)))
+      .as[(Long, Long)].head()
+    assert((mid._2, mid._3) == direct, s"τ=0 row $mid vs direct $direct")
+    // the curve must actually discriminate at this model's score spread
+    assert(out.head._2 > out.last._2, "sweep grid too narrow to discriminate")
+  }
+
+  test("doremiReweight: shares renormalize; harder domains gain weight") {
+    val out = queries.PipelineOps.mixtureDoremi(spark, sf)
+      .as[(String, Long, Long, Double, Long, Double, Double)].collect()
+    assert(out.length == 5) // the 5 language domains
+    // ratio4 shares sum to 1 within rounding (±k·10⁻⁴ half-ups)
+    assert(math.abs(out.map(_._6).sum - 1.0) < 5e-4)
+    assert(math.abs(out.map(_._7).sum - 1.0) < 5e-4)
+    // the MW direction: w_after/w_before ∝ (10⁴ + excess) under one shared
+    // normalizer, so the ratio is monotone in excess (checked where the
+    // excess gap clears the ratio4 rounding noise)
+    val byEx = out.sortBy(_._5)
+    byEx.sliding(2).foreach { w =>
+      val (lo, hi) = (w(0), w(1))
+      if (hi._5 - lo._5 >= 20)
+        assert(hi._7 / hi._6 > lo._7 / lo._6 - 1e-3,
+          s"${lo._1}→${hi._1}: MW ratio not monotone in excess")
+    }
+    // doc mass is the full corpus (count_distinct over the token explode)
+    assert(out.map(_._2).sum == Tables.documents(spark, sf).count())
+  }
+
+  test("lengthBucketPlan: token mass conserves; padding bounds hold") {
+    val out = queries.PipelineOps.lengthBucketBatches(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._1 % 16 == 0))
+    val totTok = Tables.documents(spark, sf)
+      .select(expr(
+        "CAST(size(filter(split(text, ' ', -1), x -> length(x) > 0)) AS BIGINT)"))
+      .as[Long].collect().sum
+    assert(out.map(_._3).sum == totTok, "real token mass drifted")
+    assert(out.map(_._2).sum == Tables.documents(spark, sf).count())
+    out.foreach { case (cap, nd, real, padded, waste, nb) =>
+      assert(padded == nd * cap && padded >= real)
+      assert(waste >= 0.0 && waste < 1.0)
+      // batch count bounds: ⌈nd / rpb⌉ with rpb = max(16384 DIV cap, 1)
+      val rpb = math.max(16384L / cap, 1L)
+      assert(nb == (nd + rpb - 1) / rpb)
+    }
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
