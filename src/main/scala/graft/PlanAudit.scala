@@ -325,6 +325,14 @@ object PlanAudit {
         && p.contains("partial_count"),
         "length buckets: row-local bucket assignment + one grid-sized " +
           "aggregate with map-side partials — no join, no data-sized window"),
+      ("zipf_fit", p => !p.contains("Join") && !p.contains("Window")
+        && p.contains("partial_count"),
+        "zipf spectrum: vocabulary aggregate with map-side partials; the " +
+          "regression is a second aggregate — no rank window over types"),
+      ("heaps_law", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "heaps curve: one n-gram aggregate (map-side partials); cumulative " +
+          "windows run on the 16-row bucket grid only"),
     )
 
     var failed = 0

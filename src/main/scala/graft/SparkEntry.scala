@@ -217,6 +217,8 @@ object SparkEntry {
     "quality_threshold_sweep" -> TextAnalysis.qualityThresholdSweep _,
     "mixture_doremi"    -> PipelineOps.mixtureDoremi _,
     "length_bucket_batches" -> PipelineOps.lengthBucketBatches _,
+    "zipf_fit"          -> TextAnalysis.zipfFit _,
+    "heaps_law"         -> TextAnalysis.heapsLaw _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -5046,6 +5048,60 @@ object SparkEntry {
         |SELECT depth, n_fingerprints, n_paragraphs,
         |  CAST((20000 * n_paragraphs + t) // (2 * t) AS DOUBLE) / 10000.0 AS corpus_share
         |FROM grid CROSS JOIN tot ORDER BY depth""".stripMargin,
+
+    // vocabulary aggregate → count spectrum → BIGINT least squares on the
+    // 2^10 ln grid; slope rounds before feeding the exponent, both sides
+    "zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT array_to_string(ts[i : i + 1], ' ') AS t
+        |  FROM (
+        |    SELECT ts, unnest(range(1, len(ts))) AS i
+        |    FROM (SELECT string_split(text, ' ') AS ts FROM documents)
+        |    WHERE len(ts) >= 2)),
+        |voc AS (SELECT t, count(1) AS c FROM toks GROUP BY t),
+        |spec AS (SELECT c, count(1) AS m FROM voc GROUP BY c),
+        |ag AS (
+        |  SELECT CAST(sum(m) AS BIGINT) AS n_types,
+        |    CAST(sum(c * m) AS BIGINT) AS n_tokens,
+        |    CAST(count(CASE WHEN c <= 16384 THEN 1 END) AS BIGINT) AS n_spectrum,
+        |    CAST(sum(CASE WHEN c <= 16384 THEN CAST(floor(ln(CAST(c AS DOUBLE)) * 1024.0) AS BIGINT) END) AS BIGINT) AS sx,
+        |    CAST(sum(CASE WHEN c <= 16384 THEN CAST(floor(ln(CAST(m AS DOUBLE)) * 1024.0) AS BIGINT) END) AS BIGINT) AS sy,
+        |    CAST(sum(CASE WHEN c <= 16384 THEN CAST(floor(ln(CAST(c AS DOUBLE)) * 1024.0) AS BIGINT)
+        |      * CAST(floor(ln(CAST(m AS DOUBLE)) * 1024.0) AS BIGINT) END) AS BIGINT) AS sxy,
+        |    CAST(sum(CASE WHEN c <= 16384 THEN CAST(floor(ln(CAST(c AS DOUBLE)) * 1024.0) AS BIGINT)
+        |      * CAST(floor(ln(CAST(c AS DOUBLE)) * 1024.0) AS BIGINT) END) AS BIGINT) AS sxx
+        |  FROM spec),
+        |sl AS (
+        |  SELECT n_types, n_tokens, n_spectrum,
+        |    round(CAST(n_spectrum * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_spectrum * sxx - sx * sx AS DOUBLE), 4) AS slope
+        |  FROM ag)
+        |SELECT n_types, n_tokens, n_spectrum, slope,
+        |  round(-1.0 / (1.0 + slope), 4) AS zipf_s
+        |FROM sl""".stripMargin,
+
+    // one token pass: per-bucket counts + first-seen bucket per type,
+    // cumulative windows over the 16-row grid
+    "heaps_law" ->
+      """WITH toks AS (
+        |  SELECT b, array_to_string(ts[i : i + 2], ' ') AS t
+        |  FROM (
+        |    SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS b, ts,
+        |      unnest(range(1, len(ts) - 1)) AS i
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |    WHERE len(ts) >= 3)),
+        |pb AS (SELECT b, count(1) AS bucket_tokens FROM toks GROUP BY b),
+        |fs AS (
+        |  SELECT b, count(1) AS new_types
+        |  FROM (SELECT t, min(b) AS b FROM toks GROUP BY t) GROUP BY b),
+        |j AS (
+        |  SELECT pb.b, bucket_tokens, coalesce(new_types, 0) AS new_types
+        |  FROM pb LEFT JOIN fs USING (b))
+        |SELECT b AS bucket, bucket_tokens,
+        |  CAST(sum(bucket_tokens) OVER (ORDER BY b) AS BIGINT) AS cum_tokens,
+        |  new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY b) AS BIGINT) AS cum_types
+        |FROM j ORDER BY bucket""".stripMargin,
 
     // all-integer bucket arithmetic (// mirrors Spark DIV exactly)
     "length_bucket_batches" ->

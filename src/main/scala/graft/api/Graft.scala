@@ -3751,6 +3751,114 @@ object Graft {
       .select(col("cap"), col("n_docs"), col("real_tokens"),
         col("padded_tokens"), col("waste"), col("n_batches"))
 
+  /** ZIPF SPECTRUM fit — the corpus-statistics diagnostic tokenizer and
+    * vocabulary planning reads (Zipf '49; Adamic & Huberman '02 "Zipf's law
+    * and the Internet" for the frequency-spectrum estimator): under a Zipf
+    * rank law f(r) ∝ r^(−s), the count spectrum m_c = |{types with count
+    * c}| follows m_c ∝ c^(−1−1/s), so the log-log slope b of the spectrum
+    * gives ŝ = −1/(1+b) without ever RANKING the vocabulary (a rank window
+    * over 10⁸ types is exactly the global sort this avoids).
+    *
+    * Scale shape: token explode → ONE vocabulary aggregate (map-side
+    * partials) → count-spectrum aggregate (grid-sized) → least squares over
+    * the spectrum. Exactness: x = floor(ln c · 2¹⁰), y = floor(ln m_c ·
+    * 2¹⁰) (the lmPerplexity ln grid at 2^10 — IEEE ln then floor,
+    * bit-identical cross-engine); all regression sums are BIGINT over the
+    * c ≤ 2¹⁴ head of the spectrum (where the power law lives and the fit
+    * mass is), so n ≤ 16384 bounds every product under 2⁶³ (n·Σxy ≤
+    * 16384²·2·10⁹ ≈ 5·10¹⁷). The slope is ONE division of two exact
+    * BIGINTs and ŝ one further IEEE step — deterministic. Output: one row
+    * (n_types, n_tokens, n_spectrum, slope, zipf_s). `n` sets the type
+    * granularity (1 = unigrams; higher n measures the n-GRAM spectrum —
+    * the right lens when the unigram vocabulary is tiny). */
+  def zipfFit(docs: DataFrame, textCol: String,
+      maxCount: Long = 16384L, n: Int = 1): DataFrame = {
+    val spec = docs
+      .withColumn("__toks", split(col(textCol), " ", -1))
+      .select(ngramExplode("__toks", n).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("__m"))
+    spec.agg(
+        sum("__m").as("n_types"),
+        sum(col("__c") * col("__m")).as("n_tokens"),
+        count(when(col("__c") <= maxCount, 1)).as("n_spectrum"),
+        sum(when(col("__c") <= maxCount,
+          floor(log(col("__c").cast("double")) * 1024.0).cast("long")))
+          .as("__sx"),
+        sum(when(col("__c") <= maxCount,
+          floor(log(col("__m").cast("double")) * 1024.0).cast("long")))
+          .as("__sy"),
+        sum(when(col("__c") <= maxCount,
+          floor(log(col("__c").cast("double")) * 1024.0).cast("long")
+            * floor(log(col("__m").cast("double")) * 1024.0).cast("long")))
+          .as("__sxy"),
+        sum(when(col("__c") <= maxCount,
+          floor(log(col("__c").cast("double")) * 1024.0).cast("long")
+            * floor(log(col("__c").cast("double")) * 1024.0).cast("long")))
+          .as("__sxx"))
+      .withColumn("slope", round(
+        (col("n_spectrum") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+          / (col("n_spectrum") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double"), 4))
+      .withColumn("zipf_s", round(lit(-1.0) / (lit(1.0) + col("slope")), 4))
+      .select(col("n_types"), col("n_tokens"), col("n_spectrum"),
+        col("slope"), col("zipf_s"))
+  }
+
+  /** The exploded n-gram column shared by zipfFit/heapsCurve, over a
+    * PRE-TOKENIZED array column (hoist `split` into `toksCol` once per row
+    * first — inlining it in the lambda costs O(tokens²)/doc under codegen,
+    * the shingleArray pitfall; measured 10× at sf1). n = 1 is the plain
+    * non-empty token explode; n ≥ 2 joins each consecutive n-token run
+    * (ALL occurrences — unlike shingleArray, which dedups per doc,
+    * counting spectra need multiplicity). Row-local. */
+  private def ngramExplode(toksCol: String, n: Int): Column =
+    if (n <= 1)
+      explode(expr(s"filter(`$toksCol`, t -> length(t) > 0)"))
+    else
+      // CASE guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so a
+      // doc shorter than n tokens must yield an empty array explicitly
+      explode(expr(
+        s"""CASE WHEN size(`$toksCol`) < $n
+           |  THEN CAST(array() AS ARRAY<STRING>)
+           |  ELSE transform(sequence(1, size(`$toksCol`) - ${n - 1}),
+           |    i -> array_join(slice(`$toksCol`, i, $n), ' '))
+           |END""".stripMargin))
+
+  /** HEAPS' LAW vocabulary-growth curve (Heaps '78; the V(N) ∝ N^β check a
+    * tokenizer-vocabulary budget is sized against): distinct-type count as
+    * a function of corpus prefix, along the deterministic md5 document
+    * order, at 16 prefix checkpoints. The curve comes out of ONE pass:
+    * each token occurrence carries its document's order bucket (first md5
+    * hex digit — the same hash-range trick as the curriculum/shard-manifest
+    * two-phase ranks), a type's FIRST bucket is a min aggregate over the
+    * vocabulary, and both cumulative curves are windows over the 16-ROW
+    * grid. No global sort, no per-prefix rescan — at 100 TB this is one
+    * token aggregate plus grid arithmetic. Output per bucket: tokens in
+    * the bucket, cumulative tokens N, new types, cumulative types V. `n`
+    * sets the type granularity (n-grams), as in zipfFit. */
+  def heapsCurve(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 1): DataFrame = {
+    val toks = docs
+      .withColumn("__toks", split(col(textCol), " ", -1))
+      .select(substring(md5(col(idCol).cast("string")), 1, 1).as("__b"),
+        ngramExplode("__toks", n).as("__t"))
+      // two consumers: per-bucket token counts and first-bucket types
+      .localCheckpoint(true)
+    val perBucket = toks.groupBy("__b").agg(count(lit(1)).as("bucket_tokens"))
+    val firstSeen = toks.groupBy("__t").agg(min("__b").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("__b"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum("bucket_tokens").over(w))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .select(col("__b").as("bucket"), col("bucket_tokens"),
+        col("cum_tokens"), col("new_types"), col("cum_types"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -516,4 +516,28 @@ object TextAnalysis {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", buckets = 1024)
       .orderBy("tau")
+
+  /** Zipf spectrum fit (Graft.zipfFit) over BIGRAM types: the
+    * frequency-of-frequency power law slope and implied Zipf exponent —
+    * one vocabulary aggregate, the regression runs over the grid-sized
+    * spectrum head. Bigrams because the synthetic corpus has a ~31-word
+    * unigram vocabulary (a degenerate spectrum); the bigram vocabulary is
+    * ~900 types. NOTE the diagnostic reading on THIS corpus: uniform
+    * random word draws give a Poisson-like count spectrum, so the fitted
+    * slope comes out ≥ 0 and the implied exponent negative — the estimator
+    * correctly reports "no Zipf tail" for synthetic text (a natural-language
+    * corpus reads slope ≈ −2, ŝ ≈ 1). */
+  def zipfFit(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.zipfFit(
+      Tables.documents(s, d).select(col("text")), "text", n = 2)
+
+  /** Heaps' law curve (Graft.heapsCurve) over TRIGRAM types: vocabulary
+    * growth at 16 md5-order corpus prefixes — one n-gram aggregate,
+    * cumulative windows on the 16-row grid. Trigrams so V(N) actually
+    * grows across prefixes on the tiny synthetic unigram vocabulary. */
+  def heapsLaw(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.heapsCurve(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3)
+      .orderBy("bucket")
 }

@@ -225,6 +225,34 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("zipfFit + heapsCurve: type/token mass conserves against direct counts") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // zipf over bigrams: n_types and n_tokens equal direct distinct/total
+    val z = queries.TextAnalysis.zipfFit(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].head()
+    val bigrams = docs.select(explode(expr(
+        """CASE WHEN size(split(text, ' ', -1)) < 2 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(1, size(split(text, ' ', -1)) - 1),
+          |  i -> array_join(slice(split(text, ' ', -1), i, 2), ' ')) END"""
+          .stripMargin)).as("g"))
+    assert(z._1 == bigrams.select("g").distinct().count(), "n_types drifted")
+    assert(z._2 == bigrams.count(), "n_tokens drifted")
+    // heaps over trigrams: cumulative curves are monotone, totals conserve
+    val h = queries.TextAnalysis.heapsLaw(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.length == 16)
+    assert(h.last._3 == h.map(_._2).sum && h.last._5 == h.map(_._4).sum)
+    assert(h.sliding(2).forall(w => w(1)._3 > w(0)._3 && w(1)._5 >= w(0)._5))
+    val trigrams = docs.select(explode(expr(
+        """CASE WHEN size(split(text, ' ', -1)) < 3 THEN CAST(array() AS ARRAY<STRING>)
+          |ELSE transform(sequence(1, size(split(text, ' ', -1)) - 2),
+          |  i -> array_join(slice(split(text, ' ', -1), i, 3), ' ')) END"""
+          .stripMargin)).as("g"))
+    assert(h.last._5 == trigrams.select("g").distinct().count(),
+      "cumulative type count != distinct trigram vocabulary")
+    assert(h.last._3 == trigrams.count(), "cumulative tokens != trigram count")
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
