@@ -333,6 +333,10 @@ object PlanAudit {
         && p.contains("partial_count"),
         "heaps curve: one n-gram aggregate (map-side partials); cumulative " +
           "windows run on the 16-row bucket grid only"),
+      ("sketch_quantiles", p => p.contains("ObjectHashAggregate")
+        && p.contains("partial_"),
+        "quantile sketch: mergeable partial+final aggregation (fixed " +
+          "O(accuracy) state per group, no full-multiset sort anywhere)"),
     )
 
     var failed = 0

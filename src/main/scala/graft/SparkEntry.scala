@@ -219,6 +219,7 @@ object SparkEntry {
     "length_bucket_batches" -> PipelineOps.lengthBucketBatches _,
     "zipf_fit"          -> TextAnalysis.zipfFit _,
     "heaps_law"         -> TextAnalysis.heapsLaw _,
+    "sketch_quantiles"  -> Relational.sketchQuantiles _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -3255,6 +3256,16 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS exact_orders,
         |  count(1) AS n, TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // bounded-error oracle (the approx_distinct convention): exact side
+    // recomputed, the sketch's 2%-band flag expected TRUE
+    "sketch_quantiles" ->
+      """SELECT l_returnflag, count(1) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+        |  TRUE AS within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "distinct_counts" ->

@@ -541,6 +541,34 @@ object Relational {
           .as("within_5pct"))
       .orderBy("l_returnflag")
 
+  /** MERGEABLE approximate-quantile sketch (percentile_approx — Spark's
+    * Greenwald-Khanna variant) beside the exact reference: at 100 TB the
+    * exact per-group percentile needs the group's full value multiset in
+    * one place, while the sketch is one pass with O(accuracy) state that
+    * MERGES across partitions — the only quantile path that scales. Same
+    * bounded-error-oracle convention as approx_distinct: the row emits the
+    * exact quantiles plus a `within_2pct` column asserting every sketch
+    * estimate lands within 2% relative value error (accuracy 10⁴ ⇒ rank
+    * error ≤ 10⁻⁴, far inside 2% in value on this price distribution);
+    * the oracle computes the exact side and expects TRUE. */
+  def sketchQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("__aq"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("__xq"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("__xq").getItem(0), 4).as("q25"),
+        round(col("__xq").getItem(1), 4).as("q50"),
+        round(col("__xq").getItem(2), 4).as("q75"),
+        (abs(col("__aq").getItem(0) - col("__xq").getItem(0)) * 50.0 <= col("__xq").getItem(0) &&
+         abs(col("__aq").getItem(1) - col("__xq").getItem(1)) * 50.0 <= col("__xq").getItem(1) &&
+         abs(col("__aq").getItem(2) - col("__xq").getItem(2)) * 50.0 <= col("__xq").getItem(2))
+          .as("within_2pct"))
+      .orderBy("l_returnflag")
+
   /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT: each
     * customer's two priciest orders (D7's lateral/table-function surface).
     * Catalyst decorrelates the limit into a per-key window internally — the

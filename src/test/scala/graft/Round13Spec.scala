@@ -253,6 +253,17 @@ class Round13Spec extends SparkSpec {
     assert(h.last._3 == trigrams.count(), "cumulative tokens != trigram count")
   }
 
+  test("sketchQuantiles: every group's sketch lands inside the 2% band") {
+    val out = queries.Relational.sketchQuantiles(spark, sf)
+      .as[(String, Long, Double, Double, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (f, n, q25, q50, q75, within) =>
+      assert(within, s"$f: sketch outside the 2% band")
+      assert(q25 <= q50 && q50 <= q75, s"$f: quantiles not monotone")
+      assert(n > 0)
+    }
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
