@@ -337,6 +337,15 @@ object PlanAudit {
         && p.contains("partial_"),
         "quantile sketch: mergeable partial+final aggregation (fixed " +
           "O(accuracy) state per group, no full-multiset sort anywhere)"),
+      ("centroid_classify", p => p.contains("BroadcastNestedLoopJoin")
+        && p.contains("partial_min") && !p.contains("SortMergeJoin"),
+        "centroid probe: label-count centroids broadcast; assignment is " +
+          "an argmin AGGREGATE with map-side partials, one row per vector " +
+          "in the shuffle — never the N·k candidate set through a sort"),
+      ("event_anomalies", p => !p.contains("Join")
+        && p.contains("partial_count"),
+        "rate anomalies: ONE data-sized count aggregate; the trailing " +
+          "window runs on the (type, hour) grid partitioned by type"),
     )
 
     var failed = 0

@@ -220,6 +220,8 @@ object SparkEntry {
     "zipf_fit"          -> TextAnalysis.zipfFit _,
     "heaps_law"         -> TextAnalysis.heapsLaw _,
     "sketch_quantiles"  -> Relational.sketchQuantiles _,
+    "centroid_classify" -> Similarity.centroidClassify _,
+    "event_anomalies"   -> PipelineOps.eventAnomalies _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1361,6 +1363,33 @@ object SparkEntry {
        |        ${dist("c")} ASC, c.c_id ASC) AS rn
        |    FROM embeddings e CROSS JOIN c3 c)
        |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.centroidClassify: per-label fixed-point
+    * centroids (the kmeans mean rule, single pass, no iterations), nearest-
+    * centroid assignment with the (dist, c_id) tie-break, confusion matrix
+    * with ratio4 row shares. */
+  private def centroidClassifyOracleSql: String = {
+    val dims = 64
+    val meanExprs = (1 to dims).map(d =>
+      s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cent AS (
+       |  SELECT label AS c_id, $meanExprs AS centroid
+       |  FROM embeddings e GROUP BY label),
+       |asg AS (
+       |  SELECT true_label, c_id AS pred_label FROM (
+       |    SELECT e.vec_id, e.label AS true_label, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${ivfDistSql("c")} ASC, c.c_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c)
+       |  WHERE rn = 1),
+       |cm AS (SELECT true_label, pred_label, count(1) AS n FROM asg GROUP BY 1, 2),
+       |rt AS (SELECT true_label, CAST(sum(n) AS BIGINT) AS rt FROM cm GROUP BY 1)
+       |SELECT true_label, pred_label, n,
+       |  CAST((20000 * n + rt) // (2 * rt) AS DOUBLE) / 10000.0 AS row_share
+       |FROM cm JOIN rt USING (true_label)
+       |ORDER BY true_label, pred_label""".stripMargin
   }
 
   private def knnIvfOracleSqlImpl(trainWhere: String): String = {
@@ -3257,6 +3286,34 @@ object SparkEntry {
         |  count(DISTINCT l_orderkey) AS exact_orders,
         |  count(1) AS n, TRUE AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "centroid_classify" -> centroidClassifyOracleSql,
+
+    // hourly counts, trailing-24 exact integer sums, one fixed IEEE
+    // sequence for mean/z both engines; flag compares on the ROUNDED z
+    "event_anomalies" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(1) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour, c,
+        |    count(1) OVER tw AS n,
+        |    CAST(sum(c) OVER tw AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER tw AS BIGINT) AS sq
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |zc AS (
+        |  SELECT event_type, hour, c,
+        |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS trailing_mean,
+        |    round((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(greatest((CAST(sq AS DOUBLE)
+        |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 1e-12)), 4) AS z
+        |  FROM w WHERE n = 24)
+        |SELECT event_type, hour, c, trailing_mean, z,
+        |  abs(z) >= 2.0 AS anomaly
+        |FROM zc ORDER BY event_type, hour""".stripMargin,
 
     // bounded-error oracle (the approx_distinct convention): exact side
     // recomputed, the sketch's 2%-band flag expected TRUE

@@ -3859,6 +3859,83 @@ object Graft {
         col("cum_tokens"), col("new_types"), col("cum_types"))
   }
 
+  /** NEAREST-CENTROID classification eval — the cheap "linear probe" an
+    * embedding pipeline runs to judge representation quality (Rocchio '71
+    * nearest-centroid; the centroid probe in modern SSL eval suites): one
+    * fixed-point centroid per label (the kmeans mean rule — per-dimension
+    * integer sums of floor(v·2²⁰), one IEEE divide, so the model is
+    * cross-engine exact), every vector assigned to its nearest centroid
+    * (argmin AGGREGATE with ties to the lowest label — map-side partials,
+    * one row per vector in the shuffle, never the N·k candidate set), and
+    * the confusion matrix rolled up with ratio4 row shares. Centroids are
+    * broadcast; cost is one pass over the vectors — at 100 TB this is a
+    * scan plus a label-count-sized reduce. */
+  def centroidClassify(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
+    val cent = vecs
+      .select(col(labelCol).as("c_id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy("c_id", "__i")
+      .agg((sum(floor(col("__v").cast("double") * 1048576.0)).cast("double")
+        / count(lit(1)).cast("double") / 1048576.0).as("__m"))
+      .groupBy("c_id")
+      .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__pairs"))
+      .select(col("c_id"),
+        expr("transform(__pairs, x -> CAST(x.__m AS FLOAT))").as("centroid"))
+    val dist =
+      s"""vec_dot(`$vecCol`, `$vecCol`) - 2 * vec_dot(`$vecCol`, centroid)
+         | + vec_dot(centroid, centroid)""".stripMargin
+    val cm = vecs.crossJoin(broadcast(cent))
+      .withColumn("__dist", expr(dist))
+      .groupBy(col(idCol), col(labelCol).as("true_label"))
+      .agg(min(struct(col("__dist"), col("c_id"))).as("__best"))
+      .select(col("true_label"), col("__best.c_id").as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("true_label")
+    cm.withColumn("__rt", sum("n").over(w))
+      .select(col("true_label"), col("pred_label"), col("n"),
+        expr("""CAST((20000L * n + __rt) DIV (2L * __rt) AS DOUBLE)
+               | / 10000.0""".stripMargin).as("row_share"))
+  }
+
+  /** TRAILING-WINDOW event-rate anomaly flags — the ingest-monitoring
+    * readout (per event type and hour: is this hour's volume a ≥2σ
+    * departure from the trailing 24 hours?). Hourly counts are exact
+    * integers; the trailing mean/σ fold over n=24 exact BIGINT sums
+    * (Σc, Σc²) with ONE fixed IEEE sequence — μ = Σc/n, σ² = (Σc² −
+    * Σc·Σc/n)/n, z = (c−μ)/√σ² — so both engines produce bit-identical
+    * doubles. The window is PARTITIONED BY TYPE and grid-sized (one row
+    * per hour, never per event): at 100 TB the count aggregate is the only
+    * data-sized pass. Rows without a full 24-hour history don't flag. */
+  def eventRateAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+      trailing: Int = 24, zThreshold: Double = 2.0): DataFrame = {
+    val hourly = events
+      .select(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    hourly
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s", sum("c").over(w))
+      .withColumn("__sq", sum(col("c") * col("c")).over(w))
+      .filter(col("__n") === trailing.toLong)
+      .withColumn("__mu", col("__s").cast("double") / col("__n").cast("double"))
+      .withColumn("__var",
+        (col("__sq").cast("double")
+          - col("__s").cast("double") * col("__s").cast("double")
+            / col("__n").cast("double")) / col("__n").cast("double"))
+      .withColumn("z", round(
+        (col("c").cast("double") - col("__mu"))
+          / sqrt(greatest(col("__var"), lit(1e-12))), 4))
+      .select(col("event_type"), col("hour"), col("c"),
+        round(col("__mu"), 4).as("trailing_mean"), col("z"),
+        (abs(col("z")) >= zThreshold).as("anomaly"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

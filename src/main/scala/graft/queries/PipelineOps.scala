@@ -809,6 +809,15 @@ object PipelineOps {
         "doc_id", "text", "lang", buckets = 1024)
       .orderBy("lang")
 
+  /** Trailing-window event-rate anomaly flags (Graft.eventRateAnomalies):
+    * per (event_type, hour), the z-score of this hour's volume against the
+    * trailing 24 hours — the ingest-monitoring readout. Hourly counts are
+    * the only data-sized pass; the window runs on the hour grid. */
+  def eventAnomalies(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.eventRateAnomalies(
+        Tables.events(s, d), "ts", "event_type")
+      .orderBy("event_type", "hour")
+
   /** Length-bucketed batch plan (Graft.lengthBucketPlan, fairseq-style
     * --max-tokens batching): per 16-token length bucket, the padding-waste
     * share and batch count at 16384 padded tokens per batch. Row-local

@@ -816,4 +816,13 @@ object Similarity {
         col("r_dense"), coalesce(col("r_lex"), lit(0)).as("r_lex"))
       .orderBy("q_id", "rn")
   }
+
+  /** Nearest-centroid classification eval (Graft.centroidClassify): one
+    * fixed-point centroid per label, argmin-aggregate assignment, the
+    * confusion matrix with ratio4 row shares — the embedding-quality
+    * "linear probe" over the labeled embeddings table. */
+  def centroidClassify(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.centroidClassify(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label")
+      .orderBy("true_label", "pred_label")
 }

@@ -264,6 +264,48 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("centroidClassify: confusion partitions the corpus; probe beats chance") {
+    val out = queries.Similarity.centroidClassify(spark, sf)
+      .as[(Int, Int, Long, Double)].collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.map(_._3).sum == total, "confusion does not partition")
+    // per-true-label row shares sum to 1 within ratio4 rounding
+    out.groupBy(_._1).foreach { case (lbl, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3, s"label $lbl shares")
+    }
+    // the probe must beat 10-class chance comfortably (real structure in
+    // the synthetic embeddings; reads ~0.4 at suite scale)
+    val acc = out.filter(r => r._1 == r._2).map(_._3).sum.toDouble / total
+    assert(acc > 0.2, s"nearest-centroid accuracy $acc suspiciously low")
+  }
+
+  test("eventRateAnomalies: z matches a driver-side recompute on one type") {
+    val out = queries.PipelineOps.eventAnomalies(spark, sf)
+      .filter(col("event_type") === "click")
+      .as[(String, java.sql.Timestamp, Long, Double, Double, Boolean)]
+      .collect().sortBy(_._2.getTime)
+    assert(out.nonEmpty)
+    // independent recompute: hourly counts → trailing-24 mean/σ → z
+    val hours = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(date_trunc("hour", col("ts")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    val cs = hours.map(_._2.toDouble)
+    val expect = hours.indices.drop(24).map { i =>
+      val w = cs.slice(i - 24, i)
+      val mu = w.sum / 24.0
+      val v = (w.map(x => x * x).sum - w.sum * w.sum / 24.0) / 24.0
+      (hours(i)._1, (cs(i) - mu) / math.sqrt(math.max(v, 1e-12)))
+    }
+    assert(out.length == expect.length, s"${out.length} vs ${expect.length}")
+    out.zip(expect).foreach { case ((_, h, _, _, z, flag), (eh, ez)) =>
+      assert(h == eh)
+      assert(math.abs(z - ez) < 1e-3, s"$h: z $z vs $ez")
+      assert(flag == (math.abs(z) >= 2.0))
+    }
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
