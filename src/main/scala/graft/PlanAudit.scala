@@ -346,6 +346,11 @@ object PlanAudit {
         && p.contains("partial_count"),
         "rate anomalies: ONE data-sized count aggregate; the trailing " +
           "window runs on the (type, hour) grid partitioned by type"),
+      ("quality_drift", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"),
+        "quality drift: both generations score through the broadcast " +
+          "model; everything after the per-source aggregate is " +
+          "source-count-sized"),
     )
 
     var failed = 0

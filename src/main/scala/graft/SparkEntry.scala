@@ -222,6 +222,7 @@ object SparkEntry {
     "sketch_quantiles"  -> Relational.sketchQuantiles _,
     "centroid_classify" -> Similarity.centroidClassify _,
     "event_anomalies"   -> PipelineOps.eventAnomalies _,
+    "quality_drift"     -> PipelineOps.qualityDrift _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -2010,6 +2011,48 @@ object SparkEntry {
       |  CAST((20000 * raw + r0) // (2 * r0) AS DOUBLE) / 10000.0 AS w_after
       |FROM r CROSS JOIN tt ORDER BY lang""".stripMargin
 
+  /** DuckDB twin of PipelineOps.qualityDrift: the classifier chain run over
+    * BOTH corpus_diff generations (same %13 filters and %13=2 uppercase),
+    * per-source integer-exact score means, and the delta. The floor(score·
+    * 10⁴) round-trip is exact per the curriculumOrder argument. */
+  private def qualityDriftOracleSql: String = {
+    def gen(tag: String, where: String, textExpr: String): String =
+      s"""d$tag AS (SELECT doc_id, source, $textExpr AS text
+         |  FROM documents WHERE $where),
+         |t$tag AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS bucket
+         |  FROM (SELECT doc_id,
+         |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+         |        FROM d$tag)),
+         |a$tag AS (
+         |  SELECT doc_id, count(1) AS n, CAST(sum(weight) AS BIGINT) AS s
+         |  FROM t$tag JOIN w USING (bucket) GROUP BY doc_id),
+         |q$tag AS (
+         |  SELECT doc_id, CAST(floor(
+         |    CAST(CASE WHEN s >= 0 THEN (20000 * s + n) // (2 * n)
+         |         ELSE -((20000 * -s + n) // (2 * n)) END AS DOUBLE) / 10000.0
+         |    * 10000.0) AS BIGINT) AS qi
+         |  FROM a$tag),
+         |m$tag AS (
+         |  SELECT source, nn AS n_v$tag,
+         |    CAST(CASE WHEN qs >= 0 THEN (2 * qs + nn) // (2 * nn)
+         |         ELSE -((2 * -qs + nn) // (2 * nn)) END AS DOUBLE) / 10000.0
+         |      AS mean_q_v$tag
+         |  FROM (SELECT source, count(1) AS nn, CAST(sum(qi) AS BIGINT) AS qs
+         |        FROM q$tag JOIN d$tag USING (doc_id) GROUP BY source))""".stripMargin
+    s"""WITH w AS (
+       |  SELECT b AS bucket,
+       |    ('0x' || substring(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS weight
+       |  FROM (SELECT unnest(range(0, 1024)) AS b)),
+       |${gen("0", "doc_id % 13 <> 5", "text")},
+       |${gen("1", "doc_id % 13 <> 7",
+              "CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END")}
+       |SELECT source, n_v0, mean_q_v0, n_v1, mean_q_v1,
+       |  round(mean_q_v1 - mean_q_v0, 4) AS drift
+       |FROM m0 JOIN m1 USING (source) ORDER BY source""".stripMargin
+  }
+
   /** DuckDB twin of StreamingQueries.streamClassify — the complete-mode
     * final state IS the batch rollup of the same classifier. */
   private def streamClassifyOracleSql: String =
@@ -3288,6 +3331,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "centroid_classify" -> centroidClassifyOracleSql,
+    "quality_drift" -> qualityDriftOracleSql,
 
     // hourly counts, trailing-24 exact integer sums, one fixed IEEE
     // sequence for mean/z both engines; flag compares on the ROUNDED z

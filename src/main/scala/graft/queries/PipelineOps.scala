@@ -809,6 +809,43 @@ object PipelineOps {
         "doc_id", "text", "lang", buckets = 1024)
       .orderBy("lang")
 
+  /** Per-source QUALITY DRIFT between two corpus generations — the monitor
+    * an ingest pipeline reads beside corpus_diff: not just WHICH documents
+    * changed, but whether each source's classifier-quality distribution
+    * moved. Same two deterministic generations as corpus_diff (v0 drops
+    * doc_id % 13 = 5; v1 drops % 13 = 7 and uppercases % 13 = 2 — the
+    * uppercased tokens hash to different model buckets, so the drift is
+    * real, not zero). Per source and generation: doc count and the
+    * integer-exact mean of floor(score·10⁴) (round-half via the signed
+    * ratio chain), then the delta. Two classifier passes, each linear;
+    * everything after the per-source aggregate is source-count-sized. */
+  def qualityDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v0 = docs.filter(col("doc_id") % 13 =!= 5)
+    val v1 = docs.filter(col("doc_id") % 13 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 2, upper(col("text")))
+          .otherwise(col("text")))
+    def perSource(v: DataFrame, nc: String, mc: String) =
+      graft.api.Graft.linearClassify(
+          v.select(col("doc_id"), col("text")), "doc_id", "text", 1024)
+        .select(col("doc_id"),
+          floor(col("score") * 10000.0).cast("long").as("__qi"))
+        .join(v.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as(nc), sum("__qi").as("__qs"))
+        .withColumn(mc, expr(
+          s"""CAST(CASE WHEN __qs >= 0 THEN (2L * __qs + $nc) DIV (2L * $nc)
+             |ELSE -((2L * -__qs + $nc) DIV (2L * $nc)) END AS DOUBLE)
+             | / 10000.0""".stripMargin))
+        .drop("__qs")
+    perSource(v0, "n_v0", "mean_q_v0")
+      .join(perSource(v1, "n_v1", "mean_q_v1"), "source")
+      .withColumn("drift", round(col("mean_q_v1") - col("mean_q_v0"), 4))
+      .orderBy("source")
+  }
+
   /** Trailing-window event-rate anomaly flags (Graft.eventRateAnomalies):
     * per (event_type, hour), the z-score of this hour's volume against the
     * trailing 24 hours — the ingest-monitoring readout. Hourly counts are

@@ -306,6 +306,21 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("qualityDrift: generation counts match corpus_diff's filters; drift is the delta") {
+    val out = queries.PipelineOps.qualityDrift(spark, sf)
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+    val docs = Tables.documents(spark, sf)
+    assert(out.map(_._2).sum == docs.filter(col("doc_id") % 13 =!= 5).count())
+    assert(out.map(_._4).sum == docs.filter(col("doc_id") % 13 =!= 7).count())
+    out.foreach { case (src, _, q0, _, q1, drift) =>
+      assert(math.abs(drift - BigDecimal(q1 - q0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"$src: drift $drift != $q1 - $q0")
+    }
+    // the %13=2 uppercase rewrite must actually move SOME source's mean
+    assert(out.exists(r => math.abs(r._6) > 1.0), "drift suspiciously flat")
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
