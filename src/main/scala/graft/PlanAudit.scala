@@ -351,6 +351,15 @@ object PlanAudit {
         "quality drift: both generations score through the broadcast " +
           "model; everything after the per-source aggregate is " +
           "source-count-sized"),
+      ("token_entropy", p => !p.contains("Join") && !p.contains("Window")
+        && !p.contains("HashAggregate"),
+        "token entropy: row-local histogram arithmetic inside the scan — " +
+          "no join, no window, no aggregate (the only exchange is the " +
+          "presentation sort)"),
+      ("pii_report", p => !p.contains("Join")
+        && p.contains("partial_count"),
+        "pii report: row-local regex counts; the rollup is one " +
+          "(source x rule)-grid aggregate with map-side partials"),
     )
 
     var failed = 0

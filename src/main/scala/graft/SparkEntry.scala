@@ -223,6 +223,8 @@ object SparkEntry {
     "centroid_classify" -> Similarity.centroidClassify _,
     "event_anomalies"   -> PipelineOps.eventAnomalies _,
     "quality_drift"     -> PipelineOps.qualityDrift _,
+    "pii_report"        -> TextAnalysis.piiReport _,
+    "token_entropy"     -> TextAnalysis.tokenEntropy _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -3332,6 +3334,58 @@ object SparkEntry {
 
     "centroid_classify" -> centroidClassifyOracleSql,
     "quality_drift" -> qualityDriftOracleSql,
+
+    // same injection as pii_scrub; per-(source, rule) rollup
+    "pii_report" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    text || ' user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || CASE WHEN doc_id % 2 = 0 THEN ' alt 555-0199' ELSE '' END AS body
+        |  FROM documents),
+        |e AS (SELECT source,
+        |        CAST(len(regexp_extract_all(body, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT) AS m
+        |      FROM d),
+        |p AS (SELECT source,
+        |        CAST(len(regexp_extract_all(body, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS m
+        |      FROM d),
+        |r AS (
+        |  SELECT source, 'email' AS rule,
+        |    CAST(count_if(m > 0) AS BIGINT) AS n_docs_hit,
+        |    CAST(sum(m) AS BIGINT) AS n_matches,
+        |    CAST((20000 * count_if(m > 0) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS hit_rate
+        |  FROM e GROUP BY source
+        |  UNION ALL
+        |  SELECT source, 'phone',
+        |    CAST(count_if(m > 0) AS BIGINT),
+        |    CAST(sum(m) AS BIGINT),
+        |    CAST((20000 * count_if(m > 0) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0
+        |  FROM p GROUP BY source)
+        |SELECT * FROM r ORDER BY source, rule""".stripMargin,
+
+    // row-local histogram entropy on the 2^20 ln grid; the flag compares
+    // the ROUNDED entropy, both engines
+    "token_entropy" ->
+      """WITH ts AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |b AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM ts WHERE len(ts) > 0),
+        |h AS (
+        |  SELECT doc_id, n,
+        |    CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+        |    CAST(list_aggregate(list_transform(list_distinct(ts),
+        |      t -> len(list_filter(ts, x -> x = t)) *
+        |           CAST(floor(ln(CAST(n AS DOUBLE)
+        |             / CAST(len(list_filter(ts, x -> x = t)) AS DOUBLE))
+        |             * 1048576.0) AS BIGINT)), 'sum') AS BIGINT) AS hq
+        |  FROM b),
+        |z AS (
+        |  SELECT doc_id, n AS n_tokens, n_distinct,
+        |    round(CAST(hq AS DOUBLE) / CAST(n AS DOUBLE) / 1048576.0, 6) AS entropy
+        |  FROM h)
+        |SELECT doc_id, n_tokens, n_distinct, entropy, entropy < 2.0 AS low_entropy
+        |FROM z ORDER BY doc_id""".stripMargin,
 
     // hourly counts, trailing-24 exact integer sums, one fixed IEEE
     // sequence for mean/z both engines; flag compares on the ROUNDED z

@@ -62,6 +62,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII AUDIT REPORT — the per-source rollup a compliance review reads
+    * beside the scrub itself: for each (source, rule), documents affected,
+    * total matches, and the ratio4 hit rate. Same synthetic injection and
+    * rule set as pii_scrub (so the report provably fires); counts are
+    * row-local regexp_extract_all sizes, the rollup is one grid-sized
+    * aggregate — at 100 TB this is the scan plus a (sources × rules)
+    * reduce. */
+  def piiReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("body", concat(col("text"), lit(" user"),
+        col("doc_id").cast("string"), lit("@mail.example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      // only even ids get a second phone so the per-rule rates differ
+      .withColumn("body", when(col("doc_id") % 2 === 0,
+        concat(col("body"), lit(" alt 555-0199"))).otherwise(col("body")))
+    val rules = Seq(
+      "email" -> "[a-z0-9._]+@[a-z0-9.-]+",
+      "phone" -> "[0-9]{3}-[0-9]{4}")
+    rules.map { case (rule, re) =>
+      docs.select(col("source"),
+          size(expr(s"regexp_extract_all(body, '$re', 0)")).cast("long").as("__m"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("__n"),
+          count_if(col("__m") > 0L).as("n_docs_hit"),
+          sum("__m").as("n_matches"))
+        .select(col("source"), lit(rule).as("rule"), col("n_docs_hit"),
+          col("n_matches"),
+          expr("""CAST((20000L * n_docs_hit + __n)
+                 |  DIV (2L * __n) AS DOUBLE) / 10000.0""".stripMargin)
+            .as("hit_rate"))
+    }.reduce(_ unionByName _)
+      .orderBy("source", "rule")
+  }
+
+  /** Per-document TOKEN ENTROPY — the low-entropy spam/template gate
+    * (Shannon '48; keyword-stuffed or generated-template text reads low):
+    * H = Σ_t (c_t/n)·ln(n/c_t) over the doc's token histogram, computed
+    * ROW-LOCALLY (distinct-token lambda like quality_repetition, O(tokens·
+    * distinct)/doc under codegen, zero shuffles) with per-type quantized-ln
+    * integers (floor(ln(n/c)·2²⁰) — Σ c·L is exact BIGINT, ONE divide at
+    * the end), so the value hash-matches cross-engine. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("__toks", expr(
+        "filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__hq", expr(
+        """aggregate(
+          |  transform(array_distinct(__toks),
+          |    t -> size(filter(__toks, x -> x = t)) *
+          |         CAST(floor(ln(CAST(__n AS DOUBLE)
+          |           / CAST(size(filter(__toks, x -> x = t)) AS DOUBLE))
+          |           * 1048576.0) AS BIGINT)),
+          |  0L, (acc, v) -> acc + v)""".stripMargin))
+      .select(col("doc_id"), col("__n").as("n_tokens"),
+        size(expr("array_distinct(__toks)")).cast("long").as("n_distinct"),
+        round(col("__hq").cast("double")
+          / col("__n").cast("double") / 1048576.0, 6).as("entropy"))
+      .withColumn("low_entropy", col("entropy") < 2.0)
+      .orderBy("doc_id")
+
   /** Language-ID heuristic: count stopword markers per candidate language over
     * the token array (higher-order `filter`, codegen'd — no UDF), pick argmax
     * with a deterministic tie-break. A production pipeline would use character

@@ -321,6 +321,28 @@ class Round13Spec extends SparkSpec {
     assert(out.exists(r => math.abs(r._6) > 1.0), "drift suspiciously flat")
   }
 
+  test("piiReport + tokenEntropy: injection fires; entropy bounds hold") {
+    val pii = queries.TextAnalysis.piiReport(spark, sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    // every (source, rule) cell fires (the injection guarantees >= 1 each)
+    assert(pii.length == 40 && pii.forall(_._5 == 1.0))
+    // even ids carry a second phone: phone matches > email matches overall
+    val byRule = pii.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byRule("phone") > byRule("email"))
+    val ent = queries.TextAnalysis.tokenEntropy(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(ent.length == 500)
+    ent.foreach { case (id, n, d, h, flag) =>
+      // 0 <= H <= ln(distinct) (+ quantization slack)
+      assert(h >= 0.0 && h <= math.log(d.toDouble) + 1e-4, s"doc $id: H=$h")
+      assert(flag == (h < 2.0))
+      assert(d <= n)
+    }
+    // the synthetic corpus is drawn from a ~31-word pool: entropy must
+    // actually discriminate (some spread across docs)
+    assert(ent.map(_._4).distinct.length > 100)
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
