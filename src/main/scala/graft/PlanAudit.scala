@@ -360,6 +360,12 @@ object PlanAudit {
         && p.contains("partial_count"),
         "pii report: row-local regex counts; the rollup is one " +
           "(source x rule)-grid aggregate with map-side partials"),
+      ("minhash_band_stats", p => !p.contains("SortMergeJoin")
+        && !p.contains("CartesianProduct") && p.contains("partial_count"),
+        "band occupancy: signature pass + (band, bandsig) aggregate with " +
+          "map-side partials — the pair mass is COMPUTED from occupancy, " +
+          "never materialized as a pair join (the only join is " +
+          "minhashSignatures' broadcast keep-empty attach)"),
     )
 
     var failed = 0

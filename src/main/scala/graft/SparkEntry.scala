@@ -225,6 +225,7 @@ object SparkEntry {
     "quality_drift"     -> PipelineOps.qualityDrift _,
     "pii_report"        -> TextAnalysis.piiReport _,
     "token_entropy"     -> TextAnalysis.tokenEntropy _,
+    "minhash_band_stats" -> Dedup.minhashBandStats _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -3794,6 +3795,25 @@ object SparkEntry {
     "dedup_embedding_keep" -> dedupEmbeddingKeepOracleSql,
 
     "dedup_minhash" -> dedupMinhashOracleSql,
+
+    // the shared signature/banding CTEs aggregated to occupancy instead of
+    // joined to pairs; `i` is the band index, `band` the band signature
+    "minhash_band_stats" ->
+      s"""$minhashSigCtePrefix,
+         |occ AS (
+         |  SELECT CAST(i AS INTEGER) AS band, band AS bandsig, count(1) AS occ
+         |  FROM ex GROUP BY 1, 2),
+         |g AS (
+         |  SELECT band, count(1) AS n_buckets,
+         |    CAST(max(occ) AS BIGINT) AS max_occ,
+         |    CAST(sum((occ * (occ - 1)) // 2) AS BIGINT) AS pair_mass
+         |  FROM occ GROUP BY band)
+         |SELECT band, n_buckets, max_occ, pair_mass,
+         |  CASE WHEN pair_mass > 0
+         |    THEN CAST((20000 * ((max_occ * (max_occ - 1)) // 2) + pair_mass)
+         |      // (2 * pair_mass) AS DOUBLE) / 10000.0
+         |    ELSE 0.0 END AS top_share
+         |FROM g ORDER BY band""".stripMargin,
 
     "dedup_incremental" -> dedupIncrementalOracleSql,
     // the fold-in row's contract IS dedup_incremental's oracle: a screen

@@ -3936,6 +3936,37 @@ object Graft {
         (abs(col("z")) >= zThreshold).as("anomaly"))
   }
 
+  /** MinHash band-bucket OCCUPANCY report — the index-health artifact that
+    * justifies (and sizes) the viral-bucket cap the screen-eval rows apply
+    * (`maxBandBucket`): per band, how many buckets exist, the largest
+    * bucket, the total candidate-pair mass Σ occ·(occ−1)/2 the banding
+    * implies, and the ratio4 share of that mass contributed by the single
+    * largest bucket. A top_share near 1 means one viral bucket owns the
+    * join cost — the exact pathology the cap bounds. One signature pass +
+    * one (band, bandsig) aggregate (map-side partials) + a band-count-sized
+    * rollup; nothing pairwise ever materializes. */
+  def minhashBandStats(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      baseHash: Column => Column = xxHash63): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol,
+      numHashes = bands * rowsPerBand, baseHash = baseHash)
+    sig.filter(col("sig").isNotNull)
+      .select(posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rowsPerBand + 1, $rowsPerBand))"))
+        .as(Seq("band", "bandsig")))
+      .groupBy("band", "bandsig")
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("__occ").as("max_occ"),
+        sum(expr("(__occ * (__occ - 1L)) DIV 2L")).as("pair_mass"))
+      .select(col("band"), col("n_buckets"), col("max_occ"), col("pair_mass"),
+        expr("""CASE WHEN pair_mass > 0
+               |  THEN CAST((20000L * ((max_occ * (max_occ - 1L)) DIV 2L) + pair_mass)
+               |    DIV (2L * pair_mass) AS DOUBLE) / 10000.0
+               |  ELSE 0.0 END""".stripMargin).as("top_share"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -513,6 +513,18 @@ object Dedup {
         baseHash = graft.api.Graft.md5Hash60)
       .orderBy("bands")
 
+  /** MinHash band-occupancy report (Graft.minhashBandStats): per band of
+    * the 8×4 banding, bucket counts, the largest bucket, implied candidate-
+    * pair mass, and the top bucket's ratio4 share — the index-health read
+    * that sizes the viral-bucket cap the eval rows apply. Same md5 base
+    * hash as every oracled minhash row. */
+  def minhashBandStats(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.minhashBandStats(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", bands = 8, rowsPerBand = 4,
+        baseHash = graft.api.Graft.md5Hash60)
+      .orderBy("band")
+
   /** Duplication-depth profile (Graft.dupDepthProfile, Lee '21 §4): the
     * paragraph-granularity histogram — how many distinct 16-token
     * fingerprints occur at each depth, the paragraph mass per depth, and

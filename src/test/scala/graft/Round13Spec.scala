@@ -343,6 +343,29 @@ class Round13Spec extends SparkSpec {
     assert(ent.map(_._4).distinct.length > 100)
   }
 
+  test("minhashBandStats: pair mass predicts the actual banded-join candidate count") {
+    val stats = queries.Dedup.minhashBandStats(spark, sf)
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(stats.length == 8)
+    stats.foreach { case (_, nb, mx, pm, ts) =>
+      assert(mx >= 1 && nb >= 1 && pm >= 0 && ts >= 0.0 && ts <= 1.0)
+    }
+    // Σ per-band pair mass = the banded self-join's RAW pair count (before
+    // the per-pair dedup) — recomputed from the signatures directly
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val sig = api.Graft.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 32, baseHash = api.Graft.md5Hash60)
+    val banded = sig.filter(col("sig").isNotNull).select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> slice(sig, b * 4 + 1, 4))"))
+        .as(Seq("band", "bandsig")))
+    val raw = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bandsig") === col("b.bandsig")
+        && col("a.doc_id") < col("b.doc_id")).count()
+    assert(stats.map(_._4).sum == raw,
+      s"pair mass ${stats.map(_._4).sum} != banded join count $raw")
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
