@@ -360,6 +360,10 @@ object PlanAudit {
         && p.contains("partial_count"),
         "pii report: row-local regex counts; the rollup is one " +
           "(source x rule)-grid aggregate with map-side partials"),
+      ("asof_join_nearest", p => !p.contains("CartesianProduct")
+        && !p.contains("SortMergeJoin") && p.contains("Window"),
+        "nearest as-of: union + two keyed windows off ONE key shuffle — " +
+          "no range self-join in either direction"),
       ("minhash_band_stats", p => !p.contains("SortMergeJoin")
         && !p.contains("CartesianProduct") && p.contains("partial_count"),
         "band occupancy: signature pass + (band, bandsig) aggregate with " +

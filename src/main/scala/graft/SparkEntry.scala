@@ -226,6 +226,7 @@ object SparkEntry {
     "pii_report"        -> TextAnalysis.piiReport _,
     "token_entropy"     -> TextAnalysis.tokenEntropy _,
     "minhash_band_stats" -> Dedup.minhashBandStats _,
+    "asof_join_nearest" -> EventTime.asofJoinNearest _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4452,6 +4453,38 @@ object SparkEntry {
         |SELECT p.purchase_id, p.user_id, c.click_id, c.ts AS click_ts
         |FROM purchases p ASOF JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    // both ASOF directions + a micros-distance CASE; ties toward the
+    // earlier click exactly as the Spark side's <= comparison
+    "asof_join_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT p.purchase_id, p.user_id, p.ts,
+        |    c.click_id AS b_id, c.ts AS b_ts
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (
+        |  SELECT p.purchase_id, c.click_id AS f_id, c.ts AS f_ts
+        |  FROM purchases p ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN b_ts IS NULL THEN f_id
+        |       WHEN f_ts IS NULL THEN b_id
+        |       WHEN date_diff('microseconds', b_ts, ts)
+        |            <= date_diff('microseconds', ts, f_ts) THEN b_id
+        |       ELSE f_id END AS click_id,
+        |  CASE WHEN b_ts IS NULL THEN f_ts
+        |       WHEN f_ts IS NULL THEN b_ts
+        |       WHEN date_diff('microseconds', b_ts, ts)
+        |            <= date_diff('microseconds', ts, f_ts) THEN b_ts
+        |       ELSE f_ts END AS click_ts
+        |FROM b JOIN f USING (purchase_id)
         |ORDER BY purchase_id""".stripMargin,
 
     "gap_fill" ->

@@ -2610,6 +2610,54 @@ object Graft {
           col("__asof.t").as(s"${tsCol}_asof")): _*)
   }
 
+  /** NEAREST-direction as-of join (pandas merge_asof direction='nearest'):
+    * each left row pairs with the right row minimizing |Δt|, ties broken
+    * toward the EARLIER right row (backward wins at equal distance —
+    * deterministic). Same union+running-window machinery as `asofJoin` run
+    * in BOTH directions: one partition-by-key shuffle feeds two ordered
+    * windows (backward last-right-≤t, forward first-right-≥t), then the
+    * winner is a row-local micros comparison — no range self-join, state
+    * per task is one key's timeline. Left rows with no right row at all
+    * survive with NULLs (left-join semantics). */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightValCol: String): DataFrame = {
+    val payload = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val r = right.groupBy(col(keyCol), col(tsCol))
+      .agg(max(rightValCol).as(rightValCol))
+    val rValType = r.schema(rightValCol).dataType
+    val rightAligned = r.select(
+      Seq(col(keyCol), col(tsCol), col(rightValCol), lit(0).as("__kind")) ++
+        payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftAligned = left.select(
+      Seq(col(keyCol), col(tsCol), lit(null).cast(rValType).as(rightValCol),
+        lit(1).as("__kind")) ++ payload.map(col): _*)
+    // backward: right rows sort BEFORE left at equal ts (equal-ts right is
+    // at distance 0 and must be visible); forward: right rows sort AFTER
+    // left at equal ts so [currentRow, +∞) still contains them
+    val wb = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), lit(1) - col("__kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightStruct = when(col("__kind") === 0,
+      struct(col(tsCol).as("t"), col(rightValCol).as("v")))
+    rightAligned.unionByName(leftAligned)
+      .withColumn("__b", last(rightStruct, ignoreNulls = true).over(wb))
+      .withColumn("__f", first(rightStruct, ignoreNulls = true).over(wf))
+      .filter(col("__kind") === 1)
+      .withColumn("__n", // micros distances; tie → backward (earlier)
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(expr(s"unix_micros(CAST(`$tsCol` AS TIMESTAMP)) - unix_micros(CAST(__b.t AS TIMESTAMP))")
+            <= expr(s"unix_micros(CAST(__f.t AS TIMESTAMP)) - unix_micros(CAST(`$tsCol` AS TIMESTAMP))"),
+            col("__b"))
+          .otherwise(col("__f")))
+      .select(Seq(col(keyCol), col(tsCol)) ++ payload.map(col) ++
+        Seq(col("__n.v").as(s"${rightValCol}_nearest"),
+          col("__n.t").as(s"${tsCol}_nearest")): _*)
+  }
+
   /** Gap-filled time series: truncate `tsCol` to `unit`, aggregate
     * count/sum(valCol) per (bucket, dimCol), and left-join onto the complete
     * bucket × dimension spine (`sequence()` between min and max bucket — no

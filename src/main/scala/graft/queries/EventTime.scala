@@ -65,6 +65,24 @@ object EventTime {
       .orderBy("purchase_id")
   }
 
+  /** Nearest-direction as-of join (Graft.asofJoinNearest — pandas
+    * merge_asof direction='nearest'): each purchase pairs with its
+    * closest click in EITHER direction, ties toward the earlier click.
+    * Same one-shuffle union+window machinery as asof_join, two ordered
+    * windows instead of one. */
+  def asofJoinNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    graft.api.Graft.asofJoinNearest(purchases, clicks, "user_id", "ts", "click_id")
+      .select(col("purchase_id"), col("user_id"),
+        col("click_id_nearest").as("click_id"),
+        col("ts_nearest").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   /** Gap-filled hourly series: every (hour, event_type) cell in the data's
     * span, zero-filled where no events landed — `sequence()` generates the
     * time spine (driver-side-loop-free), the tiny type dimension is broadcast,

@@ -366,6 +366,34 @@ class Round13Spec extends SparkSpec {
       s"pair mass ${stats.map(_._4).sum} != banded join count $raw")
   }
 
+  test("asofJoinNearest: nearest beats-or-ties both directional neighbors") {
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val near = api.Graft.asofJoinNearest(purchases, clicks, "user_id", "ts", "click_id")
+      .select(col("purchase_id"), col("ts"), col("ts_nearest"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+      .map(r => r._1 -> (r._2, Option(r._3))).toMap
+    // the backward as-of is one of the two candidates: nearest distance
+    // must be <= the backward distance wherever backward exists
+    val back = api.Graft.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
+      .select(col("purchase_id"), col("ts_asof"))
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(near.nonEmpty && back.nonEmpty)
+    back.foreach { case (pid, bts) =>
+      val (pts, nOpt) = near(pid)
+      val nts = nOpt.get // backward exists ⇒ nearest exists
+      val dN = math.abs(pts.getTime - nts.getTime)
+      val dB = pts.getTime - bts.getTime
+      assert(dN <= dB, s"purchase $pid: nearest $dN further than backward $dB")
+    }
+    // every purchase row survives (left-join semantics)
+    assert(near.size == purchases.count())
+  }
+
   test("profile completeness: every registry row has a frozen per-query profile") {
     // VERDICT r12 task 4: without this, a brand-new query debuts under the
     // family-median fallback and its own slow reading never trips the
