@@ -187,4 +187,49 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed: wide blocking missed ${(exact -- got).size} / invented ${(got -- exact).size}")
     }
   }
+
+  test("waterfill conserves budget and respects caps on random instances") {
+    // the solver behind mixture_waterfill / mixture_epochs /
+    // cluster_balanced_sample: Σ alloc == min(budget, Σ avail) EXACTLY,
+    // 0 ≤ alloc ≤ avail, and saturation is consistent
+    val rowGen = for {
+      a <- Gen.chooseNum(0L, 5000L)
+      w <- Gen.chooseNum(1L, 50L)
+    } yield (a, w)
+    for (seed <- 1L to 8L) {
+      val rows = sample(Gen.listOfN(12, rowGen), seed)
+        .zipWithIndex.map { case ((a, w), i) => (s"s$i", a, w) }
+      val totalAvail = rows.map(_._2).sum
+      val budget = math.max(1L,
+        sample(Gen.listOfN(1, Gen.chooseNum(0L, totalAvail * 3 / 2 + 1)), seed + 100).head)
+      val out = api.Graft.mixtureWaterfill(
+          rows.toDF("src", "avail", "w"), "src", "avail", "w", budget)
+        .select(col("src"), col("avail"), col("alloc"), col("saturated"))
+        .as[(String, Long, Long, Boolean)].collect()
+      assert(out.map(_._3).sum == math.min(budget, totalAvail),
+        s"seed=$seed: allocation not conserved")
+      out.foreach { case (src, avail, alloc, sat) =>
+        assert(alloc >= 0L && alloc <= avail, s"seed=$seed $src: alloc out of range")
+        assert(!sat || alloc == avail, s"seed=$seed $src: saturated but alloc < avail")
+      }
+    }
+  }
+
+  test("ratio4 house formula equals BigDecimal HALF_UP rounding on random ratios") {
+    // (20000p + q) DIV (2q) / 10⁴ — the integer rounding rule behind every
+    // oracled share/rate column — must equal 4-decimal HALF_UP of p/q
+    val pairGen = for {
+      p <- Gen.chooseNum(0L, 2000000L)
+      q <- Gen.chooseNum(1L, 2000000L)
+    } yield (p, q)
+    val pairs = sample(Gen.listOfN(4000, pairGen), 7L)
+    val got = pairs.toDF("p", "q")
+      .selectExpr("CAST((20000L * p + q) DIV (2L * q) AS DOUBLE) / 10000.0")
+      .as[Double].collect()
+    pairs.zip(got).foreach { case ((p, q), g) =>
+      val expect = (BigDecimal(p) / BigDecimal(q))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(g == expect, s"ratio4($p, $q): $g != $expect")
+    }
+  }
 }
