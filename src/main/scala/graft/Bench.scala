@@ -136,18 +136,28 @@ object Bench {
     // (AB pass, re-time) clears the record: only a query whose LAST
     // invocation failed is a failure.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // wall time of the last FAILED invocation, kept only for display when a
+    // query never succeeds: a failure's time-to-throw must never compete in
+    // any min-of-N reduce (ADVICE r13: a query that throws fast on one
+    // attempt and succeeds on another would otherwise ship the failure's
+    // fast time as a clean reading), so timeOnce returns MaxValue on error
+    // and the substitution back to a finite, visibly-failed reading happens
+    // once, at results assembly.
+    val failDt = scala.collection.mutable.HashMap[String, Double]()
     def timeOnce(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); failures.remove(name) }
-      catch { case e: Throwable =>
-        failures(name) = (s"${e.getClass.getSimpleName}: " +
-          String.valueOf(e.getMessage).replaceAll("[\"\\\\\\s]+", " ").take(160))
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); failures.remove(name); true }
+        catch { case e: Throwable =>
+          failures(name) = (s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\s]+", " ").take(160))
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      dt
+      if (ok) dt else { failDt(name) = dt; Double.MaxValue }
     }
     val inPass = (1 to passes).map { _ =>
       selected.map { case (name, fn) => name -> timeOnce(name, fn) }
@@ -210,8 +220,13 @@ object Bench {
     val retimed: Map[String, Double] = flagged.map { n =>
       n -> (1 to 3).map(_ => timeOnce(n, byNameSel(n))).min
     }.toMap
-    val results = inPass.map { case (n, dt) =>
-      n -> math.min(dt, retimed.getOrElse(n, dt))
+    val results = inPass.map { case (n, dt0) =>
+      val dt = math.min(dt0, retimed.getOrElse(n, dt0))
+      // a query with NO successful invocation ships its time-to-throw as a
+      // finite reading — it is already marked in `failures` (per-query
+      // "failed":true in the detail, name in the final line, nonzero exit),
+      // so the number can never read as a quiet fast pass
+      n -> (if (dt == Double.MaxValue) failDt.getOrElse(n, 0.0) else dt)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"

@@ -1224,8 +1224,10 @@ object SparkEntry {
   /** DuckDB twin of PipelineOps.shardManifest: one global window computes
     * the md5-ordered exclusive token prefix sum (the Spark side's two-phase
     * bucketed rank collapses to this on one node — Round13Spec pins the
-    * equality), shard id = prefix DIV tokensPerShard, per-shard counts and
-    * the order-invariant bit_xor fingerprint of the member md5h60 ids. */
+    * equality), raw shard = prefix DIV tokensPerShard, per-shard counts and
+    * the order-invariant bit_xor fingerprint of the member md5h60 ids; ids
+    * densified with dense_rank − 1 (mirrors the Spark side's grid window —
+    * a doc longer than tokensPerShard skips raw ids, ADVICE r13). */
   private def shardManifestOracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
@@ -1236,12 +1238,16 @@ object SparkEntry {
       |  SELECT doc_id, h, nt,
       |    coalesce(sum(nt) OVER (ORDER BY hk, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-      |  FROM t)
-      |SELECT CAST(pre // 4096 AS BIGINT) AS shard_id, count(1) AS n_docs,
-      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
-      |  CAST(bit_xor(h) AS BIGINT) AS content_xor,
-      |  CAST((20000 * sum(nt) + 4096) // (2 * 4096) AS DOUBLE) / 10000.0 AS fill_share4
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+      |  FROM t),
+      |g AS (
+      |  SELECT CAST(pre // 4096 AS BIGINT) AS raw, count(1) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |    CAST(bit_xor(h) AS BIGINT) AS content_xor,
+      |    CAST((20000 * sum(nt) + 4096) // (2 * 4096) AS DOUBLE) / 10000.0 AS fill_share4
+      |  FROM c GROUP BY 1)
+      |SELECT CAST(dense_rank() OVER (ORDER BY raw) - 1 AS BIGINT) AS shard_id,
+      |  n_docs, n_tokens, content_xor, fill_share4
+      |FROM g ORDER BY 1""".stripMargin
 
   /** DuckDB twin of Dedup.dedupSimhash: per-token-occurrence md5Hash60,
     * 60 positional bit-count sums, majority-sign signature, top-bit prefix
@@ -3389,12 +3395,23 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_distinct, entropy, entropy < 2.0 AS low_entropy
         |FROM z ORDER BY doc_id""".stripMargin,
 
-    // hourly counts, trailing-24 exact integer sums, one fixed IEEE
-    // sequence for mean/z both engines; flag compares on the ROUNDED z
+    // hourly counts GAP-FILLED onto a dense per-type hour spine (ADVICE
+    // r13: the trailing frame is 24 wall-clock hours, and a zero-event
+    // hour is a row that can flag), trailing-24 exact integer sums, one
+    // fixed IEEE sequence for mean/z both engines; flag compares on the
+    // ROUNDED z
     "event_anomalies" ->
-      """WITH h AS (
+      """WITH o AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(1) AS c
         |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM o GROUP BY 1),
+        |sp AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |h AS (
+        |  SELECT sp.event_type, sp.hour, CAST(coalesce(o.c, 0) AS BIGINT) AS c
+        |  FROM sp LEFT JOIN o ON sp.event_type = o.event_type AND sp.hour = o.hour),
         |w AS (
         |  SELECT event_type, hour, c,
         |    count(1) OVER tw AS n,

@@ -20,13 +20,16 @@ import org.apache.spark.sql.SparkSession
   *   - best-of-N spaced sessions (default 3, 2 s apart) — a contention
   *     window shorter than the whole run is escaped by the best run;
   *   - a CALIBRATION micro-job (fixed CPU-bound shuffle, below) timed
-  *     before each session: under steal the calibration inflates by the
-  *     same factor the throughput deflates, so
-  *     `calibrated = raw · cal/calRef` is contention-invariant to first
-  *     order. calRef is the frozen near-idle min-of-5 (2026-08-15, r13
-  *     binaries); re-freeze it whenever the calibration job or the host
-  *     changes — the raw best-of-N stays the round-over-round headline,
-  *     the calibrated value is the ruling.
+  *     BEFORE AND AFTER each session (min of the bracket — a spike
+  *     confined to one calibration read is discarded, ADVICE r13): under
+  *     steal the calibration inflates by the same factor the throughput
+  *     deflates, so `calibrated = raw · cal/calRef` is
+  *     contention-invariant to first order. calRef is the frozen
+  *     near-idle min-of-5 (2026-08-15, r13 binaries); re-freeze it
+  *     whenever the calibration job or the host changes — the raw
+  *     best-of-N stays the round-over-round headline, the MEDIAN
+  *     calibrated value across sessions is the ruling (max would
+  *     preferentially select residual cal inflation).
   *
   * Run: `runMain graft.StreamBench [seconds] [runs]` → one JSON line:
   * best-of-N raw lines/sec and words/sec (8 words per synthesized line),
@@ -108,19 +111,33 @@ object StreamBench {
       (rows / elapsed, batchesSeen.get() - batches0, elapsed)
     }
 
+    // BRACKETED calibration (ADVICE r13): a calibration read taken only
+    // BEFORE the session can catch a contention spike the measured window
+    // never sees — raw stays healthy, cal inflates, and best-of-N would
+    // preferentially select that inflated product. Each session is now
+    // bracketed (cal before AND after, min of the two — a spike confined
+    // to either bracket is discarded), and the RULING is the MEDIAN
+    // calibrated value across sessions, not the max; best-of-N stays the
+    // raw headline only.
     val detail = (1 to runs).map { i =>
       if (i > 1) Thread.sleep(2000) // spaced sessions — escape short windows
-      val cal = calibrate(spark, cpus.toInt)
+      val calBefore = calibrate(spark, cpus.toInt)
       val (lps, batches, elapsed) = oneRun()
-      (lps, cal, lps * cal / calRefSec, batches, elapsed)
+      val calAfter = calibrate(spark, cpus.toInt)
+      val cal = math.min(calBefore, calAfter)
+      (lps, calBefore, calAfter, lps * cal / calRefSec, batches, elapsed)
     }
     val bestRaw = detail.map(_._1).max
-    val bestCal = detail.map(_._3).max
+    val medCal = {
+      val s = detail.map(_._4).sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     spark.stop()
-    val runsJson = detail.map { case (lps, cal, clps, batches, elapsed) =>
-      f"""{"lines_per_sec":$lps%.0f,"cal_sec":$cal%.3f,"calibrated_lines_per_sec":$clps%.0f,"batches":$batches,"seconds":$elapsed%.1f}"""
+    val runsJson = detail.map { case (lps, cb, ca, clps, batches, elapsed) =>
+      f"""{"lines_per_sec":$lps%.0f,"cal_before_sec":$cb%.3f,"cal_after_sec":$ca%.3f,"calibrated_lines_per_sec":$clps%.0f,"batches":$batches,"seconds":$elapsed%.1f}"""
     }.mkString("[", ",", "]")
-    println(f"""{"metric":"stream_wordcount_throughput","lines_per_sec":$bestRaw%.0f,"words_per_sec":${8 * bestRaw}%.0f,"calibrated_lines_per_sec":$bestCal%.0f,"calibrated_words_per_sec":${8 * bestCal}%.0f,"cal_ref_sec":$calRefSec,"runs":$runsJson,"n_runs":$runs,"seconds_per_run":$seconds}""")
+    println(f"""{"metric":"stream_wordcount_throughput","lines_per_sec":$bestRaw%.0f,"words_per_sec":${8 * bestRaw}%.0f,"calibrated_lines_per_sec":$medCal%.0f,"calibrated_words_per_sec":${8 * medCal}%.0f,"calibrated_stat":"median","cal_ref_sec":$calRefSec,"runs":$runsJson,"n_runs":$runs,"seconds_per_run":$seconds}""")
     Console.out.flush()
   }
 }

@@ -3448,11 +3448,16 @@ object Graft {
     * curriculum_order two-phase rank generalized to WEIGHTED ranks — 16
     * md5-hex-prefix RANGE buckets (the prefix orders buckets consistently
     * with the full sort key), a per-bucket windowed running sum, and a
-    * broadcast 16-row exclusive bucket-offset table; no single-partition
-    * window anywhere (grow the prefix to 256/4096 buckets at scale).
-    * shard_id = exclusive-prefix DIV tokensPerShard, so Σ n_tokens is
-    * conserved exactly and shard ids are dense from 0. All-integer →
-    * a DuckDB oracle mirrors it with one global window. */
+    * broadcast 16-row exclusive bucket-offset table; no data-sized
+    * single-partition window anywhere (grow the prefix to 256/4096 buckets
+    * at scale). raw shard = exclusive-prefix DIV tokensPerShard; a single
+    * document longer than tokensPerShard makes the prefix jump multiple
+    * shard widths, so the raw ids can skip values — the manifest DENSIFIES
+    * them (dense_rank − 1 over the SHARD GRID, a |corpus tokens| /
+    * tokensPerShard-row frame, solver/grid class like the 16-row offset
+    * window — never document-sized), so shard ids are dense from 0 on any
+    * corpus (ADVICE r13) and Σ n_tokens stays conserved exactly.
+    * All-integer → a DuckDB oracle mirrors it with one global window. */
   def shardManifest(docs: DataFrame, idCol: String, textCol: String,
       tokensPerShard: Long): DataFrame = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
@@ -3474,15 +3479,19 @@ object Graft {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__b"), col("__off"))
     local.join(broadcast(offs), "__b")
-      .withColumn("shard_id",
+      .withColumn("__raw",
         expr(s"(__off + __pre) DIV ${tokensPerShard}L"))
-      .groupBy("shard_id")
+      .groupBy("__raw")
       .agg(count(lit(1)).as("n_docs"),
         sum("__nt").as("n_tokens"),
         expr("bit_xor(__h)").as("content_xor"))
       .withColumn("fill_share4", expr(
         s"CAST((20000L * n_tokens + ${tokensPerShard}L) DIV " +
           s"(2L * ${tokensPerShard}L) AS DOUBLE) / 10000.0"))
+      // densify: the frame here is the shard GRID (one row per populated
+      // raw shard), so the global dense_rank window is grid-sized
+      .withColumn("shard_id",
+        (dense_rank().over(Window.orderBy(col("__raw"))) - 1).cast("long"))
       .select(col("shard_id"), col("n_docs"), col("n_tokens"),
         col("content_xor"), col("fill_share4"))
   }
@@ -3950,20 +3959,35 @@ object Graft {
 
   /** TRAILING-WINDOW event-rate anomaly flags — the ingest-monitoring
     * readout (per event type and hour: is this hour's volume a ≥2σ
-    * departure from the trailing 24 hours?). Hourly counts are exact
-    * integers; the trailing mean/σ fold over n=24 exact BIGINT sums
-    * (Σc, Σc²) with ONE fixed IEEE sequence — μ = Σc/n, σ² = (Σc² −
-    * Σc·Σc/n)/n, z = (c−μ)/√σ² — so both engines produce bit-identical
-    * doubles. The window is PARTITIONED BY TYPE and grid-sized (one row
-    * per hour, never per event): at 100 TB the count aggregate is the only
-    * data-sized pass. Rows without a full 24-hour history don't flag. */
+    * departure from the trailing 24 WALL-CLOCK hours?). The hourly counts
+    * are GAP-FILLED onto a dense per-type hour spine (first..last observed
+    * hour, zero-count rows materialized) before the window runs, so the
+    * ROWS frame is exactly the trailing `trailing` wall-clock hours — a
+    * gap hour can't silently stretch the baseline, and a sudden SILENCE
+    * (an hour with zero events after a busy day) produces a row with a
+    * large negative z and flags (ADVICE r13). Counts are exact integers;
+    * the trailing mean/σ fold over n=24 exact BIGINT sums (Σc, Σc²) with
+    * ONE fixed IEEE sequence — μ = Σc/n, σ² = (Σc² − Σc·Σc/n)/n,
+    * z = (c−μ)/√σ² — so both engines produce bit-identical doubles. The
+    * spine and window are PARTITIONED BY TYPE and grid-sized (one row per
+    * type×hour, never per event): at 100 TB the count aggregate is the
+    * only data-sized pass. Rows without a full `trailing`-hour history
+    * don't flag. */
   def eventRateAnomalies(events: DataFrame, tsCol: String, typeCol: String,
       trailing: Int = 24, zThreshold: Double = 2.0): DataFrame = {
-    val hourly = events
+    val observed = events
       .select(col(typeCol).as("event_type"),
         date_trunc("hour", col(tsCol)).as("hour"))
       .groupBy("event_type", "hour")
       .agg(count(lit(1)).as("c"))
+    // dense per-type hour spine (the repo's gap_fill pattern): grid-sized —
+    // one row per type × hour in the type's observed span
+    val spine = observed.groupBy("event_type")
+      .agg(min("hour").as("__h0"), max("hour").as("__h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(__h0, __h1, interval 1 hour)")).as("hour"))
+    val hourly = spine.join(observed, Seq("event_type", "hour"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
     val w = Window.partitionBy("event_type").orderBy("hour")
       .rowsBetween(-trailing, -1)
     hourly

@@ -848,8 +848,10 @@ object PipelineOps {
 
   /** Trailing-window event-rate anomaly flags (Graft.eventRateAnomalies):
     * per (event_type, hour), the z-score of this hour's volume against the
-    * trailing 24 hours — the ingest-monitoring readout. Hourly counts are
-    * the only data-sized pass; the window runs on the hour grid. */
+    * trailing 24 WALL-CLOCK hours (counts gap-filled onto a dense per-type
+    * hour spine, so gap hours don't stretch the frame and zero-event hours
+    * can flag — ADVICE r13). Hourly counts are the only data-sized pass;
+    * the spine join and window run on the hour grid. */
   def eventAnomalies(s: SparkSession, d: String): DataFrame =
     graft.api.Graft.eventRateAnomalies(
         Tables.events(s, d), "ts", "event_type")

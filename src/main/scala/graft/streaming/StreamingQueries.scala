@@ -867,10 +867,27 @@ object StreamingQueries {
       val bucketDir = new java.io.File(stage, s"__b=$b")
       val parts = Option(bucketDir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
-      if (parts.length != 1) sys.error(
-        s"staging expected exactly one part in $bucketDir, got ${parts.length}")
       val dst = new java.io.File(srcDir, s"batch$b.parquet")
-      java.nio.file.Files.move(parts(0).toPath, dst.toPath)
+      if (parts.length > 1) sys.error(
+        s"staging expected at most one part in $bucketDir, got ${parts.length}")
+      else if (parts.length == 1)
+        java.nio.file.Files.move(parts(0).toPath, dst.toPath)
+      else {
+        // a bucket with no rows writes no __b=<b> partition directory at
+        // all (partitionBy emits only populated values) — the old
+        // filter+coalesce(1) path wrote a valid empty batch file here, and
+        // the ordered-arrival contract needs one file per slot, so restage
+        // an empty single-file parquet with the same (partition-stripped)
+        // schema (ADVICE r13)
+        val tmp = new java.io.File(base, s"empty$b")
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val p = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        if (p.length != 1) sys.error(
+          s"empty-batch staging expected one part in $tmp, got ${p.length}")
+        java.nio.file.Files.move(p(0).toPath, dst.toPath)
+        rm(tmp)
+      }
       dst.setLastModified(t0 + b * 60000L): Unit
     }
     rm(stage)

@@ -95,10 +95,13 @@ class Round13Spec extends SparkSpec {
     val byShard = rows.map { case (_, nt, _, h) =>
       val shard = pre / target; pre += nt; (shard, nt, h)
     }.groupBy(_._1)
-    val expect = byShard.toSeq.sortBy(_._1).map { case (shard, xs) =>
-      (shard, xs.length.toLong, xs.map(_._2).sum,
-        xs.map(_._3).reduce(_ ^ _))
-    }
+    // ids densified exactly as the operator does (dense_rank − 1 over the
+    // raw-shard grid): sort by raw shard, re-index from 0 (ADVICE r13)
+    val expect = byShard.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((_, xs), i) =>
+        (i.toLong, xs.length.toLong, xs.map(_._2).sum,
+          xs.map(_._3).reduce(_ ^ _))
+      }
     assert(out.map(x => (x._1, x._2, x._3, x._4)).toSeq == expect,
       "two-phase manifest diverges from the global-order recompute")
     // conservation: every token and every document lands in exactly one shard
@@ -285,12 +288,17 @@ class Round13Spec extends SparkSpec {
       .as[(String, java.sql.Timestamp, Long, Double, Double, Boolean)]
       .collect().sortBy(_._2.getTime)
     assert(out.nonEmpty)
-    // independent recompute: hourly counts → trailing-24 mean/σ → z
-    val hours = Tables.events(spark, sf)
+    // independent recompute: hourly counts GAP-FILLED onto the dense
+    // wall-clock hour grid (r14: the trailing frame is 24 wall-clock
+    // hours; zero-event hours are rows) → trailing-24 mean/σ → z
+    val observed = Tables.events(spark, sf)
       .filter(col("event_type") === "click")
       .select(date_trunc("hour", col("ts")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
       .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    val byHour = observed.map { case (t, c) => t.getTime -> c }.toMap
+    val hours = (observed.head._1.getTime to observed.last._1.getTime by 3600000L)
+      .map(ms => (new java.sql.Timestamp(ms), byHour.getOrElse(ms, 0L))).toArray
     val cs = hours.map(_._2.toDouble)
     val expect = hours.indices.drop(24).map { i =>
       val w = cs.slice(i - 24, i)
