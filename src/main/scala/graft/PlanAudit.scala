@@ -370,6 +370,32 @@ object PlanAudit {
           "map-side partials — the pair mass is COMPUTED from occupancy, " +
           "never materialized as a pair join (the only join is " +
           "minhashSignatures' broadcast keep-empty attach)"),
+      // round-14 pins
+      ("script_mix", p => !p.contains("Join") && p.contains("partial_count"),
+        "script mix: length-difference char classes inside the scan — " +
+          "no per-char explode, one source-grid aggregate"),
+      ("readability", p => !p.contains("Join") && p.contains("partial_count"),
+        "readability: per-doc integer (w,s,v) inside the scan, one " +
+          "source-grid aggregate"),
+      ("diversity_distinct_n", p => !p.contains("Join")
+        && p.contains("partial_count"),
+        "distinct-n: (group, gram)-keyed aggregate with map-side " +
+          "partials — reduce state is the vocabulary, never the corpus"),
+      ("ngram_drift", p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin"),
+        "n-gram drift: per-side DISTINCT fingerprints, fp-keyed anti " +
+          "join — vocabulary-sized both sides, never occurrence-sized"),
+      ("seed_select", p => p.contains("TakeOrderedAndProject")
+        && !p.contains("SortMergeJoin"),
+        "seed select: centroid broadcast onto one linear scan; global " +
+          "top-k is TakeOrdered, never a full sort"),
+      ("quality_ece", p => p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"),
+        "quality ECE: the only cross join attaches the broadcast 1-row " +
+          "ECE rollup to the 10-row bin grid"),
+      ("chinchilla_plan", p => !p.contains("SortMergeJoin"),
+        "chinchilla plan: one corpus token aggregate broadcast onto the " +
+          "5-row budget grid — the solver frame is the grid"),
     )
 
     var failed = 0

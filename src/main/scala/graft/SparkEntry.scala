@@ -221,6 +221,15 @@ object SparkEntry {
     "heaps_law"         -> TextAnalysis.heapsLaw _,
     "sketch_quantiles"  -> Relational.sketchQuantiles _,
     "centroid_classify" -> Similarity.centroidClassify _,
+    // round-14 corpus-health / curation additions
+    "script_mix"        -> TextAnalysis.scriptMix _,
+    "readability"       -> TextAnalysis.readability _,
+    "length_outliers"   -> TextAnalysis.lengthOutliers _,
+    "diversity_distinct_n" -> TextAnalysis.diversityDistinctN _,
+    "quality_ece"       -> TextAnalysis.qualityEce _,
+    "ngram_drift"       -> PipelineOps.ngramDrift _,
+    "chinchilla_plan"   -> PipelineOps.chinchillaPlan _,
+    "seed_select"       -> Similarity.seedSelect _,
     "event_anomalies"   -> PipelineOps.eventAnomalies _,
     "quality_drift"     -> PipelineOps.qualityDrift _,
     "pii_report"        -> TextAnalysis.piiReport _,
@@ -1401,6 +1410,32 @@ object SparkEntry {
        |  CAST((20000 * n + rt) // (2 * rt) AS DOUBLE) / 10000.0 AS row_share
        |FROM cm JOIN rt USING (true_label)
        |ORDER BY true_label, pred_label""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.seedSelect: the quantized per-dim centroid
+    * mean over the seed slice (vec_id % 17 = 3) cast to FLOAT — the same
+    * model rule centroid_classify pins — then one cosine scan against the
+    * centroid (::DOUBLE[] dot products, the knn parity convention) and
+    * the (cos DESC, vec_id ASC) top-100. */
+  private def seedSelectOracleSql: String = {
+    val dims = 64
+    val meanExprs = (1 to dims).map(d =>
+      s"CAST(CAST(sum(CAST(floor(CAST(embedding[$d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cent AS (
+       |  SELECT $meanExprs AS c FROM embeddings WHERE vec_id % 17 = 3),
+       |sc AS (
+       |  SELECT e.vec_id,
+       |    list_dot_product(e.embedding::DOUBLE[], cent.c::DOUBLE[])
+       |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       |         * sqrt(list_dot_product(cent.c::DOUBLE[], cent.c::DOUBLE[]))) AS cos
+       |  FROM embeddings e CROSS JOIN cent),
+       |r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS "rank",
+       |    vec_id, round(cos, 4) AS cos4
+       |  FROM sc)
+       |SELECT "rank", vec_id, cos4 FROM r WHERE "rank" <= 100
+       |ORDER BY "rank"""".stripMargin
   }
 
   private def knnIvfOracleSqlImpl(trainWhere: String): String = {
@@ -3394,6 +3429,211 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, n_tokens, n_distinct, entropy, entropy < 2.0 AS low_entropy
         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // round-14 corpus-health oracles
+    // character classes counted with the same length-difference trick as
+    // the Spark side — no per-char explode either engine
+    "script_mix" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(length(text) AS BIGINT) AS cl,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS lets,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digs,
+        |    CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS sps
+        |  FROM documents)
+        |SELECT source, count(1) AS n_docs,
+        |  CAST(sum(cl) AS BIGINT) AS n_chars,
+        |  CAST(sum(lets) AS BIGINT) AS n_letters,
+        |  CAST(sum(digs) AS BIGINT) AS n_digits,
+        |  CAST(sum(sps) AS BIGINT) AS n_spaces,
+        |  CAST(sum(cl) - sum(lets) - sum(digs) - sum(sps) AS BIGINT) AS n_other,
+        |  CASE WHEN sum(cl) > 0 THEN CAST((20000 * sum(lets) + sum(cl)) // (2 * sum(cl)) AS DOUBLE) / 10000.0 ELSE 0.0 END AS letter_share4,
+        |  CASE WHEN sum(cl) > 0 THEN CAST((20000 * sum(digs) + sum(cl)) // (2 * sum(cl)) AS DOUBLE) / 10000.0 ELSE 0.0 END AS digit_share4,
+        |  CASE WHEN sum(cl) > 0 THEN CAST((20000 * (sum(cl) - sum(lets) - sum(digs) - sum(sps)) + sum(cl)) // (2 * sum(cl)) AS DOUBLE) / 10000.0 ELSE 0.0 END AS other_share4
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-doc flesch from exact integer (w, s, v) — bit-identical doubles —
+    // then the quantized-integer mean (the mean_quality pattern)
+    "readability" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS w,
+        |    greatest(1, CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT)) AS s,
+        |    CAST(length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+        |      - length(regexp_replace(lower(text), '[aeiou]+', '', 'g')) AS BIGINT) AS v
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, w, s, v,
+        |    206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |      - 84.6 * (CAST(v AS DOUBLE) / CAST(w AS DOUBLE)) AS fl
+        |  FROM t WHERE w > 0)
+        |SELECT source, count(1) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(s) AS BIGINT) AS n_sentences,
+        |  CAST(sum(v) AS BIGINT) AS n_vowel_groups,
+        |  round(CAST(sum(CAST(floor(fl * 1048576.0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(1) AS DOUBLE) / 1048576.0, 4) AS mean_flesch
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact type-7 medians both engines (quantile_cont ≡ Spark percentile);
+    // integer lengths → half-grid medians → exact MAD compare
+    "length_outliers" ->
+      """WITH l AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |m AS (SELECT source, quantile_cont(n, 0.5) AS med FROM l GROUP BY source),
+        |a AS (SELECT l.source, abs(CAST(n AS DOUBLE) - med) AS ad, med
+        |      FROM l JOIN m USING (source)),
+        |d AS (SELECT source, med, quantile_cont(ad, 0.5) AS mad
+        |      FROM a GROUP BY source, med)
+        |SELECT d.source, count(1) AS n_docs, d.med, d.mad,
+        |  CAST(count_if(ad > 3.0 * mad) AS BIGINT) AS n_outliers,
+        |  CAST((20000 * count_if(ad > 3.0 * mad) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS outlier_share4
+        |FROM a JOIN d USING (source)
+        |GROUP BY d.source, d.med, d.mad ORDER BY d.source""".stripMargin,
+
+    "diversity_distinct_n" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |u AS (
+        |  SELECT source, 1 AS n, unnest(ts) AS g FROM t
+        |  UNION ALL
+        |  SELECT source, 2 AS n,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS g
+        |  FROM t
+        |  UNION ALL
+        |  SELECT source, 3 AS n,
+        |    unnest(list_transform(range(1, len(ts) - 1),
+        |      i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+        |  FROM t)
+        |SELECT source, n, CAST(count(1) AS BIGINT) AS n_total,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  CAST((20000 * count(DISTINCT g) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS distinct_share4
+        |FROM u GROUP BY source, n ORDER BY source, n""".stripMargin,
+
+    // predictor = the quality_score formula (verbatim), gold = the
+    // quality_gopher passes rule (verbatim, incl. its n_words >= 1 domain);
+    // conf/acc/gap in exact 1e-4 integer units, ECE via the same chain
+    "quality_ece" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2 AS qv
+        |  FROM documents),
+        |gt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |gm AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(['the','a','of','and','is'], s -> list_contains(ts, s))) AS BIGINT) AS n_stopwords
+        |  FROM gt WHERE len(ts) >= 1),
+        |g AS (
+        |  SELECT doc_id,
+        |    (n_words BETWEEN 20 AND 100000) AND (3 * n_words <= sumlen)
+        |      AND (sumlen <= 10 * n_words) AND (5 * alpha >= 4 * n_words)
+        |      AND (n_stopwords >= 2) AS passes
+        |  FROM gm),
+        |b AS (
+        |  SELECT least(CAST(floor(qv * 10) AS BIGINT), 9) AS bin, qv, passes
+        |  FROM q JOIN g USING (doc_id)),
+        |p AS (
+        |  SELECT bin, CAST(count(1) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(floor(qv * 10000.0) AS BIGINT)) AS BIGINT) AS qs,
+        |    CAST(count_if(passes) AS BIGINT) AS np
+        |  FROM b GROUP BY bin),
+        |c AS (
+        |  SELECT bin, n_docs,
+        |    (2 * qs + n_docs) // (2 * n_docs) AS conf_i,
+        |    (20000 * np + n_docs) // (2 * n_docs) AS acc_i
+        |  FROM p),
+        |e AS (
+        |  SELECT CAST((2 * sum(n_docs * abs(conf_i - acc_i)) + sum(n_docs))
+        |    // (2 * sum(n_docs)) AS DOUBLE) / 10000.0 AS ece4 FROM c)
+        |SELECT bin, n_docs,
+        |  CAST(conf_i AS DOUBLE) / 10000.0 AS conf4,
+        |  CAST(acc_i AS DOUBLE) / 10000.0 AS acc4,
+        |  CAST(abs(conf_i - acc_i) AS DOUBLE) / 10000.0 AS gap4,
+        |  ece4
+        |FROM c CROSS JOIN e ORDER BY bin""".stripMargin,
+
+    // the quality_drift generations; fingerprint = wrapping 64-bit
+    // polynomial (base 31) over per-token md5h60 hashes — the Spark side's
+    // native ngram_fps ∘ md5h60_array, emulated here with the HUGEINT
+    // mod-2^64 fold + signed remap (the rolling_hash convention); DISTINCT
+    // per side before the anti-join (vocabulary-sized, like the Spark plan)
+    "ngram_drift" ->
+      s"""WITH d0 AS (
+        |  SELECT text FROM documents WHERE doc_id % 13 <> 5),
+        |d1 AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 7),
+        |f0 AS (
+        |  SELECT DISTINCT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |      THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT list_reduce(
+        |      [0::HUGEINT] || list_transform(hs[i : i + 7], x -> x::HUGEINT),
+        |      (h, x) -> (h * 31 + x) % 18446744073709551616::HUGEINT) AS u
+        |    FROM (
+        |      SELECT hs, unnest(range(1, len(hs) - 6)) AS i FROM (
+        |        SELECT list_transform(list_filter(string_split(text, ' '),
+        |          x -> len(x) > 0), t -> ${md5h60("t")}) AS hs
+        |        FROM d0)
+        |      WHERE len(hs) >= 8))),
+        |f1 AS (
+        |  SELECT DISTINCT source, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |      THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp
+        |  FROM (
+        |    SELECT source, list_reduce(
+        |      [0::HUGEINT] || list_transform(hs[i : i + 7], x -> x::HUGEINT),
+        |      (h, x) -> (h * 31 + x) % 18446744073709551616::HUGEINT) AS u
+        |    FROM (
+        |      SELECT source, hs, unnest(range(1, len(hs) - 6)) AS i FROM (
+        |        SELECT source, list_transform(list_filter(string_split(text, ' '),
+        |          x -> len(x) > 0), t -> ${md5h60("t")}) AS hs
+        |        FROM d1)
+        |      WHERE len(hs) >= 8))),
+        |nv AS (
+        |  SELECT source, CAST(count(1) AS BIGINT) AS n_novel FROM f1
+        |  WHERE NOT EXISTS (SELECT 1 FROM f0 WHERE f0.fp = f1.fp)
+        |  GROUP BY source),
+        |tot AS (
+        |  SELECT source, CAST(count(1) AS BIGINT) AS n_distinct FROM f1 GROUP BY source)
+        |SELECT tot.source, n_distinct,
+        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST((20000 * coalesce(n_novel, 0) + n_distinct) // (2 * n_distinct) AS DOUBLE) / 10000.0 AS novelty_share4
+        |FROM tot LEFT JOIN nv USING (source) ORDER BY tot.source""".stripMargin,
+
+    // powers of ten through 1e22 are exact doubles; IEEE sqrt is correctly
+    // rounded, and no budget's sqrt lands near an integer, so the floors
+    // agree across engines with margin
+    "chinchilla_plan" ->
+      """WITH grid AS (SELECT unnest([18, 19, 20, 21, 22]) AS budget_exp),
+        |sup AS (
+        |  SELECT CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS corpus_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT budget_exp,
+        |    CAST(floor(sqrt(power(10.0, budget_exp) / 120.0)) AS BIGINT) AS n_params,
+        |    corpus_tokens
+        |  FROM grid CROSS JOIN sup)
+        |SELECT budget_exp, n_params,
+        |  CAST(20 * n_params AS BIGINT) AS n_tokens, corpus_tokens,
+        |  CAST((20000 * (20 * n_params) + corpus_tokens) // (2 * corpus_tokens) AS DOUBLE) / 10000.0 AS epochs_needed4,
+        |  (20 * n_params) > 4 * corpus_tokens AS data_constrained
+        |FROM p ORDER BY budget_exp""".stripMargin,
+
+    "seed_select" -> seedSelectOracleSql,
 
     // hourly counts GAP-FILLED onto a dense per-type hour spine (ADVICE
     // r13: the trailing frame is 24 wall-clock hours, and a zero-event

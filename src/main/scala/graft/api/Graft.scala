@@ -4039,6 +4039,297 @@ object Graft {
                |  ELSE 0.0 END""".stripMargin).as("top_share"))
   }
 
+  /** CHARACTER-CLASS composition per group — the script-mix readout a
+    * multilingual curation pass runs before trusting language ID (a "en"
+    * doc that is 40% digits is a table dump, not prose; CJK bytes inside a
+    * Latin-labeled source flag mislabeled ingestion). Four ASCII-exact
+    * classes (letters, digits, spaces, other = remainder) counted with the
+    * length-difference trick — length(text) − length(regexp_replace(class,
+    * '')) — so both engines count identically with no per-char explode.
+    * One row-local scan + one group-count-sized aggregate; ratio4 shares.
+    * At 100 TB this is a single linear pass with map-side partials. */
+  def scriptMix(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    def classCount(re: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), re, ""))).cast("long")
+    def share(c: String): Column = expr(
+      s"""CASE WHEN n_chars > 0
+         |  THEN CAST((20000L * $c + n_chars) DIV (2L * n_chars) AS DOUBLE)
+         |    / 10000.0
+         |  ELSE 0.0 END""".stripMargin)
+    docs.select(col(groupCol),
+        length(col(textCol)).cast("long").as("__cl"),
+        classCount("[A-Za-z]").as("__let"),
+        classCount("[0-9]").as("__dig"),
+        classCount(" ").as("__sp"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__cl").as("n_chars"),
+        sum("__let").as("n_letters"),
+        sum("__dig").as("n_digits"),
+        sum("__sp").as("n_spaces"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_letters") - col("n_digits") - col("n_spaces"))
+      .select(col(groupCol), col("n_docs"), col("n_chars"),
+        col("n_letters"), col("n_digits"), col("n_spaces"), col("n_other"),
+        share("n_letters").as("letter_share4"),
+        share("n_digits").as("digit_share4"),
+        share("n_other").as("other_share4"))
+  }
+
+  /** FLESCH-style readability per group (Flesch '48 reading ease, the
+    * classic prose-quality proxy quality filters bundle alongside stopword
+    * ratios): per document, words = nonempty whitespace tokens, sentences
+    * = max(1, count of [.!?] chars), syllables ≈ maximal vowel runs
+    * (counted with the replace-run-with-one-char length trick, exact in
+    * both engines), flesch = 206.835 − 1.015·W/S − 84.6·V/W — every input
+    * an exact integer, so the per-doc double is bit-identical cross-engine;
+    * the per-group mean folds floor(flesch·2²⁰) integer sums (the
+    * mean_quality pattern). Row-local scan + group-sized aggregate. */
+  def readabilityScores(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(groupCol),
+        expr(s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+          "x -> length(x) > 0)) AS BIGINT)").as("__w"),
+        greatest(lit(1L),
+          (length(t) - length(regexp_replace(t, "[.!?]", ""))).cast("long"))
+          .as("__s"),
+        (length(regexp_replace(lower(t), "[aeiou]+", "#"))
+          - length(regexp_replace(lower(t), "[aeiou]+", ""))).cast("long")
+          .as("__v"))
+      .filter(col("__w") > 0L)
+      .withColumn("__f", expr(
+        """206.835D - 1.015D * (CAST(__w AS DOUBLE) / CAST(__s AS DOUBLE))
+          | - 84.6D * (CAST(__v AS DOUBLE) / CAST(__w AS DOUBLE))""".stripMargin))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").as("n_words"),
+        sum("__s").as("n_sentences"),
+        sum("__v").as("n_vowel_groups"),
+        round(sum(floor(col("__f") * 1048576.0)).cast("double")
+          / count(lit(1)).cast("double") / 1048576.0, 4).as("mean_flesch"))
+  }
+
+  /** ROBUST length outliers per group — median/MAD instead of mean/σ (the
+    * screen that survives the heavy-tailed length distributions real web
+    * corpora have, where a handful of mega-docs drag the mean far above
+    * the mode and a ±3σ rule flags nothing): per group, the EXACT median
+    * token count, MAD = median(|n − med|), and how many documents sit
+    * outside med ± 3·MAD. Exact medians are safe here because the
+    * aggregation state is bounded by the DISTINCT length domain (token
+    * counts, thousands of values), not by document count — at 100 TB each
+    * group's percentile buffer is a small histogram. Two grouped
+    * aggregates + one broadcast join of the group-sized median table. */
+  def lengthMadOutliers(docs: DataFrame, textCol: String,
+      groupCol: String, k: Double = 3.0): DataFrame = {
+    val lens = docs.select(col(groupCol),
+      expr(s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+        "x -> length(x) > 0)) AS BIGINT)").as("__n"))
+    val med = lens.groupBy(groupCol)
+      .agg(expr("percentile(__n, 0.5D)").as("med"))
+    // medians of integer counts land on the exact-half grid, so |n − med|,
+    // k·mad and the outlier compare are all IEEE-exact in both engines
+    val withMed = lens.join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col("__n").cast("double") - col("med")))
+    val madT = withMed.groupBy(groupCol)
+      .agg(expr("percentile(__ad, 0.5D)").as("mad"))
+    withMed.join(broadcast(madT), Seq(groupCol))
+      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"CAST(count_if(__ad > ${k}D * mad) AS BIGINT)").as("n_outliers"))
+      .select(col(groupCol), col("n_docs"), col("med"), col("mad"),
+        col("n_outliers"),
+        expr("""CAST((20000L * n_outliers + n_docs)
+               |  DIV (2L * n_docs) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("outlier_share4"))
+  }
+
+  /** DISTINCT-n diversity per group (Li '16 distinct-1/2/3 — the
+    * degenerate-text screen: templated or looping corpora collapse the
+    * distinct-share of their n-grams long before any perplexity model
+    * notices): for n ∈ 1..maxN, total n-gram occurrences, distinct
+    * n-grams, and the ratio4 distinct share. One explode per n (token
+    * positions, linear), a (group, gram) aggregate with map-side partials,
+    * then a group-sized rollup — the shuffle key is the gram itself, so
+    * the reduce state is the vocabulary, never the corpus. */
+  def distinctNgramDiversity(docs: DataFrame, textCol: String,
+      groupCol: String, maxN: Int = 3): DataFrame = {
+    val toks = docs.select(col(groupCol),
+      expr(s"filter(split(`$textCol`, ' ', -1), x -> length(x) > 0)")
+        .as("__ts"))
+    (1 to maxN).map { n =>
+      toks
+        .select(col(groupCol), explode(expr(
+          s"""CASE WHEN size(__ts) >= $n THEN transform(
+             |  sequence(0, size(__ts) - $n),
+             |  i -> array_join(slice(__ts, i + 1, $n), ' '))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+          .as("__g"))
+        .groupBy(col(groupCol), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("n_distinct"), sum("__c").as("n_total"))
+        .select(col(groupCol), lit(n).as("n"), col("n_total"),
+          col("n_distinct"),
+          expr("""CAST((20000L * n_distinct + n_total)
+                 |  DIV (2L * n_total) AS DOUBLE) / 10000.0""".stripMargin)
+            .as("distinct_share4"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** QUALITY-SCORE CALIBRATION report (Guo '17 expected calibration
+    * error, applied to the curation stack itself): does the cheap scored
+    * filter's confidence track the rule-based gold screen? Documents are
+    * binned by score decile; per bin, the quantized-integer mean score
+    * (confidence), the ratio4 share passing the Gopher rule bundle
+    * (accuracy), the |conf − acc| gap — all in exact 10⁻⁴ integer units —
+    * and the corpus-level ECE (Σ nᵦ·gapᵦ / N) repeated per row via a
+    * broadcast 1-row rollup. A well-calibrated screen has small gaps;
+    * a bin with conf ≫ acc is where the scored filter over-trusts itself.
+    * Two row-local scans + an id equi-join + a bin-grid aggregate. */
+  def qualityCalibration(docs: DataFrame, idCol: String, textCol: String,
+      bins: Int = 10, minWords: Long = 20L): DataFrame = {
+    val scored = qualityScore(docs.select(col(idCol), col(textCol)),
+        textCol, out = "__q")
+      .select(col(idCol), col("__q"))
+    val gold = gopherRules(docs.select(col(idCol), col(textCol)),
+        textCol, minWords = minWords)
+      .select(col(idCol), col("passes"))
+    val perBin = scored.join(gold, Seq(idCol))
+      .withColumn("bin",
+        least(floor(col("__q") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(floor(col("__q") * 10000.0).cast("long")).as("__qs"),
+        expr("CAST(count_if(passes) AS BIGINT)").as("__np"))
+      // conf/acc in integer 1e-4 units (the qualityDrift rounding chain;
+      // __qs ≥ 0 here so the unsigned form suffices)
+      .withColumn("__conf_i", expr("(2L * __qs + n_docs) DIV (2L * n_docs)"))
+      .withColumn("__acc_i",
+        expr("(20000L * __np + n_docs) DIV (2L * n_docs)"))
+      .withColumn("__gap_i", abs(col("__conf_i") - col("__acc_i")))
+    val ece = perBin
+      .agg(sum(col("n_docs") * col("__gap_i")).as("__gs"),
+        sum("n_docs").as("__nt"))
+      .select(expr(
+        "CAST((2L * __gs + __nt) DIV (2L * __nt) AS DOUBLE) / 10000.0")
+        .as("ece4"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs"),
+        (col("__conf_i").cast("double") / 10000.0).as("conf4"),
+        (col("__acc_i").cast("double") / 10000.0).as("acc4"),
+        (col("__gap_i").cast("double") / 10000.0).as("gap4"),
+        col("ece4"))
+  }
+
+  /** GENERATION-over-generation n-gram NOVELTY — the content-level twin of
+    * the id-level corpus_diff: per group, how much of the new generation's
+    * distinct n-gram inventory did not exist anywhere in the previous
+    * generation (Gao '20-style corpus churn readout; a source whose
+    * novelty collapses toward 0 is re-crawling what it already had, one
+    * that jumps toward 1 changed domain or got polluted). Both sides
+    * reduce to DISTINCT fingerprints before the anti-join, so the join is
+    * vocabulary-sized per generation — never occurrence-sized — and the
+    * shuffle key is the fingerprint. The fingerprint is the wrapping
+    * 64-bit polynomial over per-TOKEN md5h60 hashes (native ngram_fps ∘
+    * md5h60_array): one md5 per token instead of one per n-gram, no
+    * n-gram string ever materialized, O(tokens) rolling loop — measured
+    * 18× over the gram-string md5 form at sf1 (40.7 s → 2.2 s min-of-3,
+    * with the per-doc distinct trim included). */
+  def ngramDrift(gen0: DataFrame, gen1: DataFrame, textCol: String,
+      groupCol: String, n: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(gen0.sparkSession)
+    // token array hoisted to a column BEFORE the fingerprint pass; the
+    // per-doc array_distinct trims repeated grams ahead of the shuffle
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .select(cols :+ expr(
+        s"filter(split(`$textCol`, ' ', -1), x -> length(x) > 0)")
+        .as("__ts"): _*)
+      .select(cols :+ expr(
+        s"array_distinct(ngram_fps(md5h60_array(__ts), $n))").as("__fps"): _*)
+      .select(cols :+ explode(col("__fps")).as("__fp"): _*)
+    val g0 = grams(gen0).select("__fp").distinct()
+    val g1 = grams(gen1, col(groupCol)).select(col(groupCol), col("__fp"))
+      .distinct()
+    val novel = g1.join(g0, Seq("__fp"), "left_anti")
+      .groupBy(groupCol).agg(count(lit(1)).as("n_novel"))
+    g1.groupBy(groupCol).agg(count(lit(1)).as("n_distinct"))
+      .join(novel, Seq(groupCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .select(col(groupCol), col("n_distinct"), col("n_novel"),
+        expr("""CAST((20000L * n_novel + n_distinct)
+               |  DIV (2L * n_distinct) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("novelty_share4"))
+  }
+
+  /** COMPUTE-OPTIMAL training plan vs corpus supply (Hoffmann '22
+    * "Chinchilla" C = 6·N·D with D/N ≈ `tokensPerParam`; Muennighoff '23
+    * data-constrained cap of ~`maxEpochs` useful epochs): for each FLOP
+    * budget 10^e, the compute-optimal parameter and token counts
+    * (N* = ⌊√(C / (6·tokensPerParam))⌋, D* = tokensPerParam·N* — powers of
+    * ten through 10²² are exact doubles and IEEE sqrt is correctly
+    * rounded, so both engines floor the same value), the corpus's actual
+    * whitespace-token supply, the ratio4 epochs the plan demands of it,
+    * and the data-constrained flag (D* > maxEpochs·supply). One corpus
+    * aggregate + a broadcast budget grid — the solver frame is the grid. */
+  def chinchillaPlan(docs: DataFrame, textCol: String,
+      budgetExponents: Seq[Int] = Seq(18, 19, 20, 21, 22),
+      tokensPerParam: Long = 20L, maxEpochs: Long = 4L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grid = budgetExponents.toDF("budget_exp")
+    val supply = docs.agg(
+      sum(expr(s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+        "x -> length(x) > 0)) AS BIGINT)")).as("corpus_tokens"))
+    grid.crossJoin(broadcast(supply))
+      .withColumn("n_params", expr(
+        s"CAST(floor(sqrt(power(10.0D, budget_exp) / ${6L * tokensPerParam}.0D)) AS BIGINT)"))
+      .withColumn("n_tokens", expr(s"${tokensPerParam}L * n_params"))
+      .select(col("budget_exp"), col("n_params"), col("n_tokens"),
+        col("corpus_tokens"),
+        expr("""CAST((20000L * n_tokens + corpus_tokens)
+               |  DIV (2L * corpus_tokens) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("epochs_needed4"),
+        expr(s"n_tokens > ${maxEpochs}L * corpus_tokens")
+          .as("data_constrained"))
+  }
+
+  /** SEED-CENTROID targeted selection — the embedding-space counterpart
+    * of DSIR's hashed-n-gram importance sampling (Xie '23): curate toward
+    * a seed set (a trusted domain sample) by ranking the corpus on cosine
+    * similarity to the seeds' centroid. The centroid is the fixed-point
+    * per-dimension quantized mean (integer sums of floor(v·2²⁰), one IEEE
+    * divide, cast to FLOAT — the kmeans/centroid-probe model rule, so the
+    * model is cross-engine exact); scoring is one broadcast-centroid scan;
+    * the global top-k is TakeOrdered (never a full sort). At 100 TB: the
+    * seed aggregate is one pass over the seed slice, scoring is one linear
+    * pass, k rows come back. */
+  def seedSelect(vecs: DataFrame, idCol: String, vecCol: String,
+      seedPred: Column, topK: Int = 100): DataFrame = {
+    graft.functions.VectorFunctions.register(vecs.sparkSession)
+    val cent = vecs.filter(seedPred)
+      .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy("__i")
+      .agg((sum(floor(col("__v").cast("double") * 1048576.0)).cast("double")
+        / count(lit(1)).cast("double") / 1048576.0).as("__m"))
+      .agg(array_sort(collect_list(struct(col("__i"), col("__m"))))
+        .as("__pairs"))
+      .select(expr("transform(__pairs, x -> CAST(x.__m AS FLOAT))")
+        .as("__cent"))
+    val scored = vecs.crossJoin(broadcast(cent))
+      .withColumn("__cos", expr(
+        s"""vec_dot(`$vecCol`, __cent)
+           | / (sqrt(vec_dot(`$vecCol`, `$vecCol`))
+           |    * sqrt(vec_dot(__cent, __cent)))""".stripMargin))
+      .orderBy(col("__cos").desc, col(idCol).asc)
+      .limit(topK)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__cos").desc, col(idCol).asc)).cast("long"))
+      .select(col("rank"), col(idCol), round(col("__cos"), 4).as("cos4"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -255,6 +255,63 @@ object Md5Hash60Array {
     })
 }
 
+/** Positional n-gram fingerprints over a token-hash array:
+  * `ngram_fps(hashes, n)` returns, for each window start i, the wrapping
+  * 64-bit polynomial Σ h[i+j]·31^(n-1-j) — one Long per n-gram, computed
+  * with a TRUE rolling update (h' = (h − out·31^(n-1))·31 + in, all
+  * wrapping), so the loop is O(tokens) per document, not O(n·grams), and
+  * no n-gram string is ever materialized. The SQL-arithmetic form would
+  * throw under ANSI mode on overflow; wrapping Long arithmetic is mod
+  * 2^64, which the DuckDB twin emulates with a HUGEINT fold + the signed
+  * remap (the rolling_hash convention — SparkEntry ngram_drift oracle).
+  * Arrays shorter than n yield an empty array. Second argument must be a
+  * foldable positive INT. */
+case class NgramFps(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngram_fps requires (ARRAY<BIGINT>, foldable INT), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_fps"
+  override def nullSafeEval(arr: Any, n: Any): Any =
+    NgramFps.fps(arr.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) => s"graft.functions.NgramFps.fps($a, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramFps {
+  // called from generated code
+  def fps(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n) return ArrayData.toArrayData(Array.emptyLongArray)
+    // 31^(n-1) wrapping — the factor the outgoing token carries
+    var pow = 1L
+    var j = 1
+    while (j < n) { pow *= 31L; j += 1 }
+    val out = new Array[Long](m - n + 1)
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * 31L + arr.getLong(i); i += 1 }
+    out(0) = h
+    var s = 1
+    while (s <= m - n) {
+      h = (h - arr.getLong(s - 1) * pow) * 31L + arr.getLong(s + n - 1)
+      out(s) = h
+      s += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Per-element abs(xxhash64) over a string array — the production-default
   * twin of md5h60_array (`xx63_array(arr)` ≡ `transform(arr, g ->
   * abs(xxhash64(g)))`, Graft.xxHash63's value). Same rationale: one native
@@ -331,6 +388,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => Md5Hash60bExpr(exprs.head)),
     ("md5h60_array", classOf[Md5Hash60Array],
       (exprs: Seq[Expression]) => Md5Hash60Array(exprs.head)),
+    ("ngram_fps", classOf[NgramFps],
+      (exprs: Seq[Expression]) => NgramFps(exprs(0), exprs(1))),
     ("xx63_array", classOf[XxHash63Array],
       (exprs: Seq[Expression]) => XxHash63Array(exprs.head)),
     ("xx64_array", classOf[XxHash64Array],

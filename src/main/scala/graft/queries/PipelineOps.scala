@@ -866,4 +866,30 @@ object PipelineOps {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", bucketTokens = 16, batchTokens = 16384)
       .orderBy("cap")
+
+  /** Generation-over-generation 8-gram novelty per source (Graft
+    * .ngramDrift): the content-level twin of corpus_diff, on the same
+    * synthetic generations as quality_drift (gen0 drops %13==5, gen1
+    * drops %13==7 and uppercases %13==2 — the rewrite creates REAL novel
+    * n-grams, so the readout is non-trivial). */
+  def ngramDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val gen0 = docs.filter(col("doc_id") % 13 =!= 5)
+    val gen1 = docs.filter(col("doc_id") % 13 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 2, upper(col("text")))
+          .otherwise(col("text")))
+    graft.api.Graft.ngramDrift(gen0, gen1, "text", "source", n = 8)
+      .orderBy("source")
+  }
+
+  /** Compute-optimal plan vs corpus supply (Graft.chinchillaPlan,
+    * Hoffmann '22 + Muennighoff '23): per FLOP budget decade, optimal
+    * N/D, the corpus's token supply, epochs needed, and the
+    * data-constrained flag. */
+  def chinchillaPlan(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.chinchillaPlan(
+        Tables.documents(s, d).select(col("text")), "text")
+      .orderBy("budget_exp")
 }

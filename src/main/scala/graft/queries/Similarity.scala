@@ -825,4 +825,15 @@ object Similarity {
     graft.api.Graft.centroidClassify(
         Tables.embeddings(s, d), "vec_id", "embedding", "label")
       .orderBy("true_label", "pred_label")
+
+  /** Seed-centroid targeted selection (Graft.seedSelect): top-100 corpus
+    * vectors by cosine to the quantized centroid of the deterministic
+    * seed slice (vec_id % 17 == 3) — the embedding-space sibling of
+    * dsir_select. */
+  def seedSelect(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.seedSelect(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding",
+        seedPred = col("vec_id") % 17 === 3, topK = 100)
+      .orderBy("rank")
 }

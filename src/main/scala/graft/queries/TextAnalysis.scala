@@ -602,4 +602,48 @@ object TextAnalysis {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text", n = 3)
       .orderBy("bucket")
+
+  /** Character-class composition per source (Graft.scriptMix): letters /
+    * digits / spaces / other via the length-difference trick — the
+    * script-mix screen a multilingual pass runs before trusting lang-ID. */
+  def scriptMix(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.scriptMix(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "text", "source")
+      .orderBy("source")
+
+  /** Flesch-style readability per source (Graft.readabilityScores):
+    * words/sentences/vowel-run counts per doc, per-source quantized-mean
+    * reading-ease score. */
+  def readability(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.readabilityScores(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "text", "source")
+      .orderBy("source")
+
+  /** Robust MAD length outliers per source (Graft.lengthMadOutliers):
+    * exact median token count, MAD, and the ±3·MAD outlier share. */
+  def lengthOutliers(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.lengthMadOutliers(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "text", "source")
+      .orderBy("source")
+
+  /** Distinct-n diversity per source (Graft.distinctNgramDiversity, Li
+    * '16): distinct share of 1/2/3-gram occurrences — the degenerate-text
+    * screen. */
+  def diversityDistinctN(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.distinctNgramDiversity(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "text", "source", maxN = 3)
+      .orderBy("source", "n")
+
+  /** Quality-score calibration vs the Gopher rule gold (Graft
+    * .qualityCalibration, Guo '17 ECE): per score decile, confidence vs
+    * rule accuracy in exact 10⁻⁴ units, plus the corpus ECE. */
+  def qualityEce(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.qualityCalibration(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .orderBy("bin")
 }

@@ -72,6 +72,155 @@ class Round14Spec extends SparkSpec {
       s"frame not wall-clock: trailing_mean=$mu (expected ${230.0 / 24.0})")
   }
 
+  test("ngram_fps: rolling wrapping polynomial equals the driver-side fold") {
+    functions.VectorFunctions.register(spark)
+    val hs = Seq(3L, -7L, Long.MaxValue - 2, 11L, Long.MinValue + 5, 42L, 9L)
+    val n = 3
+    val out = Seq(Tuple1(hs)).toDF("hs")
+      .select(expr(s"ngram_fps(hs, $n)").as("fps"))
+      .as[Seq[Long]].head()
+    // direct (non-rolling) fold with the same wrapping arithmetic — the
+    // rolling update's subtract/multiply must cancel exactly mod 2^64
+    val expect = (0 to hs.length - n).map { i =>
+      hs.slice(i, i + n).foldLeft(0L)((h, x) => h * 31L + x)
+    }
+    assert(out == expect, s"$out vs $expect")
+    // shorter-than-n arrays yield empty, length-n yields one
+    assert(Seq(Tuple1(hs.take(2))).toDF("hs")
+      .select(expr(s"ngram_fps(hs, $n)")).as[Seq[Long]].head().isEmpty)
+    assert(Seq(Tuple1(hs.take(3))).toDF("hs")
+      .select(expr(s"ngram_fps(hs, $n)")).as[Seq[Long]].head().size == 1)
+  }
+
+  test("scriptMix: the four char classes partition every source's chars") {
+    val out = queries.TextAnalysis.scriptMix(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, nd, ch, let, dig, sp, oth, ls, ds, os) =>
+      assert(let + dig + sp + oth == ch, s"$src: classes do not partition")
+      assert(nd > 0 && let >= 0 && dig >= 0 && sp >= 0 && oth >= 0)
+      assert(ls >= 0.0 && ls <= 1.0 && ds >= 0.0 && ds <= 1.0 && os >= 0.0 && os <= 1.0)
+    }
+    // totals equal a direct recompute
+    val direct = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")).cast("long"))).as[Long].head()
+    assert(out.map(_._3).sum == direct)
+  }
+
+  test("qualityCalibration: bins partition the gold domain; ECE is the weighted gap") {
+    val out = queries.TextAnalysis.qualityEce(spark, sf)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    // domain = docs with >= 1 nonempty token (the gopherRules filter)
+    val domain = Tables.documents(spark, sf)
+      .filter(expr(
+        "size(filter(split(text, ' ', -1), t -> length(t) > 0)) >= 1"))
+      .count()
+    assert(out.map(_._2).sum == domain, "bins do not partition the domain")
+    out.foreach { case (bin, n, conf, acc, gap, _) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(math.abs(gap - math.abs(conf - acc)) < 1e-9, s"bin $bin gap drifted")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    // ece4 = round(Σ n·gap_i / N) on the 1e-4 grid, same on every row
+    assert(out.map(_._6).distinct.length == 1)
+    val eceI = out.map { case (_, n, _, _, gap, _) =>
+      n * math.round(gap * 10000.0) }.sum
+    val n = out.map(_._2).sum
+    val expect = ((2 * eceI + n) / (2 * n)).toDouble / 10000.0
+    assert(math.abs(out.head._6 - expect) < 1e-9,
+      s"ece ${out.head._6} vs recompute $expect")
+  }
+
+  test("chinchillaPlan: optimal sizes match closed form; flag consistent") {
+    val out = queries.PipelineOps.chinchillaPlan(spark, sf)
+      .as[(Int, Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(18, 19, 20, 21, 22))
+    out.foreach { case (e, np, nt, ct, _, constrained) =>
+      assert(np == math.floor(math.sqrt(math.pow(10.0, e) / 120.0)).toLong,
+        s"budget 1e$e: n_params $np drifted from the closed form")
+      assert(nt == 20L * np)
+      assert(constrained == (nt > 4L * ct))
+    }
+    // the corpus supply is a constant column = the direct token count
+    val direct = Tables.documents(spark, sf).agg(sum(expr(
+      "CAST(size(filter(split(text, ' ', -1), x -> length(x) > 0)) AS BIGINT)")))
+      .as[Long].head()
+    assert(out.map(_._4).distinct.toSeq == Seq(direct))
+  }
+
+  test("lengthMadOutliers: median/MAD/outliers match a driver recompute per source") {
+    val out = queries.TextAnalysis.lengthOutliers(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    val lens = Tables.documents(spark, sf)
+      .select(col("source"), expr(
+        "CAST(size(filter(split(text, ' ', -1), x -> length(x) > 0)) AS BIGINT)"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    assert(out.length == lens.size)
+    out.foreach { case (src, nDocs, med, mad, nOut, _) =>
+      val xs = lens(src).map(_._2.toDouble).toSeq
+      assert(nDocs == xs.size.toLong)
+      assert(med == medianOf(xs), s"$src median")
+      val ads = xs.map(x => math.abs(x - med))
+      assert(mad == medianOf(ads), s"$src mad")
+      assert(nOut == ads.count(_ > 3.0 * mad).toLong, s"$src outliers")
+    }
+  }
+
+  test("diversityDistinctN: the n=1 rows equal direct distinct/total token counts") {
+    val out = queries.TextAnalysis.diversityDistinctN(spark, sf)
+      .as[(String, Int, Long, Long, Double)].collect()
+    // 3 rows per source; distinct <= total everywhere
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    out.foreach { case (src, n, tot, dis, share) =>
+      assert(dis <= tot, s"$src n=$n")
+      assert(share > 0.0 && share <= 1.0)
+    }
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), explode(expr(
+        "filter(split(text, ' ', -1), x -> length(x) > 0)")).as("t"))
+    val direct = toks.groupBy("source")
+      .agg(count(lit(1)).as("tot"), countDistinct("t").as("dis"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.filter(_._2 == 1).foreach { case (src, _, tot, dis, _) =>
+      assert((tot, dis) == direct(src), s"$src unigram counts drifted")
+    }
+  }
+
+  test("seedSelect: dense ranks, non-increasing scores, seeds score highest") {
+    val out = queries.Similarity.seedSelect(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.length == 100)
+    assert(out.map(_._1).toSeq == (1L to 100L))
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last - 1e-9),
+      "cos4 not non-increasing in rank")
+    // the seed slice itself should dominate the top of the ranking: seeds
+    // average at least the non-seed selected share
+    val seedsSelected = out.count(r => r._2 % 17 == 3)
+    assert(seedsSelected > 0, "no seed member selected — centroid drifted")
+  }
+
+  test("readability: per-source word totals match a direct recompute") {
+    val out = queries.TextAnalysis.readability(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    val direct = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(sum(expr(
+        "CAST(size(filter(split(text, ' ', -1), x -> length(x) > 0)) AS BIGINT)")))
+      .as[(String, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (src, nDocs, w, s, v, fl) =>
+      assert(w == direct(src), s"$src words")
+      assert(s >= nDocs, s"$src: every doc contributes >= 1 sentence")
+      assert(fl <= 206.835 + 1e-9)
+    }
+  }
+
   test("stageOrderedBatches: an empty mod-n bucket stages a valid empty batch") {
     // ids 0,3,6,9 → mod 3 buckets {0}: bucket 1 and 2 empty at n=3?
     // no — use ids that leave bucket 1 empty: 0,2,3,5 mod 3 = {0,2,0,2}
