@@ -342,10 +342,11 @@ object PlanAudit {
         "centroid probe: label-count centroids broadcast; assignment is " +
           "an argmin AGGREGATE with map-side partials, one row per vector " +
           "in the shuffle — never the N·k candidate set through a sort"),
-      ("event_anomalies", p => !p.contains("Join")
+      ("event_anomalies", p => !p.contains("CartesianProduct")
         && p.contains("partial_count"),
-        "rate anomalies: ONE data-sized count aggregate; the trailing " +
-          "window runs on the (type, hour) grid partitioned by type"),
+        "rate anomalies: ONE data-sized count aggregate; the gap-fill " +
+          "spine join and trailing window run on the (type, hour) grid " +
+          "(both sides aggregates of the hourly counts, never events)"),
       ("quality_drift", p => p.contains("BroadcastHashJoin")
         && !p.contains("CartesianProduct"),
         "quality drift: both generations score through the broadcast " +
@@ -396,6 +397,19 @@ object PlanAudit {
       ("chinchilla_plan", p => !p.contains("SortMergeJoin"),
         "chinchilla plan: one corpus token aggregate broadcast onto the " +
           "5-row budget grid — the solver frame is the grid"),
+      ("decontaminate_embedding", p => p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        "embedding decontamination: FIXED-SIZE eval side broadcast onto " +
+          "one linear train scan — never a train x train or corpus-" +
+          "fraction pairing"),
+      ("tokenizer_drift", p => !p.contains("CartesianProduct")
+        && !p.contains("SortMergeJoin"),
+        "tokenizer drift: two vocabulary-sized trainings; every join " +
+          "after them is on the 10-row merge grid (broadcast)"),
+      ("quality_length_joint", p => p.contains("partial_count")
+        && !p.contains("SortMergeJoin"),
+        "quality x length grid: row-local cell assignment, cell-grid " +
+          "aggregate with map-side partials, broadcast 1-row total"),
     )
 
     var failed = 0

@@ -230,6 +230,9 @@ object SparkEntry {
     "ngram_drift"       -> PipelineOps.ngramDrift _,
     "chinchilla_plan"   -> PipelineOps.chinchillaPlan _,
     "seed_select"       -> Similarity.seedSelect _,
+    "tokenizer_drift"   -> PipelineOps.tokenizerDrift _,
+    "decontaminate_embedding" -> Similarity.decontaminateEmbedding _,
+    "quality_length_joint" -> TextAnalysis.qualityLengthGrid _,
     "event_anomalies"   -> PipelineOps.eventAnomalies _,
     "quality_drift"     -> PipelineOps.qualityDrift _,
     "pii_report"        -> TextAnalysis.piiReport _,
@@ -3019,29 +3022,62 @@ object SparkEntry {
   /** The shared WITH-body: word histogram, chr(31)-wrapped symbolization,
     * and `rounds` unrolled count/argmax/merge triples (see
     * bpeMergesOracleSql's header comment for the exactness argument). */
-  private def bpeCtesSql(rounds: Int): String = {
+  private def bpeCtesSql(rounds: Int): String =
+    "WITH " + bpeCtesListSql(rounds, "", "SELECT text FROM documents")
+
+  /** The same unrolled-training CTE list, parameterized for r14's
+    * tokenizer_drift: `p` prefixes every CTE name (two trainings coexist
+    * in one WITH) and `docsSql` supplies the (possibly generation-
+    * filtered/rewritten) corpus. No leading WITH — callers compose. */
+  private def bpeCtesListSql(rounds: Int, p: String, docsSql: String): String = {
     def pairs(i: Int): String =
-      s"""p$i AS (
+      s"""${p}p$i AS (
          |  SELECT ss[u.i] AS a, ss[u.i + 1] AS b, t.n AS n
          |  FROM (SELECT string_split(trim(ws, chr(31)), chr(31) || chr(31)) AS ss, n
-         |        FROM s${i - 1}) t,
+         |        FROM ${p}s${i - 1}) t,
          |       UNNEST(range(1, len(ss))) AS u(i)
          |  WHERE len(ss) >= 2),
-         |b$i AS (
-         |  SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM p$i GROUP BY a, b
+         |${p}b$i AS (
+         |  SELECT a, b, CAST(sum(n) AS BIGINT) AS c FROM ${p}p$i GROUP BY a, b
          |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-         |s$i AS MATERIALIZED (
+         |${p}s$i AS MATERIALIZED (
          |  SELECT replace(ws, chr(31) || bb.a || chr(31) || chr(31) || bb.b || chr(31),
          |                 chr(31) || bb.a || bb.b || chr(31)) AS ws, n
-         |  FROM s${i - 1}, b$i bb)""".stripMargin
-    s"""WITH w AS (
+         |  FROM ${p}s${i - 1}, ${p}b$i bb)""".stripMargin
+    s"""${p}w AS (
        |  SELECT word, count(1) AS n FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM ($docsSql)) t
        |  WHERE length(word) > 0 GROUP BY word),
-       |s0 AS MATERIALIZED (
+       |${p}s0 AS MATERIALIZED (
        |  SELECT regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS ws, n
-       |  FROM w),
+       |  FROM ${p}w),
        |${(1 to rounds).map(pairs).mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB twin of Graft.tokenizerDrift: two unrolled 10-merge trainings
+    * over the quality_drift generations (prefixed CTE chains), per-rank
+    * merge diff, set overlap + ratio4 Jaccard as constants. */
+  private def tokenizerDriftOracleSql: String = {
+    val rounds = 10
+    def union(p: String) = (1 to rounds).map(i =>
+      s"SELECT $i AS merge_rank, a || b AS merged, c FROM ${p}b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtesListSql(rounds, "g0_",
+         "SELECT text FROM documents WHERE doc_id % 13 <> 5")},
+       |${bpeCtesListSql(rounds, "g1_",
+         "SELECT CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END AS text FROM documents WHERE doc_id % 13 <> 7")},
+       |u0 AS (${union("g0_")}),
+       |u1 AS (${union("g1_")}),
+       |cm AS (
+       |  SELECT CAST(count(1) AS BIGINT) AS n_common
+       |  FROM (SELECT merged FROM u0) x JOIN (SELECT merged FROM u1) y USING (merged))
+       |SELECT u0.merge_rank, u0.merged AS merged_v0, u0.c AS n_occ_v0,
+       |  u1.merged AS merged_v1, u1.c AS n_occ_v1,
+       |  u0.merged = u1.merged AS rank_agree, n_common,
+       |  CAST((20000 * n_common + (${2 * rounds} - n_common))
+       |    // (2 * (${2 * rounds} - n_common)) AS DOUBLE) / 10000.0 AS jaccard4
+       |FROM u0 JOIN u1 USING (merge_rank) CROSS JOIN cm
+       |ORDER BY merge_rank""".stripMargin
   }
 
   /** DuckDB twin of Graft.bpePairCounts: the word-type histogram, the same
@@ -3634,6 +3670,51 @@ object SparkEntry {
         |FROM p ORDER BY budget_exp""".stripMargin,
 
     "seed_select" -> seedSelectOracleSql,
+
+    "tokenizer_drift" -> tokenizerDriftOracleSql,
+
+    // FIXED-SIZE eval side (vec_id % 17 = 5 within the first 4096 ids —
+    // benchmarks don't grow with the crawl) broadcast against the train
+    // scan; cosine via the ::DOUBLE[] dot convention; flags per vector
+    "decontaminate_embedding" ->
+      """WITH ev AS (
+        |  SELECT embedding FROM embeddings WHERE vec_id % 17 = 5 AND vec_id < 4096),
+        |tr AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 5),
+        |sc AS (
+        |  SELECT t.vec_id,
+        |    list_dot_product(t.embedding::DOUBLE[], e.embedding::DOUBLE[])
+        |      / (sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        |  FROM tr t CROSS JOIN ev e)
+        |SELECT vec_id, CAST(count(1) AS BIGINT) AS n_eval_hits,
+        |  round(max(cos), 4) AS max_cos4
+        |FROM sc WHERE cos >= 0.25 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // the quality_score formula + nonempty token count, (decile, 64-token
+    // bucket) cells, broadcast total for the ratio4 share
+    "quality_length_joint" ->
+      """WITH q AS (
+        |  SELECT
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2 AS qv,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT least(CAST(floor(qv * 10) AS BIGINT), 9) AS q_bin,
+        |    (nt // 64) * 64 AS len_bucket
+        |  FROM q),
+        |g AS (
+        |  SELECT q_bin, len_bucket, CAST(count(1) AS BIGINT) AS n_docs
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tt FROM g)
+        |SELECT q_bin, len_bucket, n_docs,
+        |  CAST((20000 * n_docs + tt) // (2 * tt) AS DOUBLE) / 10000.0 AS share4
+        |FROM g CROSS JOIN t ORDER BY q_bin, len_bucket""".stripMargin,
 
     // hourly counts GAP-FILLED onto a dense per-type hour spine (ADVICE
     // r13: the trailing frame is 24 wall-clock hours, and a zero-event

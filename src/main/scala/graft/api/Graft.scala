@@ -4330,6 +4330,90 @@ object Graft {
       .select(col("rank"), col(idCol), round(col("__cos"), 4).as("cos4"))
   }
 
+  /** EMBEDDING-SPACE contamination screen — the fourth screen beside the
+    * verbatim/6-gram/MinHash trio in contaminationReport (Yang '23 showed
+    * paraphrased benchmark leakage survives all three n-gram screens;
+    * cosine against the eval set is the published countermeasure): every
+    * train vector whose cosine to ANY eval vector reaches `tau` is
+    * flagged, with its hit count and max similarity. The eval side rides a
+    * BROADCAST (eval sets are thousands of rows, never corpus-sized), so
+    * at 100 TB this is one linear scan over the train vectors — the same
+    * shape as the text screens; no train×train pairing exists. */
+  def embeddingDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, vecCol: String, tau: Double = 0.25): DataFrame = {
+    graft.functions.VectorFunctions.register(train.sparkSession)
+    val ev = eval.select(col(vecCol).as("__ev"))
+    val cos =
+      s"""vec_dot(`$vecCol`, __ev)
+         | / (sqrt(vec_dot(`$vecCol`, `$vecCol`)) * sqrt(vec_dot(__ev, __ev)))"""
+        .stripMargin
+    train.crossJoin(broadcast(ev))
+      .withColumn("__cos", expr(cos))
+      .filter(col("__cos") >= tau)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max(col("__cos")), 4).as("max_cos4"))
+  }
+
+  /** TOKENIZER DRIFT across corpus generations — retrain the BPE merge
+    * table on each generation and diff them (the check a pipeline runs
+    * before freezing a tokenizer against a moving corpus; a merge table
+    * that churns between crawls means token ids won't be stable): per
+    * merge rank, both generations' merged symbols and occurrence counts,
+    * whether the rank agrees, plus the merged-symbol set overlap and its
+    * ratio4 Jaccard as broadcast constants. Training cost is the word-TYPE
+    * histogram ×2 (vocabulary-sized, the bpe_merges scale argument);
+    * everything after is budget-sized (10 rows). */
+  def tokenizerDrift(gen0: DataFrame, gen1: DataFrame, textCol: String,
+      budget: Int = 10): DataFrame = {
+    val m0 = bpeMerges(gen0, textCol, budget)
+      .select(col("merge_rank"), col("merged").as("merged_v0"),
+        col("n_occurrences").as("n_occ_v0"))
+    val m1 = bpeMerges(gen1, textCol, budget)
+      .select(col("merge_rank"), col("merged").as("merged_v1"),
+        col("n_occurrences").as("n_occ_v1"))
+    // merged symbols are distinct within one training (each merge mints a
+    // new symbol), so the equi-join count IS |set0 ∩ set1|
+    val common = m0.select(col("merged_v0").as("__m"))
+      .join(m1.select(col("merged_v1").as("__m")), Seq("__m"))
+      .agg(count(lit(1)).as("n_common"))
+    m0.join(m1, Seq("merge_rank"))
+      .crossJoin(broadcast(common))
+      .select(col("merge_rank"), col("merged_v0"), col("n_occ_v0"),
+        col("merged_v1"), col("n_occ_v1"),
+        (col("merged_v0") === col("merged_v1")).as("rank_agree"),
+        col("n_common"),
+        expr(s"""CAST((20000L * n_common + (${2 * budget}L - n_common))
+               |  DIV (2L * (${2 * budget}L - n_common)) AS DOUBLE) / 10000.0"""
+          .stripMargin).as("jaccard4"))
+  }
+
+  /** QUALITY × LENGTH joint distribution — the 2-D curation dashboard
+    * behind threshold choices (a corpus where the high-quality mass sits
+    * in short docs starves long-context training; Longpre '23 documents
+    * the interaction): documents land in (score decile, `bucketTokens`-
+    * wide length bucket) cells; per cell, the count and ratio4 corpus
+    * share. One row-local scan + a cell-grid aggregate + a broadcast
+    * 1-row total. */
+  def qualityLengthJoint(docs: DataFrame, textCol: String,
+      bins: Int = 10, bucketTokens: Int = 64): DataFrame = {
+    val cells = qualityScore(docs.select(col(textCol)), textCol, out = "__q")
+      .withColumn("__nt", expr(
+        s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+          "x -> length(x) > 0)) AS BIGINT)"))
+      .withColumn("q_bin",
+        least(floor(col("__q") * bins).cast("long"), lit(bins - 1L)))
+      .withColumn("len_bucket",
+        expr(s"(__nt DIV ${bucketTokens}L) * ${bucketTokens}L"))
+      .groupBy("q_bin", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val total = cells.agg(sum("n_docs").as("__t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("q_bin"), col("len_bucket"), col("n_docs"),
+        expr("""CAST((20000L * n_docs + __t) DIV (2L * __t) AS DOUBLE)
+               | / 10000.0""".stripMargin).as("share4"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

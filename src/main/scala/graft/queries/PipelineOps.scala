@@ -884,6 +884,19 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Tokenizer drift across the quality_drift generations (Graft
+    * .tokenizerDrift): retrain the 10-merge BPE on gen0 and gen1, diff the
+    * merge tables per rank, overlap + Jaccard as constants. */
+  def tokenizerDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val gen0 = docs.filter(col("doc_id") % 13 =!= 5).select(col("text"))
+    val gen1 = docs.filter(col("doc_id") % 13 =!= 7)
+      .select(when(col("doc_id") % 13 === 2, upper(col("text")))
+        .otherwise(col("text")).as("text"))
+    graft.api.Graft.tokenizerDrift(gen0, gen1, "text", budget = 10)
+      .orderBy("merge_rank")
+  }
+
   /** Compute-optimal plan vs corpus supply (Graft.chinchillaPlan,
     * Hoffmann '22 + Muennighoff '23): per FLOP budget decade, optimal
     * N/D, the corpus's token supply, epochs needed, and the

@@ -836,4 +836,22 @@ object Similarity {
         "vec_id", "embedding",
         seedPred = col("vec_id") % 17 === 3, topK = 100)
       .orderBy("rank")
+
+  /** Embedding-space contamination screen (Graft.embeddingDecontaminate):
+    * train vectors (vec_id % 17 != 5) flagged on cosine >= 0.25 to any
+    * eval vector — the paraphrase-robust fourth screen beside
+    * contamination_report's n-gram trio. The eval set is FIXED-SIZE
+    * (% 17 == 5 within the first 4096 ids, ~240 vectors): a benchmark
+    * does not grow with the crawl, so the broadcast side is constant and
+    * the scan stays LINEAR in the corpus at every scale — an eval slice
+    * proportional to the corpus would make this quadratic (measured 20×
+    * slope before the cap). */
+  def decontaminateEmbedding(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.api.Graft.embeddingDecontaminate(
+        emb.filter(col("vec_id") % 17 =!= 5),
+        emb.filter(col("vec_id") % 17 === 5 && col("vec_id") < 4096),
+        "vec_id", "embedding", tau = 0.25)
+      .orderBy("vec_id")
+  }
 }

@@ -646,4 +646,13 @@ object TextAnalysis {
         Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "text")
       .orderBy("bin")
+
+  /** Quality × length joint distribution (Graft.qualityLengthJoint):
+    * score-decile × 64-token length-bucket cell counts with ratio4 corpus
+    * shares — the 2-D readout behind threshold choices. */
+  def qualityLengthGrid(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.qualityLengthJoint(
+        Tables.documents(s, d).select(col("text")),
+        "text", bins = 10, bucketTokens = 64)
+      .orderBy("q_bin", "len_bucket")
 }

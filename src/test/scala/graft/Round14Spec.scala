@@ -221,6 +221,67 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("tokenizerDrift: diagonal self-drift is the identity; drift run has 10 ranks") {
+    // identical generations → every rank agrees, overlap = budget, J = 1
+    val docs = Tables.documents(spark, sf).select(col("text"))
+    val self = api.Graft.tokenizerDrift(docs, docs, "text", budget = 5)
+      .as[(Int, String, Long, String, Long, Boolean, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(self.length == 5)
+    assert(self.forall(_._6), "self-drift rank disagreement")
+    assert(self.forall(_._7 == 5L) && self.forall(_._8 == 1.0))
+    self.foreach { case (_, m0, n0, m1, n1, _, _, _) =>
+      assert(m0 == m1 && n0 == n1)
+    }
+    // the registry generations produce a full 10-rank diff with sane bounds
+    val out = queries.PipelineOps.tokenizerDrift(spark, sf)
+      .as[(Int, String, Long, String, Long, Boolean, Long, Double)].collect()
+    assert(out.length == 10)
+    assert(out.map(_._7).distinct.length == 1)
+    assert(out.head._7 <= 10L && out.head._8 <= 1.0 && out.head._8 >= 0.0)
+  }
+
+  test("decontaminateEmbedding: flags match a driver-side recompute; eval side fixed") {
+    val out = queries.Similarity.decontaminateEmbedding(spark, sf)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val eval = vecs.filter(v => v._1 % 17 == 5 && v._1 < 4096).map(_._2)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = vecs.filter(_._1 % 17 != 5).flatMap { case (id, v) =>
+      val hits = eval.map(e => cos(v, e)).filter(_ >= 0.25)
+      if (hits.isEmpty) None
+      else Some((id, hits.length.toLong,
+        BigDecimal(hits.max).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.sortBy(_._1).toSeq
+    assert(out.toSeq == expect,
+      s"flags drifted: got ${out.length}, expected ${expect.length}")
+  }
+
+  test("qualityLengthJoint: cells partition the corpus; shares sum to ~1") {
+    val out = queries.TextAnalysis.qualityLengthGrid(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).sum == Tables.documents(spark, sf).count())
+    out.foreach { case (qb, lb, n, sh) =>
+      assert(qb >= 0 && qb <= 9 && lb >= 0 && lb % 64 == 0 && n > 0)
+      assert(sh > 0.0 && sh <= 1.0)
+    }
+    // ratio4 rounding keeps the share mass within half a grid step per cell
+    val mass = out.map(_._4).sum
+    assert(math.abs(mass - 1.0) <= out.length * 0.00005 + 1e-9,
+      s"share mass $mass")
+  }
+
   test("stageOrderedBatches: an empty mod-n bucket stages a valid empty batch") {
     // ids 0,3,6,9 → mod 3 buckets {0}: bucket 1 and 2 empty at n=3?
     // no — use ids that leave bucket 1 empty: 0,2,3,5 mod 3 = {0,2,0,2}
