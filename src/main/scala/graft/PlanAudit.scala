@@ -410,6 +410,32 @@ object PlanAudit {
         && !p.contains("SortMergeJoin"),
         "quality x length grid: row-local cell assignment, cell-grid " +
           "aggregate with map-side partials, broadcast 1-row total"),
+      ("lexicon_screen", p => p.contains("BroadcastHashJoin")
+        && !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        "lexicon screen: the wordlist rides a BROADCAST join onto the " +
+          "token explode — the corpus never shuffles on a token key"),
+      ("k_anonymity", p => p.contains("partial_count")
+        && !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        "k-anonymity: ONE data-sized groupBy on the QI tuple (map-side " +
+          "partials); buckets and total are grid-sized, total broadcast"),
+      ("dp_noisy_counts", p => !p.contains("Join")
+        && p.contains("partial_count"),
+        "DP release: one count aggregate with map-side partials; the " +
+          "Laplace draw is key-grid row-local arithmetic, no join"),
+      ("bootstrap_ci", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count") && !p.contains("Window"),
+        "bootstrap CI: fixed x32 rep grid explode, (group, rep) then " +
+          "group-grid aggregates with map-side partials — never a " +
+          "resample shuffle of the corpus"),
+      ("corpus_concentration", p => !p.contains("CartesianProduct")
+        && !p.contains("SortMergeJoin") && p.contains("partial_sum"),
+        "concentration: ONE token scan to the source grid (map-side " +
+          "partials); the rank window and total cross join run on the " +
+          "grid, total broadcast"),
+      ("epoch_shuffle", p => p.contains("ObjectHashAggregate")
+        && !p.contains("Window") && !p.contains("CartesianProduct"),
+        "epoch shuffle: fused min-k typed aggregate per epoch — O(k) " +
+          "state, map-side combine, never a per-epoch global sort window"),
     )
 
     var failed = 0

@@ -239,6 +239,15 @@ object SparkEntry {
     "token_entropy"     -> TextAnalysis.tokenEntropy _,
     "minhash_band_stats" -> Dedup.minhashBandStats _,
     "asof_join_nearest" -> EventTime.asofJoinNearest _,
+    "lexicon_screen"    -> TextAnalysis.lexiconScreen _,
+    "bootstrap_ci"      -> TextAnalysis.bootstrapCi _,
+    "k_anonymity"       -> PipelineOps.kAnonymity _,
+    "dp_noisy_counts"   -> PipelineOps.dpNoisyCounts _,
+    "kcenter_coreset"   -> Similarity.kcenterCoreset _,
+    "corpus_concentration" -> TextAnalysis.corpusConcentration _,
+    "epoch_shuffle"     -> PipelineOps.epochShuffle _,
+    "stream_lexicon_gate" -> StreamingQueries.streamLexiconGate _,
+    "stream_anomaly_gate" -> StreamingQueries.streamAnomalyGate _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1863,6 +1872,71 @@ object SparkEntry {
       |  FROM p)
       |SELECT q_id, rn, c_id, label, round(score6, 4) AS cos_sim
       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.lexiconScreen — shared verbatim by
+    * stream_lexicon_gate (the drained stream state rolls up through the
+    * same Graft.lexiconRollup). The [NULL] unnest mirrors explode_outer:
+    * an empty document keeps its row with zero hits. */
+  private val lexiconScreenOracleSql: String =
+    """WITH lex(term, w) AS (VALUES ('slow', 3), ('big', 2), ('dup', 5)),
+      |t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS nt,
+      |    unnest(CASE WHEN len(ts) = 0 THEN [NULL]::VARCHAR[] ELSE ts END) AS tok
+      |  FROM t),
+      |j AS (
+      |  SELECT e.doc_id, e.source, e.nt, lex.term, lex.w
+      |  FROM e LEFT JOIN lex ON e.tok = lex.term),
+      |d AS (
+      |  SELECT doc_id, source, nt,
+      |    CAST(coalesce(sum(w), 0) AS BIGINT) AS wsum,
+      |    CAST(count(term) AS BIGINT) AS hits
+      |  FROM j GROUP BY doc_id, source, nt),
+      |u AS (
+      |  SELECT *, CASE WHEN nt > 0 THEN (20000 * wsum + nt) // (2 * nt)
+      |            ELSE 0 END AS ru
+      |  FROM d)
+      |SELECT source, count(1) AS n_docs,
+      |  CAST(sum(hits) AS BIGINT) AS n_hits,
+      |  CAST(sum(wsum) AS BIGINT) AS weighted_hits,
+      |  CAST(count_if(ru > 2000) AS BIGINT) AS n_flagged,
+      |  CAST((20000 * count_if(ru > 2000) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS flagged_share4,
+      |  round(CAST(sum(ru) AS DOUBLE) / (CAST(count(1) AS DOUBLE) * 10000.0), 6) AS mean_rate6
+      |FROM u GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of Similarity.kcenterCoreset: the greedy farthest-point
+    * recursion unrolled to k CTE stages — stage i computes every point's
+    * min squared-L2 to the i−1 chosen centers (the same
+    * list_dot_product identity as the knn oracles) and picks the argmax
+    * with the (md DESC, id ASC) tie-break; the final stage's max is the
+    * cover radius. */
+  private def kcenterOracleSql(k: Int): String = {
+    def dist(a: String, b: String) =
+      s"list_dot_product($a, $a) - 2 * list_dot_product($a, $b) + list_dot_product($b, $b)"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    sb ++= "c1 AS (SELECT id, v FROM e ORDER BY id ASC LIMIT 1),\n"
+    sb ++= "cen1 AS (SELECT id, v FROM c1),\n"
+    for (i <- 2 to k) {
+      sb ++= s"d${i - 1} AS (SELECT e.id, min(${dist("e.v", "c.v")}) AS md\n"
+      sb ++= s"  FROM e CROSS JOIN cen${i - 1} c WHERE e.id NOT IN (SELECT id FROM cen${i - 1}) GROUP BY e.id),\n"
+      sb ++= s"c$i AS (SELECT e.id, e.v, d.md FROM e JOIN d${i - 1} d USING (id) ORDER BY d.md DESC, e.id ASC LIMIT 1),\n"
+      sb ++= s"cen$i AS (SELECT id, v FROM cen${i - 1} UNION ALL SELECT id, v FROM c$i),\n"
+    }
+    sb ++= s"dc AS (SELECT e.id, min(${dist("e.v", "c.v")}) AS md\n"
+    sb ++= s"  FROM e CROSS JOIN cen$k c WHERE e.id NOT IN (SELECT id FROM cen$k) GROUP BY e.id),\n"
+    sb ++= "cov AS (SELECT max(md) AS cv FROM dc),\n"
+    val picks = (Seq("SELECT 1 AS sel_order, id AS vec_id, CAST(0.0 AS DOUBLE) AS md FROM c1") ++
+      (2 to k).map(i => s"SELECT $i AS sel_order, id AS vec_id, md FROM c$i"))
+      .mkString(" UNION ALL ")
+    sb ++= s"p AS ($picks)\n"
+    sb ++= "SELECT CAST(sel_order AS INTEGER) AS sel_order, vec_id, round(md, 6) AS radius6, round(cv, 6) AS cover6\n"
+    sb ++= "FROM p CROSS JOIN cov ORDER BY sel_order"
+    sb.toString
+  }
 
   /** DuckDB twin of Similarity.annRecall — the recall@5 eval composed from
     * the already-exact tier oracles: knn_lsh and knn_bruteforce nest
@@ -3715,6 +3789,153 @@ object SparkEntry {
         |SELECT q_bin, len_bucket, n_docs,
         |  CAST((20000 * n_docs + tt) // (2 * tt) AS DOUBLE) / 10000.0 AS share4
         |FROM g CROSS JOIN t ORDER BY q_bin, len_bucket""".stripMargin,
+
+    // broadcast-lexicon screen: the [NULL] unnest mirrors explode_outer
+    // (an empty doc keeps its row with zero hits); per-doc ratio4 units,
+    // flag at tauBp=2000. Shared verbatim by stream_lexicon_gate, whose
+    // final drained state rolls up through the same Graft.lexiconRollup.
+    "lexicon_screen" -> lexiconScreenOracleSql,
+    "stream_lexicon_gate" -> lexiconScreenOracleSql,
+
+    // 32 deterministic half-sample replicates (md5(id:rep) even), 2^-17
+    // quantized replicate means, integer cross-replicate moments, ±1.96σ
+    "bootstrap_ci" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, w, unnest(range(0, 32)) AS r FROM w),
+        |f AS (
+        |  SELECT * FROM r
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 2 = 0),
+        |m AS (
+        |  SELECT source, r,
+        |    CAST(floor(CAST(sum(w) AS DOUBLE) / CAST(count(1) AS DOUBLE) * 131072.0) AS BIGINT) AS mq
+        |  FROM f GROUP BY source, r),
+        |b AS (SELECT source, count(1) AS n_docs FROM w GROUP BY source),
+        |g AS (
+        |  SELECT source, CAST(count(1) AS BIGINT) AS n_reps,
+        |    CAST(sum(mq) AS BIGINT) AS s1, CAST(sum(mq * mq) AS BIGINT) AS s2
+        |  FROM m GROUP BY source),
+        |z AS (
+        |  SELECT g.source, b.n_docs, g.n_reps,
+        |    round(CAST(s1 AS DOUBLE) / (CAST(n_reps AS DOUBLE) * 131072.0), 6) AS mean6,
+        |    round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_reps AS DOUBLE)) / (CAST(n_reps AS DOUBLE) - 1.0)) / 131072.0, 6) AS sd6
+        |  FROM g JOIN b USING (source))
+        |SELECT source, n_docs, n_reps, mean6, sd6,
+        |  round(mean6 - 1.96 * sd6, 6) AS lo6,
+        |  round(mean6 + 1.96 * sd6, 6) AS hi6
+        |FROM z ORDER BY source""".stripMargin,
+
+    // ONE groupBy on the QI tuple; 5-bucket class-size histogram
+    "k_anonymity" ->
+      """WITH cl AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        |    count(1) AS k
+        |  FROM customer GROUP BY 1, 2, 3),
+        |bu AS (
+        |  SELECT CASE WHEN k = 1 THEN '1 (unique)'
+        |              WHEN k <= 4 THEN '2-4'
+        |              WHEN k <= 9 THEN '5-9'
+        |              WHEN k <= 99 THEN '10-99'
+        |              ELSE '100+' END AS k_bucket,
+        |    k FROM cl),
+        |g AS (
+        |  SELECT k_bucket, count(1) AS n_classes,
+        |    CAST(sum(k) AS BIGINT) AS n_rows, CAST(min(k) AS BIGINT) AS k_min
+        |  FROM bu GROUP BY k_bucket),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tt FROM g)
+        |SELECT k_bucket, n_classes, n_rows, k_min,
+        |  CAST((20000 * n_rows + tt) // (2 * tt) AS DOUBLE) / 10000.0 AS rows_share4
+        |FROM g CROSS JOIN t ORDER BY k_bucket""".stripMargin,
+
+    // Laplace(1/ε) from the md5-derived uniform, 1e-4 floor, clamp at 0;
+    // only the noisy value is released
+    "dp_noisy_counts" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(1) AS n FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT source, lang, n,
+        |    CAST(('0x' || substring(md5(source || '|' || lang), 1, 15))::BIGINT AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM c),
+        |l AS (
+        |  SELECT source, lang, n,
+        |    CASE WHEN u > 0.5 THEN -2.0 * ln(1.0 - 2.0 * (u - 0.5))
+        |         WHEN u < 0.5 THEN  2.0 * ln(1.0 - 2.0 * (0.5 - u))
+        |         ELSE 0.0 END AS lap
+        |  FROM u),
+        |z AS (SELECT source, lang, n,
+        |        CAST(floor(lap * 10000.0) AS BIGINT) AS noise4 FROM l)
+        |SELECT source, lang,
+        |  round(greatest(0.0, CAST(n AS DOUBLE) + CAST(noise4 AS DOUBLE) / 10000.0), 4) AS noisy_count4,
+        |  CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM z ORDER BY source, lang""".stripMargin,
+
+    "kcenter_coreset" -> kcenterOracleSql(5),
+
+    // one token scan to the source grid; HHI/effective exact from integer
+    // sums, entropy on the quantized-ln grid, Gini in pure integers
+    "corpus_concentration" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS w
+        |  FROM documents),
+        |p AS (SELECT source, CAST(sum(w) AS BIGINT) AS t, count(1) AS d
+        |      FROM w GROUP BY source),
+        |r AS (SELECT source, t, d,
+        |    CAST(row_number() OVER (ORDER BY t ASC, source ASC) AS BIGINT) AS rk
+        |  FROM p),
+        |tt AS (SELECT CAST(sum(t) AS BIGINT) AS tot FROM p),
+        |e AS (SELECT r.*,
+        |    CASE WHEN t = 0 THEN 0 ELSE CAST(floor(1048576.0
+        |      * (CAST(t AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * ln(CAST(t AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) END AS ei
+        |  FROM r CROSS JOIN tt),
+        |g AS (SELECT CAST(count(1) AS BIGINT) AS ns, CAST(sum(d) AS BIGINT) AS nd,
+        |    CAST(sum(t) AS BIGINT) AS nt, CAST(sum(t * t) AS BIGINT) AS s2,
+        |    CAST(sum(rk * t) AS BIGINT) AS rs, CAST(sum(ei) AS BIGINT) AS ee
+        |  FROM e)
+        |SELECT ns AS n_sources, nd AS n_docs, nt AS n_tokens,
+        |  round(CAST(s2 AS DOUBLE) / CAST(nt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS hhi6,
+        |  round(CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) / CAST(s2 AS DOUBLE), 6) AS effective6,
+        |  round(-CAST(ee AS DOUBLE) / 1048576.0, 6) AS entropy6,
+        |  round(CAST(2 * rs - (ns + 1) * nt AS DOUBLE) / CAST(ns * nt AS DOUBLE), 6) AS gini6
+        |FROM g""".stripMargin,
+
+    // the min-k aggregate's (order_key, doc_id) total order is the window
+    // row_number order — the oracle states it directly
+    "epoch_shuffle" ->
+      """WITH ep AS (SELECT unnest(range(0, 4)) AS epoch),
+        |g AS (SELECT ep.epoch, d.doc_id,
+        |    ('0x' || substring(md5(CAST(ep.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT // 128 AS ok
+        |  FROM ep CROSS JOIN documents d),
+        |r AS (SELECT epoch, doc_id, ok,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY ok ASC, doc_id ASC) AS pos
+        |  FROM g)
+        |SELECT epoch, CAST(pos AS INTEGER) AS pos, doc_id, ok AS order_key
+        |FROM r WHERE pos <= 8 ORDER BY epoch, pos""".stripMargin,
+
+    // hourly (type, hour) counters z-scored against the type's own
+    // profile; σ floored at 0.5, flag on the rounded z
+    "stream_anomaly_gate" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(1) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM h GROUP BY 1),
+        |z AS (SELECT h.event_type, h.hour, h.c,
+        |    round((CAST(h.c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / greatest(sqrt((CAST(s2 AS DOUBLE)
+        |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)), 0.5), 4) AS z4
+        |  FROM h JOIN p USING (event_type))
+        |SELECT event_type, hour, c, z4, abs(z4) >= 3.0 AS anomaly
+        |FROM z ORDER BY event_type, hour""".stripMargin,
 
     // hourly counts GAP-FILLED onto a dense per-type hour spine (ADVICE
     // r13: the trailing frame is 24 wall-clock hours, and a zero-event

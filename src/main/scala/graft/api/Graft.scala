@@ -4414,6 +4414,303 @@ object Graft {
                | / 10000.0""".stripMargin).as("share4"))
   }
 
+  /** WEIGHTED-LEXICON content screen — the wordlist gate every curation
+    * stack runs before model-based classifiers (C4's bad-words filter,
+    * RefinedWeb's curated blocklists): tokenize, BROADCAST-join a
+    * (term, weight) lexicon, score each document by hit-weight per token
+    * on the exact 1e-4 grid (`rate_units` = ratio4 numerator), flag docs
+    * whose rate exceeds `tauBp` basis points, roll up per group.
+    * Terms must be distinct (a duplicate term would fan out the join).
+    * Shape: one linear tokenize+explode pass, a broadcast lexicon join
+    * (even a 100k-term lexicon broadcasts — the corpus never shuffles on
+    * a token key), a doc-grain aggregate, a group-grid aggregate. At
+    * 100 TB this is the same two-level linear reduction as word count. */
+  def lexiconScreen(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, lexicon: Seq[(String, Long)],
+      tauBp: Int = 2000): DataFrame =
+    lexiconRollup(
+      lexiconDocScores(docs, idCol, textCol, groupCol, lexicon),
+      groupCol, tauBp)
+
+  /** The per-document half of [[lexiconScreen]] — tokenize, broadcast
+    * lexicon join, (id, group, n_tokens) grain with weighted hits. ONE
+    * streaming-compatible aggregation, so the stream twin runs it as its
+    * micro-batch state and applies [[lexiconRollup]] to the final state. */
+  def lexiconDocScores(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, lexicon: Seq[(String, Long)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(lexicon.map(_._1).distinct.size == lexicon.size,
+      "lexicon terms must be distinct")
+    val lex = lexicon.toDF("__term", "__w")
+    val toks = docs.select(col(idCol), col(groupCol),
+        expr(s"filter(split(`$textCol`, ' ', -1), x -> length(x) > 0)")
+          .as("__ts"))
+      .select(col(idCol), col(groupCol),
+        size(col("__ts")).cast("long").as("__nt"),
+        explode_outer(col("__ts")).as("__tok"))
+    toks
+      .join(broadcast(lex), col("__tok") === col("__term"), "left")
+      .groupBy(col(idCol), col(groupCol), col("__nt"))
+      .agg(coalesce(sum("__w"), lit(0L)).as("__wsum"),
+        count(col("__term")).as("__hits"))
+  }
+
+  /** The per-group rollup half of [[lexiconScreen]] (input = the
+    * [[lexiconDocScores]] grain, batch or drained stream state). */
+  def lexiconRollup(docScores: DataFrame, groupCol: String,
+      tauBp: Int): DataFrame = {
+    val perDoc = docScores.withColumn("__ru", expr(
+      "CASE WHEN __nt > 0 THEN (20000L * __wsum + __nt) DIV (2L * __nt) ELSE 0L END"))
+    perDoc.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__hits").as("n_hits"),
+        sum("__wsum").as("weighted_hits"),
+        sum(when(col("__ru") > tauBp.toLong, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum("__ru").as("__units"))
+      .select(col(groupCol), col("n_docs"), col("n_hits"),
+        col("weighted_hits"), col("n_flagged"),
+        expr("""CAST((20000L * n_flagged + n_docs) DIV (2L * n_docs)
+               |  AS DOUBLE) / 10000.0""".stripMargin).as("flagged_share4"),
+        expr("round(CAST(__units AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0D), 6)")
+          .as("mean_rate6"))
+  }
+
+  /** K-ANONYMITY audit (Sweeney '02) — the re-identification-risk readout
+    * a privacy pass runs before releasing quasi-identifier columns: rows
+    * group into equivalence classes on the QI tuple; the report is the
+    * class-size histogram (a 5-bucket grid) with class counts, row mass,
+    * each bucket's smallest class, and the ratio4 row share. A release is
+    * k-anonymous iff no row sits in a bucket below k. Shape: ONE
+    * data-sized groupBy on the QI key (the only shuffle, map-side
+    * partials), then bucket-grid arithmetic; the total broadcasts back.
+    * At 100 TB the reduce state is the number of DISTINCT QI classes. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[Column]): DataFrame = {
+    val classes = df.groupBy(qiCols: _*).agg(count(lit(1)).as("__k"))
+    val buckets = classes
+      .withColumn("k_bucket", expr(
+        """CASE WHEN __k = 1 THEN '1 (unique)'
+          |     WHEN __k <= 4 THEN '2-4'
+          |     WHEN __k <= 9 THEN '5-9'
+          |     WHEN __k <= 99 THEN '10-99'
+          |     ELSE '100+' END""".stripMargin))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n_classes"), sum("__k").as("n_rows"),
+        min("__k").as("k_min"))
+    val total = buckets.agg(sum("n_rows").as("__t"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("k_bucket"), col("n_classes"), col("n_rows"), col("k_min"),
+        expr("CAST((20000L * n_rows + __t) DIV (2L * __t) AS DOUBLE) / 10000.0")
+          .as("rows_share4"))
+  }
+
+  /** DIFFERENTIALLY-PRIVATE histogram release (Dwork '06 Laplace
+    * mechanism, sensitivity 1 for a count): per-key counts plus
+    * Laplace(1/ε) noise via the inverse-CDF transform of a uniform
+    * DERIVED FROM THE KEY via md5Hash60 — deterministic, so the release
+    * is reproducible and cross-engine oracled (a production release
+    * swaps in a secret seed; the mechanism, quantization, and clamp are
+    * what this operator pins). Noise is floored to the 1e-4 grid BEFORE
+    * the add and the release clamps at 0, both standard post-processing
+    * (post-processing preserves DP). Only the noisy value is released.
+    * Shape: one count aggregate with map-side partials; the noise is
+    * key-grid row-local arithmetic — nothing pairs or re-shuffles. */
+  def dpNoisyCounts(df: DataFrame, keyCols: Seq[String],
+      epsilon: Double = 0.5): DataFrame = {
+    val b = 1.0 / epsilon
+    val key = keyCols.map(col)
+    df.groupBy(key: _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__u",
+        md5Hash60(concat_ws("|", key: _*)).cast("double")
+          / lit(1.152921504606846976e18))
+      .withColumn("__lap", expr(
+        s"""CASE WHEN __u > 0.5D THEN -${b}D * ln(1.0D - 2.0D * (__u - 0.5D))
+           |     WHEN __u < 0.5D THEN  ${b}D * ln(1.0D - 2.0D * (0.5D - __u))
+           |     ELSE 0.0D END""".stripMargin))
+      .withColumn("__noise4", expr("CAST(floor(__lap * 10000.0D) AS BIGINT)"))
+      .select(key :+
+        expr("""round(greatest(0.0D, CAST(__n AS DOUBLE)
+               |  + CAST(__noise4 AS DOUBLE) / 10000.0D), 4)""".stripMargin)
+          .as("noisy_count4") :+
+        lit(epsilon).as("epsilon"): _*)
+  }
+
+  /** K-CENTER greedy coreset (Gonzalez '85 farthest-point sampling, a
+    * 2-approximation to the optimal cover — the diversity-maximizing
+    * pick used for embedding-space coreset selection): seed at the
+    * smallest id, then k−1 times pick the point farthest (squared L2)
+    * from its nearest already-chosen center. Each pick is ONE linear
+    * scan — the ≤k chosen centers broadcast, the min-distance is a
+    * per-point aggregate, and exactly one argmax row returns to the
+    * driver (solver-style, like the budget constants; k is a handful,
+    * never data-sized). The result carries each pick's distance at
+    * selection and the final cover radius (the k-center objective).
+    * At 100 TB: k codegen'd scans over a broadcast center table;
+    * points never pair with points. */
+  def kcenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 64, "k-center greedy is a solver: k must be small")
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val pts = emb.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+    val seed = pts.orderBy(col("__id").asc).limit(1)
+      .select("__id").head().getLong(0)
+    var picked = Vector((seed, 0.0)) // (id, squared-L2 at pick)
+    def minDistFrame: DataFrame = {
+      val ids = picked.map(_._1)
+      val centers = pts.filter(col("__id").isin(ids: _*))
+        .select(col("__id").as("__cid"), col("__v").as("__cv"))
+      pts.filter(!col("__id").isin(ids: _*))
+        .crossJoin(broadcast(centers))
+        .withColumn("__d", expr(
+          "vec_dot(__v, __v) - 2 * vec_dot(__v, __cv) + vec_dot(__cv, __cv)"))
+        .groupBy("__id").agg(min("__d").as("__md"))
+    }
+    for (_ <- 1 until k) {
+      val row = minDistFrame
+        .orderBy(col("__md").desc, col("__id").asc).limit(1).head()
+      picked = picked :+ ((row.getLong(0), row.getDouble(1)))
+    }
+    val cover = minDistFrame.agg(max("__md").as("__c")).head().getDouble(0)
+    val s = emb.sparkSession
+    import s.implicits._
+    // HALF_UP, identical to Spark/DuckDB round() on the (non-negative)
+    // squared distances
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    picked.zipWithIndex
+      .map { case ((id, d), i) => (i + 1, id, r6(d)) }
+      .toDF("sel_order", "vec_id", "radius6")
+      .withColumn("cover6", lit(r6(cover)))
+  }
+
+  /** HASH-BOOTSTRAP confidence interval for a per-group corpus metric
+    * (Efron '79 by way of deterministic half-sampling — Politis–Romano
+    * subsampling): each of `reps` replicates keeps a document iff
+    * md5Hash60("id:rep") is even (a reproducible 1/2 subsample), and the
+    * spread of the replicate means gives the CI on mean tokens-per-doc —
+    * the uncertainty readout corpus dashboards attach to any mean.
+    * Replicate means are floored onto the 2^-17 grid before the
+    * cross-replicate moments, so the sums are integer-exact cross-engine
+    * (safe for means up to ~10⁴ tokens/doc: 32·(10⁴·2¹⁷)² < 2⁶³).
+    * Shape: one tokenize scan exploded over the FIXED rep grid (a
+    * constant ×reps), a (group, rep) aggregate, a group-grid aggregate —
+    * never a resample shuffle of the corpus. */
+  def bootstrapMeanCi(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, reps: Int = 32): DataFrame = {
+    require(reps >= 2 && reps <= 256, "reps is a fixed small grid")
+    val perDoc = docs.select(col(groupCol), col(idCol),
+      expr(s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+        "x -> length(x) > 0)) AS BIGINT)").as("__w"))
+    val repd = perDoc
+      .select(col(groupCol), col(idCol), col("__w"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("__r"))
+      .filter(md5Hash60(concat_ws(":", col(idCol).cast("string"),
+        col("__r").cast("string"))) % 2 === 0)
+    val repMeans = repd.groupBy(col(groupCol), col("__r"))
+      .agg(count(lit(1)).as("__n"), sum("__w").as("__sw"))
+      .withColumn("__mq", expr(
+        "CAST(floor(CAST(__sw AS DOUBLE) / CAST(__n AS DOUBLE) * 131072.0D) AS BIGINT)"))
+    val base = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    repMeans.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_reps"), sum("__mq").as("__s1"),
+        sum(expr("__mq * __mq")).as("__s2"))
+      .join(base, Seq(groupCol))
+      .select(col(groupCol), col("n_docs"), col("n_reps"),
+        expr("round(CAST(__s1 AS DOUBLE) / (CAST(n_reps AS DOUBLE) * 131072.0D), 6)")
+          .as("mean6"),
+        expr("""round(sqrt((CAST(__s2 AS DOUBLE)
+               |    - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)
+               |      / CAST(n_reps AS DOUBLE))
+               |  / (CAST(n_reps AS DOUBLE) - 1.0D)) / 131072.0D, 6)""".stripMargin)
+          .as("sd6"))
+      .select(col(groupCol), col("n_docs"), col("n_reps"), col("mean6"),
+        col("sd6"),
+        round(col("mean6") - lit(1.96) * col("sd6"), 6).as("lo6"),
+        round(col("mean6") + lit(1.96) * col("sd6"), 6).as("hi6"))
+  }
+
+  /** CORPUS CONCENTRATION — the portfolio-style diversity readout of how
+    * token mass spreads across sources (a crawl where two domains carry
+    * half the tokens trains a two-domain model, whatever the source
+    * count): Herfindahl–Hirschman index Σp², inverse-Simpson effective
+    * source count 1/Σp² (both EXACT from integer token sums — no
+    * transcendental), Shannon entropy on the proven quantized-ln grid,
+    * and the exact integer-arithmetic Gini coefficient
+    * (2·Σrank·tᵢ − (n+1)·Σtᵢ) / (n·Σtᵢ) over sources ranked ascending.
+    * Shape: ONE corpus token scan to the source grid; every window/sort
+    * after it runs on the grid (source-count rows). */
+  def corpusConcentration(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val perSrc = docs
+      .select(col(groupCol), expr(
+        s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+          "x -> length(x) > 0)) AS BIGINT)").as("__w"))
+      .groupBy(groupCol).agg(sum("__w").as("__t"), count(lit(1)).as("__d"))
+    // grid-sized window: rank sources by token mass (ties by name)
+    val ranked = perSrc.withColumn("__r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__t").asc, col(groupCol).asc)).cast("long"))
+    val total = perSrc.agg(sum("__t").as("__tot"))
+    ranked.crossJoin(broadcast(total))
+      // entropy term: floor(2^20 · p·ln p) per source, integer-summed
+      // (p·ln p → 0 as p → 0: an all-empty source contributes nothing)
+      .withColumn("__ei", expr(
+        """CASE WHEN __t = 0 THEN 0L ELSE CAST(floor(1048576.0D
+          |  * (CAST(__t AS DOUBLE) / CAST(__tot AS DOUBLE))
+          |  * ln(CAST(__t AS DOUBLE) / CAST(__tot AS DOUBLE)))
+          |  AS BIGINT) END""".stripMargin))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum("__d").as("n_docs"),
+        sum("__t").as("n_tokens"),
+        sum(expr("__t * __t")).as("__s2"),
+        sum(expr("__r * __t")).as("__rs"),
+        sum("__ei").as("__e"))
+      .select(col("n_sources"), col("n_docs"), col("n_tokens"),
+        expr("round(CAST(__s2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)")
+          .as("hhi6"),
+        expr("round(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE) / CAST(__s2 AS DOUBLE), 6)")
+          .as("effective6"),
+        expr("round(-CAST(__e AS DOUBLE) / 1048576.0D, 6)").as("entropy6"),
+        expr("""round(CAST(2L * __rs - (n_sources + 1L) * n_tokens AS DOUBLE)
+               |  / CAST(n_sources * n_tokens AS DOUBLE), 6)""".stripMargin)
+          .as("gini6"))
+  }
+
+  /** DETERMINISTIC EPOCH SHUFFLE preview (the multi-epoch data-order
+    * contract of large-scale training: epoch e's order is
+    * md5Hash60("e:id") ascending, so any worker can materialize any
+    * slice of any epoch independently, and a replayed epoch is
+    * byte-identical): per epoch, the first `k` documents in shuffle
+    * order via the fused min-k AGGREGATE — O(k) state per epoch,
+    * map-side combine, never a per-epoch global sort (the window
+    * row_number alternative shuffles and sorts every (epoch, doc) row).
+    * `order_key` is the hash >> 7 (≤2⁵³, exact in the aggregate's
+    * double) with id tie-break — identical total order both engines. */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int = 4,
+      k: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val keyed = docs.select(col(idCol).cast("long").as("__id"))
+      .select(col("__id"),
+        explode(expr(s"sequence(0, ${epochs - 1})")).as("__e"))
+      .select(col("__e").cast("long").as("epoch"), col("__id"))
+      .select(col("epoch"), col("__id"),
+        shiftright(md5Hash60(concat_ws(":", col("epoch").cast("string"),
+          col("__id").cast("string"))), 7).as("__ok"))
+    val minK = udaf(new graft.functions.MinKByDistance(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.DistCand])
+    keyed
+      .groupBy("epoch")
+      .agg(minK(col("__id"), col("__ok").cast("double")).as("__top"))
+      .select(col("epoch"), posexplode(col("__top.items")).as(Seq("i", "nb")))
+      .select(col("epoch"), (col("i") + 1).cast("int").as("pos"),
+        col("nb.c_id").as("doc_id"),
+        col("nb.dist").cast("long").as("order_key"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -905,4 +905,32 @@ object PipelineOps {
     graft.api.Graft.chinchillaPlan(
         Tables.documents(s, d).select(col("text")), "text")
       .orderBy("budget_exp")
+
+  /** K-anonymity audit on the customer quasi-identifiers (Graft
+    * .kAnonymity): QI = (nation, market segment, 1000-wide balance
+    * band); class-size histogram with row mass and ratio4 share. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.kAnonymity(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")))
+      .orderBy("k_bucket")
+
+  /** Deterministic epoch-shuffle preview (Graft.epochShuffle): 4 epochs,
+    * first 8 docs of each epoch's md5-keyed order via the fused min-k
+    * aggregate — O(k) state per epoch, never a per-epoch global sort. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.epochShuffle(
+        Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", epochs = 4, k = 8)
+      .orderBy("epoch", "pos")
+
+  /** DP noisy release of per-(source, lang) doc counts (Graft
+    * .dpNoisyCounts, ε=0.5): Laplace mechanism with hash-derived
+    * deterministic noise, 1e-4 floor, clamp at 0. */
+  def dpNoisyCounts(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.dpNoisyCounts(
+        Tables.documents(s, d).select(col("source"), col("lang")),
+        Seq("source", "lang"), epsilon = 0.5)
+      .orderBy("source", "lang")
 }

@@ -854,4 +854,14 @@ object Similarity {
         "vec_id", "embedding", tau = 0.25)
       .orderBy("vec_id")
   }
+
+  /** K-center greedy coreset over the embeddings (Graft.kcenterCoreset,
+    * Gonzalez '85): 5 farthest-point picks from the min-id seed, each a
+    * broadcast-centers linear scan; the frame carries each pick's
+    * squared-L2 at selection and the final cover radius. */
+  def kcenterCoreset(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.kcenterCoreset(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 5)
+      .orderBy("sel_order")
 }

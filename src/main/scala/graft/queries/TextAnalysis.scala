@@ -655,4 +655,32 @@ object TextAnalysis {
         Tables.documents(s, d).select(col("text")),
         "text", bins = 10, bucketTokens = 64)
       .orderBy("q_bin", "len_bucket")
+
+  /** Weighted-lexicon content screen (Graft.lexiconScreen): the wordlist
+    * safety gate — hit-weight per token against a broadcast
+    * (term, weight) lexicon, docs over τ=0.20 flag, per-source rollup. */
+  def lexiconScreen(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.lexiconScreen(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "text", "source",
+        lexicon = Seq(("slow", 3L), ("big", 2L), ("dup", 5L)),
+        tauBp = 2000)
+      .orderBy("source")
+
+  /** Corpus concentration across sources (Graft.corpusConcentration):
+    * HHI, inverse-Simpson effective source count, quantized-ln Shannon
+    * entropy, exact integer Gini — one token scan to the source grid. */
+  def corpusConcentration(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.corpusConcentration(
+      Tables.documents(s, d).select(col("text"), col("source")),
+      "text", "source")
+
+  /** Hash-bootstrap CI on mean tokens-per-doc per source (Graft
+    * .bootstrapMeanCi): 32 deterministic half-sample replicates, 2^-17
+    * quantized replicate means, ±1.96σ interval. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.bootstrapMeanCi(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "text", "source", reps = 32)
+      .orderBy("source")
 }

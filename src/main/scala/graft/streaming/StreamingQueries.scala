@@ -289,6 +289,58 @@ object StreamingQueries {
       .orderBy("lang")
   }
 
+  /** The weighted-lexicon wordlist gate at INGEST — the streaming twin of
+    * lexicon_screen: the lexicon is a broadcast static side (a wordlist is
+    * a versioned artifact, not stream state), arriving documents tokenize
+    * and join ROW-LOCALLY, and the ONE streaming aggregation keeps the
+    * per-doc (n_tokens, weighted hits) grain — Graft.lexiconDocScores
+    * unchanged, batch/stream polymorphism pinned on the screen. The final
+    * state rolls up through the same Graft.lexiconRollup, so the result
+    * hash-matches the batch operator's oracle verbatim. */
+  def streamLexiconGate(s: SparkSession, d: String): DataFrame = {
+    val perDoc = graft.api.Graft.lexiconDocScores(
+      readStreamTable(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source")),
+      "doc_id", "text", "source",
+      lexicon = Seq(("slow", 3L), ("big", 2L), ("dup", 5L)))
+    val state = runToMemory(s, perDoc, "graft_stream_lexgate", "complete")
+    graft.api.Graft.lexiconRollup(state, "source", tauBp = 2000)
+      .orderBy("source")
+  }
+
+  /** Event-rate anomaly readout over STREAMING hourly counters: the one
+    * streaming aggregation keeps a (type, hour) counter per observed hour
+    * — bounded state, the shape of a production rate monitor — and the
+    * readout z-scores each hour against its type's own drained profile
+    * (mean/σ over observed hours, σ floored at 0.5). Unlike the batch
+    * event_anomalies (trailing-24h wall-clock frame over a gap-filled
+    * spine), this gate scores SPIKES AND DIPS among hours that produced
+    * events — a stream cannot count an hour that never arrives; the
+    * silent-hour case is the batch operator's job. Integer count sums,
+    * one fixed IEEE sequence for μ/σ/z, flag on the ROUNDED z. */
+  def streamAnomalyGate(s: SparkSession, d: String): DataFrame = {
+    val hourly = readStreamTable(s, d, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val state = runToMemory(s, hourly, "graft_stream_anomgate", "complete")
+    // self-join of the drained memory view: re-key the profile side so the
+    // two scans don't share attribute ids
+    val prof = state.groupBy("event_type")
+      .agg(count(lit(1)).as("__n"), sum("c").as("__s1"),
+        sum(expr("c * c")).as("__s2"))
+      .select(col("event_type").as("__et"), col("__n"), col("__s1"),
+        col("__s2"))
+    state.join(prof, col("event_type") === col("__et"))
+      .select(col("event_type"), col("hour"), col("c"),
+        expr("""round((CAST(c AS DOUBLE) - CAST(__s1 AS DOUBLE) / CAST(__n AS DOUBLE))
+               |  / greatest(sqrt((CAST(__s2 AS DOUBLE)
+               |      - CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE) / CAST(__n AS DOUBLE))
+               |    / CAST(__n AS DOUBLE)), 0.5D), 4)""".stripMargin).as("z4"))
+      .withColumn("anomaly", abs(col("z4")) >= 3.0)
+      .orderBy("event_type", "hour")
+  }
+
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     // ONE streaming aggregation (per-doc scores — chained streaming aggs are
     // unsupported); the per-label rollup reads the final in-memory state as

@@ -305,4 +305,139 @@ class Round14Spec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(b2 == Seq(2L, 5L))
   }
+
+  test("lexiconScreen: hit weights, the flag threshold, and empty docs") {
+    // doc 1: 'bad bad x y' with lexicon bad→3 ⇒ wsum 6, nt 4, rate 1.5 →
+    // ru 15000 > 2000 flags; doc 2: one hit in 4 tokens ⇒ ru 7500 flags
+    // at 2000 but not at 9000; doc 3 empty ⇒ survives with zero hits
+    val docs = Seq((1L, "bad bad x y", "s"), (2L, "bad x y z", "s"),
+      (3L, "", "s"), (4L, "x y z w", "t")).toDF("doc_id", "text", "source")
+    val out = api.Graft.lexiconScreen(docs, "doc_id", "text", "source",
+        lexicon = Seq(("bad", 3L)), tauBp = 9000)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    // (source, n_docs, n_hits, weighted_hits, n_flagged, share4, mean6)
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Seq(("s", 3L, 3L, 9L, 1L), ("t", 1L, 0L, 0L, 0L)))
+    assert(out.head._6 == 0.3333) // 1 of 3 flagged, ratio4
+    // mean of ru {15000, 7500, 0} = 7500 units = 0.75
+    assert(out.head._7 == 0.75)
+  }
+
+  test("kAnonymity: class-size histogram with exact buckets") {
+    // QI = single column; classes: a×1, b×3, c×7, d×12
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(7)("c") ++
+      Seq.fill(12)("d")).toDF("qi")
+    val out = api.Graft.kAnonymity(df, Seq(col("qi")))
+      .orderBy("k_bucket")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("1 (unique)", 1L, 1L, 1L, 0.0435),
+      ("10-99", 1L, 12L, 12L, 0.5217),
+      ("2-4", 1L, 3L, 3L, 0.1304),
+      ("5-9", 1L, 7L, 7L, 0.3043)))
+  }
+
+  test("dpNoisyCounts: deterministic, clamped, and actually noisy") {
+    val df = (Seq.fill(20)(("s0", "en")) ++ Seq.fill(3)(("s1", "de")) ++
+      Seq.fill(1)(("s2", "fr"))).toDF("source", "lang")
+    def run() = api.Graft.dpNoisyCounts(df, Seq("source", "lang"), epsilon = 0.5)
+      .orderBy("source").as[(String, String, Double, Double)].collect().toSeq
+    val a = run()
+    assert(a == run(), "release must be reproducible")
+    assert(a.forall(_._3 >= 0.0), "clamp at 0")
+    assert(a.forall(_._4 == 0.5))
+    // the md5-derived uniforms make at least one count land off its true value
+    val trues = Map(("s0", "en") -> 20.0, ("s1", "de") -> 3.0, ("s2", "fr") -> 1.0)
+    assert(a.exists(r => r._3 != trues((r._1, r._2))), "noise never applied?")
+  }
+
+  test("kcenterCoreset: greedy farthest-point picks on a 1-D line") {
+    // points 0, 1, 10, 11, 20 (ids 1..5), k=3: seed id1 (v=0), then the
+    // farthest point 20 (d=400), then 10 (its min-dist 100 to {0,20}
+    // beats 11's 81 and 1's 1); cover after {0, 20, 10} is 1 (1 and 11
+    // both sit 1 away from a center)
+    val emb = Seq((1L, Array(0f)), (2L, Array(1f)), (3L, Array(10f)),
+      (4L, Array(11f)), (5L, Array(20f))).toDF("vec_id", "embedding")
+    val out = api.Graft.kcenterCoreset(emb, "vec_id", "embedding", k = 3)
+      .orderBy("sel_order")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1, 1L, 0.0, 1.0), (2, 5L, 400.0, 1.0),
+      (3, 3L, 100.0, 1.0)))
+  }
+
+  test("corpusConcentration: HHI/effective/Gini exact on a two-source corpus") {
+    // source a: 1 token, source b: 3 tokens → T=4, Σt²=10:
+    // HHI = 10/16 = 0.625, effective = 16/10 = 1.6,
+    // Gini = (2·(1·1 + 2·3) − 3·4) / (2·4) = 0.25,
+    // H = −(0.25·ln 0.25 + 0.75·ln 0.75) ≈ 0.562335
+    val docs = Seq(("x", "a"), ("y z w", "b")).toDF("text", "source")
+    val out = api.Graft.corpusConcentration(docs, "text", "source")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(out._1 == 2L && out._2 == 2L && out._3 == 4L)
+    assert(out._4 == 0.625 && out._5 == 1.6)
+    assert(math.abs(out._6 - 0.562335) < 2e-6, s"entropy ${out._6}")
+    assert(out._7 == 0.25)
+  }
+
+  test("epochShuffle: min-k aggregate equals the global per-epoch order") {
+    val docs = (1L to 100L).toDF("doc_id")
+    val out = api.Graft.epochShuffle(docs, "doc_id", epochs = 2, k = 5)
+      .orderBy("epoch", "pos")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // reference: the same md5h60 >> 7 order computed driver-side
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val expect = (0L to 1L).flatMap { e =>
+      (1L to 100L).map(id => (e, id, h60(s"$e:$id") >> 7))
+        .sortBy { case (_, id, ok) => (ok, id) }
+        .take(5).zipWithIndex
+        .map { case ((ep, id, ok), i) => (ep, i + 1, id, ok) }
+    }
+    assert(out == expect)
+    // epochs get genuinely different orders
+    assert(out.filter(_._1 == 0L).map(_._3) != out.filter(_._1 == 1L).map(_._3))
+  }
+
+  test("streamLexiconGate: final stream state equals the batch screen") {
+    val batch = queries.TextAnalysis.lexiconScreen(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    val stream = streaming.StreamingQueries.streamLexiconGate(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(stream == batch)
+  }
+
+  test("streamAnomalyGate: drained counters match the batch hourly recompute") {
+    val out = streaming.StreamingQueries.streamAnomalyGate(spark, sf)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    assert(out.count() == hourly.count())
+    // z is a pure function of (c, per-type profile): every |z|>=3 row flags
+    val rows = out.select("z4", "anomaly").as[(Double, Boolean)].collect()
+    assert(rows.forall { case (z, a) => a == (math.abs(z) >= 3.0) })
+  }
+
+  test("bootstrapMeanCi: interval brackets the point estimate near the truth") {
+    val out = queries.TextAnalysis.bootstrapCi(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val truth = Tables.documents(spark, sf)
+      .select(expr("CAST(size(filter(split(text, ' ', -1), x -> length(x) > 0)) AS BIGINT)").as("w"),
+        col("source"))
+      .groupBy("source").agg(avg("w").as("m"))
+      .as[(String, Double)].collect().toMap
+    out.foreach { case (src, nDocs, nReps, mean6, sd6, lo6, hi6) =>
+      assert(nDocs > 0 && nReps == 32L)
+      assert(sd6 >= 0.0 && lo6 <= mean6 && mean6 <= hi6, s"$src interval")
+      // half-sample replicate means track the full-sample mean: the truth
+      // sits inside a generous 4σ of the replicate spread
+      assert(math.abs(mean6 - truth(src)) <= 4.0 * sd6 + 1e-3,
+        s"$src: mean6 $mean6 vs truth ${truth(src)} (sd6 $sd6)")
+    }
+  }
 }
