@@ -436,6 +436,16 @@ object PlanAudit {
         && !p.contains("Window") && !p.contains("CartesianProduct"),
         "epoch shuffle: fused min-k typed aggregate per epoch — O(k) " +
           "state, map-side combine, never a per-epoch global sort window"),
+      ("rendezvous_shards", p => !p.contains("Generate")
+        && !p.contains("SortMergeJoin") && p.contains("partial_count"),
+        "HRW shards: the argmax is greatest(struct…) INSIDE the scan — " +
+          "no shard-grid explode, no data-sized window; movement grid " +
+          "aggregates with map-side partials"),
+      ("weighted_reservoir", p => p.contains("ObjectHashAggregate")
+        && !p.contains("Window") && !p.contains("SortMergeJoin"),
+        "weighted reservoir: exponential-race keys row-local, top-k via " +
+          "the fused min-k aggregate — never a global sort; winner " +
+          "weights re-attach via the k-row broadcast"),
     )
 
     var failed = 0

@@ -248,6 +248,8 @@ object SparkEntry {
     "epoch_shuffle"     -> PipelineOps.epochShuffle _,
     "stream_lexicon_gate" -> StreamingQueries.streamLexiconGate _,
     "stream_anomaly_gate" -> StreamingQueries.streamAnomalyGate _,
+    "rendezvous_shards" -> PipelineOps.rendezvousShards _,
+    "weighted_reservoir" -> PipelineOps.weightedReservoir _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -3917,6 +3919,49 @@ object SparkEntry {
         |  FROM g)
         |SELECT epoch, CAST(pos AS INTEGER) AS pos, doc_id, ok AS order_key
         |FROM r WHERE pos <= 8 ORDER BY epoch, pos""".stripMargin,
+
+    // HRW argmax mirrored as (h DESC, s DESC) rank over the shard grid;
+    // movement matrix + ratio4 shares
+    "rendezvous_shards" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |gb AS (SELECT unnest(range(0, 8)) AS s),
+        |ga AS (SELECT unnest(range(0, 9)) AS s),
+        |hb AS (SELECT doc_id, s,
+        |    ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ids CROSS JOIN gb),
+        |ab AS (SELECT doc_id, s AS shard_before FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |    FROM hb) WHERE rn = 1),
+        |ha AS (SELECT doc_id, s,
+        |    ('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ids CROSS JOIN ga),
+        |aa AS (SELECT doc_id, s AS shard_after FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |    FROM ha) WHERE rn = 1),
+        |g AS (SELECT shard_before, shard_after, CAST(count(1) AS BIGINT) AS n_docs
+        |  FROM ab JOIN aa USING (doc_id) GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM g)
+        |SELECT shard_before, shard_after, n_docs,
+        |  shard_before <> shard_after AS moved,
+        |  CAST((20000 * n_docs + tot) // (2 * tot) AS DOUBLE) / 10000.0 AS share4
+        |FROM g CROSS JOIN t ORDER BY shard_before, shard_after""".stripMargin,
+
+    // A-ES exponential-race keys; top-50 by (−ln u / w DESC) ≡ the min-k
+    // aggregate's (dist ASC, id ASC) order
+    "weighted_reservoir" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) + 1 AS w
+        |  FROM documents),
+        |u AS (SELECT doc_id, w,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+        |      / 1152921504606846976.0 AS u
+        |  FROM w),
+        |d AS (SELECT doc_id, w, -ln(u) / CAST(w AS DOUBLE) AS d FROM u),
+        |r AS (SELECT doc_id, w, d,
+        |    CAST(row_number() OVER (ORDER BY d ASC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM d)
+        |SELECT rank, doc_id, w AS weight, round(-d, 6) AS key6
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // hourly (type, hour) counters z-scored against the type's own
     // profile; σ floored at 0.5, flag on the rounded z

@@ -4711,6 +4711,74 @@ object Graft {
         col("nb.dist").cast("long").as("order_key"))
   }
 
+  /** RENDEZVOUS (highest-random-weight, Thaler–Ravishankar '98) shard
+    * assignment, plus the rebalance-movement audit for growing the shard
+    * count: every doc goes to argmax over shards of md5Hash60("s:id"),
+    * so any worker computes any doc's home independently (no directory
+    * service), and growing S → S' moves ONLY docs whose new argmax is a
+    * NEW shard — expected movement 1 − S/S', the property this operator
+    * MEASURES (the movement matrix's off-diagonal mass must sit entirely
+    * in the added shards' columns). The argmax is a row-local
+    * `greatest(struct(hash, shard)…)` over the shard grid — codegen'd
+    * inside the scan, no explode, no shuffle; the only aggregate is the
+    * (before, after) movement grid. */
+  def rendezvousShards(docs: DataFrame, idCol: String,
+      shards: Int = 8, shardsAfter: Int = 9): DataFrame = {
+    require(shards >= 1 && shardsAfter > shards && shardsAfter <= 64,
+      "shard grids are small constants")
+    def argmax(n: Int): Column = {
+      val cands = (0 until n).map(sh => struct(
+        md5Hash60(concat_ws(":", lit(sh).cast("string"),
+          col("__id").cast("string"))).as("h"),
+        lit(sh.toLong).as("s")))
+      greatest(cands: _*).getField("s")
+    }
+    val assigned = docs.select(col(idCol).cast("long").as("__id"))
+      .select(argmax(shards).as("shard_before"),
+        argmax(shardsAfter).as("shard_after"))
+    val grid = assigned.groupBy("shard_before", "shard_after")
+      .agg(count(lit(1)).as("n_docs"))
+    val total = grid.agg(sum("n_docs").as("__tot"))
+    grid.crossJoin(broadcast(total))
+      .select(col("shard_before"), col("shard_after"), col("n_docs"),
+        (col("shard_before") =!= col("shard_after")).as("moved"),
+        expr("CAST((20000L * n_docs + __tot) DIV (2L * __tot) AS DOUBLE) / 10000.0")
+          .as("share4"))
+  }
+
+  /** WEIGHTED RESERVOIR sample (Efraimidis–Spirakis '06 A-ES): exactly k
+    * documents without replacement with inclusion probability ∝ weight
+    * (here tokens+1 — longer docs proportionally likelier), via the
+    * exponential-race key ln(u)/w with u = md5Hash60(id)/2^60 —
+    * deterministic, so a replayed pipeline draws the SAME sample (the
+    * property that lets weighted sampling compose with exactly-once
+    * sinks). The top-k-by-key is the fused min-k AGGREGATE on
+    * dist = −ln(u)/w: O(k) state, map-side combine, one k-row final
+    * group — never a global sort of the corpus. */
+  def weightedReservoir(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("__id"),
+        expr(s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+          "x -> length(x) > 0)) AS BIGINT) + 1L").as("__w"))
+      .withColumn("__u",
+        md5Hash60(col("__id").cast("string")).cast("double")
+          / lit(1.152921504606846976e18))
+      .withColumn("__d", expr("-ln(__u) / CAST(__w AS DOUBLE)"))
+    val minK = udaf(new graft.functions.MinKByDistance(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.DistCand])
+    val top = keyed.agg(minK(col("__id"), col("__d")).as("__top"))
+      .select(posexplode(col("__top.items")).as(Seq("i", "nb")))
+      .select((col("i") + 1).cast("int").as("rank"),
+        col("nb.c_id").as("doc_id"),
+        expr("round(-nb.dist, 6)").as("key6"))
+    // re-attach the winner weights: the K-ROW side broadcasts onto one
+    // more linear pass, never the corpus
+    broadcast(top)
+      .join(keyed.select(col("__id").as("doc_id"), col("__w").as("weight")),
+        Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("weight"), col("key6"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -925,6 +925,25 @@ object PipelineOps {
         "doc_id", epochs = 4, k = 8)
       .orderBy("epoch", "pos")
 
+  /** Rendezvous/HRW shard assignment + rebalance audit (Graft
+    * .rendezvousShards): every doc's home under 8 and 9 shards, the
+    * (before, after) movement matrix — off-diagonal mass must sit in the
+    * added shard's column, expected share 1 − 8/9. */
+  def rendezvousShards(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.rendezvousShards(
+        Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", shards = 8, shardsAfter = 9)
+      .orderBy("shard_before", "shard_after")
+
+  /** Weighted reservoir sample (Graft.weightedReservoir, Efraimidis–
+    * Spirakis A-ES): exactly 50 docs without replacement, inclusion ∝
+    * tokens+1, deterministic exponential-race keys, fused min-k. */
+  def weightedReservoir(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.weightedReservoir(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 50)
+      .orderBy("rank")
+
   /** DP noisy release of per-(source, lang) doc counts (Graft
     * .dpNoisyCounts, ε=0.5): Laplace mechanism with hash-derived
     * deterministic noise, 1e-4 floor, clamp at 0. */

@@ -422,6 +422,36 @@ class Round14Spec extends SparkSpec {
     assert(rows.forall { case (z, a) => a == (math.abs(z) >= 3.0) })
   }
 
+  test("rendezvousShards: HRW growth moves docs ONLY into the new shard") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val out = api.Graft.rendezvousShards(docs, "doc_id", 8, 9)
+      .as[(Long, Long, Long, Boolean, Double)].collect().toSeq
+    // conservation
+    assert(out.map(_._3).sum == 500L)
+    // the defining HRW property: a doc whose argmax changes under S'=9
+    // can only have moved to the ADDED shard (8) — old shards' hashes
+    // are unchanged, so a different winner must be the new candidate
+    out.filter(_._4).foreach { case (b, a, _, _, _) =>
+      assert(a == 8L, s"moved $b -> $a: HRW must move only into shard 8")
+    }
+    // expected movement ≈ 1 − 8/9 ≈ 11%: generous band
+    val moved = out.filter(_._4).map(_._3).sum.toDouble / 500.0
+    assert(moved > 0.03 && moved < 0.25, s"moved share $moved")
+  }
+
+  test("weightedReservoir: heavy doc wins; keys descend with rank") {
+    val docs = ((1L to 200L).map(id => (id, "x")) :+
+      (999L, Seq.fill(10000)("t").mkString(" "))).toDF("doc_id", "text")
+    val out = api.Graft.weightedReservoir(docs, "doc_id", "text", k = 50)
+      .orderBy("rank")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out.size == 50 && out.map(_._1) == (1 to 50))
+    assert(out.exists(_._2 == 999L), "the 10001-weight doc must be sampled")
+    assert(out.find(_._2 == 999L).get._3 == 10001L)
+    // A-ES keys (= ln(u)/w, negative) are non-increasing down the ranks
+    assert(out.map(_._4) == out.map(_._4).sorted.reverse)
+  }
+
   test("bootstrapMeanCi: interval brackets the point estimate near the truth") {
     val out = queries.TextAnalysis.bootstrapCi(spark, sf)
       .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
