@@ -446,6 +446,10 @@ object PlanAudit {
         "weighted reservoir: exponential-race keys row-local, top-k via " +
           "the fused min-k aggregate — never a global sort; winner " +
           "weights re-attach via the k-row broadcast"),
+      ("packing_efficiency", p => !p.contains("Join")
+        && p.contains("partial_count") && p.contains("Generate"),
+        "packing sweep: row-local ceil arithmetic over the fixed L-grid " +
+          "explode, one grid-sized aggregate with map-side partials"),
     )
 
     var failed = 0

@@ -250,6 +250,8 @@ object SparkEntry {
     "stream_anomaly_gate" -> StreamingQueries.streamAnomalyGate _,
     "rendezvous_shards" -> PipelineOps.rendezvousShards _,
     "weighted_reservoir" -> PipelineOps.weightedReservoir _,
+    "packing_efficiency" -> PipelineOps.packingEfficiency _,
+    "stream_weighted_reservoir" -> StreamingQueries.streamWeightedReservoir _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1908,6 +1910,24 @@ object SparkEntry {
       |  CAST((20000 * count_if(ru > 2000) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS flagged_share4,
       |  round(CAST(sum(ru) AS DOUBLE) / (CAST(count(1) AS DOUBLE) * 10000.0), 6) AS mean_rate6
       |FROM u GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of PipelineOps.weightedReservoir — shared verbatim by
+    * stream_weighted_reservoir (deterministic A-ES keys: the drained
+    * stream state equals the batch draw). */
+  private val weightedReservoirOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) + 1 AS w
+      |  FROM documents),
+      |u AS (SELECT doc_id, w,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |      / 1152921504606846976.0 AS u
+      |  FROM w),
+      |d AS (SELECT doc_id, w, -ln(u) / CAST(w AS DOUBLE) AS d FROM u),
+      |r AS (SELECT doc_id, w, d,
+      |    CAST(row_number() OVER (ORDER BY d ASC, doc_id ASC) AS INTEGER) AS rank
+      |  FROM d)
+      |SELECT rank, doc_id, w AS weight, round(-d, 6) AS key6
+      |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
 
   /** DuckDB twin of Similarity.kcenterCoreset: the greedy farthest-point
     * recursion unrolled to k CTE stages — stage i computes every point's
@@ -3947,21 +3967,30 @@ object SparkEntry {
         |FROM g CROSS JOIN t ORDER BY shard_before, shard_after""".stripMargin,
 
     // A-ES exponential-race keys; top-50 by (−ln u / w DESC) ≡ the min-k
-    // aggregate's (dist ASC, id ASC) order
-    "weighted_reservoir" ->
-      """WITH w AS (SELECT doc_id,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) + 1 AS w
+    // aggregate's (dist ASC, id ASC) order. Shared verbatim by
+    // stream_weighted_reservoir — deterministic keys make the drained
+    // stream state equal the batch draw exactly.
+    "weighted_reservoir" -> weightedReservoirOracleSql,
+    "stream_weighted_reservoir" -> weightedReservoirOracleSql,
+
+    // row-local ⌈w/L⌉ arithmetic over the fixed L grid; integer waste
+    "packing_efficiency" ->
+      """WITH w AS (SELECT
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS w
         |  FROM documents),
-        |u AS (SELECT doc_id, w,
-        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
-        |      / 1152921504606846976.0 AS u
-        |  FROM w),
-        |d AS (SELECT doc_id, w, -ln(u) / CAST(w AS DOUBLE) AS d FROM u),
-        |r AS (SELECT doc_id, w, d,
-        |    CAST(row_number() OVER (ORDER BY d ASC, doc_id ASC) AS INTEGER) AS rank
-        |  FROM d)
-        |SELECT rank, doc_id, w AS weight, round(-d, 6) AS key6
-        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+        |g AS (SELECT w, unnest([64, 128, 256, 512]) AS ml FROM w),
+        |s AS (SELECT w, CAST(ml AS BIGINT) AS max_len,
+        |    greatest(1, (w + CAST(ml AS BIGINT) - 1) // CAST(ml AS BIGINT)) AS seqs
+        |  FROM g)
+        |SELECT max_len, count(1) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_tokens,
+        |  CAST(sum(seqs) AS BIGINT) AS n_seqs,
+        |  CAST(sum(seqs * max_len - w) AS BIGINT) AS pad_tokens,
+        |  CAST((20000 * sum(seqs * max_len - w) + sum(seqs) * max_len)
+        |    // (2 * sum(seqs) * max_len) AS DOUBLE) / 10000.0 AS waste_share4,
+        |  CAST((20000 * count_if(w > max_len) + count(1))
+        |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS chunked_share4
+        |FROM s GROUP BY max_len ORDER BY max_len""".stripMargin,
 
     // hourly (type, hour) counters z-scored against the type's own
     // profile; σ floored at 0.5, flag on the rounded z

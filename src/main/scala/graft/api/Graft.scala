@@ -4757,26 +4757,81 @@ object Graft {
     * group — never a global sort of the corpus. */
   def weightedReservoir(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 50): DataFrame = {
-    val keyed = docs.select(col(idCol).cast("long").as("__id"),
+    val keyed = reservoirKeys(docs, idCol, textCol)
+    reservoirFormat(
+      keyed.agg(reservoirMinK(k)(col("__id"), col("__d")).as("__top")),
+      keyed)
+  }
+
+  /** The row-local half of [[weightedReservoir]]: (__id, __w, __d) with
+    * __d = −ln(u)/w. Runs unchanged on a stream (zero state) — the
+    * stream twin's only stateful piece is the min-k aggregate itself. */
+  def reservoirKeys(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("__id"),
         expr(s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
           "x -> length(x) > 0)) AS BIGINT) + 1L").as("__w"))
       .withColumn("__u",
         md5Hash60(col("__id").cast("string")).cast("double")
           / lit(1.152921504606846976e18))
       .withColumn("__d", expr("-ln(__u) / CAST(__w AS DOUBLE)"))
-    val minK = udaf(new graft.functions.MinKByDistance(k),
+
+  /** The fused min-k aggregate [[weightedReservoir]] selects with. */
+  def reservoirMinK(k: Int): org.apache.spark.sql.expressions
+      .UserDefinedFunction =
+    udaf(new graft.functions.MinKByDistance(k),
       org.apache.spark.sql.Encoders.product[graft.functions.DistCand])
-    val top = keyed.agg(minK(col("__id"), col("__d")).as("__top"))
+
+  /** The readout half of [[weightedReservoir]]: explode the winner list
+    * to (rank, doc_id, key6) and re-attach weights — the K-ROW side
+    * broadcasts onto one more linear pass, never the corpus. */
+  def reservoirFormat(top: DataFrame, keyed: DataFrame): DataFrame = {
+    val ranked = top
       .select(posexplode(col("__top.items")).as(Seq("i", "nb")))
       .select((col("i") + 1).cast("int").as("rank"),
         col("nb.c_id").as("doc_id"),
         expr("round(-nb.dist, 6)").as("key6"))
-    // re-attach the winner weights: the K-ROW side broadcasts onto one
-    // more linear pass, never the corpus
-    broadcast(top)
+    broadcast(ranked)
       .join(keyed.select(col("__id").as("doc_id"), col("__w").as("weight")),
         Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("weight"), col("key6"))
+  }
+
+  /** PACKING-EFFICIENCY sweep — the choose-max_len artifact for sequence
+    * packing: under each candidate sequence length L, a w-token document
+    * needs ⌈w/L⌉ sequences and wastes ⌈w/L⌉·L − w pad tokens; the sweep
+    * reports, per L, total sequences, exact integer pad waste, the ratio4
+    * waste share of emitted slots, and the share of docs that must chunk
+    * (w > L). All row-local integer arithmetic exploded over the fixed
+    * L grid (a constant ×|grid|), then one grid-sized aggregate — the
+    * same scan shape at any corpus size. (pack_sequences PACKS under one
+    * budget; this measures the knob.) */
+  def packingEfficiency(docs: DataFrame, textCol: String,
+      lengths: Seq[Int] = Seq(64, 128, 256, 512)): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ > 0))
+    val perDoc = docs.select(expr(
+      s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+        "x -> length(x) > 0)) AS BIGINT)").as("__w"))
+    perDoc
+      .select(col("__w"), explode(expr(
+        s"array(${lengths.map(_ + "L").mkString(", ")})")).as("max_len"))
+      // an empty doc still emits one (empty) sequence: ⌈0/L⌉ floored at 1
+      .withColumn("__seqs", greatest(lit(1L),
+        expr("(__w + max_len - 1L) DIV max_len")))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__w").as("n_tokens"),
+        sum("__seqs").as("n_seqs"),
+        sum(expr("__seqs * max_len - __w")).as("pad_tokens"),
+        sum(when(col("__w") > col("max_len"), 1L).otherwise(0L))
+          .as("n_chunked"))
+      .select(col("max_len"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        col("pad_tokens"),
+        expr("""CAST((20000L * pad_tokens + n_seqs * max_len)
+               |  DIV (2L * n_seqs * max_len) AS DOUBLE) / 10000.0""".stripMargin)
+          .as("waste_share4"),
+        expr("CAST((20000L * n_chunked + n_docs) DIV (2L * n_docs) AS DOUBLE) / 10000.0")
+          .as("chunked_share4"))
   }
 
   // ---------- streaming ----------

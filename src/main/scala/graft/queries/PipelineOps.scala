@@ -944,6 +944,14 @@ object PipelineOps {
         "doc_id", "text", k = 50)
       .orderBy("rank")
 
+  /** Packing-efficiency sweep (Graft.packingEfficiency): per candidate
+    * max_len, sequences/pad-waste/chunked share — the choose-max_len
+    * artifact beside pack_sequences. */
+  def packingEfficiency(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.packingEfficiency(
+        Tables.documents(s, d).select(col("text")), "text")
+      .orderBy("max_len")
+
   /** DP noisy release of per-(source, lang) doc counts (Graft
     * .dpNoisyCounts, ε=0.5): Laplace mechanism with hash-derived
     * deterministic noise, 1e-4 floor, clamp at 0. */

@@ -341,6 +341,29 @@ object StreamingQueries {
       .orderBy("event_type", "hour")
   }
 
+  /** Weighted reservoir sampling at INGEST — the streaming twin of
+    * weighted_reservoir: the A-ES exponential-race key is ROW-LOCAL
+    * (Graft.reservoirKeys unchanged on the stream), and the ONE streaming
+    * aggregation is the fused min-k itself — O(k) state TOTAL, however
+    * many documents arrive; every micro-batch folds its candidates into
+    * the same k-slot buffer. Because the keys are content-deterministic,
+    * the drained sample equals the batch draw exactly (shared oracle) —
+    * continuous sampling that composes with exactly-once sinks and
+    * replay. Weights re-attach batch-side from the static table. */
+  def streamWeightedReservoir(s: SparkSession, d: String): DataFrame = {
+    val keyed = graft.api.Graft.reservoirKeys(
+      readStreamTable(s, d, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val agg = keyed.agg(
+      graft.api.Graft.reservoirMinK(50)(col("__id"), col("__d")).as("__top"))
+    val state = runToMemory(s, agg, "graft_stream_wres", "complete")
+    graft.api.Graft.reservoirFormat(state,
+        graft.api.Graft.reservoirKeys(
+          graft.Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text"))
+      .orderBy("rank")
+  }
+
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     // ONE streaming aggregation (per-doc scores — chained streaming aggs are
     // unsupported); the per-label rollup reads the final in-memory state as

@@ -452,6 +452,25 @@ class Round14Spec extends SparkSpec {
     assert(out.map(_._4) == out.map(_._4).sorted.reverse)
   }
 
+  test("packingEfficiency: exact integer waste arithmetic at one L") {
+    // w = {5, 130, 0} at L=64: seqs = 1 + 3 + 1 = 5,
+    // pad = 59 + (192−130) + 64 = 185, slots = 5·64 = 320,
+    // waste4 = (20000·185 + 320) DIV 640 / 10⁴ = 0.5781; chunked 1/3
+    val docs = Seq("a b c d e", (1 to 130).map(_ => "t").mkString(" "), "")
+      .toDF("text")
+    val out = api.Graft.packingEfficiency(docs, "text", lengths = Seq(64))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(out == ((64L, 3L, 135L, 5L, 185L, 0.5781, 0.3333)))
+  }
+
+  test("streamWeightedReservoir: drained stream state equals the batch draw") {
+    val batch = queries.PipelineOps.weightedReservoir(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    val stream = streaming.StreamingQueries.streamWeightedReservoir(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(stream == batch)
+  }
+
   test("bootstrapMeanCi: interval brackets the point estimate near the truth") {
     val out = queries.TextAnalysis.bootstrapCi(spark, sf)
       .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
