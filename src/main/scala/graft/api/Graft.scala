@@ -4642,16 +4642,34 @@ object Graft {
     * Shape: ONE corpus token scan to the source grid; every window/sort
     * after it runs on the grid (source-count rows). */
   def corpusConcentration(docs: DataFrame, textCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String, gridMaxRows: Int = 1000000): DataFrame = {
     val perSrc = docs
       .select(col(groupCol), expr(
         s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
           "x -> length(x) > 0)) AS BIGINT)").as("__w"))
       .groupBy(groupCol).agg(sum("__w").as("__t"), count(lit(1)).as("__d"))
-    // grid-sized window: rank sources by token mass (ties by name)
-    val ranked = perSrc.withColumn("__r",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("__t").asc, col(groupCol).asc)).cast("long"))
+    // grid-sized window: rank sources by token mass (ties by name). The
+    // window input is the DISTINCT-group grid, not the corpus — and the
+    // mixtureWaterfill-style in-plan guard fails fast if a caller passes
+    // a document-grained groupCol instead of a source column (the global
+    // count(*) rides the window that already single-partitions the grid;
+    // no extra scan, no driver count job).
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val ranked = perSrc
+      .withColumn("__nrows", count(lit(1)).over(all))
+      .withColumn("__guard",
+        when(col("__nrows") <= lit(gridMaxRows.toLong), lit(0L))
+          .otherwise(expr(
+            s"""raise_error(concat('corpusConcentration: ',
+               |CAST(__nrows AS STRING), ' distinct groups > gridMaxRows=$gridMaxRows
+               | — the rank window runs on the GROUP grid; pass a
+               | source-granularity column'))"""
+              .stripMargin.replaceAll("\n", "")).cast("long")))
+      .withColumn("__r",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__t").asc, col(groupCol).asc)).cast("long")
+          + col("__guard")))
+      .drop("__nrows", "__guard")
     val total = perSrc.agg(sum("__t").as("__tot"))
     ranked.crossJoin(broadcast(total))
       // entropy term: floor(2^20 · p·ln p) per source, integer-summed

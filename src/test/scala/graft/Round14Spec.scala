@@ -380,6 +380,22 @@ class Round14Spec extends SparkSpec {
     assert(out._7 == 0.25)
   }
 
+  test("corpusConcentration: the grid guard fails fast on a doc-grained column") {
+    val docs = (1L to 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val bad = api.Graft.corpusConcentration(
+      docs.withColumn("doc_key", col("doc_id").cast("string")),
+      "text", "doc_key", gridMaxRows = 10)
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("corpusConcentration") ||
+      Option(e.getCause).exists(_.getMessage.contains("corpusConcentration")),
+      s"wrong error: ${e.getMessage}")
+    // and the guarded path still computes when the grid fits
+    val ok = api.Graft.corpusConcentration(docs
+        .withColumn("src", (col("doc_id") % 5).cast("string")),
+      "text", "src", gridMaxRows = 10)
+    assert(ok.count() == 1L)
+  }
+
   test("epochShuffle: min-k aggregate equals the global per-epoch order") {
     val docs = (1L to 100L).toDF("doc_id")
     val out = api.Graft.epochShuffle(docs, "doc_id", epochs = 2, k = 5)
