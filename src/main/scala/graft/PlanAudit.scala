@@ -450,6 +450,18 @@ object PlanAudit {
         && p.contains("partial_count") && p.contains("Generate"),
         "packing sweep: row-local ceil arithmetic over the fixed L-grid " +
           "explode, one grid-sized aggregate with map-side partials"),
+      ("ks_drift", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "KS drift: two row-local scoring scans to the FIXED 4096-bin " +
+          "grid; the full join and cumulative windows run on the grid"),
+      ("negative_sampling_table", p => p.contains("TakeOrderedAndProject")
+        && !p.contains("SortMergeJoin"),
+        "negative sampling: vocab aggregate, head via TakeOrdered (never " +
+          "a rank window over the vocabulary); total mass broadcast"),
+      ("hll_intersect", p => p.contains("ObjectHashAggregate")
+        && !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        "HLL intersect: ONE data-sized mergeable sketch aggregate; pair " +
+          "joins/unions/Jaccard on the group grid"),
     )
 
     var failed = 0

@@ -252,6 +252,9 @@ object SparkEntry {
     "weighted_reservoir" -> PipelineOps.weightedReservoir _,
     "packing_efficiency" -> PipelineOps.packingEfficiency _,
     "stream_weighted_reservoir" -> StreamingQueries.streamWeightedReservoir _,
+    "ks_drift"          -> PipelineOps.ksDrift _,
+    "negative_sampling_table" -> TextAnalysis.negativeSamplingTable _,
+    "hll_intersect"     -> PipelineOps.hllIntersect _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1910,6 +1913,45 @@ object SparkEntry {
       |  CAST((20000 * count_if(ru > 2000) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS flagged_share4,
       |  round(CAST(sum(ru) AS DOUBLE) / (CAST(count(1) AS DOUBLE) * 10000.0), 6) AS mean_rate6
       |FROM u GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of PipelineOps.ksDrift: the quality-score expression is
+    * the quality_length_joint formula verbatim, applied to the
+    * quality_drift generation split; binned CDFs on the 4096 grid; D
+    * compared as exact integers before the one final divide. */
+  private def ksDriftOracleSql: String = {
+    val score =
+      """least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2""".stripMargin
+    s"""WITH g0 AS (
+       |  SELECT text FROM documents WHERE doc_id % 13 <> 5 AND length(text) > 0),
+       |g1 AS (
+       |  SELECT CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END AS text
+       |  FROM documents WHERE doc_id % 13 <> 7),
+       |g1f AS (SELECT text FROM g1 WHERE length(text) > 0),
+       |b0 AS (SELECT least(CAST(floor(($score) * 4096) AS BIGINT), 4095) AS bin,
+       |    CAST(count(1) AS BIGINT) AS c0 FROM g0 GROUP BY 1),
+       |b1 AS (SELECT least(CAST(floor(($score) * 4096) AS BIGINT), 4095) AS bin,
+       |    CAST(count(1) AS BIGINT) AS c1 FROM g1f GROUP BY 1),
+       |j AS (SELECT bin, coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+       |  FROM b0 FULL JOIN b1 USING (bin)),
+       |cd AS (SELECT bin,
+       |    sum(c0) OVER (ORDER BY bin) AS f0, sum(c1) OVER (ORDER BY bin) AS f1,
+       |    sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+       |  FROM j),
+       |dd AS (SELECT *, abs(f0 * n1 - f1 * n0) AS dnum FROM cd),
+       |m AS (SELECT * FROM dd ORDER BY dnum DESC, bin ASC LIMIT 1),
+       |o AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       |    bin AS ks_bin,
+       |    round(CAST(dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6) AS ks6,
+       |    round(1.358 * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+       |      / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6) AS crit6
+       |  FROM m)
+       |SELECT n0, n1, ks_bin, ks6, crit6, ks6 > crit6 AS reject FROM o""".stripMargin
+  }
 
   /** DuckDB twin of PipelineOps.weightedReservoir — shared verbatim by
     * stream_weighted_reservoir (deterministic A-ES keys: the drained
@@ -3972,6 +4014,52 @@ object SparkEntry {
     // stream state equal the batch draw exactly.
     "weighted_reservoir" -> weightedReservoirOracleSql,
     "stream_weighted_reservoir" -> weightedReservoirOracleSql,
+
+    // binned-CDF KS on the fixed 4096-cell grid: the quality-score CTE is
+    // the proven quality_length_joint formula; |F0−F1| compared as exact
+    // integers f0·n1 − f1·n0
+    "ks_drift" -> ksDriftOracleSql,
+
+    // unigram^0.75 as sqrt(sqrt(c³)) — IEEE sqrt is correctly rounded in
+    // both engines, unlike a libm pow; 2^-20 quantized mass sums
+    "negative_sampling_table" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |v AS (SELECT token, CAST(count(1) AS BIGINT) AS c FROM t GROUP BY token),
+        |w AS (SELECT token, c,
+        |    CAST(floor(1048576.0 * sqrt(sqrt(
+        |      CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS BIGINT) AS wq
+        |  FROM v),
+        |tm AS (SELECT CAST(sum(wq) AS BIGINT) AS tm, count(1) AS vocab_size FROM w),
+        |h AS (SELECT token, c, wq,
+        |    CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS INTEGER) AS rank
+        |  FROM w QUALIFY rank <= 64)
+        |SELECT rank, token, c AS n_occurrences, vocab_size,
+        |  round(CAST(wq AS DOUBLE) / CAST(tm AS DOUBLE), 6) AS prob6,
+        |  round(CAST(sum(wq) OVER (ORDER BY rank) AS DOUBLE) / CAST(tm AS DOUBLE), 6) AS cum6
+        |FROM h CROSS JOIN tm ORDER BY rank""".stripMargin,
+
+    // exact distinct counts stand in for the coupon-regime HLL estimates;
+    // inclusion-exclusion + ratio4 Jaccard on the type-pair grid
+    "hll_intersect" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n FROM u GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.n AS n_a, b.n AS n_b
+        |  FROM c a JOIN c b ON a.event_type < b.event_type),
+        |i AS (SELECT ua.event_type AS type_a, ub.event_type AS type_b,
+        |    CAST(count(1) AS BIGINT) AS ni
+        |  FROM u ua JOIN u ub ON ua.user_id = ub.user_id
+        |    AND ua.event_type < ub.event_type
+        |  GROUP BY 1, 2),
+        |z AS (SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+        |    p.n_a + p.n_b - coalesce(i.ni, 0) AS n_union,
+        |    coalesce(i.ni, 0) AS n_intersect
+        |  FROM p LEFT JOIN i ON p.type_a = i.type_a AND p.type_b = i.type_b)
+        |SELECT type_a, type_b, n_a, n_b, n_union, n_intersect,
+        |  CAST((20000 * n_intersect + n_union) // (2 * n_union) AS DOUBLE) / 10000.0 AS jaccard4
+        |FROM z ORDER BY type_a, type_b""".stripMargin,
 
     // row-local ⌈w/L⌉ arithmetic over the fixed L grid; integer waste
     "packing_efficiency" ->

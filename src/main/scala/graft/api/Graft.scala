@@ -4852,6 +4852,114 @@ object Graft {
           .as("chunked_share4"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift test between two corpus
+    * generations' quality-score distributions — the distribution-level
+    * drift alarm beside quality_drift's mean shift and sourceDivergence's
+    * unigram KL (a filter whose SCORE DISTRIBUTION moves re-calibrates
+    * thresholds even when the mean holds). Scores quantize onto a FIXED
+    * `bins`-cell grid (binned KS: D computed on the binned CDFs), so the
+    * cumulative windows run on a CONSTANT-size grid at any corpus scale —
+    * never a window over distinct raw scores, which approaches doc count.
+    * D, the argmax bin, and the α=0.05 rejection against
+    * c(α)·√((n0+n1)/(n0·n1)), c = 1.358. Two row-local scoring scans →
+    * (gen, bin) counts → grid cumsums. */
+  def ksDrift(gen0: DataFrame, gen1: DataFrame, textCol: String,
+      bins: Int = 4096): DataFrame = {
+    def binned(df: DataFrame, tag: Int): DataFrame =
+      qualityScore(df.filter(length(col(textCol)) > 0)
+          .select(col(textCol)), textCol, out = "__q")
+        .select(least(floor(col("__q") * bins).cast("long"),
+          lit(bins - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(s"__c$tag"))
+    val joined = binned(gen0, 0).join(binned(gen1, 1), Seq("bin"), "full")
+      .select(col("bin"),
+        coalesce(col("__c0"), lit(0L)).as("__c0"),
+        coalesce(col("__c1"), lit(0L)).as("__c1"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").asc)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cdf = joined
+      .withColumn("__f0", sum("__c0").over(ord))
+      .withColumn("__f1", sum("__c1").over(ord))
+      .withColumn("__n0", sum("__c0").over(all))
+      .withColumn("__n1", sum("__c1").over(all))
+      // |F0 − F1| on the exact integer grid: |f0·n1 − f1·n0| / (n0·n1)
+      .withColumn("__dnum",
+        abs(col("__f0") * col("__n1") - col("__f1") * col("__n0")))
+    cdf.orderBy(col("__dnum").desc, col("bin").asc).limit(1)
+      .select(col("__n0").as("n0"), col("__n1").as("n1"),
+        col("bin").as("ks_bin"),
+        expr("round(CAST(__dnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)), 6)")
+          .as("ks6"),
+        expr("""round(1.358D * sqrt((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE))
+               |  / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6)""".stripMargin)
+          .as("crit6"))
+      .withColumn("reject", col("ks6") > col("crit6"))
+  }
+
+  /** NEGATIVE-SAMPLING table (Mikolov '13 word2vec: draw negatives from
+    * unigram^0.75) — the smoothed-unigram sampler a skip-gram/contrastive
+    * trainer ships beside the vocab. c^0.75 computes as
+    * sqrt(sqrt(c·c·c)) — IEEE sqrt is correctly rounded in BOTH engines,
+    * so (unlike a libm pow) the weight is bit-identical cross-engine —
+    * then quantizes to the 2^-20 grid for exact integer mass sums.
+    * Output: the top-`k` head of the table (TakeOrdered — never a rank
+    * window over the vocabulary) with each word's count, smoothed
+    * probability, and cumulative head mass; the total smoothed mass is a
+    * broadcast 1-row aggregate. One corpus scan; everything after is
+    * vocabulary-sized. */
+  def negativeSamplingTable(docs: DataFrame, textCol: String,
+      k: Int = 64): DataFrame = {
+    val vocab = docs
+      .select(explode(expr(
+        s"filter(split(`$textCol`, ' ', -1), x -> length(x) > 0)"))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("__wq", expr(
+        """CAST(floor(1048576.0D * sqrt(sqrt(
+          |  CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE))))
+          |  AS BIGINT)""".stripMargin))
+    val total = vocab.agg(sum("__wq").as("__tm"),
+      count(lit(1)).as("vocab_size"))
+    val head = vocab.orderBy(col("c").desc, col("token").asc).limit(k)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("token").asc)
+    head.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("__cum", sum("__wq").over(ord))
+      .select(col("rank"), col("token"), col("c").as("n_occurrences"),
+        col("vocab_size"),
+        expr("round(CAST(__wq AS DOUBLE) / CAST(__tm AS DOUBLE), 6)")
+          .as("prob6"),
+        expr("round(CAST(__cum AS DOUBLE) / CAST(__tm AS DOUBLE), 6)")
+          .as("cum6"))
+  }
+
+  /** SKETCH-BASED INTERSECTION estimates over every group pair
+    * (inclusion–exclusion on HLL: |A∩B| ≈ |A|+|B|−|A∪B|) — "which event
+    * types share an audience" with ONE data-sized sketch aggregate; the
+    * pair join, unions, and Jaccard all run on the group grid. Sketches
+    * are mergeable DataSketches HLL (lgK=14): exact in the coupon
+    * regime, so the verification-scale oracle is the exact distinct
+    * count. At 100 TB the data cost is one pass; grid-pair cost is
+    * |groups|² sketch merges of 2^lgK bytes each. */
+  def hllIntersect(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val sk = df.groupBy(groupCol)
+      .agg(expr(s"hll_sketch_agg(`$idCol`, 14)").as("__sk"))
+    val a = sk.select(col(groupCol).as("type_a"), col("__sk").as("__ska"))
+    val b = sk.select(col(groupCol).as("type_b"), col("__sk").as("__skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("CAST(round(hll_sketch_estimate(__ska)) AS BIGINT)").as("n_a"),
+        expr("CAST(round(hll_sketch_estimate(__skb)) AS BIGINT)").as("n_b"),
+        expr("CAST(round(hll_sketch_estimate(hll_union(__ska, __skb))) AS BIGINT)")
+          .as("n_union"))
+      .withColumn("n_intersect", col("n_a") + col("n_b") - col("n_union"))
+      .withColumn("jaccard4", expr(
+        "CAST((20000L * n_intersect + n_union) DIV (2L * n_union) AS DOUBLE) / 10000.0"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -944,6 +944,27 @@ object PipelineOps {
         "doc_id", "text", k = 50)
       .orderBy("rank")
 
+  /** Two-sample KS drift between the quality_drift generations (Graft
+    * .ksDrift): binned-CDF Kolmogorov–Smirnov on the fixed 4096-cell
+    * score grid, α=0.05 rejection. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val gen0 = docs.filter(col("doc_id") % 13 =!= 5).select(col("text"))
+    val gen1 = docs.filter(col("doc_id") % 13 =!= 7)
+      .select(when(col("doc_id") % 13 === 2, upper(col("text")))
+        .otherwise(col("text")).as("text"))
+    graft.api.Graft.ksDrift(gen0, gen1, "text", bins = 4096)
+  }
+
+  /** HLL inclusion–exclusion audience overlap across event-type pairs
+    * (Graft.hllIntersect): one sketch aggregate, grid-pair unions,
+    * intersection + Jaccard estimates (exact in the coupon regime). */
+  def hllIntersect(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.hllIntersect(
+        Tables.events(s, d).select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+      .orderBy("type_a", "type_b")
+
   /** Packing-efficiency sweep (Graft.packingEfficiency): per candidate
     * max_len, sequences/pad-waste/chunked share — the choose-max_len
     * artifact beside pack_sequences. */

@@ -675,6 +675,14 @@ object TextAnalysis {
       Tables.documents(s, d).select(col("text"), col("source")),
       "text", "source")
 
+  /** word2vec negative-sampling table (Graft.negativeSamplingTable):
+    * unigram^0.75 via the sqrt∘sqrt∘cube identity (IEEE-exact both
+    * engines), 2^-20 quantized mass, top-64 head with cumulative prob. */
+  def negativeSamplingTable(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.negativeSamplingTable(
+        Tables.documents(s, d).select(col("text")), "text", k = 64)
+      .orderBy("rank")
+
   /** Hash-bootstrap CI on mean tokens-per-doc per source (Graft
     * .bootstrapMeanCi): 32 deterministic half-sample replicates, 2^-17
     * quantized replicate means, ±1.96σ interval. */

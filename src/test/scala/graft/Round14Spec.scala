@@ -487,6 +487,43 @@ class Round14Spec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("ksDrift: identical generations accept; a shifted one rejects") {
+    val base = (1L to 400L)
+      .map(i => s"the a of data point number $i with some more words here")
+      .toDF("text")
+    val same = api.Graft.ksDrift(base, base, "text")
+      .as[(Long, Long, Long, Double, Double, Boolean)].head()
+    assert(same._4 == 0.0 && !same._6, s"identical gens must accept: $same")
+    // upper-casing kills the lowercase-sensitive score terms → big shift
+    val shifted = api.Graft.ksDrift(base, base.select(upper(col("text")).as("text")), "text")
+      .as[(Long, Long, Long, Double, Double, Boolean)].head()
+    assert(shifted._6, s"shifted gen must reject: $shifted")
+    assert(shifted._4 > shifted._5)
+  }
+
+  test("negativeSamplingTable: closed-form unigram^0.75 on a 2-word vocab") {
+    // a×16, b×1: wq_a = ⌊2^20·16^0.75⌋ = 8·2^20, wq_b = 2^20 →
+    // prob_a = 8/9, cum ends at 1.0
+    val docs = Seq(Seq.fill(16)("a").mkString(" "), "b").toDF("text")
+    val out = api.Graft.negativeSamplingTable(docs, "text", k = 64)
+      .as[(Int, String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1, "a", 16L, 2L, 0.888889, 0.888889),
+      (2, "b", 1L, 2L, 0.111111, 1.0)))
+  }
+
+  test("hllIntersect: inclusion-exclusion exact in the coupon regime") {
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("B", 4L), ("C", 9L)).toDF("event_type", "user_id")
+    val out = api.Graft.hllIntersect(df, "event_type", "user_id")
+      .orderBy("type_a", "type_b")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", "B", 3L, 3L, 4L, 2L, 0.5),
+      ("A", "C", 3L, 1L, 4L, 0L, 0.0),
+      ("B", "C", 3L, 1L, 4L, 0L, 0.0)))
+  }
+
   test("bootstrapMeanCi: interval brackets the point estimate near the truth") {
     val out = queries.TextAnalysis.bootstrapCi(spark, sf)
       .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
