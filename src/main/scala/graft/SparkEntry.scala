@@ -255,6 +255,7 @@ object SparkEntry {
     "ks_drift"          -> PipelineOps.ksDrift _,
     "negative_sampling_table" -> TextAnalysis.negativeSamplingTable _,
     "hll_intersect"     -> PipelineOps.hllIntersect _,
+    "greedy_balance"    -> PipelineOps.greedyBalance _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4019,6 +4020,42 @@ object SparkEntry {
     // the proven quality_length_joint formula; |F0−F1| compared as exact
     // integers f0·n1 − f1·n0
     "ks_drift" -> ksDriftOracleSql,
+
+    // LPT as a recursive CTE over the ranked source grid: argmin load via
+    // list_position(loads, min) — first occurrence = lowest worker id,
+    // the same tie-break as the Scala fold's indexOf
+    "greedy_balance" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |ranked AS (
+        |  SELECT source, t,
+        |    CAST(row_number() OVER (ORDER BY t DESC, source ASC) AS BIGINT) AS i
+        |  FROM g),
+        |step(i, loads, src, tt, w) AS (
+        |  SELECT CAST(0 AS BIGINT), [0, 0, 0, 0]::BIGINT[],
+        |    CAST(NULL AS VARCHAR), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT r.i,
+        |    list_transform(range(1, len(s.loads) + 1),
+        |      j -> CASE WHEN j = list_position(s.loads, list_aggregate(s.loads, 'min'))
+        |                THEN s.loads[CAST(j AS INTEGER)] + r.t
+        |                ELSE s.loads[CAST(j AS INTEGER)] END),
+        |    r.source, r.t,
+        |    CAST(list_position(s.loads, list_aggregate(s.loads, 'min')) AS BIGINT)
+        |  FROM step s JOIN ranked r ON r.i = s.i + 1),
+        |fin AS (SELECT loads FROM step ORDER BY i DESC LIMIT 1),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS tot, CAST(max(t) AS BIGINT) AS mx FROM ranked),
+        |o AS (
+        |  SELECT s.i AS rank, s.src AS source, s.tt AS tokens, s.w AS worker,
+        |    s.loads[CAST(s.w AS INTEGER)] AS worker_load,
+        |    (SELECT list_aggregate(loads, 'max') FROM fin) AS makespan,
+        |    greatest((tot + 3) // 4, mx) AS lb
+        |  FROM step s CROSS JOIN tot WHERE s.i > 0)
+        |SELECT rank, source, tokens, worker, worker_load, makespan, lb,
+        |  round(CAST(makespan AS DOUBLE) / CAST(lb AS DOUBLE), 6) AS balance6
+        |FROM o ORDER BY rank""".stripMargin,
 
     // unigram^0.75 as sqrt(sqrt(c³)) — IEEE sqrt is correctly rounded in
     // both engines, unlike a libm pow; 2^-20 quantized mass sums

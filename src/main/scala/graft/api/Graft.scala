@@ -4960,6 +4960,50 @@ object Graft {
         "CAST((20000L * n_intersect + n_union) DIV (2L * n_union) AS DOUBLE) / 10000.0"))
   }
 
+  /** GREEDY LPT shard→worker balance (Graham '69 longest-processing-time,
+    * the 4/3 − 1/(3W) makespan approximation): rank groups by token mass
+    * descending, assign each to the currently-least-loaded worker — the
+    * scheduler a multi-worker tokenize/shard pipeline uses to bound the
+    * straggler. A SOLVER like mixtureWaterfill/kcenterCoreset: one
+    * data-sized aggregate produces the group grid, the grid (guarded at
+    * `solverMaxRows`) folds on the driver, and the corpus is never
+    * touched again. Reports each assignment plus the makespan against
+    * the lower bound max(⌈Σt/W⌉, max t). Oracle = the same fold as a
+    * DuckDB recursive CTE over the ranked grid. */
+  def greedyBalance(docs: DataFrame, textCol: String, groupCol: String,
+      workers: Int = 4, solverMaxRows: Int = 10000): DataFrame = {
+    require(workers >= 1 && workers <= 1024)
+    val s = docs.sparkSession
+    import s.implicits._
+    val grid = docs
+      .select(col(groupCol).cast("string").as("__g"), expr(
+        s"CAST(size(filter(split(`$textCol`, ' ', -1), " +
+          "x -> length(x) > 0)) AS BIGINT)").as("__w"))
+      .groupBy("__g").agg(sum("__w").as("__t"))
+      .orderBy(col("__t").desc, col("__g").asc)
+      .limit(solverMaxRows + 1)
+      .as[(String, Long)].collect()
+    require(grid.length <= solverMaxRows,
+      s"greedyBalance: more than $solverMaxRows groups — this is a solver " +
+        "over a per-group grid; coarsen the group column")
+    val loads = Array.fill(workers)(0L)
+    val rows = grid.toSeq.zipWithIndex.map { case ((g, t), idx) =>
+      val w = loads.indexOf(loads.min)
+      loads(w) += t
+      (idx + 1L, g, t, (w + 1).toLong, loads(w))
+    }
+    val total = grid.map(_._2).sum
+    val lb = math.max((total + workers - 1) / workers,
+      grid.map(_._2).max)
+    val makespan = loads.max
+    val bal = BigDecimal(makespan.toDouble / lb.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.toDF("rank", "source", "tokens", "worker", "worker_load")
+      .withColumn("makespan", lit(makespan))
+      .withColumn("lb", lit(lb))
+      .withColumn("balance6", lit(bal))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

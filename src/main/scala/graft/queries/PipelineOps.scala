@@ -965,6 +965,15 @@ object PipelineOps {
         "event_type", "user_id")
       .orderBy("type_a", "type_b")
 
+  /** LPT shard→worker balance over the source grid (Graft.greedyBalance,
+    * Graham '69): rank sources by token mass, assign each to the least-
+    * loaded of 4 workers; makespan vs the ⌈Σt/W⌉ lower bound. */
+  def greedyBalance(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.greedyBalance(
+        Tables.documents(s, d).select(col("text"), col("source")),
+        "text", "source", workers = 4)
+      .orderBy("rank")
+
   /** Packing-efficiency sweep (Graft.packingEfficiency): per candidate
     * max_len, sequences/pad-waste/chunked share — the choose-max_len
     * artifact beside pack_sequences. */

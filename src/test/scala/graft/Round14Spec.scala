@@ -524,6 +524,24 @@ class Round14Spec extends SparkSpec {
       ("B", "C", 3L, 1L, 4L, 0L, 0.0)))
   }
 
+  test("greedyBalance: the LPT fold on a hand-worked grid") {
+    // token masses a=7 b=5 c=4 d=3 e=2 f=1 (words), W=3:
+    // a→w1, b→w2, c→w3, d→w3(7), e→w2(7), f→w1(8) → makespan 8,
+    // lb = max(⌈22/3⌉, 7) = 8 → balance 1.0
+    val docs = Seq(("a", 7), ("b", 5), ("c", 4), ("d", 3), ("e", 2), ("f", 1))
+      .map { case (s, n) => ((1 to n).map(_ => "t").mkString(" "), s) }
+      .toDF("text", "source")
+    val out = api.Graft.greedyBalance(docs, "text", "source", workers = 3)
+      .orderBy("rank")
+      .as[(Long, String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out.map(r => (r._2, r._4)) ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 3L), ("e", 2L), ("f", 1L)))
+    assert(out.head._6 == 8L && out.head._7 == 8L && out.head._8 == 1.0)
+    // loads after each assignment
+    assert(out.map(_._5) == Seq(7L, 5L, 4L, 7L, 7L, 8L))
+  }
+
   test("bootstrapMeanCi: interval brackets the point estimate near the truth") {
     val out = queries.TextAnalysis.bootstrapCi(spark, sf)
       .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
