@@ -462,6 +462,16 @@ object PlanAudit {
         && !p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         "HLL intersect: ONE data-sized mergeable sketch aggregate; pair " +
           "joins/unions/Jaccard on the group grid"),
+      ("quality_isotonic", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "isotonic fit: two scoring scans + one id equi-join (the " +
+          "quality_ece shape); the minimax j/k joins run on the " +
+          "observed-decile grid"),
+      ("conformal_gate", p => !p.contains("SortMergeJoin")
+        && p.contains("partial_count") && !p.contains("CartesianProduct"),
+        "conformal gate: scoring scans to the FIXED 4096 grid; the order " +
+          "statistic is a cumulative count over the grid, never a sort " +
+          "of the corpus; threshold broadcasts back"),
     )
 
     var failed = 0

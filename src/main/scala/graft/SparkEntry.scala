@@ -256,6 +256,8 @@ object SparkEntry {
     "negative_sampling_table" -> TextAnalysis.negativeSamplingTable _,
     "hll_intersect"     -> PipelineOps.hllIntersect _,
     "greedy_balance"    -> PipelineOps.greedyBalance _,
+    "quality_isotonic"  -> TextAnalysis.qualityIsotonic _,
+    "conformal_gate"    -> TextAnalysis.conformalGate _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4020,6 +4022,97 @@ object SparkEntry {
     // the proven quality_length_joint formula; |F0−F1| compared as exact
     // integers f0·n1 − f1·n0
     "ks_drift" -> ksDriftOracleSql,
+
+    // exact minimax isotonic fit max_{j<=i} min_{k>=i} mean(y[j..k]) on
+    // the observed-decile grid; the score/gold CTEs are quality_ece's
+    "quality_isotonic" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2 AS qv
+        |  FROM documents),
+        |gt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |gm AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ts, x -> len(x))) AS BIGINT) AS sumlen,
+        |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(['the','a','of','and','is'], s -> list_contains(ts, s))) AS BIGINT) AS n_stopwords
+        |  FROM gt WHERE len(ts) >= 1),
+        |g AS (
+        |  SELECT doc_id,
+        |    (n_words BETWEEN 20 AND 100000) AND (3 * n_words <= sumlen)
+        |      AND (sumlen <= 10 * n_words) AND (5 * alpha >= 4 * n_words)
+        |      AND (n_stopwords >= 2) AS passes
+        |  FROM gm),
+        |b AS (
+        |  SELECT least(CAST(floor(qv * 10) AS BIGINT), 9) AS bin, passes
+        |  FROM q JOIN g USING (doc_id)),
+        |p AS (
+        |  SELECT bin, CAST(count(1) AS BIGINT) AS n,
+        |    CAST(count_if(passes) AS BIGINT) AS pp
+        |  FROM b GROUP BY bin),
+        |c AS (
+        |  SELECT bin, n, pp,
+        |    sum(n) OVER (ORDER BY bin) AS cn, sum(pp) OVER (ORDER BY bin) AS cp
+        |  FROM p),
+        |jk AS (
+        |  SELECT j.bin AS jb, k.bin AS kb,
+        |    CAST(k.cp - (j.cp - j.pp) AS DOUBLE)
+        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS r
+        |  FROM c j JOIN c k ON j.bin <= k.bin),
+        |mm AS (
+        |  SELECT i.bin AS bin, jk.jb, min(jk.r) AS mn
+        |  FROM p i JOIN jk ON jk.jb <= i.bin AND jk.kb >= i.bin
+        |  GROUP BY i.bin, jk.jb),
+        |iso AS (SELECT bin, max(mn) AS iso FROM mm GROUP BY bin)
+        |SELECT p.bin, p.n AS n_docs,
+        |  round(CAST(p.pp AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS rate6,
+        |  round(iso.iso, 6) AS iso6
+        |FROM p JOIN iso USING (bin) ORDER BY bin""".stripMargin,
+
+    // conformal order statistic from a cumulative count over the fixed
+    // 4096 grid; k = ceil((n_cal+1)·α) in exact 1e-4 integer units
+    "conformal_gate" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2 AS qv
+        |  FROM documents WHERE length(text) > 0),
+        |cb AS (
+        |  SELECT least(CAST(floor(qv * 4096) AS BIGINT), 4095) AS bin,
+        |    CAST(count(1) AS BIGINT) AS c
+        |  FROM sc WHERE doc_id % 10 = 0 GROUP BY 1),
+        |nc AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cb),
+        |cc AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM cb),
+        |kk AS (SELECT n_cal, ((n_cal + 1) * 1000 + 9999) // 10000 AS k FROM nc),
+        |th AS (
+        |  SELECT n_cal, k, bin AS thr_bin FROM cc CROSS JOIN kk
+        |  WHERE cum >= k ORDER BY bin ASC LIMIT 1),
+        |ck AS (
+        |  SELECT t.n_cal, t.k, t.thr_bin,
+        |    CAST((20000 * (SELECT sum(c) FROM cb WHERE bin >= t.thr_bin) + t.n_cal)
+        |      // (2 * t.n_cal) AS DOUBLE) / 10000.0 AS cal_keep_share4
+        |  FROM th t),
+        |tb AS (
+        |  SELECT least(CAST(floor(qv * 4096) AS BIGINT), 4095) AS bin,
+        |    CAST(count(1) AS BIGINT) AS c
+        |  FROM sc WHERE doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT ck.n_cal, ck.k, ck.thr_bin, ck.cal_keep_share4,
+        |  CAST((SELECT sum(c) FROM tb) AS BIGINT) AS n_test,
+        |  CAST((20000 * (SELECT sum(c) FROM tb WHERE bin >= ck.thr_bin)
+        |    + (SELECT sum(c) FROM tb)) // (2 * (SELECT sum(c) FROM tb)) AS DOUBLE) / 10000.0 AS test_keep_share4
+        |FROM ck""".stripMargin,
 
     // LPT as a recursive CTE over the ranked source grid: argmin load via
     // list_position(loads, min) — first occurrence = lowest worker id,

@@ -5004,6 +5004,99 @@ object Graft {
       .withColumn("balance6", lit(bal))
   }
 
+  /** ISOTONIC CALIBRATION of the scored quality filter against the
+    * Gopher-rule gold (Zadrozny–Elkan '02; the repair step after
+    * quality_ece MEASURES the miscalibration): weighted isotonic
+    * regression of per-decile accuracy on the score order, computed by
+    * the exact minimax identity ŷᵢ = max_{j≤i} min_{k≥i} mean(y[j..k])
+    * — closed form, no PAV iteration, and every mean is one IEEE divide
+    * of integer cumulative sums so both engines agree bit-for-bit.
+    * All joins/windows run on the observed-BIN grid (≤ `bins` rows);
+    * the corpus is touched by two row-local scoring scans + one
+    * id equi-join, exactly like quality_ece. */
+  def isotonicCalibration(docs: DataFrame, idCol: String, textCol: String,
+      bins: Int = 10, minWords: Long = 20L): DataFrame = {
+    val scored = qualityScore(docs.select(col(idCol), col(textCol)),
+        textCol, out = "__q")
+      .select(col(idCol), col("__q"))
+    val gold = gopherRules(docs.select(col(idCol), col(textCol)),
+        textCol, minWords = minWords)
+      .select(col(idCol), col("passes"))
+    val g = scored.join(gold, Seq(idCol))
+      .withColumn("bin",
+        least(floor(col("__q") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(count_if(passes) AS BIGINT)").as("p"))
+    val ordw = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val c = g.withColumn("cn", sum("n").over(ordw))
+      .withColumn("cp", sum("p").over(ordw))
+    val jSide = c.select(col("bin").as("jb"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("p")).as("cp0"))
+    val kSide = c.select(col("bin").as("kb"),
+      col("cn").as("cnk"), col("cp").as("cpk"))
+    val jk = jSide.join(kSide, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        ((col("cpk") - col("cp0")).cast("double")
+          / (col("cnk") - col("cn0")).cast("double")).as("r"))
+    val iso = g.select(col("bin"))
+      .join(jk, col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy("bin", "jb").agg(min("r").as("mn"))
+      .groupBy("bin").agg(max("mn").as("__iso"))
+    g.join(iso, Seq("bin"))
+      .select(col("bin"), col("n").as("n_docs"),
+        expr("round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6)").as("rate6"),
+        expr("round(__iso, 6)").as("iso6"))
+  }
+
+  /** SPLIT-CONFORMAL quality gate (Vovk; Lei '18): calibrate the drop
+    * threshold on a held-out slice so that the kept share carries a
+    * finite-sample guarantee — keep everything scoring at or above the
+    * k-th smallest calibration score, k = ⌈(n_cal+1)·α⌉, and at most an
+    * α fraction of exchangeable future documents is wrongly dropped.
+    * Scores quantize onto the fixed `bins` grid (same grid discipline
+    * as ks_drift — the order statistic comes from a cumulative count
+    * over the CONSTANT grid, never a sort or data-sized window), the
+    * rest is integer arithmetic. Output: one row with the threshold bin
+    * and the achieved calibration/test keep shares (ratio4). */
+  def conformalGate(cal: DataFrame, test: DataFrame, textCol: String,
+      alpha10000: Int = 1000, bins: Int = 4096): DataFrame = {
+    def binned(df: DataFrame): DataFrame =
+      qualityScore(df.filter(length(col(textCol)) > 0).select(col(textCol)),
+          textCol, out = "__q")
+        .select(least(floor(col("__q") * bins).cast("long"),
+          lit(bins - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+    val calBins = binned(cal)
+    val ordw = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    val calCum = calBins.withColumn("cum", sum("c").over(ordw))
+    val nCal = calBins.agg(sum("c").as("n_cal"))
+    // k = ⌈(n_cal + 1) · α⌉ in exact 1e-4 integer units
+    val withK = calCum.crossJoin(broadcast(nCal))
+      .withColumn("k", expr(
+        s"((n_cal + 1L) * ${alpha10000}L + 9999L) DIV 10000L"))
+    val thr = withK.filter(col("cum") >= col("k"))
+      .orderBy(col("bin").asc).limit(1)
+      .select(col("n_cal"), col("k"), col("bin").as("thr_bin"))
+    val calKeep = broadcast(thr).crossJoin(calBins)
+      .groupBy("n_cal", "k", "thr_bin")
+      .agg(sum(when(col("bin") >= col("thr_bin"), col("c"))
+        .otherwise(lit(0L))).as("__keep"))
+      .withColumn("cal_keep_share4", expr(
+        "CAST((20000L * __keep + n_cal) DIV (2L * n_cal) AS DOUBLE) / 10000.0"))
+      .select(col("n_cal"), col("k"), col("thr_bin"), col("cal_keep_share4"))
+    val testBins = binned(test)
+    broadcast(calKeep).crossJoin(testBins)
+      .groupBy("n_cal", "k", "thr_bin", "cal_keep_share4")
+      .agg(sum("c").as("n_test"),
+        sum(when(col("bin") >= col("thr_bin"), col("c"))
+          .otherwise(lit(0L))).as("__tkeep"))
+      .withColumn("test_keep_share4", expr(
+        "CAST((20000L * __tkeep + n_test) DIV (2L * n_test) AS DOUBLE) / 10000.0"))
+      .select(col("n_cal"), col("k"), col("thr_bin"), col("cal_keep_share4"),
+        col("n_test"), col("test_keep_share4"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

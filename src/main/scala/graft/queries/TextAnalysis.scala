@@ -675,6 +675,26 @@ object TextAnalysis {
       Tables.documents(s, d).select(col("text"), col("source")),
       "text", "source")
 
+  /** Isotonic calibration of the quality filter vs the Gopher gold
+    * (Graft.isotonicCalibration): exact minimax PAV on the decile grid —
+    * the repair step after quality_ece measures the miscalibration. */
+  def qualityIsotonic(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.isotonicCalibration(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", bins = 10)
+      .orderBy("bin")
+
+  /** Split-conformal quality gate (Graft.conformalGate, α=0.1): drop
+    * threshold = k-th smallest calibration score on the 4096 grid,
+    * k = ⌈(n_cal+1)·α⌉; achieved keep shares on both slices. */
+  def conformalGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.api.Graft.conformalGate(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0),
+      "text", alpha10000 = 1000, bins = 4096)
+  }
+
   /** word2vec negative-sampling table (Graft.negativeSamplingTable):
     * unigram^0.75 via the sqrt∘sqrt∘cube identity (IEEE-exact both
     * engines), 2^-20 quantized mass, top-64 head with cumulative prob. */

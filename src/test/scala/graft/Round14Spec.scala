@@ -542,6 +542,57 @@ class Round14Spec extends SparkSpec {
     assert(out.map(_._5) == Seq(7L, 5L, 4L, 7L, 7L, 8L))
   }
 
+  test("qualityIsotonic: minimax fit equals a driver-side PAV; monotone; mass-conserving") {
+    val out = queries.TextAnalysis.qualityIsotonic(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.nonEmpty)
+    // monotone non-decreasing in the bin order
+    assert(out.map(_._4) == out.map(_._4).sorted, s"not isotone: $out")
+    // classic pool-adjacent-violators recompute on (n, p)
+    case class Blk(var n: Long, var p: Long)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    out.foreach { case (_, n, rate6, _) =>
+      blocks += Blk(n, math.rint(rate6 * n).toLong)
+      while (blocks.length >= 2 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a.p * b.n >= b.p * a.n // rate_a >= rate_b → pool
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.n += b.n; blocks.last.p += b.p
+      }
+    }
+    // expand PAV block means back onto the bins (blocks pool in bin order)
+    val expand = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var bi = 0
+    var left = blocks.head.n
+    out.foreach { case (_, n, _, _) =>
+      expand += blocks(bi).p.toDouble / blocks(bi).n.toDouble
+      left -= n
+      if (left == 0 && bi + 1 < blocks.length) { bi += 1; left = blocks(bi).n }
+    }
+    out.zip(expand).foreach { case ((bin, _, _, iso6), e) =>
+      assert(math.abs(iso6 - e) < 5e-6, s"bin $bin: iso6 $iso6 vs PAV $e")
+    }
+    // weighted mass conserved: Σ n·iso ≈ Σ n·rate
+    val massIso = out.map(r => r._2 * r._4).sum
+    val massRaw = out.map(r => r._2 * r._3).sum
+    assert(math.abs(massIso - massRaw) < 0.01 * out.map(_._2).sum,
+      s"mass drift: $massIso vs $massRaw")
+  }
+
+  test("conformalGate: the order-statistic threshold honors the coverage bound") {
+    val out = queries.TextAnalysis.conformalGate(spark, sf)
+      .as[(Long, Long, Long, Double, Long, Double)].head()
+    val (nCal, k, thrBin, calKeep, nTest, testKeep) = out
+    assert(k == ((nCal + 1) * 1000 + 9999) / 10000)
+    assert(thrBin >= 0 && thrBin <= 4095)
+    // at most k−1 calibration docs sit strictly below the threshold bin →
+    // keep ≥ (n_cal − k + 1)/n_cal, up to one ratio4 grid step
+    assert(calKeep >= (nCal - k + 1).toDouble / nCal - 0.0001,
+      s"cal keep $calKeep below the conformal bound (n=$nCal, k=$k)")
+    assert(nTest > 0 && testKeep > 0.5 && testKeep <= 1.0)
+  }
+
   test("bootstrapMeanCi: interval brackets the point estimate near the truth") {
     val out = queries.TextAnalysis.bootstrapCi(spark, sf)
       .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
