@@ -258,6 +258,7 @@ object SparkEntry {
     "greedy_balance"    -> PipelineOps.greedyBalance _,
     "quality_isotonic"  -> TextAnalysis.qualityIsotonic _,
     "conformal_gate"    -> TextAnalysis.conformalGate _,
+    "stream_conformal_gate" -> StreamingQueries.streamConformalGate _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4113,6 +4114,37 @@ object SparkEntry {
         |  CAST((20000 * (SELECT sum(c) FROM tb WHERE bin >= ck.thr_bin)
         |    + (SELECT sum(c) FROM tb)) // (2 * (SELECT sum(c) FROM tb)) AS DOUBLE) / 10000.0 AS test_keep_share4
         |FROM ck""".stripMargin,
+
+    // the stream gate replays the whole documents table through the
+    // batch-calibrated threshold: per-source kept counters
+    "stream_conformal_gate" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2 AS qv
+        |  FROM documents WHERE length(text) > 0),
+        |cb AS (
+        |  SELECT least(CAST(floor(qv * 4096) AS BIGINT), 4095) AS bin,
+        |    CAST(count(1) AS BIGINT) AS c
+        |  FROM sc WHERE doc_id % 10 = 0 GROUP BY 1),
+        |nc AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cb),
+        |cc AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM cb),
+        |kk AS (SELECT n_cal, ((n_cal + 1) * 1000 + 9999) // 10000 AS k FROM nc),
+        |th AS (
+        |  SELECT bin AS thr_bin FROM cc CROSS JOIN kk
+        |  WHERE cum >= k ORDER BY bin ASC LIMIT 1),
+        |b AS (
+        |  SELECT source, least(CAST(floor(qv * 4096) AS BIGINT), 4095) AS bin
+        |  FROM sc)
+        |SELECT source, t.thr_bin, count(1) AS n_docs,
+        |  CAST(count_if(bin >= t.thr_bin) AS BIGINT) AS n_kept,
+        |  CAST((20000 * count_if(bin >= t.thr_bin) + count(1))
+        |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS kept_share4
+        |FROM b CROSS JOIN th t GROUP BY source, t.thr_bin ORDER BY source""".stripMargin,
 
     // LPT as a recursive CTE over the ranked source grid: argmin load via
     // list_position(loads, min) — first occurrence = lowest worker id,

@@ -5059,25 +5059,38 @@ object Graft {
     * over the CONSTANT grid, never a sort or data-sized window), the
     * rest is integer arithmetic. Output: one row with the threshold bin
     * and the achieved calibration/test keep shares (ratio4). */
-  def conformalGate(cal: DataFrame, test: DataFrame, textCol: String,
+  /** The binned-score half of [[conformalGate]]: (bin, count) on the
+    * fixed grid — row-local, so it runs unchanged on a stream. */
+  def conformalBinned(df: DataFrame, textCol: String,
+      bins: Int): DataFrame =
+    qualityScore(df.filter(length(col(textCol)) > 0).select(col(textCol)),
+        textCol, out = "__q")
+      .select(least(floor(col("__q") * bins).cast("long"),
+        lit(bins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+
+  /** The threshold half of [[conformalGate]]: one row
+    * (n_cal, k, thr_bin) — the versioned artifact a stream gate
+    * broadcasts. */
+  def conformalThreshold(cal: DataFrame, textCol: String,
       alpha10000: Int = 1000, bins: Int = 4096): DataFrame = {
-    def binned(df: DataFrame): DataFrame =
-      qualityScore(df.filter(length(col(textCol)) > 0).select(col(textCol)),
-          textCol, out = "__q")
-        .select(least(floor(col("__q") * bins).cast("long"),
-          lit(bins - 1L)).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("c"))
-    val calBins = binned(cal)
+    val calBins = conformalBinned(cal, textCol, bins)
     val ordw = org.apache.spark.sql.expressions.Window.orderBy("bin")
     val calCum = calBins.withColumn("cum", sum("c").over(ordw))
     val nCal = calBins.agg(sum("c").as("n_cal"))
     // k = ⌈(n_cal + 1) · α⌉ in exact 1e-4 integer units
-    val withK = calCum.crossJoin(broadcast(nCal))
+    calCum.crossJoin(broadcast(nCal))
       .withColumn("k", expr(
         s"((n_cal + 1L) * ${alpha10000}L + 9999L) DIV 10000L"))
-    val thr = withK.filter(col("cum") >= col("k"))
+      .filter(col("cum") >= col("k"))
       .orderBy(col("bin").asc).limit(1)
       .select(col("n_cal"), col("k"), col("bin").as("thr_bin"))
+  }
+
+  def conformalGate(cal: DataFrame, test: DataFrame, textCol: String,
+      alpha10000: Int = 1000, bins: Int = 4096): DataFrame = {
+    val calBins = conformalBinned(cal, textCol, bins)
+    val thr = conformalThreshold(cal, textCol, alpha10000, bins)
     val calKeep = broadcast(thr).crossJoin(calBins)
       .groupBy("n_cal", "k", "thr_bin")
       .agg(sum(when(col("bin") >= col("thr_bin"), col("c"))
@@ -5085,7 +5098,7 @@ object Graft {
       .withColumn("cal_keep_share4", expr(
         "CAST((20000L * __keep + n_cal) DIV (2L * n_cal) AS DOUBLE) / 10000.0"))
       .select(col("n_cal"), col("k"), col("thr_bin"), col("cal_keep_share4"))
-    val testBins = binned(test)
+    val testBins = conformalBinned(test, textCol, bins)
     broadcast(calKeep).crossJoin(testBins)
       .groupBy("n_cal", "k", "thr_bin", "cal_keep_share4")
       .agg(sum("c").as("n_test"),

@@ -364,6 +364,40 @@ object StreamingQueries {
       .orderBy("rank")
   }
 
+  /** The split-conformal quality gate at INGEST — the streaming twin of
+    * conformal_gate: the threshold is a batch-calibrated VERSIONED
+    * ARTIFACT (one (n_cal, k, thr_bin) row, computed once and shipped as
+    * a literal — calibration is inherently a batch job), and arriving
+    * documents score, bin, and compare ROW-LOCALLY; the one streaming
+    * aggregation keeps per-source (n_docs, n_kept) counters. The kept
+    * share inherits conformal_gate's ⌈(n_cal+1)·α⌉ finite-sample
+    * wrong-drop guarantee on exchangeable arrivals. */
+  def streamConformalGate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val t = graft.api.Graft.conformalThreshold(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")),
+        "text", alpha10000 = 1000, bins = 4096)
+      .head()
+    val thrBin = t.getLong(2)
+    val scored = graft.api.Graft.qualityScore(
+        readStreamTable(s, d, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("source"), col("text")),
+        "text", out = "__q")
+      .select(col("source"),
+        least(floor(col("__q") * 4096).cast("long"), lit(4095L)).as("bin"))
+    val agg = scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bin") >= lit(thrBin), 1L).otherwise(0L)).as("n_kept"))
+    runToMemory(s, agg, "graft_stream_confgate", "complete")
+      .select(col("source"), lit(thrBin).as("thr_bin"), col("n_docs"),
+        col("n_kept"),
+        expr("""CAST((20000L * n_kept + n_docs) DIV (2L * n_docs)
+               |  AS DOUBLE) / 10000.0""".stripMargin).as("kept_share4"))
+      .orderBy("source")
+  }
+
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     // ONE streaming aggregation (per-doc scores — chained streaming aggs are
     // unsupported); the per-label rollup reads the final in-memory state as

@@ -593,6 +593,23 @@ class Round14Spec extends SparkSpec {
     assert(nTest > 0 && testKeep > 0.5 && testKeep <= 1.0)
   }
 
+  test("streamConformalGate: drained counters agree with the batch gate") {
+    val out = streaming.StreamingQueries.streamConformalGate(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // same threshold the batch operator derives
+    val batch = queries.TextAnalysis.conformalGate(spark, sf)
+      .as[(Long, Long, Long, Double, Long, Double)].head()
+    assert(out.forall(_._2 == batch._3), "thr_bin drifted from the batch gate")
+    // the stream replays every nonempty doc exactly once
+    val nonEmpty = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0).count()
+    assert(out.map(_._3).sum == nonEmpty)
+    out.foreach { case (src, _, n, kept, share) =>
+      assert(kept <= n && share > 0.0 && share <= 1.0, s"$src: $kept/$n")
+    }
+  }
+
   test("bootstrapMeanCi: interval brackets the point estimate near the truth") {
     val out = queries.TextAnalysis.bootstrapCi(spark, sf)
       .as[(String, Long, Long, Double, Double, Double, Double)].collect().toSeq
