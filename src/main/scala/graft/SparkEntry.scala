@@ -259,6 +259,16 @@ object SparkEntry {
     "quality_isotonic"  -> TextAnalysis.qualityIsotonic _,
     "conformal_gate"    -> TextAnalysis.conformalGate _,
     "stream_conformal_gate" -> StreamingQueries.streamConformalGate _,
+    "psi_drift"         -> PipelineOps.psiDrift _,
+    "l_diversity"       -> PipelineOps.lDiversity _,
+    "split_temporal_embargo" -> PipelineOps.splitTemporalEmbargo _,
+    "uncertainty_sample" -> TextAnalysis.uncertaintySample _,
+    "entity_resolution" -> PipelineOps.entityResolution _,
+    "importance_weights" -> TextAnalysis.importanceWeights _,
+    "bigram_entropy"    -> TextAnalysis.bigramEntropy _,
+    "vocab_size_sweep"  -> TextAnalysis.vocabSizeSweep _,
+    "t_closeness"       -> PipelineOps.tCloseness _,
+    "stream_psi_gate"   -> StreamingQueries.streamPsiGate _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1917,6 +1927,53 @@ object SparkEntry {
       |  CAST((20000 * count_if(ru > 2000) + count(1)) // (2 * count(1)) AS DOUBLE) / 10000.0 AS flagged_share4,
       |  round(CAST(sum(ru) AS DOUBLE) / (CAST(count(1) AS DOUBLE) * 10000.0), 6) AS mean_rate6
       |FROM u GROUP BY source ORDER BY source""".stripMargin
+
+  /** DuckDB twin of PipelineOps.psiDrift AND streaming.streamPsiGate
+    * (the stream accumulates the same gen1 bin counts as its only state
+    * and reads out through the same grid math, so one oracle pins both):
+    * Laplace(+1) smoothed shares over the constant 10-cell grid,
+    * floor(ln·2^20) log grid, per-bin rounding before the total. */
+  private val psiDriftOracleSql: String =
+    """WITH g0 AS (
+      |  SELECT text FROM documents WHERE doc_id % 13 <> 5 AND length(text) > 0),
+      |g1 AS (
+      |  SELECT CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 7),
+      |g1f AS (SELECT text FROM g1 WHERE length(text) > 0),
+      |b0 AS (SELECT least(CAST(floor((
+      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+      |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE)) * 0.3
+      |    + least(CAST(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2
+      |    ) * 10) AS BIGINT), 9) AS bin,
+      |    CAST(count(1) AS BIGINT) AS c0 FROM g0 GROUP BY 1),
+      |b1 AS (SELECT least(CAST(floor((
+      |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+      |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE)) * 0.3
+      |    + least(CAST(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+      |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2
+      |    ) * 10) AS BIGINT), 9) AS bin,
+      |    CAST(count(1) AS BIGINT) AS c1 FROM g1f GROUP BY 1),
+      |grid AS (SELECT CAST(range AS BIGINT) AS bin FROM range(10)),
+      |j AS (SELECT grid.bin, coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+      |  FROM grid LEFT JOIN b0 USING (bin) LEFT JOIN b1 USING (bin)),
+      |t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM j),
+      |p AS (SELECT bin, c0, c1,
+      |    CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE) AS p0,
+      |    CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE) AS p1
+      |  FROM j, t),
+      |q AS (SELECT bin, c0, c1,
+      |    round((p1 - p0)
+      |      * CAST(CAST(floor(ln(p1 / p0) * 1048576.0) AS BIGINT) AS DOUBLE)
+      |      / 1048576.0, 6) AS psi6
+      |  FROM p)
+      |SELECT bin, c0, c1, psi6,
+      |  round((SELECT sum(psi6) FROM q), 6) AS psi_total6
+      |FROM q ORDER BY bin""".stripMargin
 
   /** DuckDB twin of PipelineOps.ksDrift: the quality-score expression is
     * the quality_length_joint formula verbatim, applied to the
@@ -4145,6 +4202,186 @@ object SparkEntry {
         |  CAST((20000 * count_if(bin >= t.thr_bin) + count(1))
         |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS kept_share4
         |FROM b CROSS JOIN th t GROUP BY source, t.thr_bin ORDER BY source""".stripMargin,
+
+    // PSI on the ks_drift generation split: Laplace(+1) smoothed bin
+    // shares over the constant 10-cell grid, floor(ln·2^20) log grid,
+    // per-bin rounding before the grid-sized total
+    "psi_drift" -> psiDriftOracleSql,
+
+    // the stream gate accumulates the SAME gen1 bin counts as streaming
+    // state and reads out through the same grid math — one oracle, two paths
+    "stream_psi_gate" -> psiDriftOracleSql,
+
+    // coverage on the count-of-counts grid is tie-invariant at the
+    // boundary frequency, so the sweep is integer-exact end to end
+    "vocab_size_sweep" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |ty AS (SELECT tok, CAST(count(1) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |cc AS (SELECT c, CAST(count(1) AS BIGINT) AS n FROM ty GROUP BY c),
+        |cum AS (SELECT c, n,
+        |    sum(n) OVER (ORDER BY c DESC) AS cumt,
+        |    sum(c * n) OVER (ORDER BY c DESC) AS cumtok
+        |  FROM cc),
+        |tot AS (SELECT CAST(sum(c * n) AS BIGINT) AS N, CAST(sum(n) AS BIGINT) AS T FROM cc),
+        |grid AS (SELECT CAST(v AS BIGINT) AS vocab_size
+        |  FROM (VALUES (1024), (4096), (16384), (65536)) s(v)),
+        |j AS (SELECT g.vocab_size, t.N, t.T,
+        |    CASE WHEN cum.cumt <= g.vocab_size THEN cum.cumtok
+        |         ELSE cum.cumtok - (cum.cumt - g.vocab_size) * cum.c END AS cov
+        |  FROM grid g, tot t, cum WHERE cum.cumt - cum.n < g.vocab_size)
+        |SELECT vocab_size, CAST(max(T) AS BIGINT) AS n_types,
+        |  CAST(max(cov) AS BIGINT) AS covered_tokens,
+        |  CAST(max(N) AS BIGINT) AS total_tokens,
+        |  CAST((20000 * (max(N) - max(cov)) + max(N)) // (2 * max(N)) AS DOUBLE) / 10000.0
+        |    AS oov_share4
+        |FROM j GROUP BY vocab_size ORDER BY vocab_size""".stripMargin,
+
+    // ordered-domain EMD as exact integer rationals on the common
+    // denominator n_class·N; single closing divide
+    "t_closeness" ->
+      """WITH base AS (SELECT event_type AS cls, CAST(hour(ts) AS BIGINT) AS b FROM events),
+        |cl AS (SELECT DISTINCT cls FROM base),
+        |grid AS (SELECT cls, CAST(range AS BIGINT) AS b FROM cl, range(24)),
+        |cb AS (SELECT cls, b, CAST(count(1) AS BIGINT) AS cb FROM base GROUP BY 1, 2),
+        |gb AS (SELECT b, CAST(count(1) AS BIGINT) AS gb FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(count(1) AS BIGINT) AS gt FROM base),
+        |ct AS (SELECT cls, CAST(count(1) AS BIGINT) AS n FROM base GROUP BY 1),
+        |f AS (SELECT grid.cls, grid.b,
+        |    coalesce(cb.cb, 0) AS cb, coalesce(gb.gb, 0) AS gb
+        |  FROM grid LEFT JOIN cb ON grid.cls = cb.cls AND grid.b = cb.b
+        |  LEFT JOIN gb ON grid.b = gb.b),
+        |cum AS (SELECT cls, b,
+        |    sum(cb) OVER (PARTITION BY cls ORDER BY b) AS cumc,
+        |    sum(gb) OVER (PARTITION BY cls ORDER BY b) AS cumg
+        |  FROM f),
+        |e AS (SELECT cum.cls, ct.n,
+        |    CAST(sum(abs(cumc * gt - cumg * n)) AS BIGINT) AS emdnum,
+        |    CAST(max(n * gt) AS BIGINT) AS den
+        |  FROM cum JOIN ct ON cum.cls = ct.cls, tot GROUP BY cum.cls, ct.n)
+        |SELECT cls, n AS n_rows,
+        |  round(CAST(emdnum AS DOUBLE) / (CAST(den AS DOUBLE) * 23.0), 6) AS t6,
+        |  round(CAST(emdnum AS DOUBLE) / (CAST(den AS DOUBLE) * 23.0), 6) <= 0.2 AS ok
+        |FROM e ORDER BY cls""".stripMargin,
+
+    // l-diversity: distinct sensitive users per (event_type, hour) cell
+    // l-diversity: distinct sensitive users per (event_type, hour) cell
+    "l_diversity" ->
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |  CAST(count(1) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS l,
+        |  count(DISTINCT user_id) >= 5 AS ok
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+
+    // temporal split off max(ts) day: 7-day test window, 1-day embargo,
+    // train/test distinct-user overlap as the group-leakage share
+    "split_temporal_embargo" ->
+      """WITH mx AS (SELECT date_trunc('day', max(ts)) AS m FROM events),
+        |tagged AS (
+        |  SELECT e.user_id,
+        |    CASE WHEN e.ts >= m - INTERVAL 7 DAY THEN 'test'
+        |         WHEN e.ts >= m - INTERVAL 8 DAY THEN 'embargo'
+        |         ELSE 'train' END AS split
+        |  FROM events e, mx),
+        |per AS (SELECT split, CAST(count(1) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM tagged GROUP BY 1),
+        |ov AS (SELECT CAST(count(1) AS BIGINT) AS ov FROM
+        |    (SELECT DISTINCT user_id FROM tagged WHERE split = 'train') a
+        |    JOIN (SELECT DISTINCT user_id FROM tagged WHERE split = 'test') b
+        |    USING (user_id))
+        |SELECT split, n_events, n_users, ov AS users_in_both,
+        |  CASE WHEN split = 'test'
+        |    THEN CAST((20000 * ov + n_users) // (2 * n_users) AS DOUBLE) / 10000.0
+        |    END AS leak_share4
+        |FROM per, ov ORDER BY split""".stripMargin,
+
+    // margin = |quality − 0.5|; per-source top-10 via row_number mirrors
+    // the fused min-k's (margin ASC, doc_id ASC) tie-break
+    "uncertainty_sample" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2 AS qv
+        |  FROM documents WHERE length(text) > 0),
+        |m AS (SELECT doc_id, source, abs(qv - 0.5) AS mg FROM sc),
+        |r AS (SELECT source, doc_id, mg,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY mg ASC, doc_id ASC)
+        |      AS INTEGER) AS rank
+        |  FROM m)
+        |SELECT source, rank, doc_id, round(mg, 6) AS margin6
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
+    // DuckDB's own true-DL kernel independently pins the custom
+    // damerau_levenshtein expression over the (brand, size) blocks
+    "entity_resolution" ->
+      """WITH b AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+        |p AS (
+        |  SELECT a.p_brand,
+        |    CAST(damerau_levenshtein(a.p_name, c.p_name) AS INTEGER) AS dl
+        |  FROM b a JOIN b c
+        |    ON a.p_brand = c.p_brand AND a.p_size = c.p_size
+        |    AND a.p_partkey < c.p_partkey)
+        |SELECT p_brand, CAST(count(1) AS BIGINT) AS n_pairs,
+        |  CAST(count_if(dl <= 4) AS BIGINT) AS n_matches,
+        |  CAST(min(dl) AS INTEGER) AS min_dl
+        |FROM p GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // w = p/(1−p) on the floor(w·2^20) integer grid; ESS from the two
+    // exact integer sums, ratio4 share of n_docs
+    "importance_weights" ->
+      """WITH sc AS (
+        |  SELECT source,
+        |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE)) * 0.3
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 10.0, 1.0) * 0.2 AS qv
+        |  FROM documents WHERE length(text) > 0),
+        |w AS (SELECT source,
+        |    CAST(floor(least(greatest(qv, 0.05), 0.95)
+        |      / (1.0 - least(greatest(qv, 0.05), 0.95)) * 1048576.0) AS BIGINT) AS wq
+        |  FROM sc),
+        |g AS (SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+        |    CAST(sum(wq) AS BIGINT) AS sw, sum(wq * wq) AS sw2
+        |  FROM w GROUP BY source)
+        |SELECT source, n_docs,
+        |  round(CAST(sw AS DOUBLE) / 1048576.0, 6) AS w_sum6,
+        |  round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6) AS ess6,
+        |  CAST((20000 * CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |      / CAST(sw2 AS DOUBLE)) AS BIGINT) + n_docs)
+        |    // (2 * n_docs) AS DOUBLE) / 10000.0 AS ess_share4
+        |FROM g ORDER BY source""".stripMargin,
+
+    // adjacent-pair counts on the (lang, w1, w2) type frame; conditional
+    // log on the floor(ln·2^20) grid, exact integer −Σ c12·L
+    "bigram_entropy" ->
+      """WITH t AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+        |  FROM documents),
+        |tf AS (SELECT lang, l FROM t WHERE len(l) >= 2),
+        |pr AS (SELECT lang, z[1] AS w1, z[2] AS w2 FROM (
+        |    SELECT lang, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        |    FROM tf)),
+        |c12 AS (SELECT lang, w1, w2, CAST(count(1) AS BIGINT) AS c12
+        |  FROM pr GROUP BY 1, 2, 3),
+        |c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM c12 GROUP BY 1, 2),
+        |j AS (SELECT c12.lang, c12.c12,
+        |    CAST(floor(ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |      * 1048576.0) AS BIGINT) AS ls
+        |  FROM c12 JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1)
+        |SELECT lang, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+        |  CAST(count(1) AS BIGINT) AS n_pair_types,
+        |  round(CAST(sum(-c12 * ls) AS DOUBLE) / CAST(sum(c12) AS DOUBLE)
+        |    / 1048576.0, 6) AS h6
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     // LPT as a recursive CTE over the ranked source grid: argmin load via
     // list_position(loads, min) — first occurrence = lowest worker id,

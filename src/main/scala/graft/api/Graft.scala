@@ -5110,6 +5110,345 @@ object Graft {
         col("n_test"), col("test_keep_share4"))
   }
 
+  /** POPULATION STABILITY INDEX between two corpus generations — the
+    * binned sibling of [[ksDrift]] that monitoring stacks actually alert
+    * on: PSI = Σ_b (p1_b − p0_b)·ln(p1_b/p0_b) over a CONSTANT score
+    * grid, with Laplace(+1) smoothing so empty cells stay finite
+    * (industry rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25
+    * shifted). Scores are the row-local [[qualityScore]]; each
+    * generation collapses to `bins` (bin, count) rows in one pass, so
+    * everything after the two scans is grid-sized — no data-sized join,
+    * window, or sort anywhere.
+    *
+    * Exactness: counts are integers; p = (c+1)/(n+B) is one exact add
+    * and one correctly-rounded divide; the log lands on the
+    * floor(ln·2^20) integer grid (the [[sourceDivergence]] convention),
+    * and the per-bin contribution mirrors the same IEEE op order
+    * cross-engine. psi_total6 re-rounds the sum of the already-rounded
+    * per-bin values, so partial-agg order cannot perturb it. Output one
+    * row per grid cell: (bin, c0, c1, psi6, psi_total6). */
+  def psiDrift(gen0: DataFrame, gen1: DataFrame, textCol: String,
+      bins: Int = 10): DataFrame =
+    psiFromCounts(
+      psiGrid(psiBinned(gen0, textCol, bins, "__c0"),
+        psiBinned(gen1, textCol, bins, "__c1"), bins), bins)
+
+  /** The row-local half of [[psiDrift]]: (bin, count) on the constant
+    * grid — runs unchanged on a stream (the stream twin's only state is
+    * this grouped count). */
+  def psiBinned(df: DataFrame, textCol: String, bins: Int,
+      cName: String): DataFrame =
+    qualityScore(df.filter(length(col(textCol)) > 0).select(col(textCol)),
+        textCol, out = "__q")
+      .select(least(floor(col("__q") * bins).cast("long"),
+        lit(bins - 1L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cName))
+
+  /** Full-grid join of the two binned halves (empty cells → 0). */
+  def psiGrid(b0: DataFrame, b1: DataFrame, bins: Int): DataFrame =
+    b0.sparkSession.range(bins).select(col("id").as("bin"))
+      .join(b0, Seq("bin"), "left")
+      .join(b1, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__c0"), lit(0L)).as("c0"),
+        coalesce(col("__c1"), lit(0L)).as("c1"))
+
+  /** The grid-sized readout half of [[psiDrift]]: Laplace-smoothed
+    * shares, floor(ln·2^20) log grid, per-bin rounding before the total. */
+  def psiFromCounts(j: DataFrame, bins: Int): DataFrame = {
+    val totals = j.agg(sum("c0").as("__n0"), sum("c1").as("__n1"))
+    val p = j.crossJoin(broadcast(totals))
+      .withColumn("__p0", (col("c0") + lit(1L)).cast("double")
+        / (col("__n0") + lit(bins.toLong)).cast("double"))
+      .withColumn("__p1", (col("c1") + lit(1L)).cast("double")
+        / (col("__n1") + lit(bins.toLong)).cast("double"))
+      .withColumn("__lq",
+        floor(log(col("__p1") / col("__p0")) * 1048576.0).cast("long"))
+      .withColumn("psi6", round((col("__p1") - col("__p0"))
+        * col("__lq").cast("double") / 1048576.0, 6))
+    val tot = p.agg(sum("psi6").as("__t"))
+    p.crossJoin(broadcast(tot))
+      .select(col("bin"), col("c0"), col("c1"), col("psi6"),
+        round(col("__t"), 6).as("psi_total6"))
+  }
+
+  /** L-DIVERSITY audit (Machanavajjhala '07) — the companion to
+    * [[kAnonymity]]: a quasi-identifier class is safe only if it also
+    * carries at least l DISTINCT sensitive values (a k-anonymous class
+    * whose rows all share one sensitive value still leaks it). One
+    * shuffle to (class, sensitive) distinct, one map-side count-up —
+    * state is O(classes), the table is touched once. Output per class:
+    * (qi columns…, n_rows, l, ok). */
+  def lDiversity(df: DataFrame, qiCols: Seq[Column], sensitive: Column,
+      l: Int = 5): DataFrame = {
+    val base = df.select(qiCols :+ sensitive.as("__s"): _*)
+    val qn = base.columns.dropRight(1) // caller-aliased QI names survive
+    base.groupBy(qn.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__s")).as("l"))
+      .withColumn("ok", col("l") >= l)
+  }
+
+  /** TEMPORAL train/test split with an EMBARGO gap (the leakage
+    * discipline of financial ML, López de Prado '18, applied to event
+    * logs): test = the trailing `testDays` window ending at the data's
+    * max timestamp truncated to day; an `embargoDays` buffer before it
+    * is DROPPED so near-boundary rows can't leak trailing-window
+    * features across the split; train = everything earlier. Reports the
+    * split sizes plus the GROUP-leakage metric that row-level splits
+    * miss: users present on both sides (user-level features would leak
+    * through them), as a ratio4 share of test users.
+    *
+    * Scale: the cutoff is a one-row broadcast aggregate; split tagging
+    * is row-local; the user overlap is two distinct-sets and one join on
+    * the (small) distinct-user frames. Output 3 rows, one per split. */
+  def temporalEmbargoSplit(events: DataFrame, tsCol: String,
+      userCol: String, testDays: Int = 7, embargoDays: Int = 1)
+      : DataFrame = {
+    val mx = events.agg(date_trunc("DAY", max(col(tsCol))).as("__mx"))
+    val tagged = events.crossJoin(broadcast(mx))
+      .withColumn("__test_lo",
+        col("__mx") - expr(s"INTERVAL $testDays DAYS"))
+      .withColumn("__emb_lo",
+        col("__mx") - expr(s"INTERVAL ${testDays + embargoDays} DAYS"))
+      .withColumn("split",
+        when(col(tsCol) >= col("__test_lo"), lit("test"))
+          .when(col(tsCol) >= col("__emb_lo"), lit("embargo"))
+          .otherwise(lit("train")))
+    val perSplit = tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"))
+    val trainU = tagged.filter(col("split") === "train")
+      .select(col(userCol).as("__u")).distinct()
+    val testU = tagged.filter(col("split") === "test")
+      .select(col(userCol).as("__u")).distinct()
+    val overlap = trainU.join(testU, "__u")
+      .agg(count(lit(1)).as("__ov"))
+    perSplit.crossJoin(broadcast(overlap))
+      .select(col("split"), col("n_events"), col("n_users"),
+        col("__ov").as("users_in_both"),
+        when(col("split") === "test", expr(
+          "CAST((20000L * __ov + n_users) DIV (2L * n_users) AS DOUBLE) / 10000.0"))
+          .otherwise(lit(null).cast("double")).as("leak_share4"))
+  }
+
+  /** UNCERTAINTY SAMPLING for active labeling (Lewis–Gale '94): the k
+    * documents per stratum whose classifier score sits closest to the
+    * 0.5 decision boundary — the rows a human labeler (or a stronger
+    * teacher model) should see first. Margin = |score − 0.5| with the
+    * row-local [[qualityScore]] standing in for the classifier; exact
+    * per-stratum selection rides the fused min-k aggregate (O(k) state
+    * per stratum, k·strata shuffle rows — never a per-stratum sort or a
+    * data-sized window). Output: (stratum, rank, doc_id, margin6). */
+  def uncertaintySample(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, k: Int = 10): DataFrame = {
+    val scored = qualityScore(
+        docs.filter(length(col(textCol)) > 0)
+          .select(col(idCol).cast("long").as("__id"),
+            col(strataCol).as("__g"), col(textCol)),
+        textCol, out = "__q")
+      .withColumn("__m", abs(col("__q") - lit(0.5)))
+    scored.groupBy("__g")
+      .agg(reservoirMinK(k)(col("__id"), col("__m")).as("__top"))
+      .select(col("__g"), posexplode(col("__top.items")).as(Seq("i", "nb")))
+      .select(col("__g").as(strataCol),
+        (col("i") + 1).cast("int").as("rank"),
+        col("nb.c_id").as("doc_id"),
+        expr("round(nb.dist, 6)").as("margin6"))
+  }
+
+  /** BLOCKED ENTITY RESOLUTION over a string key: candidate pairs come only
+    * from equality blocks (the standard record-linkage discipline — an
+    * unblocked fuzzy join is all-pairs and does not exist at 100 TB), the
+    * in-block kernel is the native [[graft.functions.DamerauLevenshtein]]
+    * expression (codegen'd true-DL, adjacent transpositions included), and a
+    * fail-fast occupancy guard aborts with the remedy if a block exceeds
+    * `maxBlock` (the semanticDedup contract: silently quadratic = outage).
+    * Output per `reportCol` group: pairs compared, matches at ≤ maxDl,
+    * min distance — integer-exact cross-engine (DuckDB ships the same
+    * true-DL kernel, which doubles as an independent pin of ours). */
+  def entityResolution(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], reportCol: String, maxDl: Int = 4,
+      maxBlock: Long = 10000L): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    val base = df.select(
+      (blockCols.map(col) :+ col(reportCol) :+ col(idCol).as("__id")
+        :+ col(nameCol).as("__nm")): _*)
+    val occ = base.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bcnt"))
+    val guarded = base.join(occ, blockCols)
+      .filter(expr(
+        s"""assert_true(__bcnt <= ${maxBlock}L,
+           |  'entityResolution: a block exceeds maxBlock=$maxBlock rows; refine blockCols (blocks must stay bounded for the pair stage to stay linear)') IS NULL""".stripMargin))
+      .drop("__bcnt")
+    val a = guarded.select((blockCols.map(col) :+ col(reportCol)
+      :+ col("__id").as("__ia") :+ col("__nm").as("__na")): _*)
+    val b = guarded.select((blockCols.map(col)
+      :+ col("__id").as("__ib") :+ col("__nm").as("__nb")): _*)
+    a.join(b, blockCols)
+      .filter(col("__ia") < col("__ib"))
+      .withColumn("__dl", expr("damerau_levenshtein(__na, __nb)"))
+      .groupBy(col(reportCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__dl") <= maxDl, 1L).otherwise(0L)).as("n_matches"),
+        min("__dl").cast("int").as("min_dl"))
+  }
+
+  /** DENSITY-RATIO IMPORTANCE WEIGHTS + effective sample size per stratum
+    * (covariate-shift correction, Shimodaira '00; ESS = (Σw)²/Σw² is the
+    * metric that says whether reweighting left any usable sample). The
+    * classifier probability is the row-local [[qualityScore]] clipped to
+    * [0.05, 0.95]; w = p/(1−p) quantizes onto the floor(w·2^20) integer grid
+    * before ANY aggregation, so partial-agg order cannot perturb the sums
+    * (the sourceDivergence exactness rule; Σw² rides DECIMAL(38,0) —
+    * integer headroom past 2^63). Everything is one scan + one grouped
+    * aggregate; no join, no window. Output per stratum:
+    * (stratum, n_docs, w_sum6, ess6, ess_share4). */
+  def importanceWeights(docs: DataFrame, textCol: String,
+      strataCol: String): DataFrame = {
+    val scored = qualityScore(
+        docs.filter(length(col(textCol)) > 0)
+          .select(col(strataCol).as("__g"), col(textCol)),
+        textCol, out = "__q")
+      .withColumn("__p", least(greatest(col("__q"), lit(0.05)), lit(0.95)))
+      .withColumn("__wq",
+        floor(col("__p") / (lit(1.0) - col("__p")) * 1048576.0).cast("long"))
+    scored.groupBy("__g")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__wq").as("__sw"),
+        sum((col("__wq") * col("__wq")).cast("decimal(38,0)")).as("__sw2"))
+      .select(col("__g").as(strataCol), col("n_docs"),
+        round(col("__sw").cast("double") / 1048576.0, 6).as("w_sum6"),
+        round(col("__sw").cast("double") * col("__sw").cast("double")
+          / col("__sw2").cast("double"), 6).as("ess6"),
+        expr("""CAST((20000L * CAST(round(CAST(__sw AS DOUBLE)
+          * CAST(__sw AS DOUBLE) / CAST(__sw2 AS DOUBLE)) AS BIGINT)
+          + n_docs) DIV (2L * n_docs) AS DOUBLE) / 10000.0""")
+          .as("ess_share4"))
+  }
+
+  /** CONDITIONAL BIGRAM ENTROPY H(w₂|w₁) per stratum — the sequence-level
+    * repetitiveness gauge unigram entropy misses (boilerplate with a rich
+    * vocabulary but deterministic continuations scores near zero). One scan
+    * explodes adjacent token pairs; counts collapse to the (stratum, w₁, w₂)
+    * TYPE frame, the conditional log lands on the floor(ln·2^20) integer
+    * grid, and −Σ c₁₂·L(c₁₂/c₁) is an exact integer sum (sourceDivergence
+    * discipline), so the two closing divides are the only float ops.
+    * Output: (stratum, n_bigrams, n_pair_types, h6). */
+  def bigramEntropy(docs: DataFrame, textCol: String,
+      strataCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(strataCol).as("__g"), expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__g"), explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
+        .as("__p"))
+      .select(col("__g"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+    val c12 = pairs.groupBy("__g", "__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val c1 = c12.groupBy("__g", "__w1").agg(sum("__c12").as("__c1"))
+    c12.join(c1, Seq("__g", "__w1"))
+      .withColumn("__ls", floor(log(col("__c12").cast("double")
+        / col("__c1").cast("double")) * 1048576.0).cast("long"))
+      .groupBy("__g")
+      .agg(sum("__c12").as("n_bigrams"),
+        count(lit(1)).as("n_pair_types"),
+        sum(-col("__c12") * col("__ls")).as("__hu"))
+      .select(col("__g").as(strataCol), col("n_bigrams"), col("n_pair_types"),
+        round(col("__hu").cast("double") / col("n_bigrams").cast("double")
+          / 1048576.0, 6).as("h6"))
+  }
+
+  /** VOCABULARY-SIZE sweep — the choose-V artifact for tokenizer/vocab
+    * design (the packing_efficiency sibling): for each candidate vocab
+    * size V, the token coverage of the top-V types by (count desc) and
+    * the OOV share a V-entry vocabulary would leave. Runs entirely on the
+    * COUNT-OF-COUNTS grid: the corpus collapses to types in one pass,
+    * types collapse to (count, n_types) — a frame bounded by the distinct
+    * frequency values (Zipf: ~√tokens), so the ordered window never sees
+    * a data-sized frame. Coverage at a boundary frequency is
+    * tie-invariant (all boundary types share one count), so the whole
+    * computation is INTEGER-exact.
+    * Output per V: (vocab_size, n_types, covered_tokens, total_tokens,
+    * oov_share4). */
+  def vocabSizeSweep(docs: DataFrame, textCol: String,
+      sizes: Seq[Int] = Seq(1024, 4096, 16384, 65536)): DataFrame = {
+    val types = docs
+      .select(explode(expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    // count-of-counts: the Zipf-bounded grid everything below runs on
+    val cc = types.groupBy("__c").agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc) // GRID window: distinct-frequency-sized
+    val cum = cc
+      .withColumn("__cumt", sum("__n").over(w))
+      .withColumn("__cumtok", sum(col("__c") * col("__n")).over(w))
+    val totals = cc.agg(sum(col("__c") * col("__n")).as("__tok_total"),
+      sum("__n").as("__type_total"))
+    val grid = docs.sparkSession.createDataFrame(
+      sizes.map(v => Tuple1(v.toLong))).toDF("vocab_size")
+    grid.crossJoin(broadcast(totals))
+      .join(broadcast(cum), col("__cumt") - col("__n") < col("vocab_size"))
+      .withColumn("__cov",
+        when(col("__cumt") <= col("vocab_size"), col("__cumtok"))
+          .otherwise(col("__cumtok")
+            - (col("__cumt") - col("vocab_size")) * col("__c")))
+      .groupBy("vocab_size")
+      .agg(max("__type_total").as("n_types"), max("__cov").as("covered_tokens"),
+        max("__tok_total").as("total_tokens"))
+      .withColumn("oov_share4", expr(
+        """CAST((20000L * (total_tokens - covered_tokens) + total_tokens)
+          |  DIV (2L * total_tokens) AS DOUBLE) / 10000.0""".stripMargin))
+  }
+
+  /** T-CLOSENESS audit (Li '07) — the third leg of the privacy triple
+    * beside [[kAnonymity]] and [[lDiversity]]: a quasi-identifier class
+    * leaks when its SENSITIVE-VALUE DISTRIBUTION strays from the global
+    * one, measured by the EMD over the ordered sensitive domain
+    * (for ordered bins, EMD = Σ|cumulative difference| / (B−1)). All
+    * cumulative masses stay exact integer rationals on the common
+    * denominator n_class·N — the sum of |cum_c·N − cum_g·n| is an exact
+    * integer, and the single closing divide rounds to 6dp. (Integer
+    * headroom: the products stay inside 2^63 while n_class·N < 2^63 ≈
+    * 9·10^18 — past ~3·10^9 rows, widen the products to DECIMAL(38,0),
+    * the sourceDivergence rule.) One scan to (class, bin) counts;
+    * everything after is (classes × bins)-sized.
+    * Output per class: (class, n_rows, t6, ok). */
+  def tCloseness(df: DataFrame, classCol: Column, sensBin: Column,
+      bins: Int, threshold10000: Int = 2000): DataFrame = {
+    val base = df.select(classCol.as("__cls"), sensBin.as("__b"))
+    val spark = df.sparkSession
+    val cls = base.select(col("__cls")).distinct()
+    val grid = cls.crossJoin(
+      spark.range(bins).select(col("id").as("__b")))
+    val cb = base.groupBy("__cls", "__b").agg(count(lit(1)).as("__cb"))
+    val gb = base.groupBy("__b").agg(count(lit(1)).as("__gb"))
+    val tot = base.agg(count(lit(1)).as("__gt"))
+    val full = grid
+      .join(cb, Seq("__cls", "__b"), "left")
+      .join(broadcast(gb), Seq("__b"), "left")
+      .select(col("__cls"), col("__b"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"),
+        coalesce(col("__gb"), lit(0L)).as("__gb"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("__cls").orderBy("__b") // bins-sized frame per class
+    val clsTot = base.groupBy("__cls").agg(count(lit(1)).as("__n"))
+    full
+      .withColumn("__cumc", sum("__cb").over(wc))
+      .withColumn("__cumg", sum("__gb").over(wc))
+      .join(clsTot, "__cls")
+      .crossJoin(broadcast(tot))
+      .groupBy("__cls")
+      .agg(max("__n").as("n_rows"),
+        sum(abs(col("__cumc") * col("__gt") - col("__cumg") * col("__n")))
+          .as("__emdnum"),
+        max(col("__n") * col("__gt")).as("__den"))
+      .select(col("__cls").as("cls"), col("n_rows"),
+        round(col("__emdnum").cast("double")
+          / (col("__den").cast("double") * (bins - 1).toDouble), 6).as("t6"))
+      .withColumn("ok", col("t6") <= threshold10000 / 10000.0)
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -359,6 +359,80 @@ object XxHash64Array {
         s, org.apache.spark.sql.types.StringType, 42L))
 }
 
+/** TRUE Damerau–Levenshtein distance (adjacent-transposition edits with the
+  * last-occurrence table, NOT the restricted OSA variant: dl("CA","ABC") = 2)
+  * as a native expression — the similarity kernel for blocked entity
+  * resolution. Spark ships only `levenshtein`; a Scala UDF here would box two
+  * strings per candidate pair in the hottest loop of the match phase. Byte-
+  * based (ASCII-exact, matching DuckDB's damerau_levenshtein on ASCII keys —
+  * pinned by the entity_resolution oracle and by fixed-vector suite cases).
+  * Cost is O(|a|·|b|) per pair: callers MUST bound pair generation by
+  * blocking (see Graft.entityResolution) — the expression is the inner
+  * kernel, never the candidate generator. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "damerau_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.dist(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DamerauLevenshtein.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+  /** Lowrance–Wagner DP with the 256-slot last-occurrence table; called
+    * from generated code. */
+  def dist(ua: org.apache.spark.unsafe.types.UTF8String,
+      ub: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val a = ua.getBytes
+    val b = ub.getBytes
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k = da(b(j - 1) & 0xFF)
+        val l = db
+        var cost = 1
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val tra = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        var mn = if (sub < ins) sub else ins
+        if (del < mn) mn = del
+        if (tra < mn) mn = tra
+        d(i + 1)(j + 1) = mn
+        j += 1
+      }
+      da(a(i - 1) & 0xFF) = i
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+}
+
 object VectorFunctions {
   /** ONE builder table feeding BOTH registration paths (`register` and
     * `GraftExtensions`): the two paths drifted in r11 — `xx64_array` was
@@ -394,6 +468,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => XxHash63Array(exprs.head)),
     ("xx64_array", classOf[XxHash64Array],
       (exprs: Seq[Expression]) => XxHash64Array(exprs.head)),
+    ("damerau_levenshtein", classOf[DamerauLevenshtein],
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))),
     ("bloom_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
       (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions

@@ -990,4 +990,60 @@ object PipelineOps {
         Tables.documents(s, d).select(col("source"), col("lang")),
         Seq("source", "lang"), epsilon = 0.5)
       .orderBy("source", "lang")
+
+  /** Population-stability-index drift between the quality_drift
+    * generations (Graft.psiDrift): 10-cell constant score grid,
+    * Laplace(+1) smoothing, floor(ln·2^20) log grid — the binned alarm
+    * metric beside ks_drift's sup-norm test. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val gen0 = docs.filter(col("doc_id") % 13 =!= 5).select(col("text"))
+    val gen1 = docs.filter(col("doc_id") % 13 =!= 7)
+      .select(when(col("doc_id") % 13 === 2, upper(col("text")))
+        .otherwise(col("text")).as("text"))
+    graft.api.Graft.psiDrift(gen0, gen1, "text", bins = 10)
+      .orderBy("bin")
+  }
+
+  /** l-diversity audit over event (type, hour-of-day) classes (Graft
+    * .lDiversity): distinct users per quasi-identifier cell, l ≥ 5 to
+    * pass — the sensitive-value companion to k_anonymity. */
+  def lDiversity(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.lDiversity(
+        Tables.events(s, d),
+        Seq(col("event_type"), hour(col("ts")).cast("long").as("hr")),
+        col("user_id"), l = 5)
+      .orderBy("event_type", "hr")
+
+  /** Temporal train/test split with a 1-day embargo before a 7-day test
+    * window (Graft.temporalEmbargoSplit): split sizes plus the
+    * users-in-both group-leakage share of test users. */
+  def splitTemporalEmbargo(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.temporalEmbargoSplit(
+        Tables.events(s, d).select(col("ts"), col("user_id")),
+        "ts", "user_id", testDays = 7, embargoDays = 1)
+      .orderBy("split")
+
+  /** Blocked entity resolution over part names (Graft.entityResolution):
+    * (brand, size) equality blocks, native true-Damerau-Levenshtein
+    * kernel, per-brand pair/match/min-distance report — DuckDB's own
+    * damerau_levenshtein independently pins the custom expression. */
+  def entityResolution(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.entityResolution(
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size")),
+        "p_partkey", "p_name", Seq("p_brand", "p_size"), "p_brand",
+        maxDl = 4)
+      .orderBy("p_brand")
+
+  /** t-closeness audit over event-type classes (Graft.tCloseness):
+    * EMD between each class's hour-of-day distribution and the global
+    * one on the ordered 24-bin domain, t ≤ 0.2 to pass — the third leg
+    * of the k-anonymity / l-diversity privacy triple. */
+  def tCloseness(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.tCloseness(
+        Tables.events(s, d),
+        col("event_type"), hour(col("ts")).cast("long"),
+        bins = 24, threshold10000 = 2000)
+      .orderBy("cls")
 }

@@ -711,4 +711,40 @@ object TextAnalysis {
         Tables.documents(s, d).select(col("doc_id"), col("text"), col("source")),
         "doc_id", "text", "source", reps = 32)
       .orderBy("source")
+
+  /** Active-learning pick list (Graft.uncertaintySample): the 10 docs
+    * per source closest to the 0.5 classifier boundary, selected by the
+    * fused min-k aggregate — the label-these-first queue. */
+  def uncertaintySample(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.uncertaintySample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "text", "source", k = 10)
+      .orderBy("source", "rank")
+
+  /** Covariate-shift importance weights + effective sample size per
+    * source (Graft.importanceWeights): w = p/(1−p) on the 2^-20 grid,
+    * ESS = (Σw)²/Σw² — the did-reweighting-kill-my-sample gauge. */
+  def importanceWeights(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.importanceWeights(
+        Tables.documents(s, d).select(col("text"), col("source")),
+        "text", "source")
+      .orderBy("source")
+
+  /** Conditional bigram entropy H(w₂|w₁) per language (Graft
+    * .bigramEntropy): the sequence-repetitiveness gauge on the
+    * floor(ln·2^20) integer grid. */
+  def bigramEntropy(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.bigramEntropy(
+        Tables.documents(s, d).select(col("text"), col("lang")),
+        "text", "lang")
+      .orderBy("lang")
+
+  /** Vocabulary-size sweep (Graft.vocabSizeSweep): token coverage and
+    * OOV share at V ∈ {1k, 4k, 16k, 64k} candidate vocab sizes, computed
+    * on the count-of-counts grid — integer-exact, tie-invariant. */
+  def vocabSizeSweep(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.vocabSizeSweep(
+        Tables.documents(s, d).select(col("text")), "text")
+      .orderBy("vocab_size")
 }

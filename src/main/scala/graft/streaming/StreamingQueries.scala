@@ -398,6 +398,29 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** PSI drift gate ON THE STREAM: the at-rest gen0 bin profile is the
+    * frozen reference (a batch artifact, like the conformal threshold);
+    * arriving gen1 documents score and bin row-locally, so the ONLY
+    * streaming state is the 10-key grouped count on the constant grid.
+    * The drained state joins the reference grid and reads out through
+    * the SAME Graft.psiFromCounts the batch psi_drift uses — one oracle
+    * pins both paths. */
+  def streamPsiGate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val gen0 = docs.filter(col("doc_id") % 13 =!= 5).select(col("text"))
+    val b0 = graft.api.Graft.psiBinned(gen0, "text", 10, "__c0")
+    // gen1 arrives on the stream; the %13==2 upper transform is row-local
+    val gen1 = readStreamTable(s, d, "documents")
+      .filter(col("doc_id") % 13 =!= 7)
+      .select(when(col("doc_id") % 13 === 2, upper(col("text")))
+        .otherwise(col("text")).as("text"))
+    val b1s = graft.api.Graft.psiBinned(gen1, "text", 10, "__c1")
+    val drained = runToMemory(s, b1s, "graft_stream_psi", "complete")
+    graft.api.Graft.psiFromCounts(
+        graft.api.Graft.psiGrid(b0, drained, 10), 10)
+      .orderBy("bin")
+  }
+
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     // ONE streaming aggregation (per-doc scores — chained streaming aggs are
     // unsupported); the per-label rollup reads the final in-memory state as

@@ -628,4 +628,220 @@ class Round14Spec extends SparkSpec {
         s"$src: mean6 $mean6 vs truth ${truth(src)} (sd6 $sd6)")
     }
   }
+
+  test("psiDrift: constant grid, conserved counts, nonnegative contributions") {
+    val out = queries.PipelineOps.psiDrift(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (0L until 10L), "grid must be exactly bins 0..9")
+    val docs = Tables.documents(spark, sf)
+    val n0 = docs.filter("doc_id % 13 <> 5 AND length(text) > 0").count()
+    val n1 = docs.filter("doc_id % 13 <> 7 AND length(text) > 0").count()
+    assert(out.map(_._2).sum == n0 && out.map(_._3).sum == n1)
+    // (p1−p0) and ln(p1/p0) share sign, so every PSI term is ≥ 0 (the
+    // floor-grid log can dip one 2^-20 step below, hence the epsilon)
+    assert(out.forall(_._4 >= -2e-6), s"negative PSI term: $out")
+    val tot = out.head._5
+    assert(out.forall(_._5 == tot))
+    assert(math.abs(tot - out.map(_._4).sum) < 1e-5, "total != sum of terms")
+    // the uppercased %13==2 slice shifts scores: drift must register
+    assert(tot > 0.0)
+  }
+
+  test("lDiversity: recount agrees and the flag is exactly l >= 5") {
+    val out = queries.PipelineOps.lDiversity(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._3).sum == Tables.events(spark, sf).count())
+    out.foreach { case (_, hr, n, l, ok) =>
+      assert(hr >= 0 && hr <= 23 && l >= 1 && l <= n)
+      assert(ok == (l >= 5))
+    }
+    val recount = Tables.events(spark, sf)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(countDistinct("user_id").as("l"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, h, l) => (t, h) -> l }.toMap
+    out.foreach { case (t, h, _, l, _) => assert(recount((t, h)) == l) }
+  }
+
+  test("temporalEmbargoSplit: partition is exact and embargo spans one day") {
+    val out = queries.PipelineOps.splitTemporalEmbargo(spark, sf)
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    val events = Tables.events(spark, sf)
+    assert(out.map(_._2).sum == events.count(), "splits must partition events")
+    val bySplit = out.map(r => r._1 -> r).toMap
+    assert(bySplit.contains("test") && bySplit.contains("train"))
+    // leak share only annotates the test row
+    out.foreach { case (s, _, nu, ov, leak) =>
+      assert(leak.isDefined == (s == "test"))
+      assert(ov <= nu || nu == 0)
+      leak.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    }
+    // the embargo window is strictly inside [max-8d, max-7d): recount it
+    val mx = events.agg(date_trunc("DAY", max("ts"))).head().getTimestamp(0)
+    val emb = events.filter(
+      col("ts") >= lit(mx) - expr("INTERVAL 8 DAYS") &&
+      col("ts") < lit(mx) - expr("INTERVAL 7 DAYS")).count()
+    assert(bySplit.get("embargo").map(_._2).getOrElse(0L) == emb)
+  }
+
+  test("uncertaintySample: min-k selection equals the window-sort answer") {
+    val out = queries.TextAnalysis.uncertaintySample(spark, sf)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.length), s"$src ranks not dense")
+      assert(sorted.length <= 10)
+      // margins non-decreasing down the pick list, all in [0, 0.5]
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-9))
+      assert(sorted.forall(r => r._4 >= 0.0 && r._4 <= 0.5 + 1e-9))
+    }
+    // cross-check the fused min-k against an in-engine window sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("__m").asc, col("__id").asc)
+    val oracle = api.Graft.qualityScore(
+        Tables.documents(spark, sf).filter(length(col("text")) > 0)
+          .select(col("doc_id").as("__id"), col("source"), col("text")),
+        "text", out = "__q")
+      .withColumn("__m", abs(col("__q") - lit(0.5)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("__id").as("doc_id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet == oracle)
+  }
+
+  test("DamerauLevenshtein: true-DL fixed vectors (not the OSA variant)") {
+    functions.VectorFunctions.register(spark)
+    val cases = Seq(
+      ("CA", "ABC", 2),       // true DL; OSA would say 3
+      ("ab", "ba", 1),
+      ("", "abc", 3),
+      ("abc", "", 3),
+      ("kitten", "sitting", 3),
+      ("same", "same", 0),
+      ("a cat", "an act", 2)) // insert + transposition
+    cases.foreach { case (a, b, want) =>
+      val got = spark.sql(
+        s"SELECT damerau_levenshtein('$a', '$b')").head().getInt(0)
+      assert(got == want, s"dl($a, $b) = $got, want $want")
+      // symmetry
+      val rev = spark.sql(
+        s"SELECT damerau_levenshtein('$b', '$a')").head().getInt(0)
+      assert(rev == want, s"dl($b, $a) = $rev, want $want")
+    }
+  }
+
+  test("entityResolution: min_dl is witnessed and the block guard trips") {
+    val out = queries.PipelineOps.entityResolution(spark, sf)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (brand, pairs, matches, minDl) =>
+      assert(pairs > 0 && matches >= 0 && matches <= pairs, brand)
+      assert(minDl >= 0)
+      // matches>0 iff some pair sits at or under the threshold
+      assert((matches > 0) == (minDl <= 4), s"$brand: $matches vs min_dl $minDl")
+    }
+    // occupancy guard: a degenerate single block must abort, not go quadratic
+    import spark.implicits._
+    val flat = (1L to 40L).map(i => (i, s"name $i", "B", 1)).toDF(
+      "id", "nm", "blk", "sz")
+    val e = intercept[Exception] {
+      api.Graft.entityResolution(flat, "id", "nm", Seq("blk", "sz"), "blk",
+        maxBlock = 10L).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxBlock"),
+      s"guard message: ${e.getMessage}")
+  }
+
+  test("importanceWeights: uniform scores give ESS = n, mixtures give less") {
+    val out = queries.TextAnalysis.importanceWeights(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (src, n, wsum, ess, share) =>
+      assert(n > 0 && wsum > 0.0)
+      assert(ess > 0.0 && ess <= n + 1e-6, s"$src: ESS $ess > n $n")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    // identical docs ⇒ identical weights ⇒ ESS exactly n (Jensen equality)
+    import spark.implicits._
+    val same = Seq.fill(8)("the same short doc the of and").toDF("text")
+      .withColumn("source", lit("s"))
+    val u = api.Graft.importanceWeights(same, "text", "source")
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(u._2 == 8L && math.abs(u._4 - 8.0) < 1e-6, s"uniform ESS: $u")
+  }
+
+  test("bigramEntropy: deterministic text scores zero, alternation is ln 2") {
+    import spark.implicits._
+    // 'a b a b ...': every continuation is deterministic ⇒ H(w2|w1) = 0
+    val det = Seq(("x", ("a b " * 20).trim)).toDF("lang", "text")
+    val h0 = api.Graft.bigramEntropy(det, "text", "lang")
+      .as[(String, Long, Long, Double)].head()
+    assert(h0._4 == 0.0, s"deterministic text must score 0, got $h0")
+    // 'a a b a b b ...' with a: {a->a, a->b} 50/50 would give ln2 on a's
+    // mass; spot-check the registry row stays in (0, ln V] bounds instead
+    val out = queries.TextAnalysis.bigramEntropy(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (lang, n, types, h) =>
+      assert(n >= types && types >= 1, lang)
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 1e-6,
+        s"$lang: H $h out of [0, ln types]")
+    }
+  }
+
+  test("streamPsiGate: drained stream state reproduces the batch PSI exactly") {
+    val stream = streaming.StreamingQueries.streamPsiGate(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val batch = queries.PipelineOps.psiDrift(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(stream == batch,
+      s"stream PSI diverged from batch:\n$stream\nvs\n$batch")
+  }
+
+  test("vocabSizeSweep: hand-checked grid and monotone coverage") {
+    import spark.implicits._
+    // 3 types: a×5, b×3, c×1 ⇒ V=1 covers 5/9, V=2 covers 8/9, V≥3 all
+    val docs = Seq("a a a a a b b b c").toDF("text")
+    val out = api.Graft.vocabSizeSweep(docs, "text", sizes = Seq(1, 2, 3, 8))
+      .orderBy("vocab_size")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) ==
+      Seq((1L, 5L), (2L, 8L), (3L, 9L), (8L, 9L)), s"coverage wrong: $out")
+    assert(out.forall(_._2 == 3L) && out.forall(_._4 == 9L))
+    // registry row: coverage monotone in V, OOV share in [0,1] decreasing
+    val reg = queries.TextAnalysis.vocabSizeSweep(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(reg.map(_._1) == Seq(1024L, 4096L, 16384L, 65536L))
+    assert(reg.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(reg.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    reg.foreach(r => assert(r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
+  test("tCloseness: global distribution scores 0; a skewed class scores high") {
+    import spark.implicits._
+    // class g mirrors the global hourly shape exactly (EMD 0 against a
+    // same-shape global needs g to BE the whole population: use one class)
+    val uni = (0L until 24L).flatMap(h => Seq(("g", h), ("g", h)))
+      .toDF("cls", "hr")
+    val z = api.Graft.tCloseness(uni, col("cls"), col("hr"), bins = 24)
+      .as[(String, Long, Double, Boolean)].head()
+    assert(z._3 == 0.0 && z._4, s"self-distribution must score 0: $z")
+    // two classes at opposite ends of the ordered domain: both far from
+    // the pooled 50/50 global, t = (23/2)/23 = 0.5 each
+    val polar = (Seq.fill(10)(("lo", 0L)) ++ Seq.fill(10)(("hi", 23L)))
+      .toDF("cls", "hr")
+    val p = api.Graft.tCloseness(polar, col("cls"), col("hr"), bins = 24)
+      .as[(String, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    p.foreach { case (c, n, t, ok) =>
+      assert(n == 10L && math.abs(t - 0.5) < 1e-9 && !ok, s"$c: $t")
+    }
+    // registry row sanity: t in [0,1], n_rows conserved
+    val reg = queries.PipelineOps.tCloseness(spark, sf)
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(reg.map(_._2).sum == Tables.events(spark, sf).count())
+    reg.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
+  }
 }
