@@ -269,6 +269,8 @@ object SparkEntry {
     "vocab_size_sweep"  -> TextAnalysis.vocabSizeSweep _,
     "t_closeness"       -> PipelineOps.tCloseness _,
     "stream_psi_gate"   -> StreamingQueries.streamPsiGate _,
+    "graph_pagerank"    -> PipelineOps.graphPagerank _,
+    "split_kfold"       -> PipelineOps.splitKfold _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -1974,6 +1976,40 @@ object SparkEntry {
       |SELECT bin, c0, c1, psi6,
       |  round((SELECT sum(psi6) FROM q), 6) AS psi_total6
       |FROM q ORDER BY bin""".stripMargin
+
+  /** DuckDB twin of PipelineOps.graphPagerank: the 5 damped power
+    * iterations unrolled to chained CTE stages (the kcenter_coreset
+    * convention — aggregation inside a recursive term is engine-lottery),
+    * every rank on the 2^-20 integer grid, contributions pru // deg,
+    * update (3·2^20)//(20·N) + (17·S)//20 — bit-identical to the Spark
+    * loop by construction. */
+  private def pagerankOracleSql: String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+        |    't' || event_type AS dst FROM events
+        |  UNION
+        |  SELECT DISTINCT 't' || event_type AS src,
+        |    'u' || CAST(user_id AS VARCHAR) AS dst FROM events),
+        |deg AS (SELECT src, CAST(count(1) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(1) AS BIGINT) AS n FROM nodes),
+        |pr0 AS (SELECT node, 1048576 // n AS pru FROM nodes, nn)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT nodes.node,
+         |    (3 * 1048576) // (20 * nn.n) + (17 * coalesce(s.S, 0)) // 20 AS pru
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.pru // d.deg) AS BIGINT) AS S
+         |    FROM e JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n", ",\n", "\n")
+    head + iters +
+      """SELECT CAST(row_number() OVER (ORDER BY pru DESC, node ASC) AS INTEGER) AS rank,
+        |  node, round(CAST(pru AS DOUBLE) / 1048576.0, 6) AS pr6
+        |FROM pr5 ORDER BY pru DESC, node ASC LIMIT 20""".stripMargin
+  }
 
   /** DuckDB twin of PipelineOps.ksDrift: the quality-score expression is
     * the quality_length_joint formula verbatim, applied to the
@@ -4382,6 +4418,23 @@ object SparkEntry {
         |  round(CAST(sum(-c12 * ls) AS DOUBLE) / CAST(sum(c12) AS DOUBLE)
         |    / 1048576.0, 6) AS h6
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // integer-grid PageRank: 5 unrolled damped iterations, see
+    // pagerankOracleSql
+    "graph_pagerank" -> pagerankOracleSql,
+
+    // salted-hash stratified folds; within-stratum ratio4 share
+    "split_kfold" ->
+      """WITH f AS (SELECT source,
+        |    ('0x' || substring(md5('kfold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
+        |  FROM documents),
+        |per AS (SELECT fold, source, CAST(count(1) AS BIGINT) AS n_docs
+        |  FROM f GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(count(1) AS BIGINT) AS n FROM f GROUP BY 1)
+        |SELECT per.fold, per.source, per.n_docs,
+        |  CAST((20000 * per.n_docs + tot.n) // (2 * tot.n) AS DOUBLE) / 10000.0 AS share4
+        |FROM per JOIN tot ON per.source = tot.source
+        |ORDER BY per.fold, per.source""".stripMargin,
 
     // LPT as a recursive CTE over the ranked source grid: argmin load via
     // list_position(loads, min) — first occurrence = lowest worker id,

@@ -5449,6 +5449,70 @@ object Graft {
       .withColumn("ok", col("t6") <= threshold10000 / 10000.0)
   }
 
+  /** STRATIFIED K-FOLD assignment — the cross-validation splitter: fold =
+    * md5-hash of the id (salted with a fold namespace so it's independent
+    * of every other hash-split in the pipeline) mod k, reported per
+    * (fold, stratum) with the within-stratum share so imbalance is visible
+    * at a glance. Row-local assignment (replay-identical, no shuffle to
+    * assign), one grouped count to report. Output:
+    * (fold, stratum, n_docs, share4). */
+  def kfoldAssign(df: DataFrame, idCol: String, strataCol: String,
+      k: Int = 5): DataFrame = {
+    val folds = df.select(col(strataCol).as("__g"),
+      pmod(md5Hash60(concat(lit("kfold:"), col(idCol).cast("string"))),
+        lit(k.toLong)).as("fold"))
+    val per = folds.groupBy("fold", "__g").agg(count(lit(1)).as("n_docs"))
+    val tot = folds.groupBy("__g").agg(count(lit(1)).as("__n"))
+    per.join(tot, "__g")
+      .select(col("fold"), col("__g").as(strataCol), col("n_docs"),
+        expr("""CAST((20000L * n_docs + __n) DIV (2L * __n)
+               |  AS DOUBLE) / 10000.0""".stripMargin).as("share4"))
+  }
+
+  /** PAGERANK (Brin–Page '98) by power iteration, INTEGER-QUANTIZED for
+    * cross-engine exactness: ranks live on the 2^-20 fixed-point grid,
+    * each in-neighbor contribution is the exact integer pru DIV deg, and
+    * the damped update is baseU + (17·S) DIV 20 (d = 0.85 = 17/20, baseU
+    * = (3·2^20) DIV (20·N)) — every iteration is integer joins + integer
+    * sums, so partial-agg order cannot perturb it and a DuckDB twin
+    * reproduces it bit-for-bit. Floor losses make ranks sum slightly
+    * under 1; ordering (the thing PageRank is for) is unaffected.
+    *
+    * Scale shape: the textbook distributed PageRank — each iteration is
+    * one shuffle of edge contributions keyed by dst plus a map-side
+    * integer sum; state is O(nodes); `iters` bounds total cost. Callers
+    * must pass a DEDUPLICATED edge list with no dangling sources (every
+    * src needs an out-degree; bipartite both-direction graphs satisfy
+    * this by construction). The node count is a one-row aggregate
+    * (solver-constant, not a data funnel). Output: top-`topK`
+    * (rank, node, pr6) by rank desc, node asc. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, topK: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "pagerank needs a non-empty graph")
+    val baseU = (3L * 1048576L) / (20L * n)
+    var pr = nodes.withColumn("__pru", lit(1048576L / n))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "__src"), "__src")
+        .join(deg, "__src")
+        .select(col("__dst").as("node"), expr("__pru DIV __deg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__S"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(baseU)
+          + expr("(17L * coalesce(__S, 0L)) DIV 20L")).as("__pru"))
+    }
+    pr.orderBy(col("__pru").desc, col("node").asc).limit(topK)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__pru").desc, col("node").asc)).cast("int").as("rank"),
+        col("node"),
+        round(col("__pru").cast("double") / 1048576.0, 6).as("pr6"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

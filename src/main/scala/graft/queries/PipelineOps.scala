@@ -1046,4 +1046,28 @@ object PipelineOps {
         col("event_type"), hour(col("ts")).cast("long"),
         bins = 24, threshold10000 = 2000)
       .orderBy("cls")
+
+  /** Integer-quantized PageRank over the bipartite user↔event-type
+    * engagement graph (Graft.pagerank): 5 damped power iterations on the
+    * 2^-20 fixed-point grid, top-20 nodes — bit-identical to the DuckDB
+    * unrolled-CTE twin. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+        concat(lit("u"), col("user_id").cast("string")).as("u"),
+        concat(lit("t"), col("event_type")).as("t"))
+      .distinct()
+    val edges = ev.select(col("u").as("src"), col("t").as("dst"))
+      .union(ev.select(col("t").as("src"), col("u").as("dst")))
+    graft.api.Graft.pagerank(edges, "src", "dst", iters = 5, topK = 20)
+      .orderBy("rank")
+  }
+
+  /** Stratified 5-fold assignment over documents (Graft.kfoldAssign):
+    * salted-hash folds, per-(fold, source) counts and within-source
+    * shares. */
+  def splitKfold(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.kfoldAssign(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 5)
+      .orderBy("fold", "source")
 }

@@ -844,4 +844,42 @@ class Round14Spec extends SparkSpec {
     assert(reg.map(_._2).sum == Tables.events(spark, sf).count())
     reg.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
   }
+
+  test("pagerank: symmetry on a cycle, hub dominance on a star") {
+    import spark.implicits._
+    // 2-cycle: perfectly symmetric ⇒ equal ranks
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val c = api.Graft.pagerank(cyc, "src", "dst", iters = 5, topK = 10)
+      .as[(Int, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(c.map(_._2) == Seq("a", "b") && c(0)._3 == c(1)._3, s"cycle: $c")
+    // star (bipartite both directions): the hub collects every leaf's mass
+    val star = (1 to 4).flatMap(i => Seq(("h", s"l$i"), (s"l$i", "h")))
+      .toDF("src", "dst")
+    val s2 = api.Graft.pagerank(star, "src", "dst", iters = 5, topK = 10)
+      .as[(Int, String, Double)].collect().toSeq
+    assert(s2.head._2 == "h", s"hub must rank first: $s2")
+    assert(s2.tail.map(_._3).distinct.size == 1, "leaves must tie")
+    // registry row: 20 dense ranks, non-increasing pr, event-type hubs on top
+    val reg = queries.PipelineOps.graphPagerank(spark, sf)
+      .as[(Int, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(reg.map(_._1) == (1 to 20))
+    assert(reg.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(reg.head._2.startsWith("t"),
+      s"an event-type hub should top the bipartite graph: ${reg.head}")
+  }
+
+  test("kfoldAssign: folds partition every stratum; shares re-sum to ~1") {
+    val out = queries.PipelineOps.splitKfold(spark, sf)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 >= 0 && r._1 < 5))
+    val bySrc = out.groupBy(_._2)
+    val truth = Tables.documents(spark, sf).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum == truth(src), s"$src fold counts drifted")
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 0.002, s"$src shares sum to $s")
+    }
+  }
 }
