@@ -271,6 +271,10 @@ object SparkEntry {
     "stream_psi_gate"   -> StreamingQueries.streamPsiGate _,
     "graph_pagerank"    -> PipelineOps.graphPagerank _,
     "split_kfold"       -> PipelineOps.splitKfold _,
+    "robust_scale"      -> PipelineOps.robustScale _,
+    "activity_streaks"  -> PipelineOps.activityStreaks _,
+    "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
+    "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
     "stream_classify"   -> StreamingQueries.streamClassify _,
     "stream_dsir"       -> StreamingQueries.streamDsir _,
@@ -4435,6 +4439,67 @@ object SparkEntry {
         |  CAST((20000 * per.n_docs + tot.n) // (2 * tot.n) AS DOUBLE) / 10000.0 AS share4
         |FROM per JOIN tot ON per.source = tot.source
         |ORDER BY per.fold, per.source""".stripMargin,
+
+    // Tukey fences off 4dp-rounded quantile_cont (≡ Spark percentile)
+    "robust_scale" ->
+      """WITH q AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n_rows,
+        |    round(quantile_cont(value, 0.5), 4) AS med4,
+        |    round(quantile_cont(value, 0.25), 4) AS q1,
+        |    round(quantile_cont(value, 0.75), 4) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT e.event_type, q.n_rows, q.med4, q.q3 - q.q1 AS iqr,
+        |    CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+        |          OR e.value < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END AS o
+        |  FROM events e JOIN q USING (event_type))
+        |SELECT event_type, n_rows, med4, round(iqr, 4) AS iqr4,
+        |  CAST(sum(o) AS BIGINT) AS n_outliers,
+        |  CAST((20000 * sum(o) + n_rows) // (2 * n_rows) AS DOUBLE) / 10000.0
+        |    AS outlier_share4
+        |FROM f GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+
+    // gaps-and-islands: island key = epoch-day − per-user day rank
+    "activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |isl AS (SELECT u,
+        |    d - CAST(row_number() OVER (PARTITION BY u ORDER BY d) AS BIGINT) AS k
+        |  FROM days),
+        |runs AS (SELECT u, k, CAST(count(1) AS BIGINT) AS streak_len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT streak_len, CAST(count(1) AS BIGINT) AS n_islands,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users
+        |FROM runs GROUP BY 1 ORDER BY streak_len""".stripMargin,
+
+    // the stream gate replays the corpus against the at-rest top-4096
+    // vocab; >20% OOV is the exact integer test n_oov·5 > n_tokens
+    "stream_vocab_gate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |ty AS (SELECT tok, count(1) AS c FROM toks GROUP BY 1),
+        |vocab AS (SELECT tok FROM ty ORDER BY c DESC, tok ASC LIMIT 4096),
+        |pd AS (SELECT t.doc_id, t.source, CAST(count(1) AS BIGINT) AS n_tokens,
+        |    CAST(count_if(v.tok IS NULL) AS BIGINT) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok GROUP BY 1, 2)
+        |SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+        |  CAST(count_if(n_oov * 5 > n_tokens) AS BIGINT) AS n_flagged,
+        |  CAST((20000 * count_if(n_oov * 5 > n_tokens) + count(1))
+        |    // (2 * count(1)) AS DOUBLE) / 10000.0 AS flagged_share4
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+    // serving-path entity resolution: ordered probe→reference pairs
+    // (self-pair excluded), same blocks and kernel as the batch row
+    "stream_entity_resolution" ->
+      """WITH b AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+        |p AS (SELECT a.p_brand,
+        |    CAST(damerau_levenshtein(a.p_name, c.p_name) AS INTEGER) AS dl
+        |  FROM b a JOIN b c ON a.p_brand = c.p_brand AND a.p_size = c.p_size
+        |    AND a.p_partkey <> c.p_partkey)
+        |SELECT p_brand, CAST(count(1) AS BIGINT) AS n_pairs,
+        |  CAST(count_if(dl <= 4) AS BIGINT) AS n_matches,
+        |  CAST(min(dl) AS INTEGER) AS min_dl
+        |FROM p GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // LPT as a recursive CTE over the ranked source grid: argmin load via
     // list_position(loads, min) — first occurrence = lowest worker id,

@@ -5513,6 +5513,66 @@ object Graft {
         round(col("__pru").cast("double") / 1048576.0, 6).as("pr6"))
   }
 
+  /** ROBUST per-group scaling report (median/IQR + Tukey fences): the
+    * outlier screen that survives heavy tails where mean/stddev is
+    * dragged by the very rows it should flag. Quantiles are one grouped
+    * aggregate; fences derive from the 4dp-ROUNDED quantiles so the
+    * cross-engine comparison never rests on a last-ulp interpolation
+    * difference; the flag pass is a broadcast join + row-local compare.
+    * Output per group: (group, n_rows, med4, iqr4, n_outliers,
+    * outlier_share4). */
+  def robustScale(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val q = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr(s"percentile(`$valCol`, 0.5)"), 4).as("med4"),
+        round(expr(s"percentile(`$valCol`, 0.25)"), 4).as("__q1"),
+        round(expr(s"percentile(`$valCol`, 0.75)"), 4).as("__q3"))
+    df.select(col(groupCol), col(valCol))
+      .join(broadcast(q), groupCol)
+      .withColumn("__iqr", col("__q3") - col("__q1"))
+      .withColumn("__out",
+        (col(valCol) > col("__q3") + lit(1.5) * col("__iqr")) ||
+        (col(valCol) < col("__q1") - lit(1.5) * col("__iqr")))
+      .groupBy(col(groupCol), col("n_rows"), col("med4"),
+        round(col("__iqr"), 4).as("iqr4"))
+      .agg(sum(when(col("__out"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share4", expr(
+        "CAST((20000L * n_outliers + n_rows) DIV (2L * n_rows) AS DOUBLE) / 10000.0"))
+  }
+
+  /** ACTIVITY STREAKS via gaps-and-islands: distinct active days per
+    * user collapse to runs of consecutive days (island key = epoch-day −
+    * per-user day rank, the classic trick), reported as the streak-length
+    * histogram. The window runs over each USER's distinct days (bounded
+    * per-user frames, never a global sort); the histogram is two grouped
+    * counts. Output: (streak_len, n_islands, n_users). */
+  def activityStreaks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events.select(col(userCol).as("__u"),
+      datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long").as("__d"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__u").orderBy("__d")
+    val islands = days
+      .withColumn("__k", col("__d") - row_number().over(w))
+      .groupBy("__u", "__k").agg(count(lit(1)).as("streak_len"))
+    islands.groupBy("streak_len")
+      .agg(count(lit(1)).as("n_islands"),
+        countDistinct("__u").as("n_users"))
+  }
+
+  /** The top-V vocabulary artifact shared by [[vocabCoverage]]-style OOV
+    * screens and the streaming gate: (token) rows, rank by count desc /
+    * token asc — deterministic at the boundary frequency. */
+  def topVocab(docs: DataFrame, textCol: String, v: Int): DataFrame =
+    docs.select(explode(expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok").asc)
+      .limit(v)
+      .select(col("__tok"), lit(1).as("__in_vocab"))
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

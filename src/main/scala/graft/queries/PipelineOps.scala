@@ -1070,4 +1070,21 @@ object PipelineOps {
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id", "source", k = 5)
       .orderBy("fold", "source")
+
+  /** Median/IQR robust outlier screen on event values per type (Graft
+    * .robustScale): Tukey fences from 4dp-rounded quantiles, so the
+    * cross-engine flag never rests on a last-ulp interpolation diff. */
+  def robustScale(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.robustScale(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value")
+      .orderBy("event_type")
+
+  /** Gaps-and-islands activity streaks (Graft.activityStreaks): per-user
+    * consecutive-active-day runs collapsed to a streak-length histogram. */
+  def activityStreaks(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.activityStreaks(
+        Tables.events(s, d).select(col("user_id"), col("ts")),
+        "user_id", "ts")
+      .orderBy("streak_len")
 }

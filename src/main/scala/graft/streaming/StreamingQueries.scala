@@ -421,6 +421,58 @@ object StreamingQueries {
       .orderBy("bin")
   }
 
+  /** OOV-rate gate on the stream: the top-4096 vocabulary is an at-rest
+    * batch artifact (broadcast, model-sized); arriving documents explode
+    * to tokens, left-join the vocab, and the ONE streaming aggregation is
+    * the per-doc (n_tokens, n_oov) counters. The per-source rollup reads
+    * the drained state (the streamClassify readout convention); the
+    * >20% flag is the exact integer test n_oov·5 > n_tokens. */
+  def streamVocabGate(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.api.Graft.topVocab(
+      graft.Tables.documents(s, d).select(col("text")), "text", 4096)
+    val toks = readStreamTable(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+          .as("__tok"))
+    val perDoc = toks.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+    runToMemory(s, perDoc, "graft_stream_vocab_gate", "complete")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_oov") * 5L > col("n_tokens"), 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("flagged_share4", expr(
+        "CAST((20000L * n_flagged + n_docs) DIV (2L * n_docs) AS DOUBLE) / 10000.0"))
+      .orderBy("source")
+  }
+
+  /** Entity resolution ON THE SERVING PATH: every arriving record
+    * resolves against the at-rest reference through its (brand, size)
+    * equality block — a stream-static broadcast-block join with the
+    * native damerau_levenshtein kernel inside, ordered probe→reference
+    * pairs (self-pair excluded), and per-brand counters as the only
+    * streaming state. */
+  def streamEntityResolution(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ref = graft.Tables.part(s, d)
+      .select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("__rid"), col("p_name").as("__rnm"))
+    val probes = readStreamTable(s, d, "part")
+      .select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("__pid"), col("p_name").as("__pnm"))
+    val pairs = probes.join(ref, Seq("p_brand", "p_size"))
+      .filter(col("__pid") =!= col("__rid"))
+      .withColumn("__dl", expr("damerau_levenshtein(__pnm, __rnm)"))
+    val agg = pairs.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__dl") <= 4, 1L).otherwise(0L)).as("n_matches"),
+        min("__dl").cast("int").as("min_dl"))
+    runToMemory(s, agg, "graft_stream_entity_res", "complete")
+      .orderBy("p_brand")
+  }
+
   def streamClassify(s: SparkSession, d: String): DataFrame = {
     // ONE streaming aggregation (per-doc scores — chained streaming aggs are
     // unsupported); the per-label rollup reads the final in-memory state as

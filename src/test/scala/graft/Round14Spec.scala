@@ -882,4 +882,81 @@ class Round14Spec extends SparkSpec {
       assert(math.abs(s - 1.0) < 0.002, s"$src shares sum to $s")
     }
   }
+
+  test("robustScale: a planted far outlier flags; clean uniform data doesn't") {
+    import spark.implicits._
+    val clean = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val c = api.Graft.robustScale(clean, "grp", "v")
+      .as[(String, Long, Double, Double, Long, Double)].head()
+    assert(c._2 == 100L && c._5 == 0L, s"uniform ramp must not flag: $c")
+    val dirty = clean.union(Seq(("g", 1e6)).toDF("grp", "v"))
+    val d = api.Graft.robustScale(dirty, "grp", "v")
+      .as[(String, Long, Double, Double, Long, Double)].head()
+    assert(d._5 == 1L, s"the planted 1e6 must flag: $d")
+    val reg = queries.PipelineOps.robustScale(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach { case (t, n, _, iqr, out, share) =>
+      assert(iqr >= 0.0 && out >= 0 && out <= n, t)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("activityStreaks: hand case and day-mass conservation") {
+    import spark.implicits._
+    // user A: days 1,2,3 then 7,8 → islands of 3 and 2; user B: day 1 → 1
+    val ev = Seq(("A", 1), ("A", 2), ("A", 3), ("A", 7), ("A", 8), ("B", 1))
+      .map { case (u, day) => (u, java.sql.Timestamp.valueOf(
+        f"1970-01-${day + 1}%02d 10:00:00")) }
+      .toDF("u", "ts")
+    val out = api.Graft.activityStreaks(ev, "u", "ts")
+      .orderBy("streak_len")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)), s"$out")
+    // registry row: Σ len·islands = distinct (user, day) mass
+    val reg = queries.PipelineOps.activityStreaks(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val mass = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+    assert(reg.map(r => r._1 * r._2).sum == mass, "streak mass drifted")
+  }
+
+  test("streamVocabGate: drained counters equal the batch OOV recompute") {
+    val out = streaming.StreamingQueries.streamVocabGate(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    val vocab = api.Graft.topVocab(
+      Tables.documents(spark, sf).select(col("text")), "text", 4096)
+    val batch = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(text, ' ', -1), t -> length(t) > 0)")).as("__tok"))
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("nt"),
+        count(when(col("__in_vocab").isNull, 1)).as("no"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("no") * 5 > col("nt"), 1L).otherwise(0L)).as("n_flagged"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (src, n, f, share) =>
+      assert(batch(src) == ((n, f)), s"$src drifted from batch")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("streamEntityResolution: ordered pairs are exactly 2x the batch blocks") {
+    val stream = streaming.StreamingQueries.streamEntityResolution(spark, sf)
+      .as[(String, Long, Long, Int)].collect().toSeq
+      .map(r => r._1 -> r).toMap
+    val batch = queries.PipelineOps.entityResolution(spark, sf)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(batch.nonEmpty && stream.size == batch.size)
+    batch.foreach { case (brand, pairs, matches, minDl) =>
+      val s = stream(brand)
+      // DL is symmetric: probe→ref ordered pairs double the a<b count
+      assert(s._2 == 2 * pairs && s._3 == 2 * matches && s._4 == minDl,
+        s"$brand: $s vs batch ($pairs, $matches, $minDl)")
+    }
+  }
 }
