@@ -472,6 +472,40 @@ object PlanAudit {
         "conformal gate: scoring scans to the FIXED 4096 grid; the order " +
           "statistic is a cumulative count over the grid, never a sort " +
           "of the corpus; threshold broadcasts back"),
+      // ---- round-14 continuation pins ----
+      ("entity_resolution", p => !p.contains("CartesianProduct")
+        && p.contains("damerau_levenshtein"),
+        "entity resolution: candidate pairs from an EQUI-join on the " +
+          "block keys (never cartesian); the native DL kernel sits " +
+          "inside the joined projection"),
+      ("graph_pagerank", p => !p.contains("CartesianProduct")
+        && p.contains("partial_sum"),
+        "pagerank: each iteration shuffles edge contributions with a " +
+          "map-side partial integer sum; no cartesian anywhere"),
+      ("uncertainty_sample", p => p.contains("ObjectHashAggregate")
+        && !p.contains("Window"),
+        "uncertainty sampling: fused min-k typed aggregate (O(k) state " +
+          "per stratum), never a rank window over documents"),
+      ("importance_weights", p => !p.contains("Join")
+        && p.contains("HashAggregate"),
+        "importance weights/ESS: ONE scan + ONE grouped aggregate — " +
+          "zero joins in the whole plan"),
+      ("vocab_size_sweep", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "vocab sweep: corpus collapses to types (partial agg), types to " +
+          "the count-of-counts grid; sweep joins run broadcast on grids"),
+      ("psi_drift", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "PSI: two row-local scoring scans to the constant 10-cell grid; " +
+          "all joins grid-sized, totals broadcast"),
+      ("robust_scale", p => p.contains("BroadcastHashJoin")
+        && !p.contains("CartesianProduct"),
+        "robust scale: per-group quantile frame broadcasts back onto " +
+          "the flag pass"),
+      ("activity_streaks", p => p.contains("Window")
+        && !p.contains("CartesianProduct"),
+        "activity streaks: the island window partitions BY USER (bounded " +
+          "frames), histogram is grouped counts"),
     )
 
     var failed = 0

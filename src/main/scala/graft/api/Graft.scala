@@ -5035,12 +5035,16 @@ object Graft {
       (col("cn") - col("n")).as("cn0"), (col("cp") - col("p")).as("cp0"))
     val kSide = c.select(col("bin").as("kb"),
       col("cn").as("cnk"), col("cp").as("cpk"))
-    val jk = jSide.join(kSide, col("jb") <= col("kb"))
+    // both sides are the cumulative bin grid (≤ bins rows): broadcast the
+    // k side so the triangular self-join plans as BNLJ, never cartesian
+    val jk = jSide.join(broadcast(kSide), col("jb") <= col("kb"))
       .select(col("jb"), col("kb"),
         ((col("cpk") - col("cp0")).cast("double")
           / (col("cnk") - col("cn0")).cast("double")).as("r"))
+    // the (j,k)-interval frame is grid-sized (≤ bins²/2 rows): broadcast
+    // it so the non-equi containment join plans as BNLJ, never cartesian
     val iso = g.select(col("bin"))
-      .join(jk, col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .join(broadcast(jk), col("jb") <= col("bin") && col("kb") >= col("bin"))
       .groupBy("bin", "jb").agg(min("r").as("mn"))
       .groupBy("bin").agg(max("mn").as("__iso"))
     g.join(iso, Seq("bin"))
