@@ -273,6 +273,7 @@ object SparkEntry {
     "split_kfold"       -> PipelineOps.splitKfold _,
     "robust_scale"      -> PipelineOps.robustScale _,
     "activity_streaks"  -> PipelineOps.activityStreaks _,
+    "rouge_overlap"     -> TextAnalysis.rougeOverlap _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -4500,6 +4501,50 @@ object SparkEntry {
         |  CAST(count_if(dl <= 4) AS BIGINT) AS n_matches,
         |  CAST(min(dl) AS INTEGER) AS min_dl
         |FROM p GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // clipped n-gram overlap on (pair, gram) inner joins; micro-averaged
+    // per source so every readout is one divide of exact integer sums
+    "rouge_overlap" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END AS cand,
+        |    text AS ref
+        |  FROM documents WHERE doc_id % 13 <> 5 AND doc_id % 13 <> 7),
+        |lc AS (SELECT doc_id, list_filter(string_split(cand, ' '), x -> len(x) > 0) AS l FROM p),
+        |lr AS (SELECT doc_id, list_filter(string_split(ref, ' '), x -> len(x) > 0) AS l FROM p),
+        |tc1 AS (SELECT doc_id, g, CAST(count(1) AS BIGINT) AS cc FROM (
+        |    SELECT doc_id, unnest(l) AS g FROM lc) GROUP BY 1, 2),
+        |tr1 AS (SELECT doc_id, g, CAST(count(1) AS BIGINT) AS cr FROM (
+        |    SELECT doc_id, unnest(l) AS g FROM lr) GROUP BY 1, 2),
+        |ov1 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o
+        |  FROM tc1 JOIN tr1 USING (doc_id, g) GROUP BY 1),
+        |tc2 AS (SELECT doc_id, g, CAST(count(1) AS BIGINT) AS cc FROM (
+        |    SELECT doc_id, z[1] || ' ' || z[2] AS g FROM (
+        |      SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        |      FROM lc WHERE len(l) >= 2)) GROUP BY 1, 2),
+        |tr2 AS (SELECT doc_id, g, CAST(count(1) AS BIGINT) AS cr FROM (
+        |    SELECT doc_id, z[1] || ' ' || z[2] AS g FROM (
+        |      SELECT doc_id, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        |      FROM lr WHERE len(l) >= 2)) GROUP BY 1, 2),
+        |ov2 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o
+        |  FROM tc2 JOIN tr2 USING (doc_id, g) GROUP BY 1),
+        |lens AS (SELECT p.doc_id, p.source,
+        |    CAST(len(list_filter(string_split(p.cand, ' '), x -> len(x) > 0)) AS BIGINT) AS lc1,
+        |    CAST(len(list_filter(string_split(p.ref, ' '), x -> len(x) > 0)) AS BIGINT) AS lr1
+        |  FROM p),
+        |j AS (SELECT lens.source,
+        |    coalesce(ov1.o, 0) AS o1, coalesce(ov2.o, 0) AS o2,
+        |    lens.lc1, lens.lr1,
+        |    greatest(lens.lc1 - 1, 0) AS lc2, greatest(lens.lr1 - 1, 0) AS lr2
+        |  FROM lens LEFT JOIN ov1 ON lens.doc_id = ov1.doc_id
+        |  LEFT JOIN ov2 ON lens.doc_id = ov2.doc_id)
+        |SELECT source, CAST(count(1) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(o1) AS DOUBLE) / CAST(sum(lc1) AS DOUBLE), 6) AS r1_p6,
+        |  round(CAST(sum(o1) AS DOUBLE) / CAST(sum(lr1) AS DOUBLE), 6) AS r1_r6,
+        |  round(2.0 * CAST(sum(o1) AS DOUBLE) / CAST(sum(lc1) + sum(lr1) AS DOUBLE), 6) AS r1_f6,
+        |  round(CAST(sum(o2) AS DOUBLE) / CAST(sum(lc2) AS DOUBLE), 6) AS r2_p6,
+        |  round(CAST(sum(o2) AS DOUBLE) / CAST(sum(lr2) AS DOUBLE), 6) AS r2_r6,
+        |  round(2.0 * CAST(sum(o2) AS DOUBLE) / CAST(sum(lc2) + sum(lr2) AS DOUBLE), 6) AS r2_f6
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // LPT as a recursive CTE over the ranked source grid: argmin load via
     // list_position(loads, min) — first occurrence = lowest worker id,

@@ -5577,6 +5577,63 @@ object Graft {
       .limit(v)
       .select(col("__tok"), lit(1).as("__in_vocab"))
 
+  /** ROUGE-1/ROUGE-2 overlap between paired candidate/reference texts
+    * (Lin '04) — the generation-eval metric run at corpus scale: clipped
+    * n-gram precision/recall, micro-averaged per stratum so every
+    * aggregate is a ratio of two exact INTEGER sums (per-doc clipped
+    * overlap = Σ_g min(c_cand, c_ref) rides an inner join on (pair id,
+    * gram); macro-averaging would sum per-doc rationals in float). The
+    * candidate and reference sides each collapse to (pair, gram, count)
+    * in one pass; nothing downstream is document-sized except the
+    * (pair, gram) frames themselves. Output per stratum: (stratum,
+    * n_pairs, r1_p6, r1_r6, r1_f6, r2_p6, r2_r6, r2_f6). */
+  def rougeOverlap(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, strataCol: String): DataFrame = {
+    def grams(textCol: String, n: Int, side: String): DataFrame = {
+      val toks = pairs.select(col(idCol).as("__id"), expr(
+        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)").as("__t"))
+      val g =
+        if (n == 1) toks.select(col("__id"), explode(col("__t")).as("__g"))
+        else toks.filter(size(col("__t")) >= n)
+          .select(col("__id"), explode(expr(
+            s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n)))"))
+            .as("__g"))
+      g.groupBy("__id", "__g").agg(count(lit(1)).as(s"__c$side"))
+    }
+    def sideTotals(n: Int): DataFrame = {
+      val ov = grams(candCol, n, "c").join(grams(refCol, n, "r"),
+          Seq("__id", "__g"))
+        .select(col("__id"),
+          least(col("__cc"), col("__cr")).as("__ov"))
+        .groupBy("__id").agg(sum("__ov").as(s"__ov$n"))
+      val lens = pairs.select(col(idCol).as("__id"),
+        col(strataCol).as("__s"),
+        expr(s"greatest(size(filter(split(`$candCol`, ' ', -1), t -> length(t) > 0)) - ${n - 1}, 0)")
+          .cast("long").as(s"__lc$n"),
+        expr(s"greatest(size(filter(split(`$refCol`, ' ', -1), t -> length(t) > 0)) - ${n - 1}, 0)")
+          .cast("long").as(s"__lr$n"))
+      lens.join(ov, Seq("__id"), "left")
+        .select(col("__id"), col("__s"), col(s"__lc$n"), col(s"__lr$n"),
+          coalesce(col(s"__ov$n"), lit(0L)).as(s"__ov$n"))
+    }
+    val j = sideTotals(1).join(sideTotals(2).drop("__s"), "__id")
+    j.groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("__ov1").as("__o1"), sum("__lc1").as("__c1"),
+        sum("__lr1").as("__r1"),
+        sum("__ov2").as("__o2"), sum("__lc2").as("__c2"),
+        sum("__lr2").as("__r2"))
+      .select(col("__s").as(strataCol), col("n_pairs"),
+        round(col("__o1").cast("double") / col("__c1").cast("double"), 6).as("r1_p6"),
+        round(col("__o1").cast("double") / col("__r1").cast("double"), 6).as("r1_r6"),
+        round(lit(2.0) * col("__o1").cast("double")
+          / (col("__c1") + col("__r1")).cast("double"), 6).as("r1_f6"),
+        round(col("__o2").cast("double") / col("__c2").cast("double"), 6).as("r2_p6"),
+        round(col("__o2").cast("double") / col("__r2").cast("double"), 6).as("r2_r6"),
+        round(lit(2.0) * col("__o2").cast("double")
+          / (col("__c2") + col("__r2")).cast("double"), 6).as("r2_f6"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -747,4 +747,19 @@ object TextAnalysis {
     graft.api.Graft.vocabSizeSweep(
         Tables.documents(s, d).select(col("text")), "text")
       .orderBy("vocab_size")
+
+  /** ROUGE-1/2 between the corpus_diff generations treated as
+    * candidate/reference pairs (Graft.rougeOverlap): clipped n-gram
+    * overlap, micro-averaged per source on exact integer sums — the
+    * generation-eval metric at corpus scale. */
+  def rougeOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % 13 =!= 5 && col("doc_id") % 13 =!= 7)
+    val pairs = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 13 === 2, upper(col("text")))
+        .otherwise(col("text")).as("cand"),
+      col("text").as("ref"))
+    graft.api.Graft.rougeOverlap(pairs, "doc_id", "cand", "ref", "source")
+      .orderBy("source")
+  }
 }

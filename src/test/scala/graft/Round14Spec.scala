@@ -959,4 +959,55 @@ class Round14Spec extends SparkSpec {
         s"$brand: $s vs batch ($pairs, $matches, $minDl)")
     }
   }
+
+  test("DamerauLevenshtein: metric properties against random strings") {
+    functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(14)
+    def randStr(): String =
+      (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val cases = Seq.fill(200)((randStr(), randStr()))
+    import spark.implicits._
+    val df = cases.toDF("a", "b").selectExpr(
+      "a", "b", "damerau_levenshtein(a, b) AS dl",
+      "damerau_levenshtein(b, a) AS dlr", "levenshtein(a, b) AS lev")
+    df.as[(String, String, Int, Int, Int)].collect().foreach {
+      case (a, b, dl, dlr, lev) =>
+        assert(dl == dlr, s"symmetry broke: $a/$b")
+        assert(dl >= math.abs(a.length - b.length), s"lower bound: $a/$b")
+        assert(dl <= math.max(a.length, b.length), s"upper bound: $a/$b")
+        assert(dl <= lev, s"DL must never exceed Levenshtein: $a/$b $dl > $lev")
+        assert((dl == 0) == (a == b), s"identity: $a/$b")
+    }
+  }
+
+  test("rougeOverlap: hand-worked clipped overlap") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "s", "a b c", "a b d"),  // uni 2/3, bi 1/2
+      (2L, "s", "a a a", "a"),      // clipped: uni overlap 1; no cand/ref bigram pair
+      (3L, "t", "x y", "x y")       // perfect
+    ).toDF("doc_id", "source", "cand", "ref")
+    val out = api.Graft.rougeOverlap(pairs, "doc_id", "cand", "ref", "source")
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // source s micro: uni o=2+1=3, lc=3+3=6, lr=3+1=4 → P=.5, R=.75, F=.6
+    //               bi  o=1+0=1, lc=2+2=4, lr=2+0=2 → P=.25, R=.5, F≈.333333
+    val sRow = out.head
+    assert(sRow._1 == "s" && sRow._2 == 2L)
+    assert(sRow._3 == 0.5 && sRow._4 == 0.75 && sRow._5 == 0.6, s"$sRow")
+    assert(sRow._6 == 0.25 && sRow._7 == 0.5 && sRow._8 == 0.333333, s"$sRow")
+    val tRow = out(1)
+    assert(tRow._1 == "t" && tRow._3 == 1.0 && tRow._7 == 1.0 && tRow._8 == 1.0)
+    // registry row: the %13==2 uppercase slice must pull overlap below 1
+    val reg = queries.TextAnalysis.rougeOverlap(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r._3 > 0.0 && r._3 < 1.0, s"${r._1}: uppercase slice must dent P")
+      Seq(r._3, r._4, r._5, r._6, r._7, r._8).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0))
+    }
+  }
 }
