@@ -278,7 +278,8 @@ object Bench {
       "decontaminate_", "ann_", "vector_", "zorder_", "sample_",
       "multimodal_", "pii_", "word_", "pmi_", "source_", "hybrid_",
       "contamination_", "cluster_", "corpus_", "boilerplate_", "tokenizer_",
-      "span_", "curriculum_", "shard_")
+      "span_", "curriculum_", "shard_", "bleu_", "chrf_", "rouge_",
+      "retrieval_")
     def family(name: String): String =
       if (name.matches("q\\d+_.*")) "tpch"
       else if (name.startsWith("stream_")) "streaming"

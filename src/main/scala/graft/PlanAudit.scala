@@ -506,6 +506,36 @@ object PlanAudit {
         && !p.contains("CartesianProduct"),
         "activity streaks: the island window partitions BY USER (bounded " +
           "frames), histogram is grouped counts"),
+      ("bleu_corpus", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "BLEU: per-order (pair, gram) frames partial-aggregate before the " +
+          "overlap joins; nothing window-sized"),
+      ("chrf_score", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "chrF: char-gram frames partial-aggregate; overlap joins on " +
+          "(pair, gram) only"),
+      ("quality_auc", p => p.contains("Window")
+        && !p.contains("CartesianProduct"),
+        "AUC: the cumulative-negative window runs over the (lang, score) " +
+          "GRID, never documents"),
+      ("retrieval_eval", p => !p.contains("CartesianProduct")
+        && !p.contains("BroadcastNestedLoopJoin") && p.contains("Window"),
+        "retrieval eval: candidate attach is an EQUI join on the did-bin " +
+          "(no nested loop); rank windows partition per query"),
+      ("cdc_apply", p => !p.contains("Window") && !p.contains("CartesianProduct"),
+        "CDC latest-wins is a max_by AGGREGATE (partial+final), never a " +
+          "per-key rank window"),
+      ("preference_stats", p => !p.contains("Window")
+        && !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "preference pairing is an equi join on doc_id+1 — no window over " +
+          "documents, no nested loop"),
+      ("dialog_stats", p => !p.contains("Join") && p.contains("partial_count"),
+        "dialog parse + turn stats are ROW-LOCAL; the only exchange is the " +
+          "stratum rollup"),
+      ("embedding_truncate", p => !p.contains("CartesianProduct")
+        && p.contains("Broadcast"),
+        "Matryoshka eval broadcasts the fixed query panel (knn_bruteforce " +
+          "shape) per dim variant"),
     )
 
     var failed = 0

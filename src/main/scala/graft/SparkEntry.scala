@@ -274,6 +274,14 @@ object SparkEntry {
     "robust_scale"      -> PipelineOps.robustScale _,
     "activity_streaks"  -> PipelineOps.activityStreaks _,
     "rouge_overlap"     -> TextAnalysis.rougeOverlap _,
+    "bleu_corpus"       -> TextAnalysis.bleuCorpus _,
+    "chrf_score"        -> TextAnalysis.chrfScore _,
+    "quality_auc"       -> TextAnalysis.qualityAuc _,
+    "retrieval_eval"    -> Similarity.retrievalEval _,
+    "cdc_apply"         -> PipelineOps.cdcApply _,
+    "preference_stats"  -> PipelineOps.preferenceStats _,
+    "dialog_stats"      -> PipelineOps.dialogStats _,
+    "embedding_truncate" -> Similarity.embeddingTruncate _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -4545,6 +4553,291 @@ object SparkEntry {
         |  round(CAST(sum(o2) AS DOUBLE) / CAST(sum(lr2) AS DOUBLE), 6) AS r2_r6,
         |  round(2.0 * CAST(sum(o2) AS DOUBLE) / CAST(sum(lc2) + sum(lr2) AS DOUBLE), 6) AS r2_f6
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // corpus BLEU: clipped n-gram precisions as integer-sum ratios; the only
+    // transcendentals (ln/exp on the stratum frame) are 2^-20 grid-quantized
+    "bleu_corpus" ->
+      """WITH p0 AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |p1 AS (SELECT doc_id, source, l, greatest((len(l) * 4) // 5, 1) AS k FROM p0),
+        |p AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN list_reverse(l[1:k]) ELSE l[1:k] END AS lc,
+        |    l AS lr FROM p1),
+        |gc1 AS (SELECT doc_id, unnest(lc) AS g FROM p),
+        |gr1 AS (SELECT doc_id, unnest(lr) AS g FROM p),
+        |gc2 AS (SELECT doc_id, array_to_string(lc[i:i+1], ' ') AS g FROM (SELECT doc_id, lc, unnest(range(1, len(lc))) AS i FROM p WHERE len(lc) >= 2)),
+        |gr2 AS (SELECT doc_id, array_to_string(lr[i:i+1], ' ') AS g FROM (SELECT doc_id, lr, unnest(range(1, len(lr))) AS i FROM p WHERE len(lr) >= 2)),
+        |gc3 AS (SELECT doc_id, array_to_string(lc[i:i+2], ' ') AS g FROM (SELECT doc_id, lc, unnest(range(1, len(lc) - 1)) AS i FROM p WHERE len(lc) >= 3)),
+        |gr3 AS (SELECT doc_id, array_to_string(lr[i:i+2], ' ') AS g FROM (SELECT doc_id, lr, unnest(range(1, len(lr) - 1)) AS i FROM p WHERE len(lr) >= 3)),
+        |gc4 AS (SELECT doc_id, array_to_string(lc[i:i+3], ' ') AS g FROM (SELECT doc_id, lc, unnest(range(1, len(lc) - 2)) AS i FROM p WHERE len(lc) >= 4)),
+        |gr4 AS (SELECT doc_id, array_to_string(lr[i:i+3], ' ') AS g FROM (SELECT doc_id, lr, unnest(range(1, len(lr) - 2)) AS i FROM p WHERE len(lr) >= 4)),
+        |tc1 AS (SELECT doc_id, g, count(1) AS cc FROM gc1 GROUP BY 1, 2),
+        |tr1 AS (SELECT doc_id, g, count(1) AS cr FROM gr1 GROUP BY 1, 2),
+        |tc2 AS (SELECT doc_id, g, count(1) AS cc FROM gc2 GROUP BY 1, 2),
+        |tr2 AS (SELECT doc_id, g, count(1) AS cr FROM gr2 GROUP BY 1, 2),
+        |tc3 AS (SELECT doc_id, g, count(1) AS cc FROM gc3 GROUP BY 1, 2),
+        |tr3 AS (SELECT doc_id, g, count(1) AS cr FROM gr3 GROUP BY 1, 2),
+        |tc4 AS (SELECT doc_id, g, count(1) AS cc FROM gc4 GROUP BY 1, 2),
+        |tr4 AS (SELECT doc_id, g, count(1) AS cr FROM gr4 GROUP BY 1, 2),
+        |ov1 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o FROM tc1 JOIN tr1 USING (doc_id, g) GROUP BY 1),
+        |ov2 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o FROM tc2 JOIN tr2 USING (doc_id, g) GROUP BY 1),
+        |ov3 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o FROM tc3 JOIN tr3 USING (doc_id, g) GROUP BY 1),
+        |ov4 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o FROM tc4 JOIN tr4 USING (doc_id, g) GROUP BY 1),
+        |base AS (SELECT p.doc_id, p.source,
+        |    CAST(len(lc) AS BIGINT) AS lenc, CAST(len(lr) AS BIGINT) AS lenr,
+        |    CAST(greatest(len(lc), 0) AS BIGINT) AS c1,
+        |    CAST(greatest(len(lc) - 1, 0) AS BIGINT) AS c2,
+        |    CAST(greatest(len(lc) - 2, 0) AS BIGINT) AS c3,
+        |    CAST(greatest(len(lc) - 3, 0) AS BIGINT) AS c4,
+        |    coalesce(ov1.o, 0) AS o1, coalesce(ov2.o, 0) AS o2,
+        |    coalesce(ov3.o, 0) AS o3, coalesce(ov4.o, 0) AS o4
+        |  FROM p LEFT JOIN ov1 ON p.doc_id = ov1.doc_id
+        |  LEFT JOIN ov2 ON p.doc_id = ov2.doc_id
+        |  LEFT JOIN ov3 ON p.doc_id = ov3.doc_id
+        |  LEFT JOIN ov4 ON p.doc_id = ov4.doc_id),
+        |g AS (SELECT source, CAST(count(1) AS BIGINT) AS n_pairs,
+        |    CAST(sum(lenc) AS BIGINT) AS tc, CAST(sum(lenr) AS BIGINT) AS tr,
+        |    CAST(sum(o1) AS BIGINT) AS O1, CAST(sum(c1) AS BIGINT) AS C1,
+        |    CAST(sum(o2) AS BIGINT) AS O2, CAST(sum(c2) AS BIGINT) AS C2,
+        |    CAST(sum(o3) AS BIGINT) AS O3, CAST(sum(c3) AS BIGINT) AS C3,
+        |    CAST(sum(o4) AS BIGINT) AS O4, CAST(sum(c4) AS BIGINT) AS C4
+        |  FROM base GROUP BY source),
+        |m AS (SELECT source, n_pairs,
+        |    CAST(O1 AS DOUBLE) / CAST(C1 AS DOUBLE) AS p1,
+        |    CAST(O2 + 1 AS DOUBLE) / CAST(C2 + 1 AS DOUBLE) AS p2,
+        |    CAST(O3 + 1 AS DOUBLE) / CAST(C3 + 1 AS DOUBLE) AS p3,
+        |    CAST(O4 + 1 AS DOUBLE) / CAST(C4 + 1 AS DOUBLE) AS p4,
+        |    CASE WHEN tc >= tr THEN 1.0
+        |      ELSE floor(exp(1.0 - CAST(tr AS DOUBLE) / CAST(tc AS DOUBLE)) * 1048576.0) / 1048576.0
+        |    END AS bp
+        |  FROM g)
+        |SELECT source, n_pairs,
+        |  round(p1, 6) AS p1_6, round(p2, 6) AS p2_6,
+        |  round(p3, 6) AS p3_6, round(p4, 6) AS p4_6,
+        |  round(bp, 6) AS bp6,
+        |  round(bp * (floor(exp((floor(ln(p1) * 1048576.0) / 1048576.0
+        |    + floor(ln(p2) * 1048576.0) / 1048576.0
+        |    + floor(ln(p3) * 1048576.0) / 1048576.0
+        |    + floor(ln(p4) * 1048576.0) / 1048576.0) / 4.0) * 1048576.0) / 1048576.0), 6) AS bleu6
+        |FROM m ORDER BY source""".stripMargin,
+
+    // chrF: character n-gram P/R as integer-sum ratios combined in a fixed
+    // left-to-right order — no transcendentals, bit-exact without the grid
+    "chrf_score" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    replace(CASE WHEN doc_id % 7 = 0
+        |      THEN left(text, greatest((length(text) * 7) // 10, 1))
+        |      ELSE replace(text, 'a', '') END, ' ', '') AS sc,
+        |    replace(text, ' ', '') AS sr
+        |  FROM documents WHERE doc_id % 19 <> 1),
+        |gc1 AS (SELECT doc_id, substr(sc, i, 1) AS g FROM (SELECT doc_id, sc, unnest(range(1, length(sc) + 1)) AS i FROM p WHERE length(sc) >= 1)),
+        |gr1 AS (SELECT doc_id, substr(sr, i, 1) AS g FROM (SELECT doc_id, sr, unnest(range(1, length(sr) + 1)) AS i FROM p WHERE length(sr) >= 1)),
+        |gc2 AS (SELECT doc_id, substr(sc, i, 2) AS g FROM (SELECT doc_id, sc, unnest(range(1, length(sc))) AS i FROM p WHERE length(sc) >= 2)),
+        |gr2 AS (SELECT doc_id, substr(sr, i, 2) AS g FROM (SELECT doc_id, sr, unnest(range(1, length(sr))) AS i FROM p WHERE length(sr) >= 2)),
+        |gc3 AS (SELECT doc_id, substr(sc, i, 3) AS g FROM (SELECT doc_id, sc, unnest(range(1, length(sc) - 1)) AS i FROM p WHERE length(sc) >= 3)),
+        |gr3 AS (SELECT doc_id, substr(sr, i, 3) AS g FROM (SELECT doc_id, sr, unnest(range(1, length(sr) - 1)) AS i FROM p WHERE length(sr) >= 3)),
+        |tc1 AS (SELECT doc_id, g, count(1) AS cc FROM gc1 GROUP BY 1, 2),
+        |tr1 AS (SELECT doc_id, g, count(1) AS cr FROM gr1 GROUP BY 1, 2),
+        |tc2 AS (SELECT doc_id, g, count(1) AS cc FROM gc2 GROUP BY 1, 2),
+        |tr2 AS (SELECT doc_id, g, count(1) AS cr FROM gr2 GROUP BY 1, 2),
+        |tc3 AS (SELECT doc_id, g, count(1) AS cc FROM gc3 GROUP BY 1, 2),
+        |tr3 AS (SELECT doc_id, g, count(1) AS cr FROM gr3 GROUP BY 1, 2),
+        |ov1 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o FROM tc1 JOIN tr1 USING (doc_id, g) GROUP BY 1),
+        |ov2 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o FROM tc2 JOIN tr2 USING (doc_id, g) GROUP BY 1),
+        |ov3 AS (SELECT doc_id, CAST(sum(least(cc, cr)) AS BIGINT) AS o FROM tc3 JOIN tr3 USING (doc_id, g) GROUP BY 1),
+        |base AS (SELECT p.doc_id, p.source,
+        |    CAST(greatest(length(sc), 0) AS BIGINT) AS c1,
+        |    CAST(greatest(length(sc) - 1, 0) AS BIGINT) AS c2,
+        |    CAST(greatest(length(sc) - 2, 0) AS BIGINT) AS c3,
+        |    CAST(greatest(length(sr), 0) AS BIGINT) AS r1,
+        |    CAST(greatest(length(sr) - 1, 0) AS BIGINT) AS r2,
+        |    CAST(greatest(length(sr) - 2, 0) AS BIGINT) AS r3,
+        |    coalesce(ov1.o, 0) AS o1, coalesce(ov2.o, 0) AS o2, coalesce(ov3.o, 0) AS o3
+        |  FROM p LEFT JOIN ov1 ON p.doc_id = ov1.doc_id
+        |  LEFT JOIN ov2 ON p.doc_id = ov2.doc_id
+        |  LEFT JOIN ov3 ON p.doc_id = ov3.doc_id),
+        |g AS (SELECT source, CAST(count(1) AS BIGINT) AS n_pairs,
+        |    CAST(sum(o1) AS BIGINT) AS O1, CAST(sum(c1) AS BIGINT) AS C1, CAST(sum(r1) AS BIGINT) AS R1,
+        |    CAST(sum(o2) AS BIGINT) AS O2, CAST(sum(c2) AS BIGINT) AS C2, CAST(sum(r2) AS BIGINT) AS R2,
+        |    CAST(sum(o3) AS BIGINT) AS O3, CAST(sum(c3) AS BIGINT) AS C3, CAST(sum(r3) AS BIGINT) AS R3
+        |  FROM base GROUP BY source),
+        |m AS (SELECT source, n_pairs,
+        |    ((CASE WHEN C1 = 0 THEN 0.0 ELSE CAST(O1 AS DOUBLE) / CAST(C1 AS DOUBLE) END
+        |      + CASE WHEN C2 = 0 THEN 0.0 ELSE CAST(O2 AS DOUBLE) / CAST(C2 AS DOUBLE) END)
+        |      + CASE WHEN C3 = 0 THEN 0.0 ELSE CAST(O3 AS DOUBLE) / CAST(C3 AS DOUBLE) END) / 3.0 AS pa,
+        |    ((CASE WHEN R1 = 0 THEN 0.0 ELSE CAST(O1 AS DOUBLE) / CAST(R1 AS DOUBLE) END
+        |      + CASE WHEN R2 = 0 THEN 0.0 ELSE CAST(O2 AS DOUBLE) / CAST(R2 AS DOUBLE) END)
+        |      + CASE WHEN R3 = 0 THEN 0.0 ELSE CAST(O3 AS DOUBLE) / CAST(R3 AS DOUBLE) END) / 3.0 AS ra
+        |  FROM g)
+        |SELECT source, n_pairs, round(pa, 6) AS prec6, round(ra, 6) AS rec6,
+        |  round(CASE WHEN 4.0 * pa + ra = 0.0 THEN 0.0
+        |    ELSE 5.0 * pa * ra / (4.0 * pa + ra) END, 6) AS chrf6
+        |FROM m ORDER BY source""".stripMargin,
+
+    // tie-corrected Mann-Whitney AUC on the (lang, score) GRID — the window
+    // runs over distinct integer scores, never documents; 2*numerator stays
+    // an exact integer and AUC is one divide
+    "quality_auc" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |per AS (SELECT doc_id, lang, w, count(1) AS c FROM tok GROUP BY 1, 2, 3),
+        |ds AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS tot,
+        |    CAST(count(1) AS BIGINT) AS dist, max(c) AS mx FROM per GROUP BY 1, 2),
+        |sc AS (SELECT lang, (1000000 * dist) // tot AS v,
+        |    CASE WHEN mx < 4 THEN 1 ELSE 0 END AS lab FROM ds),
+        |g AS (SELECT lang, v, CAST(sum(lab) AS BIGINT) AS p,
+        |    CAST(sum(1 - lab) AS BIGINT) AS n FROM sc GROUP BY 1, 2),
+        |r AS (SELECT lang, v, p, n,
+        |    coalesce(sum(n) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+        |  FROM g)
+        |SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(p * (2 * cumn + n)) AS DOUBLE)
+        |    / (2.0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6) AS auc6
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // MRR/NDCG@10 over a deterministic hash-ranked run; per-query windows
+    // only (bounded candidate lists); DCG weights and per-query NDCG/RR are
+    // 2^-20 grid-quantized so cross-query sums are exact
+    "retrieval_eval" ->
+      """WITH q AS (SELECT doc_id AS qid FROM documents WHERE doc_id % 101 = 0),
+        |run AS (SELECT qid, d.doc_id AS did,
+        |    md5(CAST(qid AS VARCHAR) || '_' || CAST(d.doc_id AS VARCHAR)) AS score,
+        |    CASE (d.doc_id * 7 + qid) % 10 WHEN 0 THEN 3 WHEN 1 THEN 2
+        |      WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS rel,
+        |    qid % 4 AS bucket
+        |  FROM q JOIN documents d ON d.doc_id > qid AND d.doc_id <= qid + 50),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score, rel) AS rnk,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, score) AS irnk,
+        |    CASE WHEN rel <= 0 THEN 0.0 WHEN rel = 1 THEN 1.0
+        |      WHEN rel = 2 THEN 3.0 ELSE 7.0 END AS gain
+        |  FROM run),
+        |perq AS (SELECT qid, bucket,
+        |    sum(CASE WHEN rnk <= 10
+        |      THEN gain * (floor((1.0 / log2(CAST(rnk AS DOUBLE) + 1.0)) * 1048576.0) / 1048576.0)
+        |      ELSE 0.0 END) AS dcg,
+        |    sum(CASE WHEN irnk <= 10
+        |      THEN gain * (floor((1.0 / log2(CAST(irnk AS DOUBLE) + 1.0)) * 1048576.0) / 1048576.0)
+        |      ELSE 0.0 END) AS idcg,
+        |    min(CASE WHEN rel >= 2 THEN rnk END) AS first
+        |  FROM ranked GROUP BY 1, 2),
+        |scored AS (SELECT bucket,
+        |    floor((CASE WHEN idcg > 0.0 THEN dcg / idcg ELSE 0.0 END) * 1048576.0) / 1048576.0 AS ndcg,
+        |    coalesce(floor((1.0 / CAST(first AS DOUBLE)) * 1048576.0) / 1048576.0, 0.0) AS rr
+        |  FROM perq)
+        |SELECT bucket, CAST(count(1) AS BIGINT) AS n_queries,
+        |  CAST(count(CASE WHEN rr > 0.0 THEN 1 END) AS BIGINT) AS n_hit,
+        |  round(sum(rr) / CAST(count(1) AS DOUBLE), 6) AS mrr6,
+        |  round(sum(ndcg) / CAST(count(1) AS DOUBLE), 6) AS ndcg6
+        |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // CDC latest-wins via arg_max over the version struct; prices ride as
+    // integer cents so the whole application path is exact
+    "cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderpriority AS pri FROM orders),
+        |log AS (
+        |  SELECT k, 1 AS seq, 'I' AS op, cents, pri FROM o
+        |  UNION ALL SELECT k, 2, 'U', cents + 10000, pri FROM o WHERE k % 3 = 0
+        |  UNION ALL SELECT k, 3, 'D', cents, pri FROM o WHERE k % 5 = 0),
+        |live AS (SELECT k, arg_max(op, seq) AS op, arg_max(cents, seq) AS cents,
+        |    arg_max(pri, seq) AS pri FROM log GROUP BY k)
+        |SELECT pri, CAST(count(1) AS BIGINT) AS n_live,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total2
+        |FROM live WHERE op <> 'D' GROUP BY pri ORDER BY pri""".stripMargin,
+
+    // verbosity-bias audit: id-adjacent disjoint pairs via an equi join on
+    // doc_id+1; chosen = higher integer uniqueness score, all-exact sums
+    "preference_stats" ->
+      """WITH sc AS (SELECT doc_id, source, n_chars,
+        |    (1000000 * len(list_distinct(l))) // len(l) AS score
+        |  FROM (SELECT doc_id, source, n_chars,
+        |      list_filter(string_split(text, ' '), x -> len(x) > 0) AS l
+        |    FROM documents)),
+        |a AS (SELECT doc_id AS a_id, source, n_chars AS a_len, score AS a_score
+        |  FROM sc WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id - 1 AS a_id, n_chars AS b_len, score AS b_score FROM sc),
+        |p AS (SELECT source,
+        |    CASE WHEN a_score >= b_score THEN a_len ELSE b_len END AS cl,
+        |    CASE WHEN a_score >= b_score THEN b_len ELSE a_len END AS rl,
+        |    greatest(a_score, b_score) AS cs, least(a_score, b_score) AS rs
+        |  FROM a JOIN b USING (a_id))
+        |SELECT source, CAST(count(1) AS BIGINT) AS n_pairs,
+        |  round(CAST(count(CASE WHEN cl > rl THEN 1 END) AS DOUBLE) / count(1), 4) AS longer_win_rate4,
+        |  round(CAST(count(CASE WHEN cl = rl THEN 1 END) AS DOUBLE) / count(1), 4) AS len_tie_rate4,
+        |  round(CAST(sum(cl - rl) AS DOUBLE) / count(1), 2) AS mean_len_delta2,
+        |  round(CAST(sum(cs - rs) AS DOUBLE) / count(1), 2) AS mean_score_gap2
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    // the Spark side parses the serialized JSON transcripts with from_json;
+    // the oracle pins the same stats in closed form over the token counts
+    // (turn i covers tokens (i-1)*8+1..i*8, assistant = even i)
+    "dialog_stats" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ntok
+        |  FROM documents),
+        |d AS (SELECT source, ntok, (ntok + 7) // 8 AS turns,
+        |    (ntok // 16) * 8 + greatest(ntok % 16 - 8, 0) AS atok
+        |  FROM t)
+        |SELECT source, CAST(count(1) AS BIGINT) AS n_dialogs,
+        |  CAST(sum(turns) AS BIGINT) AS n_turns,
+        |  round(CAST(sum(turns) AS DOUBLE) / count(1), 4) AS avg_turns4,
+        |  round(CAST(sum(atok) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE), 4) AS asst_token_share4,
+        |  round(CAST(count(CASE WHEN turns % 2 = 0 THEN 1 END) AS DOUBLE) / count(1), 4) AS ends_asst_rate4
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // Matryoshka truncation recall: per-dim prefix-cosine top-5 vs the
+    // full-dim top-5; scores round to 6dp before ranking (id tiebreak),
+    // recall is one divide of exact integer overlap counts
+    "embedding_truncate" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |q AS (SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id % 37 = 0 AND vec_id < 500),
+        |pf AS (SELECT qid, c.vec_id AS cid,
+        |    round(list_dot_product(qv, c.ev)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.ev, c.ev))), 6) AS s
+        |  FROM q JOIN v c ON qid <> c.vec_id),
+        |rf AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM pf)
+        |  WHERE rn <= 5),
+        |nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n FROM rf),
+        |pd8 AS (SELECT qid, c.vec_id AS cid,
+        |    round(list_dot_product(qv[1:8], c.ev[1:8])
+        |      / (sqrt(list_dot_product(qv[1:8], qv[1:8]))
+        |       * sqrt(list_dot_product(c.ev[1:8], c.ev[1:8]))), 6) AS s
+        |  FROM q JOIN v c ON qid <> c.vec_id),
+        |rd8 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM pd8)
+        |  WHERE rn <= 5),
+        |ov8 AS (SELECT CAST(count(1) AS BIGINT) AS o FROM rd8 JOIN rf USING (qid, cid)),
+        |pd16 AS (SELECT qid, c.vec_id AS cid,
+        |    round(list_dot_product(qv[1:16], c.ev[1:16])
+        |      / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+        |       * sqrt(list_dot_product(c.ev[1:16], c.ev[1:16]))), 6) AS s
+        |  FROM q JOIN v c ON qid <> c.vec_id),
+        |rd16 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM pd16)
+        |  WHERE rn <= 5),
+        |ov16 AS (SELECT CAST(count(1) AS BIGINT) AS o FROM rd16 JOIN rf USING (qid, cid)),
+        |pd32 AS (SELECT qid, c.vec_id AS cid,
+        |    round(list_dot_product(qv[1:32], c.ev[1:32])
+        |      / (sqrt(list_dot_product(qv[1:32], qv[1:32]))
+        |       * sqrt(list_dot_product(c.ev[1:32], c.ev[1:32]))), 6) AS s
+        |  FROM q JOIN v c ON qid <> c.vec_id),
+        |rd32 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM pd32)
+        |  WHERE rn <= 5),
+        |ov32 AS (SELECT CAST(count(1) AS BIGINT) AS o FROM rd32 JOIN rf USING (qid, cid))
+        |SELECT dim, n AS n_queries, o AS overlap,
+        |  round(CAST(o AS DOUBLE) / CAST(n * 5 AS DOUBLE), 6) AS recall6
+        |FROM (
+        |  SELECT 8 AS dim, n, o FROM nq CROSS JOIN ov8
+        |  UNION ALL SELECT 16, n, o FROM nq CROSS JOIN ov16
+        |  UNION ALL SELECT 32, n, o FROM nq CROSS JOIN ov32)
+        |ORDER BY dim""".stripMargin,
 
     // LPT as a recursive CTE over the ranked source grid: argmin load via
     // list_position(loads, min) — first occurrence = lowest worker id,

@@ -5634,6 +5634,319 @@ object Graft {
           / (col("__c2") + col("__r2")).cast("double"), 6).as("r2_f6"))
   }
 
+  /** Corpus BLEU (Papineni '02) between paired candidate/reference texts,
+    * micro-averaged per stratum: modified (clipped) n-gram precision for
+    * n = 1..4 rides the same (pair, gram) inner joins as [[rougeOverlap]],
+    * so every p_n is one divide of exact integer sums. The brevity penalty
+    * uses corpus-level token totals (the standard corpus BLEU definition —
+    * per-sentence BP would need per-pair closest-ref lengths). n ≥ 2
+    * precisions are add-one smoothed ((O+1)/(C+1), Lin & Och '04 style) so
+    * a zero-overlap stratum stays finite. The only transcendentals (ln of
+    * the four precisions, exp of the BP exponent and of the mean log
+    * precision) run on the k-row STRATUM frame and are floor-quantized to
+    * the 2^-20 grid — the repo's libm-determinism idiom — before any
+    * further arithmetic. Output per stratum: (stratum, n_pairs, p1_6,
+    * p2_6, p3_6, p4_6, bp6, bleu6). */
+  def bleuCorpus(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, strataCol: String): DataFrame = {
+    def toks(textCol: String): DataFrame = pairs.select(col(idCol).as("__id"),
+      expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)").as("__t"))
+    // (pair, gram, count) for one side at one order; linear in token volume
+    def grams(textCol: String, n: Int, side: String): DataFrame = {
+      val t = toks(textCol)
+      val g =
+        if (n == 1) t.select(col("__id"), explode(col("__t")).as("__g"))
+        else t.filter(size(col("__t")) >= n)
+          .select(col("__id"), explode(expr(
+            s"transform(sequence(0, size(__t) - $n), i -> concat_ws(' ', slice(__t, i + 1, $n)))"))
+            .as("__g"))
+      g.groupBy("__id", "__g").agg(count(lit(1)).as(s"__c$side"))
+    }
+    // per-pair clipped overlap and candidate gram total at one order
+    def order(n: Int): DataFrame = {
+      val ov = grams(candCol, n, "c").join(grams(refCol, n, "r"),
+          Seq("__id", "__g"))
+        .groupBy("__id")
+        .agg(sum(least(col("__cc"), col("__cr"))).as(s"__o$n"))
+      pairs.select(col(idCol).as("__id"),
+        expr(s"greatest(size(filter(split(`$candCol`, ' ', -1), t -> length(t) > 0)) - ${n - 1}, 0)")
+          .cast("long").as(s"__c$n"))
+        .join(ov, Seq("__id"), "left")
+        .na.fill(0L, Seq(s"__o$n"))
+    }
+    val lens = pairs.select(col(idCol).as("__id"), col(strataCol).as("__s"),
+      expr(s"size(filter(split(`$candCol`, ' ', -1), t -> length(t) > 0))")
+        .cast("long").as("__lc"),
+      expr(s"size(filter(split(`$refCol`, ' ', -1), t -> length(t) > 0))")
+        .cast("long").as("__lr"))
+    val j = (1 to 4).map(order).foldLeft(lens)((acc, o) => acc.join(o, "__id"))
+    val g = j.groupBy(col("__s"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("__lc").as("__tc"), sum("__lr").as("__tr"),
+        sum("__o1").as("__O1"), sum("__c1").as("__C1"),
+        sum("__o2").as("__O2"), sum("__c2").as("__C2"),
+        sum("__o3").as("__O3"), sum("__c3").as("__C3"),
+        sum("__o4").as("__O4"), sum("__c4").as("__C4"))
+    // exact integer-ratio precisions (p1 raw; p2..p4 add-one smoothed)
+    def p(n: Int): Column =
+      if (n == 1) col("__O1").cast("double") / col("__C1").cast("double")
+      else (col(s"__O$n") + lit(1L)).cast("double") /
+        (col(s"__C$n") + lit(1L)).cast("double")
+    def q(c: Column): Column = floor(c * lit(1048576.0)).cast("double") / lit(1048576.0)
+    val bp = when(col("__tc") >= col("__tr"), lit(1.0))
+      .otherwise(q(exp(lit(1.0) - col("__tr").cast("double") / col("__tc").cast("double"))))
+    val meanLog = (q(log(p(1))) + q(log(p(2))) + q(log(p(3))) + q(log(p(4)))) / lit(4.0)
+    g.select(col("__s").as(strataCol), col("n_pairs"),
+      round(p(1), 6).as("p1_6"), round(p(2), 6).as("p2_6"),
+      round(p(3), 6).as("p3_6"), round(p(4), 6).as("p4_6"),
+      round(bp, 6).as("bp6"),
+      round(bp * q(exp(meanLog)), 6).as("bleu6"))
+  }
+
+  /** chrF (Popović '15) between paired candidate/reference texts: character
+    * n-gram precision/recall for n = 1..3 over the space-stripped text,
+    * micro-averaged per stratum, F with β = 2 (recall-weighted, the chrF
+    * default). Character grams collapse to (pair, gram, count) exactly like
+    * the token metrics, so the whole readout is ratios of exact integer
+    * sums combined in a FIXED left-to-right order — correctly-rounded IEEE
+    * adds/divides only, no transcendentals, so the oracle matches bit-exact
+    * without grid quantization. Output per stratum: (stratum, n_pairs,
+    * prec6, rec6, chrf6). */
+  def chrfScore(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, strataCol: String, maxN: Int = 3): DataFrame = {
+    def chars(textCol: String): Column =
+      regexp_replace(col(textCol), " ", "")
+    def grams(textCol: String, n: Int, side: String): DataFrame =
+      pairs.select(col(idCol).as("__id"), chars(textCol).as("__s"))
+        .filter(length(col("__s")) >= n)
+        .select(col("__id"), explode(expr(
+          s"transform(sequence(1, length(__s) - ${n - 1}), i -> substring(__s, i, $n))"))
+          .as("__g"))
+        .groupBy("__id", "__g").agg(count(lit(1)).as(s"__c$side"))
+    def order(n: Int): DataFrame = {
+      val ov = grams(candCol, n, "c").join(grams(refCol, n, "r"),
+          Seq("__id", "__g"))
+        .groupBy("__id")
+        .agg(sum(least(col("__cc"), col("__cr"))).as(s"__o$n"))
+      pairs.select(col(idCol).as("__id"),
+        greatest(length(chars(candCol)) - lit(n - 1), lit(0))
+          .cast("long").as(s"__c$n"),
+        greatest(length(chars(refCol)) - lit(n - 1), lit(0))
+          .cast("long").as(s"__r$n"))
+        .join(ov, Seq("__id"), "left")
+        .na.fill(0L, Seq(s"__o$n"))
+    }
+    val base = pairs.select(col(idCol).as("__id"), col(strataCol).as("__s"))
+    val j = (1 to maxN).map(order).foldLeft(base)((acc, o) => acc.join(o, "__id"))
+    val aggs = count(lit(1)).as("n_pairs") +: (1 to maxN).flatMap(n => Seq(
+      sum(s"__o$n").as(s"__O$n"), sum(s"__c$n").as(s"__C$n"),
+      sum(s"__r$n").as(s"__R$n")))
+    val g = j.groupBy(col("__s")).agg(aggs.head, aggs.tail: _*)
+    // arithmetic mean over orders of the per-order integer-ratio P and R;
+    // the fold fixes the addition order left-to-right for both engines
+    def mean(num: Int => Column, den: Int => Column): Column =
+      (1 to maxN).map(n =>
+          when(den(n) === 0L, lit(0.0))
+            .otherwise(num(n).cast("double") / den(n).cast("double")))
+        .reduceLeft(_ + _) / lit(maxN.toDouble)
+    val pAvg = mean(n => col(s"__O$n"), n => col(s"__C$n"))
+    val rAvg = mean(n => col(s"__O$n"), n => col(s"__R$n"))
+    val chrf = when(lit(4.0) * pAvg + rAvg === 0.0, lit(0.0))
+      .otherwise(lit(5.0) * pAvg * rAvg / (lit(4.0) * pAvg + rAvg))
+    g.select(col("__s").as(strataCol), col("n_pairs"),
+      round(pAvg, 6).as("prec6"), round(rAvg, 6).as("rec6"),
+      round(chrf, 6).as("chrf6"))
+  }
+
+  /** Tie-corrected ROC AUC (Mann-Whitney) of an INTEGER score against a
+    * boolean label, per stratum — the screen-eval primitive ("does this
+    * cheap score separate the classes?"). The rank-sum never materializes
+    * per-row ranks: scores collapse to a (stratum, score) grid with
+    * positive/negative counts, the cumulative-negative window runs over
+    * that GRID (distinct score values, not documents — the repo's
+    * grid-window rule), and 2·numerator = Σ_s p_s·(2·cumN_below + n_s)
+    * stays an exact integer; AUC is one divide. Requires an integer score
+    * column (quantize upstream — float grouping keys would be
+    * engine-dependent). Output: (stratum, n_pos, n_neg, auc6). */
+  def scoreAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      strataCol: String): DataFrame = {
+    val g = df.groupBy(col(strataCol).as("__s"), col(scoreCol).as("__v"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val w = Window.partitionBy("__s").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("__cumn", coalesce(sum("__n").over(w), lit(0L)))
+    ranked.groupBy("__s")
+      .agg(sum("__p").as("n_pos"), sum("__n").as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("__cumn") + col("__n"))).as("__num2"))
+      .select(col("__s").as(strataCol), col("n_pos"), col("n_neg"),
+        round(col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc6"))
+  }
+
+  /** Ranking-quality metrics over a retrieval run — MRR and NDCG@k with
+    * graded relevance, the retrieval-eval readout at corpus scale. Input:
+    * one row per (query, candidate) with an ordering score and an integer
+    * relevance grade 0..3. Ranks are per-query windows (bounded candidate
+    * lists, partition count = queries — never a global sort); DCG gain is
+    * (2^rel − 1) · w(rank) where w = 1/log2(rank+1) is floor-quantized to
+    * the 2^-20 grid so per-query sums are EXACT doubles; per-query NDCG is
+    * re-quantized before the cross-query mean so the final aggregation is
+    * order-independent. relThreshold sets the MRR "relevant" bar. Output
+    * per stratum: (stratum, n_queries, n_hit, mrr6, ndcg6). */
+  def retrievalMetrics(run: DataFrame, qidCol: String, scoreCol: String,
+      relCol: String, strataCol: String, k: Int = 10,
+      relThreshold: Int = 2): DataFrame = {
+    def q(c: Column): Column = floor(c * lit(1048576.0)).cast("double") / lit(1048576.0)
+    def w(rankCol: Column): Column = q(lit(1.0) / log2(rankCol.cast("double") + lit(1.0)))
+    val byScore = Window.partitionBy(col(qidCol))
+      .orderBy(col(scoreCol).asc, col(relCol).asc)
+    val byRel = Window.partitionBy(col(qidCol))
+      .orderBy(col(relCol).desc, col(scoreCol).asc)
+    val ranked = run
+      .withColumn("__rank", row_number().over(byScore))
+      .withColumn("__irank", row_number().over(byRel))
+      .withColumn("__gain", when(col(relCol) <= 0, lit(0.0))
+        .when(col(relCol) === 1, lit(1.0))
+        .when(col(relCol) === 2, lit(3.0))
+        .otherwise(lit(7.0)))
+    val perQ = ranked.groupBy(col(qidCol).as("__q"), col(strataCol).as("__s"))
+      .agg(
+        sum(when(col("__rank") <= k, col("__gain") * w(col("__rank")))
+          .otherwise(lit(0.0))).as("__dcg"),
+        sum(when(col("__irank") <= k, col("__gain") * w(col("__irank")))
+          .otherwise(lit(0.0))).as("__idcg"),
+        min(when(col(relCol) >= relThreshold, col("__rank"))).as("__first"))
+    val scored = perQ.select(col("__s"),
+      q(when(col("__idcg") > 0.0, col("__dcg") / col("__idcg"))
+        .otherwise(lit(0.0))).as("__ndcg"),
+      coalesce(q(lit(1.0) / col("__first").cast("double")), lit(0.0)).as("__rr"))
+    scored.groupBy("__s")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__rr") > 0.0, 1L).otherwise(0L)).as("n_hit"),
+        sum("__rr").as("__srr"), sum("__ndcg").as("__sndcg"))
+      .select(col("__s").as(strataCol), col("n_queries"), col("n_hit"),
+        round(col("__srr") / col("n_queries").cast("double"), 6).as("mrr6"),
+        round(col("__sndcg") / col("n_queries").cast("double"), 6).as("ndcg6"))
+  }
+
+  /** Change-data-capture application: collapse an insert/update/delete log
+    * to the live snapshot — latest op per key wins (strictly increasing
+    * seqCol orders versions), and a key whose latest op is 'D' disappears.
+    * One shuffle on the key; the per-key reduce is max_by over the version
+    * struct (O(1) state, partial-aggregated), never a per-key rank window.
+    * Complements mergeUpsert (upsert-only, two-table) and scd2History
+    * (full history): this is the log-consumer shape a CDC feed lands as. */
+  def cdcApply(log: DataFrame, keyCol: String, seqCol: String,
+      opCol: String): DataFrame = {
+    val payload = log.columns.filter(c => c != keyCol)
+    val latest = log.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("__v"))
+    latest.filter(col(s"__v.$opCol") =!= "D")
+      .select(col(keyCol) +: payload.filterNot(_ == opCol)
+        .map(c => col(s"__v.$c").as(c)): _*)
+  }
+
+  /** Preference-pair length-bias audit (the verbosity-bias readout run
+    * before DPO/RLHF training): given paired chosen/rejected lengths and
+    * scores, report per stratum how often the chosen side is simply the
+    * LONGER one, the length-tie rate, and the mean length/score gaps.
+    * Everything is exact integer sums until the final divides. */
+  def preferenceLengthBias(pairs: DataFrame, chosenLenCol: String,
+      rejectedLenCol: String, chosenScoreCol: String,
+      rejectedScoreCol: String, strataCol: String): DataFrame =
+    pairs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col(chosenLenCol) > col(rejectedLenCol), 1L).otherwise(0L))
+          .as("__longer"),
+        sum(when(col(chosenLenCol) === col(rejectedLenCol), 1L).otherwise(0L))
+          .as("__ties"),
+        sum(col(chosenLenCol) - col(rejectedLenCol)).as("__dlen"),
+        sum(col(chosenScoreCol) - col(rejectedScoreCol)).as("__dscore"))
+      .select(col(strataCol), col("n_pairs"),
+        round(col("__longer").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("longer_win_rate4"),
+        round(col("__ties").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("len_tie_rate4"),
+        round(col("__dlen").cast("double") / col("n_pairs").cast("double"), 2)
+          .as("mean_len_delta2"),
+        round(col("__dscore").cast("double") / col("n_pairs").cast("double"), 2)
+          .as("mean_score_gap2"))
+
+  /** Conversation-format audit over serialized chat transcripts: parse a
+    * JSON array of {role, content} turns (from_json — the real multi-turn
+    * SFT wire format), explode to turns, and report per stratum the dialog
+    * count, mean turns per dialog, the assistant side's token share, and
+    * how often a dialog ends on the assistant. Parsing and token counting
+    * are row-local; the only shuffle is the stratum rollup. */
+  def dialogStats(dialogs: DataFrame, jsonCol: String,
+      strataCol: String): DataFrame = {
+    val turnsSchema = "array<struct<role:string,content:string>>"
+    val parsed = dialogs.select(col(strataCol).as("__s"),
+      from_json(col(jsonCol), org.apache.spark.sql.types.DataType
+        .fromDDL(turnsSchema)).as("__turns"))
+    val perDialog = parsed.select(col("__s"),
+      size(col("__turns")).cast("long").as("__nt"),
+      expr("""aggregate(filter(__turns, t -> t.role = 'assistant'),
+        0L, (a, t) -> a + size(split(t.content, ' ')))""").as("__atok"),
+      expr("""aggregate(__turns, 0L,
+        (a, t) -> a + size(split(t.content, ' ')))""").as("__tok"),
+      (element_at(col("__turns"), -1).getField("role") === "assistant")
+        .as("__ends_asst"))
+    perDialog.groupBy("__s")
+      .agg(count(lit(1)).as("n_dialogs"),
+        sum("__nt").as("n_turns"),
+        round(sum("__nt").cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_turns4"),
+        round(sum("__atok").cast("double") / sum("__tok").cast("double"), 4)
+          .as("asst_token_share4"),
+        round(sum(when(col("__ends_asst"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)).cast("double"), 4).as("ends_asst_rate4"))
+      .withColumnRenamed("__s", strataCol)
+  }
+
+  /** Matryoshka-truncation evaluation (Kusupati '22): recall@k of
+    * brute-force cosine top-k under PREFIX-dimension embeddings against the
+    * full-dimension top-k — the sizing artifact for adaptive-retrieval
+    * deployments (how many dims can serving truncate to?). The query panel
+    * is a fixed flag (eval harness, broadcast side, knn_bruteforce's plan
+    * shape); scores round to 6dp before ranking (deterministic ties, id
+    * tiebreak); per-dim recall is one divide of exact integer overlap
+    * counts. Output per dim: (dim, n_queries, overlap, recall6). */
+  def matryoshkaRecall(vectors: DataFrame, idCol: String, vecCol: String,
+      queryFlagCol: String, dims: Seq[Int], k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def topK(dim: Option[Int]): DataFrame = {
+      def cut(c: Column): Column = dim match {
+        case Some(n) => slice(c, 1, n)
+        case None    => c
+      }
+      val q = vectors.filter(col(queryFlagCol))
+        .select(col(idCol).as("__q"), cut(col(vecCol)).as("__qv"))
+      val c = vectors.select(col(idCol).as("__c"), cut(col(vecCol)).as("__cv"))
+      val w = Window.partitionBy("__q")
+        .orderBy(col("__score6").desc, col("__c").asc)
+      broadcast(q).join(c, col("__q") =!= col("__c"))
+        .withColumn("__score6", round(
+          expr("vec_dot(__qv, __cv) / (sqrt(vec_dot(__qv, __qv)) * sqrt(vec_dot(__cv, __cv)))"),
+          6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .select(col("__q"), col("__c"))
+    }
+    val full = topK(None)
+    dims.map { d =>
+      val overlap = topK(Some(d)).join(full, Seq("__q", "__c"))
+        .agg(count(lit(1)).as("overlap"))
+      val nq = full.select(countDistinct(col("__q")).as("n_queries"))
+      nq.crossJoin(overlap)
+        .select(lit(d).as("dim"), col("n_queries"), col("overlap"),
+          round(col("overlap").cast("double")
+            / (col("n_queries") * k).cast("double"), 6).as("recall6"))
+    }.reduce(_ unionByName _)
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -1087,4 +1087,75 @@ object PipelineOps {
         Tables.events(s, d).select(col("user_id"), col("ts")),
         "user_id", "ts")
       .orderBy("streak_len")
+
+  /** Registry `cdc_apply` (Graft.cdcApply): a deterministic I/U/D change
+    * log built from orders — every order INSERTs at seq 1, every third
+    * UPDATEs (+100.00) at seq 2, every fifth DELETEs at seq 3 — collapses
+    * to the live snapshot (latest-wins, deletes drop), then rolls up per
+    * priority. Prices ride as integer CENTS so the whole path is exact. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderpriority").as("pri"))
+    val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+        col("cents"), col("pri"))
+      .unionByName(o.filter(col("k") % 3 === 0)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("cents") + 10000L).as("cents"), col("pri")))
+      .unionByName(o.filter(col("k") % 5 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          col("cents"), col("pri")))
+    graft.api.Graft.cdcApply(log, "k", "seq", "op")
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n_live"),
+        round((sum("cents") / lit(100.0)), 2).as("total2"))
+      .orderBy("pri")
+  }
+
+  /** Registry `preference_stats` (Graft.preferenceLengthBias): disjoint
+    * preference pairs from id-adjacent documents (even id = one side, id+1
+    * the other), chosen = higher row-local uniqueness score (ties to the
+    * even side) — the verbosity-bias audit for preference data. Pairing is
+    * an EQUI join on doc_id+1, never a window over documents. */
+  def preferenceStats(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("__t", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("(1000000L * size(array_distinct(__t))) div size(__t)").as("score"))
+    val a = scored.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("a_id"), col("source"),
+        col("n_chars").as("a_len"), col("score").as("a_score"))
+    val b = scored.select((col("doc_id") - 1).as("a_id"),
+      col("n_chars").as("b_len"), col("score").as("b_score"))
+    val pairs = a.join(b, "a_id")
+      .select(col("source"),
+        when(col("a_score") >= col("b_score"), col("a_len"))
+          .otherwise(col("b_len")).as("chosen_len"),
+        when(col("a_score") >= col("b_score"), col("b_len"))
+          .otherwise(col("a_len")).as("rejected_len"),
+        greatest(col("a_score"), col("b_score")).as("chosen_score"),
+        least(col("a_score"), col("b_score")).as("rejected_score"))
+    graft.api.Graft.preferenceLengthBias(pairs, "chosen_len", "rejected_len",
+        "chosen_score", "rejected_score", "source")
+      .orderBy("source")
+  }
+
+  /** Registry `dialog_stats` (Graft.dialogStats): documents serialize to
+    * multi-turn JSON chat transcripts (8-token turns, roles alternating
+    * user/assistant) and the operator parses them BACK with from_json —
+    * the real SFT wire-format audit: dialog counts, mean turns, assistant
+    * token share, ends-on-assistant rate per source. */
+  def dialogStats(s: SparkSession, d: String): DataFrame = {
+    val dialogs = Tables.documents(s, d)
+      .withColumn("__t", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .withColumn("__nt", expr("CAST(ceil(size(__t) / 8.0) AS INT)"))
+      .select(col("source"),
+        to_json(expr("""transform(sequence(1, __nt),
+          i -> named_struct(
+            'role', IF(i % 2 = 1, 'user', 'assistant'),
+            'content', concat_ws(' ', slice(__t, (i - 1) * 8 + 1, 8))))"""))
+          .as("dialog_json"))
+    graft.api.Graft.dialogStats(dialogs, "dialog_json", "source")
+      .orderBy("source")
+  }
 }

@@ -864,4 +864,47 @@ object Similarity {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 5)
       .orderBy("sel_order")
+
+  /** Registry `retrieval_eval`: MRR/NDCG@10 (Graft.retrievalMetrics) over a
+    * deterministic run — queries are every 101st document, candidates the
+    * next 50 doc ids, ordering by md5(qid_did), graded relevance from a
+    * (did·7+qid) hash. The candidate attach is an EQUI join on the
+    * did-div-50 bin (each query explodes to its two covering bins) + a
+    * residual range filter — never a nested-loop theta join, so the attach
+    * stays a hash join at any corpus size. */
+  def retrievalEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val queries = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("qid"),
+        explode(expr("array(doc_id div 50, doc_id div 50 + 1)")).as("__bin"))
+    val cands = docs.select(col("doc_id").as("did"),
+      expr("doc_id div 50").as("__bin"))
+    val run = cands.join(queries, "__bin")
+      .filter(col("did") > col("qid") && col("did") <= col("qid") + 50)
+      .select(col("qid"), col("did"),
+        md5(concat_ws("_", col("qid"), col("did"))).as("score"),
+        expr("CASE (did * 7 + qid) % 10 WHEN 0 THEN 3 WHEN 1 THEN 2 " +
+          "WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END").cast("int").as("rel"),
+        (col("qid") % 4).as("bucket"))
+    graft.api.Graft.retrievalMetrics(run, "qid", "score", "rel", "bucket",
+        k = 10, relThreshold = 2)
+      .orderBy("bucket")
+  }
+
+  /** Registry `embedding_truncate` (Graft.matryoshkaRecall): recall@5 of
+    * prefix-dimension (8/16/32 of 64) brute-force cosine top-5 against the
+    * full-dimension top-5 over a FIXED query panel (vec_id % 37 == 0 below
+    * id 500 — panel size is constant in corpus size, so the scan stays
+    * linear; an unbounded %-derived panel made the row quadratic: 68 s at
+    * sf1 vs 1.6 s with the cap) — the Matryoshka truncation sizing readout
+    * for adaptive retrieval. */
+  def embeddingTruncate(s: SparkSession, d: String): DataFrame = {
+    VectorFunctions.register(s)
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 37 === 0 && col("vec_id") < 500).as("is_query"))
+    graft.api.Graft.matryoshkaRecall(vecs, "vec_id", "embedding",
+        "is_query", dims = Seq(8, 16, 32), k = 5)
+      .orderBy("dim")
+  }
 }

@@ -762,4 +762,66 @@ object TextAnalysis {
     graft.api.Graft.rougeOverlap(pairs, "doc_id", "cand", "ref", "source")
       .orderBy("source")
   }
+
+  /** Registry `bleu_corpus`: corpus BLEU (Graft.bleuCorpus) between
+    * deterministic candidate/reference pairs — candidates keep the first
+    * 80% of tokens (brevity penalty binds) and every third document is
+    * token-reversed (unigram precision survives, n ≥ 2 drops). */
+  def bleuCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 17 =!= 3)
+    val pairs = docs
+      .withColumn("__t", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .withColumn("__k", expr("greatest((size(__t) * 4) div 5, 1L)"))
+      .withColumn("__ct", when(col("doc_id") % 3 === 0,
+        reverse(expr("slice(__t, 1, __k)"))).otherwise(expr("slice(__t, 1, __k)")))
+      .select(col("doc_id"), col("source"),
+        array_join(col("__ct"), " ").as("cand"),
+        array_join(col("__t"), " ").as("ref"))
+    graft.api.Graft.bleuCorpus(pairs, "doc_id", "cand", "ref", "source")
+      .orderBy("source")
+  }
+
+  /** Registry `chrf_score`: chrF (Graft.chrfScore) between deterministic
+    * candidate/reference pairs — every fifth document truncates to the
+    * first 70% of characters, the rest drop every 'a' (character-level
+    * noise that token metrics can't see). */
+  def chrfScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 19 =!= 1)
+    val pairs = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0,
+          expr("left(text, greatest((length(text) * 7) div 10, 1L))"))
+        .otherwise(expr("replace(text, 'a', '')")).as("cand"),
+      col("text").as("ref"))
+    graft.api.Graft.chrfScore(pairs, "doc_id", "cand", "ref", "source")
+      .orderBy("source")
+  }
+
+  /** Registry `quality_auc`: probe AUC (Graft.scoreAuc) of the cheap
+    * unique-token-ratio score against a repetition ground truth (clean =
+    * no token occurring ≥ 4 times), per language — "does the uniqueness
+    * screen actually separate repetitious documents?". The score is
+    * pre-quantized to an INTEGER (ppm of distinct tokens) so the AUC grid
+    * groups on exact keys. */
+  def qualityAuc(s: SparkSession, d: String): DataFrame = {
+    // per-doc stats are ROW-LOCAL (sorted-array fold for the max
+    // multiplicity, array_distinct for the type count) — no token-level
+    // shuffle; the only exchange in the whole plan is the (lang, score)
+    // AUC grid
+    val per = Tables.documents(s, d)
+      .withColumn("__t", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .select(col("lang"),
+        expr("size(__t)").cast("long").as("__tot"),
+        expr("size(array_distinct(__t))").cast("long").as("__dist"),
+        expr("""aggregate(array_sort(__t),
+          named_struct('p', '', 'r', 0L, 'b', 0L),
+          (a, x) -> named_struct('p', x,
+            'r', IF(x = a.p, a.r + 1L, 1L),
+            'b', greatest(a.b, IF(x = a.p, a.r + 1L, 1L))),
+          a -> a.b)""").as("__mx"))
+    val scored = per.select(col("lang"),
+      expr("(1000000L * __dist) div __tot").as("score"),
+      (col("__mx") < 4).as("clean"))
+    graft.api.Graft.scoreAuc(scored, "score", "clean", "lang")
+      .orderBy("lang")
+  }
 }

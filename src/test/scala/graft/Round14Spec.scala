@@ -1010,4 +1010,184 @@ class Round14Spec extends SparkSpec {
         assert(v >= 0.0 && v <= 1.0))
     }
   }
+
+  test("bleuCorpus: identity is exact 1.0; truncation binds BP; reversal spares p1") {
+    import spark.implicits._
+    // identical pair: every clipped precision is 1 (smoothed (O+1)/(C+1)
+    // included, since O = C), BP = 1, BLEU = 1 up to the 2^-20 grid
+    val same = Seq((1L, "s", "a b c d e", "a b c d e"))
+      .toDF("doc_id", "source", "cand", "ref")
+    val r1 = api.Graft.bleuCorpus(same, "doc_id", "cand", "ref", "source")
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(r1._3 == 1.0 && r1._4 == 1.0 && r1._5 == 1.0 && r1._6 == 1.0)
+    assert(r1._7 == 1.0, s"BP must be 1 on equal lengths: $r1")
+    assert(r1._8 >= 0.999998 && r1._8 <= 1.0, s"BLEU(identity) off grid: $r1")
+    // truncated candidate: p_n stay 1 (prefix grams all match) but BP < 1
+    val trunc = Seq((1L, "s", "a b c d", "a b c d e f"))
+      .toDF("doc_id", "source", "cand", "ref")
+    val r2 = api.Graft.bleuCorpus(trunc, "doc_id", "cand", "ref", "source")
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(r2._3 == 1.0 && r2._7 < 1.0 && r2._8 < 1.0, s"$r2")
+    // exp(1 - 6/4) quantized: ~0.606531
+    assert(math.abs(r2._7 - math.exp(-0.5)) < 2e-6, s"BP value drifted: $r2")
+    // reversed candidate: unigram precision survives, bigrams mostly die
+    val rev = Seq((1L, "s", "e d c b a", "a b c d e"))
+      .toDF("doc_id", "source", "cand", "ref")
+    val r3 = api.Graft.bleuCorpus(rev, "doc_id", "cand", "ref", "source")
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(r3._3 == 1.0 && r3._4 < 1.0, s"$r3")
+    // registry row: every stratum carries the trunc+reverse mix
+    val reg = queries.TextAnalysis.bleuCorpus(spark, sf)
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r._7 > 0.0 && r._7 < 1.0, s"${r._1}: 80% truncation must bind BP")
+      assert(r._8 > 0.0 && r._8 < r._3, s"${r._1}: BLEU < p1 when BP binds")
+    }
+  }
+
+  test("chrfScore: identity 1.0; hand-worked char-gram case") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "s", "ab", "abc"), // n1: O2/C2/R3; n2: O1/C1/R2; n3: O0/C0/R1
+      (2L, "t", "xy z", "xy z") // identical (space stripped → "xyz")
+    ).toDF("doc_id", "source", "cand", "ref")
+    val out = api.Graft.chrfScore(pairs, "doc_id", "cand", "ref", "source")
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val s = out.head
+    // P = (1 + 1 + 0)/3, R = (2/3 + 1/2 + 0)/3; chrF = 5PR/(4P+R)
+    val p = (2.0 / 2.0 + 1.0 / 1.0 + 0.0) / 3.0
+    val r = (2.0 / 3.0 + 1.0 / 2.0 + 0.0) / 3.0
+    val f = 5.0 * p * r / (4.0 * p + r)
+    assert(s._1 == "s" && math.abs(s._3 - p) < 1e-6
+      && math.abs(s._4 - r) < 1e-6 && math.abs(s._5 - f) < 1e-6, s"$s")
+    val t = out(1)
+    assert(t._3 == 1.0 && t._4 == 1.0 && t._5 == 1.0, s"$t")
+    // registry row: the drop-'a' / truncate mix keeps recall strictly < 1
+    val reg = queries.TextAnalysis.chrfScore(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach(r0 => assert(r0._4 > 0.0 && r0._4 < 1.0, s"$r0"))
+  }
+
+  test("scoreAuc: separable → 1, constant score → 0.5, hand-worked ties") {
+    import spark.implicits._
+    val sep = Seq(("g", 1L, false), ("g", 2L, false), ("g", 3L, true), ("g", 4L, true))
+      .toDF("s", "v", "lab")
+    val a1 = api.Graft.scoreAuc(sep, "v", "lab", "s")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(a1 == (("g", 2L, 2L, 1.0)), s"$a1")
+    val const = Seq(("g", 7L, false), ("g", 7L, true), ("g", 7L, true), ("g", 7L, false))
+      .toDF("s", "v", "lab")
+    val a2 = api.Graft.scoreAuc(const, "v", "lab", "s")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(a2._4 == 0.5, s"$a2")
+    // ties at v=2: pos {2,3}, neg {1,2}: pairs (p,n): (2,1)=1, (2,2)=.5,
+    // (3,1)=1, (3,2)=1 → AUC = 3.5/4
+    val mix = Seq(("g", 1L, false), ("g", 2L, false), ("g", 2L, true), ("g", 3L, true))
+      .toDF("s", "v", "lab")
+    val a3 = api.Graft.scoreAuc(mix, "v", "lab", "s")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(a3._4 == 0.875, s"$a3")
+    // registry row: uniqueness score must genuinely separate repetition
+    val reg = queries.TextAnalysis.qualityAuc(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r._2 > 0 && r._3 > 0, s"${r._1}: both classes must appear")
+      assert(r._4 > 0.7, s"${r._1}: screen should beat 0.7 AUC, got ${r._4}")
+    }
+  }
+
+  test("retrievalMetrics: hand-worked single query; grid-quantized readouts") {
+    import spark.implicits._
+    // one query, 3 candidates; score ordering "a" < "b" < "c" fixes ranks.
+    // rels by rank: [0, 2, 3] → first rel>=2 at rank 2 → MRR = 0.5;
+    // DCG = 3*w(2) + 7*w(3); ideal rels [3,2,0] → IDCG = 7*w(1) + 3*w(2)
+    val run = Seq((1L, "a", 0, 0L), (1L, "b", 2, 0L), (1L, "c", 3, 0L))
+      .toDF("qid", "score", "rel", "bucket")
+    val out = api.Graft.retrievalMetrics(run, "qid", "score", "rel", "bucket")
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    def q(x: Double) = math.floor(x * 1048576.0) / 1048576.0
+    def w(r: Int) = q(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val dcg = 3.0 * w(2) + 7.0 * w(3)
+    val idcg = 7.0 * w(1) + 3.0 * w(2)
+    assert(out._1 == 0L && out._2 == 1L && out._3 == 1L)
+    assert(out._4 == 0.5, s"MRR: $out")
+    assert(math.abs(out._5 - q(dcg / idcg)) < 1e-6, s"NDCG: $out")
+    // registry row: every bucket scores within [0,1] and hits exist
+    val reg = queries.Similarity.retrievalEval(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r._3 <= r._2 && r._4 >= 0.0 && r._4 <= 1.0 && r._5 >= 0.0 && r._5 <= 1.0, s"$r")
+    }
+  }
+
+  test("cdcApply: latest wins out of order, deletes drop, delete-then-nothing stays dead") {
+    import spark.implicits._
+    // rows deliberately unordered: application must key on seq, not arrival
+    val log = Seq(
+      (1L, 2L, "U", 20L), (1L, 1L, "I", 10L),
+      (2L, 3L, "D", 0L), (2L, 1L, "I", 5L), (2L, 2L, "U", 7L),
+      (3L, 1L, "I", 42L)
+    ).toDF("k", "seq", "op", "v")
+    val live = api.Graft.cdcApply(log, "k", "seq", "op")
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(live == Seq((1L, 2L, 20L), (3L, 1L, 42L)), s"$live")
+  }
+
+  test("preferenceLengthBias: hand-worked rates") {
+    import spark.implicits._
+    // 3 pairs: chosen longer, chosen shorter, tie
+    val pairs = Seq(
+      ("s", 10L, 5L, 100L, 90L),
+      ("s", 4L, 8L, 80L, 70L),
+      ("s", 6L, 6L, 60L, 40L)
+    ).toDF("source", "chosen_len", "rejected_len", "chosen_score", "rejected_score")
+    val r = api.Graft.preferenceLengthBias(pairs, "chosen_len", "rejected_len",
+        "chosen_score", "rejected_score", "source")
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(r._2 == 3L && r._3 == 0.3333 && r._4 == 0.3333, s"$r")
+    assert(r._5 == 0.33 && r._6 == 13.33, s"$r") // Σdlen=1/3, Σdscore=40/3
+  }
+
+  test("dialogStats: parses real JSON transcripts; hand-worked stats") {
+    import spark.implicits._
+    val dialogs = Seq(
+      ("s", """[{"role":"user","content":"a b"},{"role":"assistant","content":"c"}]"""),
+      ("s", """[{"role":"user","content":"x"}]""")
+    ).toDF("source", "dialog_json")
+    val r = api.Graft.dialogStats(dialogs, "dialog_json", "source")
+      .as[(String, Long, Long, Double, Double, Double)].collect().head
+    // dialogs 2, turns 3, avg 1.5; asst tokens 1 of 4; ends-asst 1 of 2
+    assert(r == (("s", 2L, 3L, 1.5, 0.25, 0.5)), s"$r")
+    // registry row mirrors the closed-form oracle at sf0.001
+    val reg = queries.PipelineOps.dialogStats(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach(x => assert(x._5 > 0.0 && x._5 < 0.5 && x._6 >= 0.0 && x._6 <= 1.0,
+      s"assistant share must sit below the user side (odd turns are user): $x"))
+  }
+
+  test("matryoshkaRecall: prefix ties flip the top-1; full prefix is exact recall 1") {
+    import spark.implicits._
+    functions.VectorFunctions.register(spark)
+    // q=(1,0,0,0); full top-1 is c3 (exact cos 1); under 2 dims c2 and c3
+    // tie at cos 1 and the id tiebreak picks c2 → recall@1 = 0 at dim 2
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), true),
+      (2L, Array(1f, 0f, 10f, 0f), false),
+      (3L, Array(0.9f, 0f, 0f, 0f), false)
+    ).toDF("vec_id", "embedding", "is_query")
+    val out = api.Graft.matryoshkaRecall(vecs, "vec_id", "embedding",
+        "is_query", dims = Seq(2, 4), k = 1)
+      .orderBy("dim").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((2, 1L, 0L, 0.0), (4, 1L, 1L, 1.0)), s"$out")
+  }
 }
