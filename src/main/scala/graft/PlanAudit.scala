@@ -536,6 +536,22 @@ object PlanAudit {
         && p.contains("Broadcast"),
         "Matryoshka eval broadcasts the fixed query panel (knn_bruteforce " +
           "shape) per dim variant"),
+      ("label_noise_audit", p => p.contains("Broadcast")
+        && !p.contains("CartesianProduct"),
+        "noise audit broadcasts centroids AND thresholds; scan is one " +
+          "pass, readout frame class²-sized"),
+      ("dataset_card", p => !p.contains("Window")
+        && !p.contains("CartesianProduct") && p.contains("partial_count"),
+        "dataset card: three partial-agg'd rollups joined on the SOURCE " +
+          "frame, no window anywhere"),
+      ("signal_correlation", p => p.contains("Window")
+        && !p.contains("CartesianProduct"),
+        "correlation: rank windows run over the (stratum, value) GRID; " +
+          "per-doc rank attach is an equi join"),
+      ("mutual_information", p => !p.contains("Window")
+        && !p.contains("CartesianProduct") && p.contains("partial_count"),
+        "MI: all joins on grid-sized marginal frames, no window, no " +
+          "cartesian"),
     )
 
     var failed = 0

@@ -282,6 +282,13 @@ object SparkEntry {
     "preference_stats"  -> PipelineOps.preferenceStats _,
     "dialog_stats"      -> PipelineOps.dialogStats _,
     "embedding_truncate" -> Similarity.embeddingTruncate _,
+    "stream_cdc_apply"  -> StreamingQueries.streamCdcApply _,
+    "label_noise_audit" -> Similarity.labelNoiseAudit _,
+    "dataset_card"      -> PipelineOps.datasetCard _,
+    "sql_scripting"     -> Modern.sqlScripting _,
+    "stream_pack_sequences" -> StreamingQueries.streamPackSequences _,
+    "signal_correlation" -> PipelineOps.signalCorrelation _,
+    "mutual_information" -> PipelineOps.mutualInformation _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -1385,6 +1392,78 @@ object SparkEntry {
 
   /** Centroid distance fragment shared by the kmeans CTE prefix and the
     * probe CTEs that extend it. */
+  /** Shared by cdc_apply and stream_cdc_apply (the stream's final snapshot
+    * is pinned identical to the batch application). */
+  private val cdcApplyOracleSql: String =
+    """WITH o AS (SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderpriority AS pri FROM orders),
+      |log AS (
+      |  SELECT k, 1 AS seq, 'I' AS op, cents, pri FROM o
+      |  UNION ALL SELECT k, 2, 'U', cents + 10000, pri FROM o WHERE k % 3 = 0
+      |  UNION ALL SELECT k, 3, 'D', cents, pri FROM o WHERE k % 5 = 0),
+      |live AS (SELECT k, arg_max(op, seq) AS op, arg_max(cents, seq) AS cents,
+      |    arg_max(pri, seq) AS pri FROM log GROUP BY k)
+      |SELECT pri, CAST(count(1) AS BIGINT) AS n_live,
+      |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total2
+      |FROM live WHERE op <> 'D' GROUP BY pri ORDER BY pri""".stripMargin
+
+  /** Confident-learning noise audit: the centroid_classify model rule
+    * (quantized per-dim means), distances on the 2^-20 grid, per-class
+    * self-distance mean thresholds. */
+  private def labelNoiseAuditOracleSql: String = {
+    val dims = 64
+    val meanExprs = (1 to dims).map(d =>
+      s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH cent AS (
+       |  SELECT label AS c_id, $meanExprs AS centroid
+       |  FROM embeddings e GROUP BY label),
+       |d AS (
+       |  SELECT e.vec_id, e.label AS given, c.c_id,
+       |    floor(${ivfDistSql("c")} * 1048576.0) / 1048576.0 AS dq
+       |  FROM embeddings e CROSS JOIN cent c),
+       |th AS (SELECT c_id, sum(dq) / count(1) AS t, CAST(count(1) AS BIGINT) AS class_n
+       |  FROM d WHERE given = c_id GROUP BY c_id),
+       |sus AS (SELECT given, d.c_id AS suggested
+       |  FROM d JOIN th USING (c_id)
+       |  WHERE d.c_id <> given AND dq <= t),
+       |cm AS (SELECT given AS given_label, suggested AS suggested_label,
+       |    CAST(count(1) AS BIGINT) AS n_suspect
+       |  FROM sus GROUP BY 1, 2)
+       |SELECT given_label, suggested_label, n_suspect,
+       |  round(CAST(n_suspect AS DOUBLE) / CAST(class_n AS DOUBLE), 4) AS rate4
+       |FROM cm JOIN (SELECT c_id AS given_label, class_n FROM th) USING (given_label)
+       |ORDER BY given_label, suggested_label""".stripMargin
+  }
+
+  /** 10-step bisection unroll — the DuckDB twin of the SQL-scripting WHILE
+    * loop (same histogram grid, same integer predicate each step). */
+  private def sqlScriptingOracleSql: String = {
+    val steps = (0 until 10).map(i =>
+      s"""s${i + 1} AS (SELECT
+         |    CASE WHEN (SELECT coalesce(sum(tokens), 0) FROM hist WHERE score >= (lo + hi) // 2) * 5
+         |              >= (SELECT total FROM tot) * 2
+         |         THEN (lo + hi) // 2 ELSE lo END AS lo,
+         |    CASE WHEN (SELECT coalesce(sum(tokens), 0) FROM hist WHERE score >= (lo + hi) // 2) * 5
+         |              >= (SELECT total FROM tot) * 2
+         |         THEN hi ELSE (lo + hi) // 2 END AS hi
+         |  FROM s$i),""".stripMargin).mkString("\n")
+    s"""WITH h AS (SELECT
+       |    (1000000 * len(list_distinct(l))) // len(l) AS score,
+       |    CAST(len(l) AS BIGINT) AS ntok
+       |  FROM (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS l FROM documents)),
+       |hist AS (SELECT score, CAST(sum(ntok) AS BIGINT) AS tokens FROM h GROUP BY score),
+       |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM hist),
+       |s0 AS (SELECT CAST(0 AS BIGINT) AS lo, CAST(1000001 AS BIGINT) AS hi),
+       |$steps
+       |fin AS (SELECT lo FROM s10)
+       |SELECT lo AS threshold,
+       |  CAST((SELECT coalesce(sum(tokens), 0) FROM hist WHERE score >= fin.lo) AS BIGINT) AS kept_tokens,
+       |  (SELECT total FROM tot) AS total_tokens
+       |FROM fin""".stripMargin
+  }
+
   private def ivfDistSql(c: String): String =
     s"""(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
        |          - 2 * list_dot_product(e.embedding::DOUBLE[], $c.centroid::DOUBLE[])
@@ -4736,19 +4815,129 @@ object SparkEntry {
 
     // CDC latest-wins via arg_max over the version struct; prices ride as
     // integer cents so the whole application path is exact
-    "cdc_apply" ->
-      """WITH o AS (SELECT o_orderkey AS k,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |    o_orderpriority AS pri FROM orders),
-        |log AS (
-        |  SELECT k, 1 AS seq, 'I' AS op, cents, pri FROM o
-        |  UNION ALL SELECT k, 2, 'U', cents + 10000, pri FROM o WHERE k % 3 = 0
-        |  UNION ALL SELECT k, 3, 'D', cents, pri FROM o WHERE k % 5 = 0),
-        |live AS (SELECT k, arg_max(op, seq) AS op, arg_max(cents, seq) AS cents,
-        |    arg_max(pri, seq) AS pri FROM log GROUP BY k)
-        |SELECT pri, CAST(count(1) AS BIGINT) AS n_live,
-        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS total2
-        |FROM live WHERE op <> 'D' GROUP BY pri ORDER BY pri""".stripMargin,
+    "cdc_apply" -> cdcApplyOracleSql,
+
+    // the streaming consumer's final snapshot == the batch application —
+    // the oracle is cdc_apply's verbatim
+    "stream_cdc_apply" -> cdcApplyOracleSql,
+
+    "label_noise_audit" -> labelNoiseAuditOracleSql,
+
+    "sql_scripting" -> sqlScriptingOracleSql,
+
+    // the stream's packing == the batch cumsum under the ARRIVAL order
+    // (tercile staging → (doc_id % 3, doc_id) — the streamOnlineDedup
+    // closed-form-arrival convention)
+    "stream_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id % 3, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |      FROM t)
+        |SELECT CAST(strt // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens, min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    // Pearson on exact BIGINT moments; Spearman average ranks from the
+    // (source, value) GRID — one fixed IEEE expression both engines
+    "signal_correlation" ->
+      """WITH base AS (SELECT source AS s,
+        |    (1000000 * len(list_distinct(l))) // len(l) AS x,
+        |    CAST(n_chars AS BIGINT) AS y
+        |  FROM (SELECT source, n_chars,
+        |      list_filter(string_split(text, ' '), x -> len(x) > 0) AS l FROM documents)),
+        |rx AS (SELECT s, v AS x, CAST(below AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2.0 AS r
+        |  FROM (SELECT s, v, c, coalesce(sum(c) OVER (PARTITION BY s ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |    FROM (SELECT s, x AS v, CAST(count(1) AS BIGINT) AS c FROM base GROUP BY 1, 2))),
+        |ry AS (SELECT s, v AS y, CAST(below AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2.0 AS r
+        |  FROM (SELECT s, v, c, coalesce(sum(c) OVER (PARTITION BY s ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |    FROM (SELECT s, y AS v, CAST(count(1) AS BIGINT) AS c FROM base GROUP BY 1, 2))),
+        |j AS (SELECT base.s, base.x, base.y, rx.r AS rrx, ry.r AS rry
+        |  FROM base JOIN rx ON base.s = rx.s AND base.x = rx.x
+        |  JOIN ry ON base.s = ry.s AND base.y = ry.y),
+        |m AS (SELECT s, CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    sum(rrx) AS srx, sum(rry) AS sry, sum(rrx * rry) AS srxy,
+        |    sum(rrx * rrx) AS srxx, sum(rry * rry) AS sryy
+        |  FROM j GROUP BY s)
+        |SELECT s AS source, n,
+        |  round(CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+        |    THEN 0.0
+        |    ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END, 6) AS pearson6,
+        |  round(CASE WHEN sqrt(CAST(n AS DOUBLE) * srxx - srx * srx)
+        |           * sqrt(CAST(n AS DOUBLE) * sryy - sry * sry) = 0.0
+        |    THEN 0.0
+        |    ELSE (CAST(n AS DOUBLE) * srxy - srx * sry)
+        |      / (sqrt(CAST(n AS DOUBLE) * srxx - srx * srx)
+        |       * sqrt(CAST(n AS DOUBLE) * sryy - sry * sry))
+        |    END, 6) AS spearman6
+        |FROM m ORDER BY source""".stripMargin,
+
+    // MI on the (lang, bucket, source) grid with every ln on the 2^-20 grid
+    "mutual_information" ->
+      """WITH base AS (SELECT lang AS s,
+        |    least(((1000000 * len(list_distinct(l))) // len(l)) // 100000, 9) AS a,
+        |    source AS b
+        |  FROM (SELECT lang, source,
+        |      list_filter(string_split(text, ' '), x -> len(x) > 0) AS l FROM documents)),
+        |ab AS (SELECT s, a, b, CAST(count(1) AS BIGINT) AS c FROM base GROUP BY 1, 2, 3),
+        |ca AS (SELECT s, a, CAST(sum(c) AS BIGINT) AS ca FROM ab GROUP BY 1, 2),
+        |cb AS (SELECT s, b, CAST(sum(c) AS BIGINT) AS cb FROM ab GROUP BY 1, 2),
+        |nn AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM ab GROUP BY 1),
+        |terms AS (SELECT ab.s, nn.n,
+        |    CAST(c AS DOUBLE) * ((floor(ln(CAST(c AS DOUBLE)) * 1048576.0) / 1048576.0)
+        |      + (floor(ln(CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0)
+        |      - (floor(ln(CAST(ca AS DOUBLE)) * 1048576.0) / 1048576.0)
+        |      - (floor(ln(CAST(cb AS DOUBLE)) * 1048576.0) / 1048576.0)) AS term
+        |  FROM ab JOIN ca USING (s, a) JOIN cb USING (s, b) JOIN nn USING (s)),
+        |mi AS (SELECT s, max(n) AS n, sum(term) AS mi_sum FROM terms GROUP BY s),
+        |ha AS (SELECT ca.s,
+        |    (floor(ln(CAST(max(nn.n) AS DOUBLE)) * 1048576.0) / 1048576.0)
+        |      - sum(CAST(ca AS DOUBLE) * (floor(ln(CAST(ca AS DOUBLE)) * 1048576.0) / 1048576.0))
+        |        / CAST(max(nn.n) AS DOUBLE) AS h
+        |  FROM ca JOIN nn USING (s) GROUP BY ca.s)
+        |SELECT mi.s AS lang, CAST(mi.n AS BIGINT) AS n,
+        |  round(mi_sum / CAST(mi.n AS DOUBLE), 6) AS mi6,
+        |  round(h, 6) AS h_a6
+        |FROM mi JOIN ha ON mi.s = ha.s ORDER BY lang""".stripMargin,
+
+    // per-source datasheet: three grouped aggregates joined on the source
+    // frame; entropy on the 2^-20 ln grid, everything else integer-exact
+    "dataset_card" ->
+      """WITH base AS (SELECT source AS s, lang AS l, md5(text) AS fp,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ntok,
+        |    CAST(length(text) AS BIGINT) AS nchar,
+        |    (1000000 * len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))))
+        |      // len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS uniq
+        |  FROM documents),
+        |vol AS (SELECT s, CAST(count(1) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens, CAST(sum(nchar) AS BIGINT) AS n_chars,
+        |    CAST(sum(uniq) AS BIGINT) AS uniq_sum
+        |  FROM base GROUP BY s),
+        |dup AS (SELECT s, CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS dup_docs
+        |  FROM (SELECT s, fp, count(1) AS c FROM base GROUP BY 1, 2) GROUP BY s),
+        |langs AS (SELECT s, l, CAST(count(1) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+        |mix AS (SELECT s, CAST(count(DISTINCT l) AS BIGINT) AS n_langs,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS DOUBLE) * (floor(ln(CAST(c AS DOUBLE)) * 1048576.0) / 1048576.0)) AS clnc
+        |  FROM langs GROUP BY s)
+        |SELECT s AS source, n_docs, n_tokens, n_chars,
+        |  round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS dup_rate4,
+        |  n_langs,
+        |  round(floor(ln(CAST(n AS DOUBLE)) * 1048576.0) / 1048576.0
+        |    - clnc / CAST(n AS DOUBLE), 6) AS lang_entropy6,
+        |  round(CAST(uniq_sum AS DOUBLE) / CAST(n_docs AS DOUBLE), 2) AS mean_uniq_ppm2
+        |FROM vol JOIN dup USING (s) JOIN mix USING (s)
+        |ORDER BY source""".stripMargin,
 
     // verbosity-bias audit: id-adjacent disjoint pairs via an equi join on
     // doc_id+1; chosen = higher integer uniqueness score, all-exact sums

@@ -2468,7 +2468,14 @@ object Graft {
     * partition boundaries (global prefix sums don't depend on where the
     * cuts fall), so the output is deterministic. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      seqLen: Int): DataFrame = {
+      seqLen: Int): DataFrame = packSequences(docs, idCol, textCol, seqLen, 0L)
+
+  /** startOffset variant — the incremental consumer's entry point
+    * (stream_pack_sequences): a micro-batch packs FROM the running token
+    * offset carried over all earlier batches, so batch-local assignments
+    * concatenate into one global packing. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, startOffset: Long): DataFrame = {
     val withTok = docs.select(col(idCol),
       size(split(col(textCol), " ", -1)).cast("long").as("n_tokens"))
     val parts = withTok.repartitionByRange(col(idCol))
@@ -2486,7 +2493,8 @@ object Graft {
       .withColumn("__offset", coalesce(sum("__ptotal").over(wOff), lit(0L)))
       .select("__pid", "__offset")
     local.join(broadcast(offsets), "__pid")
-      .withColumn("__start", col("__local_cum") + col("__offset") - col("n_tokens"))
+      .withColumn("__start",
+        col("__local_cum") + col("__offset") - col("n_tokens") + lit(startOffset))
       .withColumn("seq_id", expr(s"__start DIV $seqLen"))
       .withColumn("seq_offset", expr(s"__start % $seqLen"))
       .select(col(idCol), col("n_tokens"), col("seq_id"), col("seq_offset"))
@@ -5839,13 +5847,19 @@ object Graft {
     * Complements mergeUpsert (upsert-only, two-table) and scd2History
     * (full history): this is the log-consumer shape a CDC feed lands as. */
   def cdcApply(log: DataFrame, keyCol: String, seqCol: String,
-      opCol: String): DataFrame = {
+      opCol: String, keepTombstones: Boolean = false): DataFrame = {
     val payload = log.columns.filter(c => c != keyCol)
     val latest = log.groupBy(col(keyCol))
       .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("__v"))
-    latest.filter(col(s"__v.$opCol") =!= "D")
-      .select(col(keyCol) +: payload.filterNot(_ == opCol)
-        .map(c => col(s"__v.$c").as(c)): _*)
+    // an INCREMENTAL consumer (stream_cdc_apply's per-batch versions) must
+    // RETAIN tombstones: dropping a 'D' from an intermediate version would
+    // let a later out-of-order lower-seq row resurrect the key
+    val kept =
+      if (keepTombstones) latest
+      else latest.filter(col(s"__v.$opCol") =!= "D")
+    val cols =
+      if (keepTombstones) payload else payload.filterNot(_ == opCol)
+    kept.select(col(keyCol) +: cols.map(c => col(s"__v.$c").as(c)): _*)
   }
 
   /** Preference-pair length-bias audit (the verbosity-bias readout run
@@ -5945,6 +5959,178 @@ object Graft {
           round(col("overlap").cast("double")
             / (col("n_queries") * k).cast("double"), 6).as("recall6"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Confident-learning-style label-noise audit (Northcutt '21, the
+    * ranked-pruning intuition): per-label fixed-point centroids (the
+    * centroid_classify model rule), squared distances on the 2^-20 grid,
+    * per-class self-distance thresholds t_j = mean distance of class j's
+    * OWN members to their centroid, and a vector is suspected toward
+    * class j ≠ its label when it sits closer to centroid j than class j's
+    * average member does. Quantized distances make every threshold an
+    * exact mean of grid values, so the flag is deterministic. Centroids
+    * broadcast; the scan is one pass; the (given, suggested) readout frame
+    * is class²-sized. Output: (given_label, suggested_label, n_suspect,
+    * rate4 = n_suspect / |given class|). */
+  def labelNoiseAudit(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
+    val cent = vecs
+      .select(col(labelCol).as("c_id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy("c_id", "__i")
+      .agg((sum(floor(col("__v").cast("double") * 1048576.0)).cast("double")
+        / count(lit(1)).cast("double") / 1048576.0).as("__m"))
+      .groupBy("c_id")
+      .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__pairs"))
+      .select(col("c_id"),
+        expr("transform(__pairs, x -> CAST(x.__m AS FLOAT))").as("centroid"))
+    val dist =
+      s"""vec_dot(`$vecCol`, `$vecCol`) - 2 * vec_dot(`$vecCol`, centroid)
+         | + vec_dot(centroid, centroid)""".stripMargin
+    val dq = vecs.crossJoin(broadcast(cent))
+      .select(col(idCol).as("__id"), col(labelCol).as("given"), col("c_id"),
+        (floor(expr(dist) * lit(1048576.0)).cast("double") / lit(1048576.0))
+          .as("__dq"))
+    val thresholds = dq.filter(col("given") === col("c_id"))
+      .groupBy("c_id")
+      .agg((sum("__dq") / count(lit(1)).cast("double")).as("__t"),
+        count(lit(1)).as("__class_n"))
+    dq.join(broadcast(thresholds), "c_id")
+      .filter(col("c_id") =!= col("given") && col("__dq") <= col("__t"))
+      .groupBy(col("given").as("given_label"), col("c_id").as("suggested_label"))
+      .agg(count(lit(1)).as("n_suspect"))
+      .join(broadcast(thresholds.select(col("c_id").as("given_label"),
+        col("__class_n"))), "given_label")
+      .select(col("given_label"), col("suggested_label"), col("n_suspect"),
+        round(col("n_suspect").cast("double") / col("__class_n").cast("double"), 4)
+          .as("rate4"))
+  }
+
+  /** Per-source dataset-card row — the datasheet summary a corpus release
+    * ships with: volume (docs, tokens, chars), verbatim-duplicate share,
+    * language mix (distinct languages + Shannon entropy of lang shares on
+    * the 2^-20 ln grid), and the mean row-local uniqueness score. Three
+    * grouped aggregates (source-, (source, lang)-, and fingerprint-keyed)
+    * joined on the SOURCE frame — every post-scan frame is source- or
+    * lang-grid-sized. */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, strataCol: String): DataFrame = {
+    val base = docs
+      .withColumn("__t", expr(s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
+      .select(col(strataCol).as("__s"), col(langCol).as("__l"),
+        md5(col(textCol)).as("__fp"),
+        expr("size(__t)").cast("long").as("__ntok"),
+        length(col(textCol)).cast("long").as("__nchar"),
+        expr("(1000000L * size(array_distinct(__t))) div size(__t)").as("__uniq"))
+    val vol = base.groupBy("__s")
+      .agg(count(lit(1)).as("n_docs"), sum("__ntok").as("n_tokens"),
+        sum("__nchar").as("n_chars"), sum("__uniq").as("__uniq_sum"))
+    // verbatim duplicates WITHIN the source: docs whose md5 appears > 1×
+    val dup = base.groupBy("__s", "__fp").agg(count(lit(1)).as("__c"))
+      .groupBy("__s")
+      .agg(sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup_docs"))
+    // language mix: H = ln(n) - Σ c·qln(c) / n on the 2^-20 grid
+    val langs = base.groupBy("__s", "__l").agg(count(lit(1)).as("__c"))
+    def qln(c: Column): Column =
+      floor(log(c) * lit(1048576.0)).cast("double") / lit(1048576.0)
+    val mix = langs.groupBy("__s")
+      .agg(countDistinct(col("__l")).as("n_langs"),
+        sum(col("__c")).as("__n"),
+        sum(col("__c").cast("double") * qln(col("__c").cast("double"))).as("__clnc"))
+      .select(col("__s"), col("n_langs"),
+        round(qln(col("__n").cast("double")) - col("__clnc") / col("__n").cast("double"), 6)
+          .as("lang_entropy6"))
+    vol.join(dup, "__s").join(mix, "__s")
+      .select(col("__s").as(strataCol), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("__dup_docs").cast("double") / col("n_docs").cast("double"), 4)
+          .as("dup_rate4"),
+        col("n_langs"), col("lang_entropy6"),
+        round(col("__uniq_sum").cast("double") / col("n_docs").cast("double"), 2)
+          .as("mean_uniq_ppm2"))
+  }
+
+  /** Pearson AND tie-corrected Spearman correlation between two INTEGER
+    * signals, per stratum — the signal-agreement readout run before
+    * trusting a cheap quality proxy. Pearson rides five exact BIGINT sums
+    * (Σx, Σy, Σxy, Σx², Σy²) into one fixed IEEE expression; Spearman
+    * never materializes per-row ranks: average ranks live on the
+    * (stratum, value) GRID (cumulative counts + (c+1)/2 — exact .5-grid
+    * values), re-attach by equi join, and the rank moments are exact
+    * .25-grid sums. Output: (stratum, n, pearson6, spearman6). */
+  def signalCorrelation(df: DataFrame, xCol: String, yCol: String,
+      strataCol: String): DataFrame = {
+    val base = df.select(col(strataCol).as("__s"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    def avgRanks(valueCol: String, out: String): DataFrame = {
+      val g = base.groupBy(col("__s"), col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("__s").orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("__below", coalesce(sum("__c").over(w), lit(0L)))
+        .select(col("__s"), col("__v").as(valueCol),
+          (col("__below").cast("double")
+            + (col("__c") + lit(1L)).cast("double") / lit(2.0)).as(out))
+    }
+    val ranked = base
+      .join(avgRanks("__x", "__rx"), Seq("__s", "__x"))
+      .join(avgRanks("__y", "__ry"), Seq("__s", "__y"))
+    def pearson(sx: Column, sy: Column, sxy: Column, sxx: Column,
+        syy: Column, n: Column): Column = {
+      val num = n * sxy - sx * sy
+      val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+      when(den === 0.0, lit(0.0)).otherwise(num / den)
+    }
+    ranked.groupBy("__s")
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum("__rx").as("__srx"), sum("__ry").as("__sry"),
+        sum(col("__rx") * col("__ry")).as("__srxy"),
+        sum(col("__rx") * col("__rx")).as("__srxx"),
+        sum(col("__ry") * col("__ry")).as("__sryy"))
+      .select(col("__s").as(strataCol), col("n"),
+        round(pearson(col("__sx").cast("double"), col("__sy").cast("double"),
+          col("__sxy").cast("double"), col("__sxx").cast("double"),
+          col("__syy").cast("double"), col("n").cast("double")), 6).as("pearson6"),
+        round(pearson(col("__srx"), col("__sry"), col("__srxy"),
+          col("__srxx"), col("__sryy"), col("n").cast("double")), 6).as("spearman6"))
+  }
+
+  /** Mutual information between two categorical columns per stratum (the
+    * feature↔stratum dependence readout for mixture design): counts on the
+    * (stratum, a, b) GRID, MI = (1/n)·Σ c_ab·(qln(c_ab) + qln(n) −
+    * qln(c_a) − qln(c_b)) with every ln on the 2^-20 grid, so the sum is
+    * exact and both engines agree bit-for-bit. Also reports H(a) for
+    * normalization. Output: (stratum, n, mi6, h_a6). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String,
+      strataCol: String): DataFrame = {
+    def qln(c: Column): Column =
+      floor(log(c) * lit(1048576.0)).cast("double") / lit(1048576.0)
+    val ab = df.groupBy(col(strataCol).as("__s"), col(aCol).as("__a"),
+      col(bCol).as("__b")).agg(count(lit(1)).as("__c"))
+    val a = ab.groupBy("__s", "__a").agg(sum("__c").as("__ca"))
+    val b = ab.groupBy("__s", "__b").agg(sum("__c").as("__cb"))
+    val n = ab.groupBy("__s").agg(sum("__c").as("__n"))
+    val terms = ab.join(a, Seq("__s", "__a")).join(b, Seq("__s", "__b"))
+      .join(n, "__s")
+      .select(col("__s"), col("__n"),
+        (col("__c").cast("double") * (qln(col("__c").cast("double"))
+          + qln(col("__n").cast("double")) - qln(col("__ca").cast("double"))
+          - qln(col("__cb").cast("double")))).as("__term"))
+    val mi = terms.groupBy("__s")
+      .agg(max("__n").as("n"), sum("__term").as("__mi_sum"))
+    val ha = a.join(n, "__s").groupBy("__s")
+      .agg((qln(max(col("__n")).cast("double"))
+        - sum(col("__ca").cast("double") * qln(col("__ca").cast("double")))
+          / max(col("__n")).cast("double")).as("__ha"))
+    mi.join(ha, "__s")
+      .select(col("__s").as(strataCol), col("n"),
+        round(col("__mi_sum") / col("n").cast("double"), 6).as("mi6"),
+        round(col("__ha"), 6).as("h_a6"))
   }
 
   // ---------- streaming ----------

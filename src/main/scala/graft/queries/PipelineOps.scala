@@ -1093,11 +1093,14 @@ object PipelineOps {
     * UPDATEs (+100.00) at seq 2, every fifth DELETEs at seq 3 — collapses
     * to the live snapshot (latest-wins, deletes drop), then rolls up per
     * priority. Prices ride as integer CENTS so the whole path is exact. */
-  def cdcApply(s: SparkSession, d: String): DataFrame = {
+  /** The I/U/D change log both cdc_apply and stream_cdc_apply consume:
+    * every order INSERTs at seq 1, every third UPDATEs (+100.00) at seq 2,
+    * every fifth DELETEs at seq 3; prices as integer cents. */
+  private[graft] def cdcLog(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
       expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
       col("o_orderpriority").as("pri"))
-    val log = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+    o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
         col("cents"), col("pri"))
       .unionByName(o.filter(col("k") % 3 === 0)
         .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
@@ -1105,12 +1108,17 @@ object PipelineOps {
       .unionByName(o.filter(col("k") % 5 === 0)
         .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
           col("cents"), col("pri")))
-    graft.api.Graft.cdcApply(log, "k", "seq", "op")
-      .groupBy("pri")
+  }
+
+  /** The per-priority live-snapshot rollup shared by both CDC rows. */
+  private[graft] def cdcRollup(live: DataFrame): DataFrame =
+    live.groupBy("pri")
       .agg(count(lit(1)).as("n_live"),
         round((sum("cents") / lit(100.0)), 2).as("total2"))
       .orderBy("pri")
-  }
+
+  def cdcApply(s: SparkSession, d: String): DataFrame =
+    cdcRollup(graft.api.Graft.cdcApply(cdcLog(s, d), "k", "seq", "op"))
 
   /** Registry `preference_stats` (Graft.preferenceLengthBias): disjoint
     * preference pairs from id-adjacent documents (even id = one side, id+1
@@ -1158,4 +1166,39 @@ object PipelineOps {
     graft.api.Graft.dialogStats(dialogs, "dialog_json", "source")
       .orderBy("source")
   }
+
+  /** Registry `dataset_card` (Graft.datasetCard): the per-source datasheet
+    * row — volume, verbatim-dup share, language mix entropy, mean
+    * uniqueness — the release artifact a corpus ships with. */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.datasetCard(Tables.documents(s, d),
+        "doc_id", "text", "lang", "source")
+      .orderBy("source")
+
+  /** Shared scored frame for the correlation/MI rows: the row-local
+    * integer uniqueness score beside the stored n_chars. */
+  private def uniqScored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("__t", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .select(col("lang"), col("source"), col("n_chars"),
+        expr("(1000000L * size(array_distinct(__t))) div size(__t)").as("score"))
+
+  /** Registry `signal_correlation` (Graft.signalCorrelation): Pearson +
+    * tie-corrected Spearman between the uniqueness score and document
+    * length per source — "is the cheap signal just length in disguise?" */
+  def signalCorrelation(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.signalCorrelation(uniqScored(s, d),
+        "score", "n_chars", "source")
+      .orderBy("source")
+
+  /** Registry `mutual_information` (Graft.mutualInformation): MI between
+    * the uniqueness-score decile and the source, per language — how much
+    * does knowing the source tell you about quality (mixture-design
+    * dependence check). */
+  def mutualInformation(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.mutualInformation(
+        uniqScored(s, d).withColumn("bucket",
+          expr("least(score div 100000, 9L)")),
+        "bucket", "source", "lang")
+      .orderBy("lang")
 }

@@ -907,4 +907,13 @@ object Similarity {
         "is_query", dims = Seq(8, 16, 32), k = 5)
       .orderBy("dim")
   }
+
+  /** Registry `label_noise_audit` (Graft.labelNoiseAudit): confident-
+    * learning-style suspect counts over the labeled embeddings — which
+    * (given, suggested) label pairs hold vectors closer to the OTHER
+    * class's centroid than that class's average member. */
+  def labelNoiseAudit(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.labelNoiseAudit(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label")
+      .orderBy("given_label", "suggested_label")
 }

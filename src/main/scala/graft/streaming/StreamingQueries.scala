@@ -1258,4 +1258,110 @@ object StreamingQueries {
       prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
     }
   }
+
+  /** CDC APPLIED AT INGEST — the log-consumer shape of cdc_apply run as a
+    * stream: the same I/U/D change log arrives in three REAL micro-batches
+    * in seq order (inserts, then updates, then deletes — the staged
+    * single-file firehose), and each batch INCREMENTALLY folds into an
+    * at-rest snapshot: version v(id) = latestWins(v(id−1) ∪ batch id),
+    * computed with `Graft.cdcApply(keepTombstones = true)` so a delete in
+    * an intermediate version can never be resurrected by a late lower-seq
+    * row. Exactly-once: versions are batch_id-KEYED overwrites derived
+    * only from the previous version + this batch's rows, so a retried
+    * batch rewrites its version byte-for-byte. The final version filters
+    * tombstones and rolls up per priority — identical output to the batch
+    * row, so the ORACLE IS cdc_apply's verbatim. Scale: per-batch work is
+    * one key-shuffle of |snapshot| + |batch| (at 100 TB the snapshot join
+    * would bucket on the key, exactly the partitioned-write layout). */
+  def streamCdcApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/tmp/graft_stream_cdc/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val log = graft.queries.PipelineOps.cdcLog(s, d)
+      .withColumn("__bb", col("seq") - 1)
+    val srcDir = stageOrderedBatches(log, base, "__bb", 3)
+    val snapBase = base + "/snap"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val stream = s.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base + "/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val rows = batch.toDF().drop("__bb")
+          val merged =
+            if (id == 0) graft.api.Graft.cdcApply(rows, "k", "seq", "op",
+              keepTombstones = true)
+            else graft.api.Graft.cdcApply(
+              s.read.parquet(snapBase + s"/batch_id=${id - 1}")
+                .unionByName(rows),
+              "k", "seq", "op", keepTombstones = true)
+          merged.write.mode("overwrite").parquet(snapBase + s"/batch_id=$id")
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val last = Option(new java.io.File(snapBase).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toInt).max
+      graft.queries.PipelineOps.cdcRollup(
+        s.read.parquet(snapBase + s"/batch_id=$last")
+          .filter(col("op") =!= "D"))
+    } finally s.conf.set(key, prev)
+  }
+
+  /** SEQUENCE PACKING AT INGEST — pack_sequences' global token cumsum run
+    * as a stream: documents arrive in three real micro-batches (tercile
+    * staging, so arrival order is (doc_id % 3, doc_id) — closed-form, the
+    * streamOnlineDedup convention) and each batch packs FROM the running
+    * token offset carried over all earlier batches
+    * (`Graft.packSequences(startOffset)`): the carry is ONE number per
+    * batch, written batch_id-keyed beside the batch's assignments, so a
+    * retried batch re-derives byte-for-byte from carry(id−1) — exactly-once
+    * without any keyed state store. The union of batch assignments IS the
+    * global packing; oracle = the batch rollup's cumsum under the arrival
+    * order. Scale: per-batch work is the two-phase prefix sum over the
+    * BATCH only; the cross-batch dependency is one scalar. */
+  def streamPackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/tmp/graft_stream_pack/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val srcDir = stageOrderedBatches(docs, base, "doc_id", 3)
+    val asgBase = base + "/asg"; val carryBase = base + "/carry"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base + "/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val carry =
+            if (id == 0) 0L
+            else s.read.parquet(carryBase + s"/batch_id=${id - 1}")
+              .head().getLong(0)
+          val asg = graft.api.Graft.packSequences(batch.toDF(), "doc_id",
+            "text", seqLen = 2048, startOffset = carry)
+            .localCheckpoint(true) // consumed twice: assignments + carry
+          asg.write.mode("overwrite").parquet(asgBase + s"/batch_id=$id")
+          asg.agg((sum("n_tokens") + lit(carry)).as("carry"))
+            .write.mode("overwrite").parquet(carryBase + s"/batch_id=$id")
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(asgBase)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("seq_id")
+    } finally s.conf.set(key, prev)
+  }
 }

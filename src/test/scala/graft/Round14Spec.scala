@@ -1190,4 +1190,143 @@ class Round14Spec extends SparkSpec {
       .orderBy("dim").as[(Int, Long, Long, Double)].collect().toSeq
     assert(out == Seq((2, 1L, 0L, 0.0), (4, 1L, 1L, 1.0)), s"$out")
   }
+
+  test("cdcApply keepTombstones retains the delete; stream final state == batch") {
+    import spark.implicits._
+    val log = Seq((1L, 1L, "I", 10L), (1L, 3L, "D", 0L), (1L, 2L, "U", 20L))
+      .toDF("k", "seq", "op", "v")
+    // tombstone kept: an incremental version must remember the delete
+    val v = api.Graft.cdcApply(log, "k", "seq", "op", keepTombstones = true)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(v == Seq((1L, 3L, "D", 0L)), s"$v")
+    // and a late lower-seq row can NOT resurrect it
+    val late = api.Graft.cdcApply(
+      v.toDF("k", "seq", "op", "v").unionByName(
+        Seq((1L, 2L, "U", 99L)).toDF("k", "seq", "op", "v")),
+      "k", "seq", "op")
+    assert(late.count() == 0L)
+    // the streaming consumer's final rollup is pinned identical to the
+    // batch application (same oracle row)
+    val batch = queries.PipelineOps.cdcApply(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val stream = streaming.StreamingQueries.streamCdcApply(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(batch == stream, s"stream/batch diverged:\n$batch\n$stream")
+  }
+
+  test("labelNoiseAudit: a mislabeled vector flags toward its true class") {
+    import spark.implicits._
+    // class 0: (0,0), (2,0) → centroid (1,0), self-threshold 1;
+    // class 1: (10,0), (12,0), plus the MISLABELED (0.5,0) → centroid
+    // (7.5,0), threshold 25.1666…; only (0.5,0) sits inside class 0's
+    // threshold (dist 0.25 ≤ 1) → exactly one suspect pair (1 → 0, rate 1/3)
+    val vecs = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(2f, 0f), 0),
+      (3L, Array(10f, 0f), 1), (4L, Array(12f, 0f), 1),
+      (5L, Array(0.5f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = api.Graft.labelNoiseAudit(vecs, "vec_id", "embedding", "label")
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out == Seq((1, 0, 1L, 0.3333)), s"$out")
+  }
+
+  test("datasetCard: hand-worked dup share and language entropy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b", "en", "s"), (2L, "a b", "en", "s"), (3L, "c d e", "zh", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = api.Graft.datasetCard(docs, "doc_id", "text", "lang", "source")
+      .as[(String, Long, Long, Long, Double, Long, Double, Double)]
+      .collect().head
+    def q(x: Double) = math.floor(x * 1048576.0) / 1048576.0
+    val entropy = q(math.log(3.0)) - (2.0 * q(math.log(2.0)) + 1.0 * q(math.log(1.0))) / 3.0
+    assert(r._1 == "s" && r._2 == 3L && r._3 == 7L && r._4 == 11L, s"$r")
+    assert(r._5 == 0.6667, s"dup share: $r") // the two verbatim copies
+    assert(r._6 == 2L && math.abs(r._7 - entropy) < 1e-6, s"entropy: $r")
+    assert(r._8 == 1000000.0, s"all three docs are fully distinct-token: $r")
+  }
+
+  test("streamPackSequences: equals the arrival-order cumsum; carry crosses batches") {
+    import spark.implicits._
+    val out = streaming.StreamingQueries.streamPackSequences(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // closed-form twin: one global cumsum under the (tercile, id) arrival
+    // order (fine at test scale; the operator itself never does this)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (id % 3, id) }
+    var off = 0L
+    val expected = docs.map { case (id, nt) =>
+      val s = off / 2048; off += nt; (id, nt, s)
+    }.groupBy(_._3).map { case (seq, rows) =>
+      (seq, rows.length.toLong, rows.map(_._2).sum, rows.map(_._1).min)
+    }.toSeq.sortBy(_._1)
+    assert(out == expected, s"stream packing diverged from arrival cumsum")
+    // conservation + the carry genuinely crossed batch boundaries (a
+    // sequence holding docs from more than one tercile exists)
+    assert(out.map(_._3).sum == docs.map(_._2).sum)
+    val bySeq = docs.zip(docs.scanLeft(0L)(_ + _._2).dropRight(1))
+      .groupBy { case (_, start) => start / 2048 }
+    assert(bySeq.exists(_._2.map(_._1._1 % 3).distinct.length > 1),
+      "no sequence spans a tercile boundary — carry untested")
+  }
+
+  test("signalCorrelation: perfect monotone, anti-monotone, and tie cases") {
+    import spark.implicits._
+    val mono = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L))
+      .toDF("s", "x", "y")
+    val m = api.Graft.signalCorrelation(mono, "x", "y", "s")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(m._3 == 1.0 && m._4 == 1.0, s"$m")
+    val anti = Seq(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 10L))
+      .toDF("s", "x", "y")
+    val a = api.Graft.signalCorrelation(anti, "x", "y", "s")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(a._3 == -1.0 && a._4 == -1.0, s"$a")
+    // x ties: ranks (1.5, 1.5, 3); y strictly increasing → ranks (1, 2, 3):
+    // Σrxry = 1.5 + 3 + 9 = 13.5, Σrx² = 13.5, Σry² = 14 →
+    // ρ = (3·13.5 − 36)/(√(3·13.5 − 36)·√(3·14 − 36)) = √4.5/√6 ≈ 0.866025
+    val ties = Seq(("g", 5L, 10L), ("g", 5L, 20L), ("g", 7L, 30L))
+      .toDF("s", "x", "y")
+    val t = api.Graft.signalCorrelation(ties, "x", "y", "s")
+      .as[(String, Long, Double, Double)].collect().head
+    val expected = (3.0 * 13.5 - 36.0) /
+      (math.sqrt(3.0 * 13.5 - 36.0) * math.sqrt(3.0 * 14.0 - 36.0))
+    assert(math.abs(t._4 - expected) < 1e-6, s"spearman with ties: $t vs $expected")
+    // registry row: uniqueness vs length is strongly NEGATIVE on this corpus
+    val reg = queries.PipelineOps.signalCorrelation(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach(r => assert(r._3 < -0.5 && r._4 < -0.5,
+      s"${r._1}: expected strong negative correlation, got $r"))
+  }
+
+  test("mutualInformation: identity gives MI == H(a); independence gives 0") {
+    import spark.implicits._
+    // a == b: MI = H(a) exactly (same quantized-ln machinery both sides)
+    val dep = Seq(("g", "p", "p"), ("g", "p", "p"), ("g", "q", "q"))
+      .toDF("s", "a", "b")
+    val r1 = api.Graft.mutualInformation(dep, "a", "b", "s")
+      .as[(String, Long, Double, Double)].collect().head
+    // (3a−2b)/3 vs a−(2b)/3 are different IEEE sequences — compare to grid
+    assert(math.abs(r1._3 - r1._4) < 1e-6 && r1._3 > 0.0, s"$r1")
+    // uniform independence: counts factorize exactly → every term 0
+    val ind = Seq(("g", "p", "u"), ("g", "p", "v"), ("g", "q", "u"), ("g", "q", "v"))
+      .toDF("s", "a", "b")
+    val r2 = api.Graft.mutualInformation(ind, "a", "b", "s")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(r2._3 == 0.0, s"$r2")
+  }
+
+  test("sqlScripting: bisection result satisfies the 40% invariant") {
+    val r = queries.Modern.sqlScripting(spark, sf).collect().head
+    val (thr, kept, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(kept * 5 >= total * 2, s"kept $kept of $total under threshold $thr")
+    assert(thr >= 0L && thr <= 1000001L)
+    // determinism: a second run lands on the same fixpoint
+    val r2 = queries.Modern.sqlScripting(spark, sf).collect().head
+    assert(r2.getLong(0) == thr && r2.getLong(1) == kept)
+  }
 }
