@@ -552,6 +552,17 @@ object PlanAudit {
         && !p.contains("CartesianProduct") && p.contains("partial_count"),
         "MI: all joins on grid-sized marginal frames, no window, no " +
           "cartesian"),
+      ("skyline_select", p => p.contains("Window")
+        && !p.contains("CartesianProduct"),
+        "skyline: prefix-max window over the (stratum, x) GRID, survivors " +
+          "rejoin by equi join"),
+      ("incremental_view", p => !p.contains("Window")
+        && !p.contains("CartesianProduct") && p.contains("partial_count"),
+        "IVM: base + delta both pre-aggregated, one shuffle on the group " +
+          "key"),
+      ("knn_graph", p => !p.contains("CartesianProduct"),
+        "kNN graph: slim band join for candidates, fused O(k) top-k " +
+          "aggregate, reciprocity as a semi join"),
     )
 
     var failed = 0

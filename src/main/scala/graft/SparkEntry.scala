@@ -289,6 +289,9 @@ object SparkEntry {
     "stream_pack_sequences" -> StreamingQueries.streamPackSequences _,
     "signal_correlation" -> PipelineOps.signalCorrelation _,
     "mutual_information" -> PipelineOps.mutualInformation _,
+    "skyline_select"    -> PipelineOps.skylineSelect _,
+    "incremental_view"  -> PipelineOps.incrementalView _,
+    "knn_graph"         -> Similarity.knnGraph _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -513,6 +516,32 @@ object SparkEntry {
        |comp AS (SELECT v AS vec_id, min(m) AS cluster_id FROM reach GROUP BY v)
        |SELECT cluster_id AS keep_id, count(1) AS n_members
        |FROM comp GROUP BY cluster_id ORDER BY keep_id""".stripMargin
+
+  /** DuckDB twin of Similarity.knnGraph: the SAME 4×8-bit banded candidate
+    * machinery as dedup_embedding_keep (shared plane constants), cosine ≥ 0
+    * pairs in both directions, per-node top-3 by (4dp cosine DESC, id ASC),
+    * reciprocity via the reverse-edge self-join. */
+  private def knnGraphOracleSql: String =
+    s"""WITH ${embedCandidateCtes(8)},
+       |p0 AS (
+       |  SELECT id_a, id_b, round($embedCos, 4) AS c
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = id_a
+       |  JOIN embeddings eb ON eb.vec_id = id_b
+       |  WHERE $embedCos >= 0.0),
+       |dir AS (SELECT id_a AS s, id_b AS t, c FROM p0
+       |  UNION ALL SELECT id_b AS s, id_a AS t, c FROM p0),
+       |top AS (SELECT s, t FROM (SELECT s, t,
+       |    row_number() OVER (PARTITION BY s ORDER BY c DESC, t) AS rn FROM dir)
+       |  WHERE rn <= 3),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT e.label, CAST(count(DISTINCT a.s) AS BIGINT) AS n_nodes,
+       |  CAST(count(1) AS BIGINT) AS n_edges,
+       |  round(CAST(count(b.s) AS DOUBLE) / CAST(count(1) AS DOUBLE), 4) AS recip4
+       |FROM top a
+       |LEFT JOIN top b ON a.s = b.t AND a.t = b.s
+       |JOIN lab e ON e.vec_id = a.s
+       |GROUP BY e.label ORDER BY e.label""".stripMargin
 
   /** DuckDB twin of Similarity.knnLsh, generated from the SAME discretized
     * plane constants (Similarity.knnPlanes — the machinery
@@ -4820,6 +4849,29 @@ object SparkEntry {
     // the streaming consumer's final snapshot == the batch application —
     // the oracle is cdc_apply's verbatim
     "stream_cdc_apply" -> cdcApplyOracleSql,
+
+    // IVM: base view + one grouped delta frame == the full recompute —
+    // cdc_apply's oracle again, the strongest pin available
+    "incremental_view" -> cdcApplyOracleSql,
+
+    "knn_graph" -> knnGraphOracleSql,
+
+    // 2-D skyline on the (source, x) grid: max-y columns, strictly-greater
+    // prefix max over the GRID, survivors rejoin for multiplicity
+    "skyline_select" ->
+      """WITH base AS (SELECT doc_id, source AS s,
+        |    (1000000 * len(list_distinct(l))) // len(l) AS x,
+        |    CAST(n_chars AS BIGINT) AS y
+        |  FROM (SELECT doc_id, source, n_chars,
+        |      list_filter(string_split(text, ' '), q -> len(q) > 0) AS l FROM documents)),
+        |grid AS (SELECT s, x, max(y) AS maxy FROM base GROUP BY 1, 2),
+        |pref AS (SELECT s, x, maxy, max(maxy) OVER (PARTITION BY s ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gt FROM grid),
+        |front AS (SELECT s, x, maxy FROM pref WHERE gt IS NULL OR gt < maxy)
+        |SELECT base.s AS source, base.x AS score, base.y AS n_chars,
+        |  CAST(count(1) AS BIGINT) AS n_docs, min(doc_id) AS min_id
+        |FROM base JOIN front ON base.s = front.s AND base.x = front.x AND base.y = front.maxy
+        |GROUP BY 1, 2, 3 ORDER BY source, score""".stripMargin,
 
     "label_noise_audit" -> labelNoiseAuditOracleSql,
 

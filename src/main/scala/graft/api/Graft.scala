@@ -6133,6 +6133,92 @@ object Graft {
         round(col("__ha"), 6).as("h_a6"))
   }
 
+  /** 2-D SKYLINE (Pareto front, maximize both signals) per stratum — the
+    * classic Börzsönyi '01 skyline operator, shaped for scale: points
+    * collapse to the (stratum, x) GRID (max y per distinct x), the
+    * strictly-greater-x prefix max runs as a window over that GRID (never
+    * over rows), and a point survives iff it tops its own x column AND
+    * beats every higher-x column's best y. Domination is the standard
+    * strict form (x' ≥ x ∧ y' ≥ y with one strict); duplicate points
+    * don't dominate each other, so survivors report their multiplicity.
+    * Output: (stratum, x, y, n_docs, min_id) — the per-stratum front. */
+  def skylineSelect(df: DataFrame, idCol: String, xCol: String,
+      yCol: String, strataCol: String): DataFrame = {
+    val pts = df.select(col(strataCol).as("__s"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
+      col(idCol).as("__id"))
+    val grid = pts.groupBy("__s", "__x").agg(max("__y").as("__maxy"))
+    val w = Window.partitionBy("__s").orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = grid.withColumn("__gt", max("__maxy").over(w))
+      .filter(col("__gt").isNull || col("__gt") < col("__maxy"))
+      .select(col("__s").as("__fs"), col("__x").as("__fx"),
+        col("__maxy").as("__fy"))
+    pts.join(front,
+        col("__s") === col("__fs") && col("__x") === col("__fx")
+          && col("__y") === col("__fy"))
+      .groupBy(col("__s"), col("__x"), col("__y"))
+      .agg(count(lit(1)).as("n_docs"), min("__id").as("min_id"))
+      .select(col("__s").as(strataCol), col("__x").as(xCol),
+        col("__y").as(yCol), col("n_docs"), col("min_id"))
+  }
+
+  /** Incremental view maintenance: apply a grouped (Δcount, Δsum) delta
+    * frame to a materialized (count, sum) aggregate — the IVM step that
+    * keeps an aggregate view current under a change feed WITHOUT
+    * recomputing from base data. Groups present only in the delta enter
+    * the view; groups whose count reaches 0 leave it. One shuffle on the
+    * group key, both sides pre-aggregated. */
+  def applyAggDelta(view: DataFrame, delta: DataFrame, groupCol: String,
+      countCol: String, sumCol: String): DataFrame =
+    view.select(col(groupCol), col(countCol).as("__c"), col(sumCol).as("__v"))
+      .unionByName(delta.select(col(groupCol), col(countCol).as("__c"),
+        col(sumCol).as("__v")))
+      .groupBy(col(groupCol))
+      .agg(sum("__c").as(countCol), sum("__v").as(sumCol))
+      .filter(col(countCol) > 0)
+
+  /** k-NN GRAPH construction + health stats — the SemDeDup/clustering
+    * precursor: LSH-banded candidate pairs (the cosineDedupLsh machinery —
+    * discretized planes, slim band join, candidate-volume-bounded), each
+    * node's directed top-k by (4dp cosine DESC, id ASC) through the fused
+    * O(k) TopKNeighbors aggregate, then per-label graph health: node/edge
+    * counts and RECIPROCITY (the standard kNN-graph quality signal — a low
+    * reciprocal-edge share marks hubness/asymmetry). Band width is the
+    * documented LSH knob (bits ∝ log N holds occupancy constant). */
+  def knnGraphStats(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, planes: Array[Array[Double]], bitsPerBand: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val pairs = cosineDedupLsh(vecs, idCol, vecCol, planes, bitsPerBand,
+      tau = 0.0)
+    val directed = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"),
+        col("cos_sim"))
+      .unionByName(pairs.select(col("id_b").as("__src"),
+        col("id_a").as("__dst"), col("cos_sim")))
+    val topk = udaf(new graft.functions.TopKNeighbors(k),
+      Encoders.product[graft.functions.Neighbor])
+    val edges = directed
+      .groupBy("__src")
+      .agg(topk(col("__dst"), lit(0), col("cos_sim")).as("__topk"))
+      .select(col("__src"), explode(col("__topk.items")).as("__nb"))
+      .select(col("__src"), col("__nb.c_id").as("__dst"))
+      .localCheckpoint(true) // consumed twice by the reciprocity self-join
+    val recip = edges.join(
+      edges.select(col("__src").as("__dst"), col("__dst").as("__src")),
+      Seq("__src", "__dst"), "left_semi")
+    val labels = vecs.select(col(idCol).as("__src"), col(labelCol).as("__l"))
+    edges.join(labels, "__src")
+      .groupBy("__l")
+      .agg(countDistinct(col("__src")).as("n_nodes"),
+        count(lit(1)).as("n_edges"))
+      .join(recip.join(labels, "__src").groupBy("__l")
+        .agg(count(lit(1)).as("__nrec")), Seq("__l"), "left")
+      .select(col("__l").as(labelCol), col("n_nodes"), col("n_edges"),
+        round(coalesce(col("__nrec"), lit(0L)).cast("double")
+          / col("n_edges").cast("double"), 4).as("recip4"))
+  }
+
   // ---------- streaming ----------
 
   /** The reference program as a reusable streaming transform: rolling word

@@ -1180,7 +1180,7 @@ object PipelineOps {
   private def uniqScored(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("__t", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
-      .select(col("lang"), col("source"), col("n_chars"),
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         expr("(1000000L * size(array_distinct(__t))) div size(__t)").as("score"))
 
   /** Registry `signal_correlation` (Graft.signalCorrelation): Pearson +
@@ -1201,4 +1201,38 @@ object PipelineOps {
           expr("least(score div 100000, 9L)")),
         "bucket", "source", "lang")
       .orderBy("lang")
+
+  /** Registry `skyline_select` (Graft.skylineSelect): the per-source
+    * Pareto front on (uniqueness, length) — the documents no other
+    * document beats on both signals, the multi-objective pick a single
+    * threshold can't express. */
+  def skylineSelect(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.skylineSelect(uniqScored(s, d),
+        "doc_id", "score", "n_chars", "source")
+      .orderBy("source", "score")
+
+  /** Registry `incremental_view` (Graft.applyAggDelta): the per-priority
+    * (count, cents) materialized view maintained INCREMENTALLY under the
+    * CDC feed — base view from the insert snapshot, then one grouped
+    * delta frame (updates: +Δsum; deletes: −count, −current value)
+    * applied without touching base data. Final view == the full
+    * recompute, so the oracle is cdc_apply's verbatim. */
+  def incrementalView(s: SparkSession, d: String): DataFrame = {
+    val log = cdcLog(s, d)
+    val base = log.filter(col("op") === "I")
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n_live"), sum("cents").as("cents"))
+    val deltas = log.filter(col("op") === "U")
+      .select(col("pri"), lit(0L).as("n_live"), lit(10000L).as("cents"))
+      .unionByName(log.filter(col("op") === "D")
+        .select(col("pri"), lit(-1L).as("n_live"),
+          (-(col("cents") + when(col("k") % 3 === 0, 10000L).otherwise(0L)))
+            .as("cents")))
+      .groupBy("pri")
+      .agg(sum("n_live").as("n_live"), sum("cents").as("cents"))
+    graft.api.Graft.applyAggDelta(base, deltas, "pri", "n_live", "cents")
+      .select(col("pri"), col("n_live"),
+        round(col("cents") / lit(100.0), 2).as("total2"))
+      .orderBy("pri")
+  }
 }

@@ -916,4 +916,13 @@ object Similarity {
     graft.api.Graft.labelNoiseAudit(Tables.embeddings(s, d),
         "vec_id", "embedding", "label")
       .orderBy("given_label", "suggested_label")
+
+  /** Registry `knn_graph` (Graft.knnGraphStats): the LSH-banded kNN graph
+    * over the embeddings (Dedup.embedPlanes, 4 bands × 8 bits — the scale
+    * configuration) with per-label reciprocity health stats. */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.knnGraphStats(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label",
+        graft.queries.Dedup.embedPlanes, bitsPerBand = 8, k = 3)
+      .orderBy("label")
 }

@@ -1320,6 +1320,61 @@ class Round14Spec extends SparkSpec {
     assert(r2._3 == 0.0, s"$r2")
   }
 
+  test("skylineSelect: hand-worked front with duplicates and dominated ties") {
+    import spark.implicits._
+    // (5,5) dominates (5,4) [y strict] and (4,5) [x strict]; (6,1) and
+    // (1,6) survive as corners; duplicate (5,5) counts multiplicity 2
+    val pts = Seq(
+      (1L, "g", 5L, 5L), (2L, "g", 5L, 5L), (3L, "g", 5L, 4L),
+      (4L, "g", 4L, 5L), (5L, "g", 6L, 1L), (6L, "g", 1L, 6L)
+    ).toDF("id", "s", "x", "y")
+    val out = api.Graft.skylineSelect(pts, "id", "x", "y", "s")
+      .orderBy("x").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("g", 1L, 6L, 1L, 6L), ("g", 5L, 5L, 2L, 1L),
+      ("g", 6L, 1L, 1L, 5L)), s"$out")
+    // registry row: every front point must be undominated (brute check)
+    val reg = queries.PipelineOps.skylineSelect(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.groupBy(_._1).foreach { case (_, pts0) =>
+      pts0.foreach { p =>
+        assert(!pts0.exists(q => q != p && q._2 >= p._2 && q._3 >= p._3
+          && (q._2 > p._2 || q._3 > p._3)),
+          s"front point $p dominated within the front")
+      }
+    }
+  }
+
+  test("incrementalView: delta application == full CDC recompute") {
+    import spark.implicits._
+    val ivm = queries.PipelineOps.incrementalView(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    val full = queries.PipelineOps.cdcApply(spark, sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(ivm == full, s"IVM diverged from recompute:\n$ivm\n$full")
+    // applyAggDelta drops a group whose count reaches zero
+    val view = Seq(("a", 2L, 10L), ("b", 1L, 5L)).toDF("g", "c", "v")
+    val delta = Seq(("b", -1L, -5L), ("c", 3L, 9L)).toDF("g", "c", "v")
+    val out = api.Graft.applyAggDelta(view, delta, "g", "c", "v")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 10L), ("c", 3L, 9L)), s"$out")
+  }
+
+  test("knnGraphStats: reciprocity on a hand graph; registry rates in range") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    VectorFunctions.register(spark)
+    // registry row at sf0.001: rates in [0,1], edges ≤ 3·nodes per label
+    val reg = queries.Similarity.knnGraph(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach { r =>
+      assert(r._4 >= 0.0 && r._4 <= 1.0, s"$r")
+      assert(r._3 <= 3 * r._2, s"more than k edges per node: $r")
+      assert(r._4 > 0.0, s"${r._1}: a kNN graph with zero reciprocal edges")
+    }
+  }
+
   test("sqlScripting: bisection result satisfies the 40% invariant") {
     val r = queries.Modern.sqlScripting(spark, sf).collect().head
     val (thr, kept, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
