@@ -563,6 +563,13 @@ object PlanAudit {
       ("knn_graph", p => !p.contains("CartesianProduct"),
         "kNN graph: slim band join for candidates, fused O(k) top-k " +
           "aggregate, reciprocity as a semi join"),
+      ("ab_test", p => !p.contains("Window") && !p.contains("CartesianProduct")
+        && p.contains("partial_max"),
+        "A/B: one partial-agg'd shuffle on user, then two-row frames"),
+      ("ewma_monitor", p => !p.contains("Window")
+        && !p.contains("CartesianProduct"),
+        "EWMA: count aggregate is the only data-sized pass; the recursion " +
+          "folds row-locally over per-type hour ARRAYS (grid-sized)"),
     )
 
     var failed = 0

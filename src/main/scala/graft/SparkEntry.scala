@@ -292,6 +292,9 @@ object SparkEntry {
     "skyline_select"    -> PipelineOps.skylineSelect _,
     "incremental_view"  -> PipelineOps.incrementalView _,
     "knn_graph"         -> Similarity.knnGraph _,
+    "stream_skyline"    -> StreamingQueries.streamSkyline _,
+    "ab_test"           -> PipelineOps.abTest _,
+    "ewma_monitor"      -> PipelineOps.ewmaMonitor _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -516,6 +519,23 @@ object SparkEntry {
        |comp AS (SELECT v AS vec_id, min(m) AS cluster_id FROM reach GROUP BY v)
        |SELECT cluster_id AS keep_id, count(1) AS n_members
        |FROM comp GROUP BY cluster_id ORDER BY keep_id""".stripMargin
+
+  /** Shared by skyline_select and stream_skyline (the drained streaming
+    * grid feeds the same front computation — pinned identical). */
+  private val skylineOracleSql: String =
+    """WITH base AS (SELECT doc_id, source AS s,
+      |    (1000000 * len(list_distinct(l))) // len(l) AS x,
+      |    CAST(n_chars AS BIGINT) AS y
+      |  FROM (SELECT doc_id, source, n_chars,
+      |      list_filter(string_split(text, ' '), q -> len(q) > 0) AS l FROM documents)),
+      |grid AS (SELECT s, x, max(y) AS maxy FROM base GROUP BY 1, 2),
+      |pref AS (SELECT s, x, maxy, max(maxy) OVER (PARTITION BY s ORDER BY x DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gt FROM grid),
+      |front AS (SELECT s, x, maxy FROM pref WHERE gt IS NULL OR gt < maxy)
+      |SELECT base.s AS source, base.x AS score, base.y AS n_chars,
+      |  CAST(count(1) AS BIGINT) AS n_docs, min(doc_id) AS min_id
+      |FROM base JOIN front ON base.s = front.s AND base.x = front.x AND base.y = front.maxy
+      |GROUP BY 1, 2, 3 ORDER BY source, score""".stripMargin
 
   /** DuckDB twin of Similarity.knnGraph: the SAME 4×8-bit banded candidate
     * machinery as dedup_embedding_keep (shared plane constants), cosine ≥ 0
@@ -4858,20 +4878,72 @@ object SparkEntry {
 
     // 2-D skyline on the (source, x) grid: max-y columns, strictly-greater
     // prefix max over the GRID, survivors rejoin for multiplicity
-    "skyline_select" ->
-      """WITH base AS (SELECT doc_id, source AS s,
-        |    (1000000 * len(list_distinct(l))) // len(l) AS x,
-        |    CAST(n_chars AS BIGINT) AS y
-        |  FROM (SELECT doc_id, source, n_chars,
-        |      list_filter(string_split(text, ' '), q -> len(q) > 0) AS l FROM documents)),
-        |grid AS (SELECT s, x, max(y) AS maxy FROM base GROUP BY 1, 2),
-        |pref AS (SELECT s, x, maxy, max(maxy) OVER (PARTITION BY s ORDER BY x DESC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gt FROM grid),
-        |front AS (SELECT s, x, maxy FROM pref WHERE gt IS NULL OR gt < maxy)
-        |SELECT base.s AS source, base.x AS score, base.y AS n_chars,
-        |  CAST(count(1) AS BIGINT) AS n_docs, min(doc_id) AS min_id
-        |FROM base JOIN front ON base.s = front.s AND base.x = front.x AND base.y = front.maxy
-        |GROUP BY 1, 2, 3 ORDER BY source, score""".stripMargin,
+    "skyline_select" -> skylineOracleSql,
+
+    // the streaming twin's drained grid feeds the SAME skylineFromGrid —
+    // final front pinned identical to the batch row, oracle verbatim
+    "stream_skyline" -> skylineOracleSql,
+
+    // one fixed IEEE expression over four exact BIGINT user/converter
+    // counts; variant and conversion are row-local rules
+    "ab_test" ->
+      """WITH pu AS (SELECT user_id, CAST(min(user_id % 2) AS BIGINT) AS v,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY user_id),
+        |wide AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a6,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b6,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift6,
+        |  round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z6,
+        |  abs((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
+        |    AS significant
+        |FROM wide""".stripMargin,
+
+    // the integer EWMA recursion replayed as a recursive CTE over the
+    // gap-filled hour spine — grid-sized, bit-identical DIV arithmetic
+    "ewma_monitor" ->
+      """WITH RECURSIVE obs AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(1) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        |  FROM obs GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM bounds),
+        |filled AS (SELECT s.event_type, s.hour, coalesce(o.c, 0) AS c,
+        |    row_number() OVER (PARTITION BY s.event_type ORDER BY s.hour) - 1 AS i
+        |  FROM spine s LEFT JOIN obs o
+        |    ON o.event_type = s.event_type AND o.hour = s.hour),
+        |r(event_type, i, s, hi, lo) AS (
+        |  SELECT event_type, i, c, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM filled WHERE i = 0
+        |  UNION ALL
+        |  SELECT f.event_type, f.i, (3 * r.s + f.c) // 4,
+        |    r.hi + CASE WHEN f.i >= 6 AND 8 * f.c > 13 * r.s THEN 1 ELSE 0 END,
+        |    r.lo + CASE WHEN f.i >= 6 AND 8 * f.c < 3 * r.s THEN 1 ELSE 0 END
+        |  FROM r JOIN filled f
+        |    ON f.event_type = r.event_type AND f.i = r.i + 1)
+        |SELECT event_type, CAST(max(i) + 1 AS BIGINT) AS n_hours,
+        |  CAST(arg_max(s, i) AS BIGINT) AS final_ewma,
+        |  CAST(arg_max(hi, i) AS BIGINT) AS n_high,
+        |  CAST(arg_max(lo, i) AS BIGINT) AS n_low
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "label_noise_audit" -> labelNoiseAuditOracleSql,
 

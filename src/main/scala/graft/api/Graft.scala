@@ -6144,23 +6144,107 @@ object Graft {
     * Output: (stratum, x, y, n_docs, min_id) — the per-stratum front. */
   def skylineSelect(df: DataFrame, idCol: String, xCol: String,
       yCol: String, strataCol: String): DataFrame = {
-    val pts = df.select(col(strataCol).as("__s"),
-      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
-      col(idCol).as("__id"))
-    val grid = pts.groupBy("__s", "__x").agg(max("__y").as("__maxy"))
+    val grid3 = df.select(col(strataCol).as("__s"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
+        col(idCol).as("__id"))
+      .groupBy("__s", "__x", "__y")
+      .agg(count(lit(1)).as("__n"), min("__id").as("__m"))
+    skylineFromGrid(grid3)
+      .select(col("__s").as(strataCol), col("__x").as(xCol),
+        col("__y").as(yCol), col("n_docs"), col("min_id"))
+  }
+
+  /** Front computation over an ALREADY-AGGREGATED (__s, __x, __y, __n,
+    * __m) point grid — shared by the batch skyline and the streaming twin
+    * (whose state IS this grid): per-x max-y columns, strictly-greater-x
+    * prefix max over the grid, survivors read multiplicity/min-id straight
+    * off their grid row. */
+  private[graft] def skylineFromGrid(grid3: DataFrame): DataFrame = {
+    val grid = grid3.groupBy("__s", "__x").agg(max("__y").as("__maxy"))
     val w = Window.partitionBy("__s").orderBy(col("__x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val front = grid.withColumn("__gt", max("__maxy").over(w))
       .filter(col("__gt").isNull || col("__gt") < col("__maxy"))
       .select(col("__s").as("__fs"), col("__x").as("__fx"),
         col("__maxy").as("__fy"))
-    pts.join(front,
+    grid3.join(front,
         col("__s") === col("__fs") && col("__x") === col("__fx")
           && col("__y") === col("__fy"))
-      .groupBy(col("__s"), col("__x"), col("__y"))
-      .agg(count(lit(1)).as("n_docs"), min("__id").as("min_id"))
-      .select(col("__s").as(strataCol), col("__x").as(xCol),
-        col("__y").as(yCol), col("n_docs"), col("min_id"))
+      .select(col("__s"), col("__x"), col("__y"),
+        col("__n").as("n_docs"), col("__m").as("min_id"))
+  }
+
+  /** Two-proportion A/B readout from exact integer counts: per-variant
+    * user and converter counts, conversion rates, lift, and the pooled
+    * two-proportion z statistic — one fixed IEEE expression over four
+    * BIGINTs, so both engines agree bit-for-bit. The per-user conversion
+    * flag is a grouped bool_or (one shuffle on user); everything after is
+    * a two-row frame. */
+  def abTest(events: DataFrame, userCol: String, variantCol: String,
+      convertedCol: String, zThreshold: Double = 1.96): DataFrame = {
+    val perUser = events.groupBy(col(userCol).as("__u"))
+      .agg(min(col(variantCol)).as("__v"),
+        max(when(col(convertedCol), 1L).otherwise(0L)).as("__c"))
+    val counts = perUser.groupBy("__v")
+      .agg(count(lit(1)).as("__n"), sum("__c").as("__k"))
+    val wide = counts.agg(
+      sum(when(col("__v") === 0, col("__n"))).as("n_a"),
+      sum(when(col("__v") === 0, col("__k"))).as("conv_a"),
+      sum(when(col("__v") === 1, col("__n"))).as("n_b"),
+      sum(when(col("__v") === 1, col("__k"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    // degenerate pools (nobody / everybody converts) have zero variance —
+    // define z = 0 rather than tripping ANSI division-by-zero
+    val z = when(pool === 0.0 || pool === 1.0, lit(0.0))
+      .otherwise((pb - pa) / sqrt(pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("rate_a6"), round(pb, 6).as("rate_b6"),
+      round(pb - pa, 6).as("lift6"), round(z, 6).as("z6"),
+      (abs(z) > zThreshold).as("significant"))
+  }
+
+  /** Integer-exact EWMA ingest monitor: per-type hourly counts gap-fill
+    * onto the dense wall-clock spine (the eventRateAnomalies pattern),
+    * then each type's smoother folds ROW-LOCALLY over its own hour array —
+    * s_t = (3·s_{t−1} + c_t) DIV 4, all-integer truncation, so both
+    * engines replay the recursion bit-for-bit (a window cannot express
+    * the recursion; the fold runs on the GRID — one array per type, never
+    * per event). Flags: high when 8·c > 13·s_prev, low (sudden silence)
+    * when 8·c < 3·s_prev, both past a warmup. Output per type:
+    * (event_type, n_hours, final_ewma, n_high, n_low). */
+  def ewmaMonitor(events: DataFrame, tsCol: String, typeCol: String,
+      warmupHours: Int = 6): DataFrame = {
+    val observed = events
+      .select(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("c"))
+    val spine = observed.groupBy("event_type")
+      .agg(min("hour").as("__h0"), max("hour").as("__h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(__h0, __h1, interval 1 hour)")).as("hour"))
+    val filled = spine.join(observed, Seq("event_type", "hour"), "left")
+      .na.fill(0L, Seq("c"))
+    filled.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hour"), col("c")))).as("__hs"))
+      .select(col("event_type"),
+        expr("size(__hs)").cast("long").as("n_hours"),
+        expr(s"""aggregate(__hs,
+          named_struct('s', CAST(-1 AS BIGINT), 'i', CAST(0 AS BIGINT),
+                       'hi', CAST(0 AS BIGINT), 'lo', CAST(0 AS BIGINT)),
+          (a, x) -> named_struct(
+            's', IF(a.s = -1L, x.c, (3L * a.s + x.c) div 4L),
+            'i', a.i + 1L,
+            'hi', a.hi + IF(a.i >= $warmupHours AND 8L * x.c > 13L * a.s, 1L, 0L),
+            'lo', a.lo + IF(a.i >= $warmupHours AND 8L * x.c < 3L * a.s, 1L, 0L)),
+          a -> a)""").as("__f"))
+      .select(col("event_type"), col("n_hours"),
+        col("__f.s").as("final_ewma"), col("__f.hi").as("n_high"),
+        col("__f.lo").as("n_low"))
   }
 
   /** Incremental view maintenance: apply a grouped (Δcount, Δsum) delta

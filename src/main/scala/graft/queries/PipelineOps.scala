@@ -1235,4 +1235,24 @@ object PipelineOps {
         round(col("cents") / lit(100.0), 2).as("total2"))
       .orderBy("pri")
   }
+
+  /** Registry `ab_test` (Graft.abTest): the experiment readout — variant
+    * from user_id parity, conversion = any 'purchase' event, pooled
+    * two-proportion z over exact integer counts. */
+  def abTest(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.abTest(
+      Tables.events(s, d).select(col("user_id"),
+        (col("user_id") % 2).as("variant"),
+        (col("event_type") === "purchase" && col("value") > 180.0)
+          .as("converted")),
+      "user_id", "variant", "converted")
+
+  /** Registry `ewma_monitor` (Graft.ewmaMonitor): per-type integer EWMA
+    * over the gap-filled hourly spine — the streaming-friendly smoother
+    * beside event_anomalies' trailing-window z-score. */
+  def ewmaMonitor(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.ewmaMonitor(
+        Tables.events(s, d).select(col("ts"), col("event_type")),
+        "ts", "event_type")
+      .orderBy("event_type")
 }

@@ -1364,4 +1364,27 @@ object StreamingQueries {
         .orderBy("seq_id")
     } finally s.conf.set(key, prev)
   }
+
+  /** STREAMING SKYLINE: the Pareto front maintained at ingest. The only
+    * keyed state is the (source, score, length) point GRID — a grouped
+    * (count, min-id) aggregation whose state is bounded by the distinct
+    * signal-value combinations, never the corpus (at 100 TB you'd bucket
+    * the length axis to cap the domain); the front itself computes from
+    * the DRAINED grid through the same `Graft.skylineFromGrid` the batch
+    * operator uses — one artifact, two consumers, so the final front is
+    * pinned identical to skyline_select and shares its oracle verbatim. */
+  def streamSkyline(s: SparkSession, d: String): DataFrame = {
+    val docs = readStreamTable(s, d, "documents")
+      .withColumn("__t", expr("filter(split(text, ' ', -1), t -> length(t) > 0)"))
+      .select(col("source").as("__s"), col("doc_id").as("__id"),
+        col("n_chars").cast("long").as("__y"),
+        expr("(1000000L * size(array_distinct(__t))) div size(__t)").as("__x"))
+    val grid = docs.groupBy("__s", "__x", "__y")
+      .agg(count(lit(1)).as("__n"), min("__id").as("__m"))
+    val drained = runToMemory(s, grid, "graft_stream_skyline", "complete")
+    graft.api.Graft.skylineFromGrid(drained)
+      .select(col("__s").as("source"), col("__x").as("score"),
+        col("__y").as("n_chars"), col("n_docs"), col("min_id"))
+      .orderBy("source", "score")
+  }
 }

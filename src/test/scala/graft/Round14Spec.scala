@@ -1375,6 +1375,50 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("abTest: hand-worked z; degenerate pool is defined") {
+    import spark.implicits._
+    // A: 4 users, 1 converts; B: 4 users, 3 convert → pool 0.5,
+    // z = 0.5 / sqrt(0.25 · 0.5) = 1.414214 — not significant at 1.96
+    val ev = (1L to 4L).map(u => (u, 0L, u == 1L)) ++
+      (5L to 8L).map(u => (u, 1L, u <= 7L))
+    val out = api.Graft.abTest(ev.toDF("user_id", "variant", "converted"),
+        "user_id", "variant", "converted")
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().head
+    assert(out._1 == 4L && out._2 == 1L && out._3 == 4L && out._4 == 3L)
+    assert(out._5 == 0.25 && out._6 == 0.75 && out._7 == 0.5, s"$out")
+    assert(math.abs(out._8 - 0.5 / math.sqrt(0.125)) < 1e-6 && !out._9, s"$out")
+    // everybody converts: zero variance → z defined as 0
+    val all = (1L to 4L).map(u => (u, u % 2, true))
+    val z0 = api.Graft.abTest(all.toDF("user_id", "variant", "converted"),
+      "user_id", "variant", "converted").select("z6").as[Double].collect().head
+    assert(z0 == 0.0)
+  }
+
+  test("ewmaMonitor: integer recursion flags the spike and the silence") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // hours 0..6: 4 events each; hour 7: 40 (spike); hour 8: 0 — but a
+    // zero-event hour must come from GAP-FILL, so stage hour 9 with 4
+    // events and leave hour 8 empty
+    val rows = (0 to 6).flatMap(h => (1 to 4).map(i =>
+        ("x", new java.sql.Timestamp(base + h * 3600000L + i * 1000L)))) ++
+      (1 to 40).map(i => ("x", new java.sql.Timestamp(base + 7 * 3600000L + i * 1000L))) ++
+      (1 to 4).map(i => ("x", new java.sql.Timestamp(base + 9 * 3600000L + i * 1000L)))
+    val out = api.Graft.ewmaMonitor(rows.toDF("event_type", "ts"), "ts", "event_type")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // s: 4,4,4,4,4,4,4 → spike (8·40 > 13·4, i=7 ≥ warmup) → s=13
+    // → silence at i=8 (8·0 < 3·13) → s=9 → i=9: c=4, 8·4 < 27? no; > 13·9? no
+    // final s = (3·9+4) div 4 = 7
+    assert(out == (("x", 10L, 7L, 1L, 1L)), s"$out")
+  }
+
+  test("streamSkyline: drained grid front == the batch skyline") {
+    val batch = queries.PipelineOps.skylineSelect(spark, sf).collect().toSeq
+    val stream = streaming.StreamingQueries.streamSkyline(spark, sf).collect().toSeq
+    assert(batch == stream, "streaming front diverged from the batch skyline")
+  }
+
   test("sqlScripting: bisection result satisfies the 40% invariant") {
     val r = queries.Modern.sqlScripting(spark, sf).collect().head
     val (thr, kept, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
