@@ -570,6 +570,18 @@ object PlanAudit {
         && !p.contains("CartesianProduct"),
         "EWMA: count aggregate is the only data-sized pass; the recursion " +
           "folds row-locally over per-type hour ARRAYS (grid-sized)"),
+      ("attribution_touch", p => !p.contains("Window")
+        && !p.contains("CartesianProduct"),
+        "attribution: min_by/max_by aggregates on the (ts, id) total " +
+          "order — no per-user rank window"),
+      ("forecast_baseline", p => !p.contains("Window")
+        && !p.contains("CartesianProduct") && p.contains("partial_count"),
+        "backtest: count aggregate is the only data-sized pass; " +
+          "train/test frames are (type x 24)-sized"),
+      ("embedding_drift", p => !p.contains("CartesianProduct")
+        && p.contains("partial_count"),
+        "drift: two quantized-centroid aggregates joined on the LABEL " +
+          "frame; one cosine per label"),
     )
 
     var failed = 0

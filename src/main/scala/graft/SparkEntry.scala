@@ -295,6 +295,10 @@ object SparkEntry {
     "stream_skyline"    -> StreamingQueries.streamSkyline _,
     "ab_test"           -> PipelineOps.abTest _,
     "ewma_monitor"      -> PipelineOps.ewmaMonitor _,
+    "stream_ewma"       -> StreamingQueries.streamEwma _,
+    "attribution_touch" -> PipelineOps.attributionTouch _,
+    "forecast_baseline" -> PipelineOps.forecastBaseline _,
+    "embedding_drift"   -> Similarity.embeddingDrift _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -519,6 +523,58 @@ object SparkEntry {
        |comp AS (SELECT v AS vec_id, min(m) AS cluster_id FROM reach GROUP BY v)
        |SELECT cluster_id AS keep_id, count(1) AS n_members
        |FROM comp GROUP BY cluster_id ORDER BY keep_id""".stripMargin
+
+  /** Shared by ewma_monitor and stream_ewma (the stream folds the same
+    * grid forward from a carried state — final state pinned identical). */
+  private val ewmaMonitorOracleSql: String =
+    """WITH RECURSIVE obs AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(count(1) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+      |  FROM obs GROUP BY 1),
+      |spine AS (SELECT event_type,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds),
+      |filled AS (SELECT s.event_type, s.hour, coalesce(o.c, 0) AS c,
+      |    row_number() OVER (PARTITION BY s.event_type ORDER BY s.hour) - 1 AS i
+      |  FROM spine s LEFT JOIN obs o
+      |    ON o.event_type = s.event_type AND o.hour = s.hour),
+      |r(event_type, i, s, hi, lo) AS (
+      |  SELECT event_type, i, c, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM filled WHERE i = 0
+      |  UNION ALL
+      |  SELECT f.event_type, f.i, (3 * r.s + f.c) // 4,
+      |    r.hi + CASE WHEN f.i >= 6 AND 8 * f.c > 13 * r.s THEN 1 ELSE 0 END,
+      |    r.lo + CASE WHEN f.i >= 6 AND 8 * f.c < 3 * r.s THEN 1 ELSE 0 END
+      |  FROM r JOIN filled f
+      |    ON f.event_type = r.event_type AND f.i = r.i + 1)
+      |SELECT event_type, CAST(max(i) + 1 AS BIGINT) AS n_hours,
+      |  CAST(arg_max(s, i) AS BIGINT) AS final_ewma,
+      |  CAST(arg_max(hi, i) AS BIGINT) AS n_high,
+      |  CAST(arg_max(lo, i) AS BIGINT) AS n_low
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** DuckDB twin of Similarity.embeddingDrift: the per-(label, generation)
+    * quantized fixed-point centroids (the centroid_classify rule) and one
+    * cosine per label between them. */
+  private def embeddingDriftOracleSql: String = {
+    val dims = 64
+    def meanExprs = (1 to dims).map(d =>
+      s"CAST(CAST(sum(CAST(floor(CAST(e.embedding[$d] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE) / CAST(count(1) AS DOUBLE) / 1048576.0 AS FLOAT)")
+      .mkString("[\n      ", ",\n      ", "]")
+    s"""WITH ca AS (
+       |  SELECT label, $meanExprs AS c, CAST(count(1) AS BIGINT) AS n_a
+       |  FROM embeddings e WHERE vec_id % 2 = 0 GROUP BY label),
+       |cb AS (
+       |  SELECT label, $meanExprs AS c, CAST(count(1) AS BIGINT) AS n_b
+       |  FROM embeddings e WHERE vec_id % 2 = 1 GROUP BY label)
+       |SELECT label, n_a, n_b,
+       |  round(list_dot_product(ca.c::DOUBLE[], cb.c::DOUBLE[])
+       |    / (sqrt(list_dot_product(ca.c::DOUBLE[], ca.c::DOUBLE[]))
+       |     * sqrt(list_dot_product(cb.c::DOUBLE[], cb.c::DOUBLE[]))), 6) AS cos6
+       |FROM ca JOIN cb USING (label) ORDER BY label""".stripMargin
+  }
 
   /** Shared by skyline_select and stream_skyline (the drained streaming
     * grid feeds the same front computation — pinned identical). */
@@ -4916,34 +4972,78 @@ object SparkEntry {
 
     // the integer EWMA recursion replayed as a recursive CTE over the
     // gap-filled hour spine — grid-sized, bit-identical DIV arithmetic
-    "ewma_monitor" ->
-      """WITH RECURSIVE obs AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+    "ewma_monitor" -> ewmaMonitorOracleSql,
+
+    // the stream folds the SAME grid forward from a 4-integer carry;
+    // final state == the batch monitor — oracle verbatim
+    "stream_ewma" -> ewmaMonitorOracleSql,
+
+    "embedding_drift" -> embeddingDriftOracleSql,
+
+    // first/last touch via min_by/max_by on the (ts, event_id) total
+    // order; oracle replays with per-user row_number windows
+    "attribution_touch" ->
+      """WITH conv AS (SELECT user_id, ts AS cts, event_id AS cid FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase' AND value > 180)
+        |  WHERE rn = 1),
+        |touches AS (SELECT e.user_id, e.event_type AS ch, e.ts, e.event_id
+        |  FROM events e JOIN conv c ON e.user_id = c.user_id
+        |  WHERE NOT (e.event_type = 'purchase' AND e.value > 180)
+        |    AND (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.cid))),
+        |pf AS (SELECT user_id, ch AS first_ch FROM (
+        |    SELECT user_id, ch,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM touches) WHERE rn = 1),
+        |pl AS (SELECT user_id, ch AS last_ch FROM (
+        |    SELECT user_id, ch,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM touches) WHERE rn = 1),
+        |per AS (SELECT pf.user_id, first_ch, last_ch
+        |  FROM pf JOIN pl ON pf.user_id = pl.user_id),
+        |tot AS (SELECT CAST(count(1) AS BIGINT) AS n FROM per),
+        |f AS (SELECT first_ch AS channel, CAST(count(1) AS BIGINT) AS n_first
+        |  FROM per GROUP BY 1),
+        |l AS (SELECT last_ch AS channel, CAST(count(1) AS BIGINT) AS n_last
+        |  FROM per GROUP BY 1)
+        |SELECT channel, coalesce(n_first, 0) AS n_first,
+        |  coalesce(n_last, 0) AS n_last,
+        |  round(CAST(coalesce(n_first, 0) AS DOUBLE) / CAST(n AS DOUBLE), 4) AS first_share4,
+        |  round(CAST(coalesce(n_last, 0) AS DOUBLE) / CAST(n AS DOUBLE), 4) AS last_share4
+        |FROM f FULL JOIN l USING (channel) CROSS JOIN tot
+        |ORDER BY channel""".stripMargin,
+
+    // seasonal-naive backtest: train on the first half of the hour span,
+    // floor-mean per (type, hour-of-day), exact integer MAE/bias
+    "forecast_baseline" ->
+      """WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |    CAST(count(1) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
-        |bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+        |bounds0 AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
         |  FROM obs GROUP BY 1),
         |spine AS (SELECT event_type,
         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-        |  FROM bounds),
+        |  FROM bounds0),
         |filled AS (SELECT s.event_type, s.hour, coalesce(o.c, 0) AS c,
-        |    row_number() OVER (PARTITION BY s.event_type ORDER BY s.hour) - 1 AS i
+        |    hour(s.hour) AS hod
         |  FROM spine s LEFT JOIN obs o
         |    ON o.event_type = s.event_type AND o.hour = s.hour),
-        |r(event_type, i, s, hi, lo) AS (
-        |  SELECT event_type, i, c, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-        |  FROM filled WHERE i = 0
-        |  UNION ALL
-        |  SELECT f.event_type, f.i, (3 * r.s + f.c) // 4,
-        |    r.hi + CASE WHEN f.i >= 6 AND 8 * f.c > 13 * r.s THEN 1 ELSE 0 END,
-        |    r.lo + CASE WHEN f.i >= 6 AND 8 * f.c < 3 * r.s THEN 1 ELSE 0 END
-        |  FROM r JOIN filled f
-        |    ON f.event_type = r.event_type AND f.i = r.i + 1)
-        |SELECT event_type, CAST(max(i) + 1 AS BIGINT) AS n_hours,
-        |  CAST(arg_max(s, i) AS BIGINT) AS final_ewma,
-        |  CAST(arg_max(hi, i) AS BIGINT) AS n_high,
-        |  CAST(arg_max(lo, i) AS BIGINT) AS n_low
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |b AS (SELECT CAST(epoch(min(hour)) AS BIGINT) AS mn,
+        |    CAST(epoch(max(hour)) AS BIGINT) AS mx FROM filled),
+        |f2 AS (SELECT filled.*,
+        |    CAST(epoch(hour) AS BIGINT) >= (mn + mx) // 2 AS is_test
+        |  FROM filled CROSS JOIN b),
+        |train AS (SELECT event_type, hod,
+        |    CAST(sum(c) // count(1) AS BIGINT) AS pred
+        |  FROM f2 WHERE NOT is_test GROUP BY 1, 2)
+        |SELECT f2.event_type, CAST(count(1) AS BIGINT) AS n_test_hours,
+        |  round(CAST(sum(abs(c - coalesce(pred, 0))) AS DOUBLE)
+        |    / CAST(count(1) AS DOUBLE), 2) AS mae2,
+        |  CAST(sum(c - coalesce(pred, 0)) AS BIGINT) AS bias_sum
+        |FROM f2 LEFT JOIN train
+        |  ON train.event_type = f2.event_type AND train.hod = f2.hod
+        |WHERE is_test GROUP BY f2.event_type ORDER BY f2.event_type""".stripMargin,
 
     "label_noise_audit" -> labelNoiseAuditOracleSql,
 

@@ -6217,7 +6217,13 @@ object Graft {
     * when 8·c < 3·s_prev, both past a warmup. Output per type:
     * (event_type, n_hours, final_ewma, n_high, n_low). */
   def ewmaMonitor(events: DataFrame, tsCol: String, typeCol: String,
-      warmupHours: Int = 6): DataFrame = {
+      warmupHours: Int = 6): DataFrame =
+    ewmaFold(ewmaCounts(events, tsCol, typeCol), None, warmupHours)
+
+  /** The gap-filled per-type hourly count GRID the EWMA monitor folds
+    * over — factored out so the streaming twin stages the SAME grid. */
+  private[graft] def ewmaCounts(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
     val observed = events
       .select(col(typeCol).as("event_type"),
         date_trunc("hour", col(tsCol)).as("hour"))
@@ -6227,24 +6233,133 @@ object Graft {
       .agg(min("hour").as("__h0"), max("hour").as("__h1"))
       .select(col("event_type"),
         explode(expr("sequence(__h0, __h1, interval 1 hour)")).as("hour"))
-    val filled = spine.join(observed, Seq("event_type", "hour"), "left")
+    spine.join(observed, Seq("event_type", "hour"), "left")
       .na.fill(0L, Seq("c"))
-    filled.groupBy("event_type")
+  }
+
+  /** The row-local integer-EWMA fold over per-type hour arrays, FROM an
+    * optional carried state (the streaming twin's cross-batch carry —
+    * 4 integers per type). state schema: (event_type, s, i, hi, lo). */
+  private[graft] def ewmaFold(filled: DataFrame, state: Option[DataFrame],
+      warmupHours: Int): DataFrame = {
+    val arrs = filled.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("hour"), col("c")))).as("__hs"))
+    val withState = state match {
+      case Some(st) => arrs.join(st, Seq("event_type"), "left")
+        .na.fill(Map("s" -> -1L, "i" -> 0L, "hi" -> 0L, "lo" -> 0L))
+      case None => arrs.withColumn("s", lit(-1L)).withColumn("i", lit(0L))
+        .withColumn("hi", lit(0L)).withColumn("lo", lit(0L))
+    }
+    withState
       .select(col("event_type"),
-        expr("size(__hs)").cast("long").as("n_hours"),
         expr(s"""aggregate(__hs,
-          named_struct('s', CAST(-1 AS BIGINT), 'i', CAST(0 AS BIGINT),
-                       'hi', CAST(0 AS BIGINT), 'lo', CAST(0 AS BIGINT)),
+          named_struct('s', s, 'i', i, 'hi', hi, 'lo', lo),
           (a, x) -> named_struct(
             's', IF(a.s = -1L, x.c, (3L * a.s + x.c) div 4L),
             'i', a.i + 1L,
             'hi', a.hi + IF(a.i >= $warmupHours AND 8L * x.c > 13L * a.s, 1L, 0L),
             'lo', a.lo + IF(a.i >= $warmupHours AND 8L * x.c < 3L * a.s, 1L, 0L)),
           a -> a)""").as("__f"))
-      .select(col("event_type"), col("n_hours"),
+      .select(col("event_type"), col("__f.i").as("n_hours"),
         col("__f.s").as("final_ewma"), col("__f.hi").as("n_high"),
         col("__f.lo").as("n_low"))
+  }
+
+  /** First-/last-touch conversion attribution: for each converting user,
+    * the first and the last non-conversion touch strictly before their
+    * FIRST conversion (ordered by (ts, event id) — total order), credited
+    * to the touch's channel. Everything is min_by/max_by aggregates over
+    * one user-keyed shuffle — no windows, no self-join beyond the
+    * conversion-time attach. Output per channel: (channel, n_first,
+    * n_last, first_share4, last_share4) over users WITH an attributable
+    * touch. */
+  def attributionTouch(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, channelCol: String, convCol: String): DataFrame = {
+    val conv = events.filter(col(convCol))
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(struct(col(tsCol), col(idCol))).as("__conv"))
+    val touches = events.filter(!col(convCol))
+      .select(col(userCol).as("__u"), col(channelCol).as("__ch"),
+        struct(col(tsCol), col(idCol)).as("__t"))
+      .join(conv, "__u")
+      .filter(col("__t") < col("__conv"))
+    val perUser = touches.groupBy("__u")
+      .agg(min_by(col("__ch"), col("__t")).as("__first"),
+        max_by(col("__ch"), col("__t")).as("__last"))
+    val total = perUser.select(count(lit(1)).as("__n"))
+    val firsts = perUser.groupBy(col("__first").as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    val lasts = perUser.groupBy(col("__last").as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    firsts.join(lasts, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("n_first", "n_last"))
+      .crossJoin(broadcast(total))
+      .select(col("channel"), col("n_first"), col("n_last"),
+        round(col("n_first").cast("double") / col("__n").cast("double"), 4)
+          .as("first_share4"),
+        round(col("n_last").cast("double") / col("__n").cast("double"), 4)
+          .as("last_share4"))
+  }
+
+  /** Seasonal-naive forecast backtest: train on hours before the split,
+    * predict each (type, hour-of-day) as the floor-mean of its training
+    * observations (integer DIV — exact), score on the gap-filled test
+    * hours: MAE and signed bias, both exact integer sums until the final
+    * divide. The baseline every real forecaster must beat; all post-scan
+    * frames are (type × 24)-sized. */
+  def forecastBaseline(events: DataFrame, tsCol: String,
+      typeCol: String): DataFrame = {
+    val filled0 = ewmaCounts(events, tsCol, typeCol)
+      .withColumn("__hod", hour(col("hour")))
+    // split at the midpoint of the observed GLOBAL hour span — computed
+    // inside the plan (one-row bounds frame broadcast), no driver round
+    // trip; integer epoch arithmetic so both engines pick the same hour
+    val bounds = filled0.agg(min("hour").as("__mn"), max("hour").as("__mx"))
+    val filled = filled0.crossJoin(broadcast(bounds))
+      .withColumn("__is_test",
+        unix_timestamp(col("hour")) >=
+          expr("(unix_timestamp(__mn) + unix_timestamp(__mx)) div 2"))
+    val train = filled.filter(!col("__is_test"))
+      .groupBy("event_type", "__hod")
+      .agg(expr("sum(c) div count(1)").as("__pred"))
+    val test = filled.filter(col("__is_test"))
+    test.join(train, Seq("event_type", "__hod"), "left")
+      .na.fill(0L, Seq("__pred"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_test_hours"),
+        sum(abs(col("c") - col("__pred"))).as("__mae_sum"),
+        sum(col("c") - col("__pred")).as("bias_sum"))
+      .select(col("event_type"), col("n_test_hours"),
+        round(col("__mae_sum").cast("double")
+          / col("n_test_hours").cast("double"), 2).as("mae2"),
+        col("bias_sum"))
+  }
+
+  /** Embedding-space drift between two corpus generations: per label, the
+    * cosine between the generations' quantized fixed-point centroids (the
+    * centroid_classify model rule — cross-engine-exact means) — the
+    * representation-drift check beside the distributional psi/ks rows.
+    * Output: (label, n_a, n_b, cos6). */
+  def embeddingDrift(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, genCol: String): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
+    def centroid(gen: Int, side: String): DataFrame = vecs
+      .filter(col(genCol) === gen)
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy("label", "__i")
+      .agg((sum(floor(col("__v").cast("double") * 1048576.0)).cast("double")
+        / count(lit(1)).cast("double") / 1048576.0).as("__m"),
+        count(lit(1)).as("__cnt"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("__i"), col("__m")))).as("__pairs"),
+        max("__cnt").as(s"n_$side"))
+      .select(col("label"), col(s"n_$side"),
+        expr("transform(__pairs, x -> CAST(x.__m AS FLOAT))").as(s"__c$side"))
+    centroid(0, "a").join(centroid(1, "b"), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(expr("vec_dot(__ca, __cb) / (sqrt(vec_dot(__ca, __ca)) * sqrt(vec_dot(__cb, __cb)))"),
+          6).as("cos6"))
   }
 
   /** Incremental view maintenance: apply a grouped (Δcount, Δsum) delta

@@ -314,6 +314,10 @@ object Modern {
       .select(expr("(1000000L * size(array_distinct(__t))) div size(__t)").as("score"),
         expr("size(__t)").cast("long").as("ntok"))
       .groupBy("score").agg(sum("ntok").as("tokens"))
+      // ONE partition: every WHILE-step scalar subquery becomes a
+      // single-task job over the ~10³-row grid instead of a 32-task one
+      // (10 iterations × 2 jobs — task-dispatch overhead dominated)
+      .repartition(1)
       .localCheckpoint(true)
       .createOrReplaceTempView(view)
     val confKey = "spark.sql.scripting.enabled"

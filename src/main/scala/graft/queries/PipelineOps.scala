@@ -1255,4 +1255,24 @@ object PipelineOps {
         Tables.events(s, d).select(col("ts"), col("event_type")),
         "ts", "event_type")
       .orderBy("event_type")
+
+  /** Registry `attribution_touch` (Graft.attributionTouch): first-/last-
+    * touch conversion attribution over the event stream — conversions are
+    * high-value purchases (the ab_test rule), touches every other event
+    * strictly before the user's first conversion. */
+  def attributionTouch(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.attributionTouch(
+        Tables.events(s, d).withColumn("conv",
+          col("event_type") === "purchase" && col("value") > 180.0),
+        "user_id", "ts", "event_id", "event_type", "conv")
+      .orderBy("channel")
+
+  /** Registry `forecast_baseline` (Graft.forecastBaseline): the
+    * seasonal-naive hour-of-day forecast scored on the second half of the
+    * event timeline — the backtest baseline every forecaster must beat. */
+  def forecastBaseline(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.forecastBaseline(
+        Tables.events(s, d).select(col("ts"), col("event_type")),
+        "ts", "event_type")
+      .orderBy("event_type")
 }

@@ -925,4 +925,13 @@ object Similarity {
         "vec_id", "embedding", "label",
         graft.queries.Dedup.embedPlanes, bitsPerBand = 8, k = 3)
       .orderBy("label")
+
+  /** Registry `embedding_drift` (Graft.embeddingDrift): per-label cosine
+    * between the vec_id-parity generations' quantized centroids — the
+    * representation-drift check beside psi/ks distribution drift. */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.embeddingDrift(
+        Tables.embeddings(s, d).withColumn("gen", (col("vec_id") % 2).cast("int")),
+        "vec_id", "embedding", "label", "gen")
+      .orderBy("label")
 }

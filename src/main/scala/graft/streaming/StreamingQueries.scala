@@ -1387,4 +1387,69 @@ object StreamingQueries {
         col("__y").as("n_chars"), col("n_docs"), col("min_id"))
       .orderBy("source", "score")
   }
+
+  /** THE EWMA MONITOR AT INGEST: the same gap-filled per-type hour grid
+    * arrives in three real micro-batches (contiguous GLOBAL hour-range
+    * terciles, so each type's spine rows stay in order across batches)
+    * and the integer recursion folds forward from a carried state of
+    * FOUR INTEGERS PER TYPE — `Graft.ewmaFold(state)` — written
+    * batch_id-keyed, so a retried batch re-derives byte-for-byte. A type
+    * with no rows in a batch carries its state forward untouched. Final
+    * state == the batch monitor (one fold, one grid), oracle verbatim. */
+  def streamEwma(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = s"/tmp/graft_stream_ewma/${s.sparkContext.applicationId}/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+    val grid = graft.api.Graft.ewmaCounts(
+      graft.Tables.events(s, d).select(col("ts"), col("event_type")),
+      "ts", "event_type")
+    val bounds = grid.agg(min("hour").as("__mn"), max("hour").as("__mx"))
+    val bucketed = grid.crossJoin(broadcast(bounds))
+      .withColumn("__bb", least(
+        expr("""((unix_timestamp(hour) - unix_timestamp(__mn)) * 3)
+               | div greatest(unix_timestamp(__mx) - unix_timestamp(__mn) + 3600, 1)""".stripMargin),
+        lit(2L)))
+      .select(col("event_type"), col("hour"), col("c"), col("__bb"))
+    val srcDir = stageOrderedBatches(bucketed, base, "__bb", 3)
+    val stateBase = base + "/state"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val stream = s.readStream.schema(bucketed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", base + "/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val prevState =
+            if (id == 0) None
+            else Some(s.read.parquet(stateBase + s"/batch_id=${id - 1}"))
+          val folded = graft.api.Graft.ewmaFold(
+              batch.toDF().select("event_type", "hour", "c"), prevState,
+              warmupHours = 6)
+            .select(col("event_type"), col("final_ewma").as("s"),
+              col("n_hours").as("i"), col("n_high").as("hi"),
+              col("n_low").as("lo"))
+          val carried = prevState match {
+            case Some(st) => folded.unionByName(
+              st.join(folded, Seq("event_type"), "left_anti"))
+            case None => folded
+          }
+          carried.write.mode("overwrite").parquet(stateBase + s"/batch_id=$id")
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val last = Option(new java.io.File(stateBase).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toInt).max
+      s.read.parquet(stateBase + s"/batch_id=$last")
+        .select(col("event_type"), col("i").as("n_hours"),
+          col("s").as("final_ewma"), col("hi").as("n_high"),
+          col("lo").as("n_low"))
+        .orderBy("event_type")
+    } finally s.conf.set(key, prev)
+  }
 }

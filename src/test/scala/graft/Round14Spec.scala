@@ -1419,6 +1419,66 @@ class Round14Spec extends SparkSpec {
     assert(batch == stream, "streaming front diverged from the batch skyline")
   }
 
+  test("attributionTouch: first/last touch before the FIRST conversion only") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, ts(1), "click", false),
+      (1L, 2L, ts(2), "view", false),
+      (1L, 3L, ts(3), "purchase", true),
+      (1L, 4L, ts(4), "click", false), // after conversion — must not count
+      (2L, 5L, ts(1), "view", false),  // never converts — excluded
+      (3L, 6L, ts(1), "purchase", true) // converts with no prior touch
+    ).toDF("user_id", "event_id", "ts", "event_type", "conv")
+    val out = api.Graft.attributionTouch(ev, "user_id", "ts", "event_id",
+        "event_type", "conv")
+      .orderBy("channel")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(("click", 1L, 0L, 1.0, 0.0), ("view", 0L, 1L, 0.0, 1.0)),
+      s"$out")
+  }
+
+  test("forecastBaseline: day-2 backtest against the day-1 hour-of-day mean") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // day 1: h events at hour h (hod pattern); day 2: h + 2 events —
+    // seasonal-naive pred = hod, so MAE = 2 exactly, bias = +48
+    val rows = (0 to 47).flatMap { h =>
+      val n = if (h < 24) h else (h - 24) + 2
+      (1 to n).map(i => ("x", new java.sql.Timestamp(base + h * 3600000L + i * 1000L)))
+    }
+    val out = api.Graft.forecastBaseline(rows.toDF("event_type", "ts"),
+        "ts", "event_type")
+      .as[(String, Long, Double, Long)].collect().head
+    assert(out == (("x", 24L, 2.0, 48L)), s"$out")
+  }
+
+  test("streamEwma: carried 4-integer state reproduces the batch monitor") {
+    val batch = queries.PipelineOps.ewmaMonitor(spark, sf).collect().toSeq
+    val stream = streaming.StreamingQueries.streamEwma(spark, sf).collect().toSeq
+    assert(batch == stream, s"stream EWMA diverged:\n$batch\n$stream")
+  }
+
+  test("embeddingDrift: identical generations give cosine 1") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 2f, 3f), 7, 0), (1L, Array(1f, 2f, 3f), 7, 1),
+      (2L, Array(4f, 0f, 1f), 8, 0), (3L, Array(4f, 0f, 1f), 8, 1)
+    ).toDF("vec_id", "embedding", "label", "gen")
+    val out = api.Graft.embeddingDrift(vecs, "vec_id", "embedding", "label", "gen")
+      .orderBy("label").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((7, 1L, 1L, 1.0), (8, 1L, 1L, 1.0)), s"$out")
+    // registry row: on the iid-Gaussian synthetic corpus the per-label
+    // centroids are noise estimates, so parity-half cosines sit NEAR ZERO
+    // (the honest negative control — real embedding corpora cluster per
+    // label and read close to 1); pin only validity + both halves present
+    val reg = queries.Similarity.embeddingDrift(spark, sf)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(reg.nonEmpty)
+    reg.foreach(r => assert(r._4 >= -1.0 && r._4 <= 1.0
+      && r._2 > 0 && r._3 > 0, s"$r"))
+  }
+
   test("sqlScripting: bisection result satisfies the 40% invariant") {
     val r = queries.Modern.sqlScripting(spark, sf).collect().head
     val (thr, kept, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
