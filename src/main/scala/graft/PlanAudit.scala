@@ -582,6 +582,13 @@ object PlanAudit {
         && p.contains("partial_count"),
         "drift: two quantized-centroid aggregates joined on the LABEL " +
           "frame; one cosine per label"),
+      ("asof_join_tolerance", p => !p.contains("CartesianProduct")
+        && p.contains("Window"),
+        "tolerance as-of: same union+window machinery, staleness bound " +
+          "row-local — no range self-join"),
+      ("text_normalize", p => !p.contains("Join") && p.contains("partial_count"),
+        "NFC normalize: native codegen expression inside the scan; one " +
+          "rollup shuffle"),
     )
 
     var failed = 0

@@ -299,6 +299,8 @@ object SparkEntry {
     "attribution_touch" -> PipelineOps.attributionTouch _,
     "forecast_baseline" -> PipelineOps.forecastBaseline _,
     "embedding_drift"   -> Similarity.embeddingDrift _,
+    "asof_join_tolerance" -> EventTime.asofJoinTolerance _,
+    "text_normalize"    -> TextAnalysis.textNormalize _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -5048,6 +5050,35 @@ object SparkEntry {
     "label_noise_audit" -> labelNoiseAuditOracleSql,
 
     "sql_scripting" -> sqlScriptingOracleSql,
+
+    // the backward ASOF match bounded by a 1-hour staleness window —
+    // truncated-epoch arithmetic both engines
+    "asof_join_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, c.click_id, c.ts AS click_ts
+        |FROM purchases p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |WHERE CAST(epoch(p.ts) AS BIGINT) - CAST(epoch(c.ts) AS BIGINT) <= 3600
+        |ORDER BY purchase_id""".stripMargin,
+
+    // NFC via DuckDB's utf8proc twin of the native NfcNormalize expression;
+    // decomposed sequences injected so the normalizer provably fires
+    "text_normalize" ->
+      """WITH aug AS (SELECT source,
+        |    CASE WHEN doc_id % 13 = 4 THEN text || ' cafe' || chr(769)
+        |         ELSE text END AS raw
+        |  FROM documents),
+        |n AS (SELECT source, raw, nfc_normalize(raw) AS norm FROM aug)
+        |SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(norm) <> length(raw) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(raw)) AS BIGINT) AS chars_before,
+        |  CAST(sum(length(norm)) AS BIGINT) AS chars_after
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
 
     // the stream's packing == the batch cumsum under the ARRIVAL order
     // (tercile staging → (doc_id % 3, doc_id) — the streamOnlineDedup

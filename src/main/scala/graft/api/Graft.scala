@@ -2618,6 +2618,18 @@ object Graft {
           col("__asof.t").as(s"${tsCol}_asof")): _*)
   }
 
+  /** Tolerance-bounded as-of join (pandas merge_asof `tolerance=`): the
+    * backward as-of match, kept only when the matched right row lies
+    * within `toleranceSec` seconds — the staleness bound a feature-store
+    * lookup enforces (a quote older than the window is NO quote). Same
+    * one-shuffle union+window machinery as [[asofJoin]]; the bound is a
+    * row-local epoch comparison on the matched pair. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightValCol: String, toleranceSec: Long): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, rightValCol)
+      .filter(unix_timestamp(col(tsCol)) -
+        unix_timestamp(col(s"${tsCol}_asof")) <= toleranceSec)
+
   /** NEAREST-direction as-of join (pandas merge_asof direction='nearest'):
     * each left row pairs with the right row minimizing |Δt|, ties broken
     * toward the EARLIER right row (backward wins at equal distance —

@@ -369,6 +369,33 @@ object XxHash64Array {
   * Cost is O(|a|·|b|) per pair: callers MUST bound pair generation by
   * blocking (see Graft.entityResolution) — the expression is the inner
   * kernel, never the candidate generator. */
+/** Unicode NFC normalization as a native codegen'd expression — Spark has
+  * no built-in normalizer, and a Scala UDF would break whole-stage codegen
+  * in the text-cleaning hot path. Delegates to java.text.Normalizer (ICU
+  * normative NFC); the DuckDB oracle twin is its utf8proc-backed
+  * `nfc_normalize` — both implement the same Unicode normal form, so
+  * composed output matches byte-for-byte. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    NfcNormalize.norm(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.norm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Called from generated code. */
+  def norm(u: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(u.toString, java.text.Normalizer.Form.NFC))
+}
+
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -470,6 +497,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => XxHash64Array(exprs.head)),
     ("damerau_levenshtein", classOf[DamerauLevenshtein],
       (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))),
+    ("nfc_normalize", classOf[NfcNormalize],
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)),
     ("bloom_agg",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
       (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions

@@ -83,6 +83,23 @@ object EventTime {
       .orderBy("purchase_id")
   }
 
+  /** Registry `asof_join_tolerance` (Graft.asofJoinTolerance — pandas
+    * merge_asof `tolerance=`): the backward as-of match kept only when
+    * the click lies within ONE HOUR of the purchase — the staleness bound
+    * a serving-time feature lookup enforces. */
+  def asofJoinTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    graft.api.Graft.asofJoinTolerance(purchases, clicks, "user_id", "ts",
+        "click_id", toleranceSec = 3600L)
+      .select(col("purchase_id"), col("user_id"),
+        col("click_id_asof").as("click_id"), col("ts_asof").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   /** Gap-filled hourly series: every (hour, event_type) cell in the data's
     * span, zero-filled where no events landed — `sequence()` generates the
     * time spine (driver-side-loop-free), the tiny type dimension is broadcast,

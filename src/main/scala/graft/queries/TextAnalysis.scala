@@ -802,6 +802,31 @@ object TextAnalysis {
     * screen actually separate repetitious documents?". The score is
     * pre-quantized to an INTEGER (ppm of distinct tokens) so the AUC grid
     * groups on exact keys. */
+  /** Registry `text_normalize`: Unicode NFC normalization through the
+    * native codegen'd `nfc_normalize` expression (graft.functions.
+    * NfcNormalize — java.text.Normalizer, pinned against DuckDB's
+    * utf8proc twin). The corpus is ASCII, so decomposed sequences are
+    * INJECTED deterministically (the pii_scrub provably-fires convention):
+    * every 13th document gains " cafe" + U+0301, which NFC composes to
+    * "café" (one char shorter). Report per source: docs, changed docs,
+    * char totals before/after — all row-local, one rollup shuffle. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.documents(s, d)
+      .withColumn("__raw",
+        when(col("doc_id") % 13 === 4,
+          concat(col("text"), lit(" cafe"), lit("\u0301")))
+          .otherwise(col("text")))
+      .withColumn("__norm", expr("nfc_normalize(__raw)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(length(col("__norm")) =!= length(col("__raw")), 1L)
+          .otherwise(0L)).as("n_changed"),
+        sum(length(col("__raw")).cast("long")).as("chars_before"),
+        sum(length(col("__norm")).cast("long")).as("chars_after"))
+      .orderBy("source")
+  }
+
   def qualityAuc(s: SparkSession, d: String): DataFrame = {
     // per-doc stats are ROW-LOCAL (sorted-array fold for the max
     // multiplicity, array_distinct for the type count) — no token-level

@@ -1479,6 +1479,42 @@ class Round14Spec extends SparkSpec {
       && r._2 > 0 && r._3 > 0, s"$r"))
   }
 
+  test("asofJoinTolerance: stale matches beyond the window drop") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val right = Seq((1L, ts(0), 100L)).toDF("k", "ts", "v")
+    val left = Seq((1L, ts(30), 7L), (1L, ts(120), 8L)).toDF("k", "ts", "id")
+    val out = api.Graft.asofJoinTolerance(left, right, "k", "ts", "v",
+        toleranceSec = 3600L)
+      .select("id", "v_asof").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((7L, 100L)), s"2h-old match must drop: $out")
+    // registry row is a strict subset of the unbounded as-of join
+    val bounded = queries.EventTime.asofJoinTolerance(spark, sf).collect().toSeq
+    val unbounded = queries.EventTime.asofJoin(spark, sf).collect().toSeq
+    assert(bounded.nonEmpty && bounded.size < unbounded.size
+      && bounded.forall(unbounded.contains), "tolerance must strictly bound")
+  }
+
+  test("NfcNormalize: native expression composes; registry row provably fires") {
+    import spark.implicits._
+    functions.VectorFunctions.register(spark)
+    // decomposed e + COMBINING ACUTE → composed e-acute, one char shorter
+    val out = Seq("cafe\u0301").toDF("s")
+      .selectExpr("nfc_normalize(s) AS n", "length(s) AS lb",
+        "length(nfc_normalize(s)) AS la")
+      .as[(String, Int, Int)].collect().head
+    assert(out._1 == "caf\u00e9" && out._2 == 5 && out._3 == 4, s"$out")
+    // already-NFC input is identity
+    val id = Seq("plain ascii").toDF("s")
+      .selectExpr("nfc_normalize(s) = s").as[Boolean].collect().head
+    assert(id)
+    val reg = queries.TextAnalysis.textNormalize(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(reg.map(_._3).sum > 0, "injection must fire somewhere")
+    reg.foreach(r => assert(r._5 == r._4 - r._3,
+      s"each composed pair saves exactly one char: $r"))
+  }
+
   test("sqlScripting: bisection result satisfies the 40% invariant") {
     val r = queries.Modern.sqlScripting(spark, sf).collect().head
     val (thr, kept, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
