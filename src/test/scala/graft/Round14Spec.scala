@@ -1515,6 +1515,39 @@ class Round14Spec extends SparkSpec {
       s"each composed pair saves exactly one char: $r"))
   }
 
+  test("skylineSelect property: equals brute-force domination on 200 random points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 200).map(i =>
+      (i.toLong, "g", rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val out = api.Graft.skylineSelect(pts.toDF("id", "s", "x", "y"),
+        "id", "x", "y", "s")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._2, r._3, r._4, r._5)).sortBy(p => (p._1, p._2))
+    // brute force: survivors = points no other point strictly dominates
+    val survivors = pts.filter { case (_, _, x, y) =>
+      !pts.exists { case (_, _, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }
+    val expected = survivors.groupBy(p => (p._3, p._4)).map { case ((x, y), g) =>
+      (x, y, g.size.toLong, g.map(_._1).min)
+    }.toSeq.sortBy(p => (p._1, p._2))
+    assert(out == expected, s"front diverged from brute force:\n$out\n$expected")
+  }
+
+  test("cdcApply: arrival order is irrelevant (latest-wins keys on seq)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val log = rnd.shuffle((1 to 60).map { i =>
+      (i.toLong % 12, i.toLong, if (i % 9 == 0) "D" else if (i % 2 == 0) "U" else "I", i.toLong * 3)
+    }).toDF("k", "seq", "op", "v")
+    val a = api.Graft.cdcApply(log, "k", "seq", "op")
+      .orderBy("k").collect().toSeq
+    val b = api.Graft.cdcApply(log.orderBy(col("seq").desc), "k", "seq", "op")
+      .orderBy("k").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("sqlScripting: bisection result satisfies the 40% invariant") {
     val r = queries.Modern.sqlScripting(spark, sf).collect().head
     val (thr, kept, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
