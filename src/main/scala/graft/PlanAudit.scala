@@ -589,6 +589,10 @@ object PlanAudit {
       ("text_normalize", p => !p.contains("Join") && p.contains("partial_count"),
         "NFC normalize: native codegen expression inside the scan; one " +
           "rollup shuffle"),
+      ("winsorized_stats", p => p.contains("BroadcastHashJoin")
+        && !p.contains("Window"),
+        "winsorize: one percentile aggregate per group broadcast onto " +
+          "one clamp pass — no window, no second scan of raw values"),
     )
 
     var failed = 0

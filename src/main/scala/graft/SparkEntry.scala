@@ -301,6 +301,8 @@ object SparkEntry {
     "embedding_drift"   -> Similarity.embeddingDrift _,
     "asof_join_tolerance" -> EventTime.asofJoinTolerance _,
     "text_normalize"    -> TextAnalysis.textNormalize _,
+    "winsorized_stats"  -> PipelineOps.winsorizedStats _,
+    "stream_ab_test"    -> StreamingQueries.streamAbTest _,
     "stream_vocab_gate" -> StreamingQueries.streamVocabGate _,
     "stream_entity_resolution" -> StreamingQueries.streamEntityResolution _,
     "stream_funnel"     -> StreamingQueries.streamFunnel _,
@@ -525,6 +527,36 @@ object SparkEntry {
        |comp AS (SELECT v AS vec_id, min(m) AS cluster_id FROM reach GROUP BY v)
        |SELECT cluster_id AS keep_id, count(1) AS n_members
        |FROM comp GROUP BY cluster_id ORDER BY keep_id""".stripMargin
+
+  /** Shared by ab_test and stream_ab_test (the drained per-user state
+    * feeds the same readout — pinned identical). */
+  private val abTestOracleSql: String =
+    """WITH pu AS (SELECT user_id, CAST(min(user_id % 2) AS BIGINT) AS v,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS c
+      |  FROM events GROUP BY user_id),
+      |wide AS (SELECT
+      |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM pu)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a6,
+      |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b6,
+      |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift6,
+      |  round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+      |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z6,
+      |  abs((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+      |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+      |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
+      |    AS significant
+      |FROM wide""".stripMargin
 
   /** Shared by ewma_monitor and stream_ewma (the stream folds the same
     * grid forward from a carried state — final state pinned identical). */
@@ -4944,33 +4976,28 @@ object SparkEntry {
 
     // one fixed IEEE expression over four exact BIGINT user/converter
     // counts; variant and conversion are row-local rules
-    "ab_test" ->
-      """WITH pu AS (SELECT user_id, CAST(min(user_id % 2) AS BIGINT) AS v,
-        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS c
-        |  FROM events GROUP BY user_id),
-        |wide AS (SELECT
-        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
-        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |    CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
-        |  FROM pu)
-        |SELECT n_a, conv_a, n_b, conv_b,
-        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a6,
-        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b6,
-        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift6,
-        |  round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
-        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
-        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z6,
-        |  abs((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
-        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
-        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
-        |    AS significant
-        |FROM wide""".stripMargin,
+    "ab_test" -> abTestOracleSql,
+
+    // the drained per-user conversion state feeds the SAME Graft.abTest
+    // readout — final line pinned identical to the batch row
+    "stream_ab_test" -> abTestOracleSql,
+
+    // winsorize: exact 4dp-rounded percentile clamps, DECIMAL-exact sums
+    "winsorized_stats" ->
+      """WITH q AS (SELECT event_type, CAST(count(1) AS BIGINT) AS n_rows,
+        |    round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT e.event_type, q.n_rows,
+        |    least(greatest(e.value, q.lo), q.hi) AS w, e.value AS v
+        |  FROM events e JOIN q USING (event_type))
+        |SELECT event_type, n_rows,
+        |  CAST(sum(CASE WHEN w <> v THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  round(CAST(sum(CAST(w AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 2) AS wmean2,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 2) AS raw_mean2
+        |FROM f GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
 
     // the integer EWMA recursion replayed as a recursive CTE over the
     // gap-filled hour spine — grid-sized, bit-identical DIV arithmetic

@@ -6219,6 +6219,35 @@ object Graft {
       (abs(z) > zThreshold).as("significant"))
   }
 
+  /** Winsorized per-group statistics — the REPAIR companion to
+    * [[robustScale]]'s flagging: values clamp to the group's exact
+    * [pLo, pHi] (4dp-ROUNDED type-7 percentiles, the robust_scale
+    * convention — the clamp boundary never rests on a last-ulp
+    * interpolation diff), then the group re-aggregates. Clamped values
+    * carry ≤4 decimals, so the winsorized sum rides DECIMAL(18,4) exactly
+    * (no order-dependent double sums). One percentile aggregate per group
+    * broadcast onto one clamp pass. Output: (group, n_rows, n_clamped,
+    * wmean2, raw_mean2). */
+  def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val q = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr(s"percentile(`$valCol`, $pLo)"), 4).as("__lo"),
+        round(expr(s"percentile(`$valCol`, $pHi)"), 4).as("__hi"))
+    df.select(col(groupCol), col(valCol))
+      .join(broadcast(q), groupCol)
+      .withColumn("__w", least(greatest(col(valCol), col("__lo")), col("__hi")))
+      .groupBy(col(groupCol), col("n_rows"))
+      .agg(sum(when(col("__w") =!= col(valCol), 1L).otherwise(0L)).as("n_clamped"),
+        sum(col("__w").cast("decimal(18,4)")).as("__wsum"),
+        sum(col(valCol).cast("decimal(18,4)")).as("__rsum"))
+      .select(col(groupCol), col("n_rows"), col("n_clamped"),
+        round(col("__wsum").cast("double") / col("n_rows").cast("double"), 2)
+          .as("wmean2"),
+        round(col("__rsum").cast("double") / col("n_rows").cast("double"), 2)
+          .as("raw_mean2"))
+  }
+
   /** Integer-exact EWMA ingest monitor: per-type hourly counts gap-fill
     * onto the dense wall-clock spine (the eventRateAnomalies pattern),
     * then each type's smoother folds ROW-LOCALLY over its own hour array —

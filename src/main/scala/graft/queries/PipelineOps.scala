@@ -1275,4 +1275,13 @@ object PipelineOps {
         Tables.events(s, d).select(col("ts"), col("event_type")),
         "ts", "event_type")
       .orderBy("event_type")
+
+  /** Registry `winsorized_stats` (Graft.winsorizedStats): the repair
+    * companion to robust_scale — per-type event values clamp to exact
+    * [p05, p95] and the means recompute on DECIMAL-exact sums. */
+  def winsorizedStats(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.winsorizedStats(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value")
+      .orderBy("event_type")
 }

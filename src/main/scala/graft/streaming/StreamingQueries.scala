@@ -1452,4 +1452,22 @@ object StreamingQueries {
         .orderBy("event_type")
     } finally s.conf.set(key, prev)
   }
+
+  /** THE EXPERIMENT READOUT AT INGEST: per-user conversion state (ONE max
+    * flag per user — the minimal keyed state an online A/B dashboard
+    * carries) accumulates over the event stream; the drained state feeds
+    * the SAME `Graft.abTest` readout as the batch row, so the final
+    * (counts, rates, z) line is pinned identical and shares ab_test's
+    * oracle verbatim. */
+  def streamAbTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = readStreamTable(s, d, "events")
+      .select(col("user_id"), (col("user_id") % 2).as("variant"),
+        (col("event_type") === "purchase" && col("value") > 180.0).as("__c"))
+      .groupBy("user_id", "variant")
+      .agg(max(when(col("__c"), 1L).otherwise(0L)).as("__conv"))
+    val drained = runToMemory(s, perUser, "graft_stream_ab_test", "complete")
+    graft.api.Graft.abTest(
+      drained.withColumn("converted", col("__conv") === 1L),
+      "user_id", "variant", "converted")
+  }
 }

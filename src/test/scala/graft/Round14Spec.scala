@@ -1548,6 +1548,26 @@ class Round14Spec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("winsorizedStats: clamps the tail; degenerate bounds are identity") {
+    import spark.implicits._
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ (("g", 1000.0)))
+      .toDF("g", "v")
+    val r = api.Graft.winsorizedStats(df, "g", "v")
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(r._2 == 10L && r._3 > 0L && r._4 < r._5,
+      s"right-skew must clamp and pull the mean down: $r")
+    // pLo = 0, pHi = 1 clamp to [min, max] — identity
+    val id = api.Graft.winsorizedStats(df, "g", "v", pLo = 0.0, pHi = 1.0)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(id._3 == 0L && id._4 == id._5, s"$id")
+  }
+
+  test("streamAbTest: drained per-user state reproduces the batch readout") {
+    val batch = queries.PipelineOps.abTest(spark, sf).collect().toSeq
+    val stream = streaming.StreamingQueries.streamAbTest(spark, sf).collect().toSeq
+    assert(batch == stream, s"stream A/B diverged:\n$batch\n$stream")
+  }
+
   test("sqlScripting: bisection result satisfies the 40% invariant") {
     val r = queries.Modern.sqlScripting(spark, sf).collect().head
     val (thr, kept, total) = (r.getLong(0), r.getLong(1), r.getLong(2))
