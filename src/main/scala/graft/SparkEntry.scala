@@ -4834,10 +4834,12 @@ object SparkEntry {
         |  round(p1, 6) AS p1_6, round(p2, 6) AS p2_6,
         |  round(p3, 6) AS p3_6, round(p4, 6) AS p4_6,
         |  round(bp, 6) AS bp6,
-        |  round(bp * (floor(exp((floor(ln(p1) * 1048576.0) / 1048576.0
-        |    + floor(ln(p2) * 1048576.0) / 1048576.0
-        |    + floor(ln(p3) * 1048576.0) / 1048576.0
-        |    + floor(ln(p4) * 1048576.0) / 1048576.0) / 4.0) * 1048576.0) / 1048576.0), 6) AS bleu6
+        |  round(CASE WHEN p1 = 0.0 THEN 0.0
+        |    ELSE bp * (floor(exp((floor(ln(p1) * 1048576.0) / 1048576.0
+        |      + floor(ln(p2) * 1048576.0) / 1048576.0
+        |      + floor(ln(p3) * 1048576.0) / 1048576.0
+        |      + floor(ln(p4) * 1048576.0) / 1048576.0) / 4.0) * 1048576.0) / 1048576.0)
+        |  END, 6) AS bleu6
         |FROM m ORDER BY source""".stripMargin,
 
     // chrF: character n-gram P/R as integer-sum ratios combined in a fixed
@@ -4928,8 +4930,8 @@ object SparkEntry {
         |    qid % 4 AS bucket
         |  FROM q JOIN documents d ON d.doc_id > qid AND d.doc_id <= qid + 50),
         |ranked AS (SELECT *,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score, rel) AS rnk,
-        |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, score) AS irnk,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, rel) AS rnk,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, score DESC) AS irnk,
         |    CASE WHEN rel <= 0 THEN 0.0 WHEN rel = 1 THEN 1.0
         |      WHEN rel = 2 THEN 3.0 ELSE 7.0 END AS gain
         |  FROM run),
@@ -5257,8 +5259,9 @@ object SparkEntry {
         |SELECT source, CAST(count(1) AS BIGINT) AS n_dialogs,
         |  CAST(sum(turns) AS BIGINT) AS n_turns,
         |  round(CAST(sum(turns) AS DOUBLE) / count(1), 4) AS avg_turns4,
-        |  round(CAST(sum(atok) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE), 4) AS asst_token_share4,
-        |  round(CAST(count(CASE WHEN turns % 2 = 0 THEN 1 END) AS DOUBLE) / count(1), 4) AS ends_asst_rate4
+        |  round(CASE WHEN sum(ntok) = 0 THEN 0.0
+        |    ELSE CAST(sum(atok) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE) END, 4) AS asst_token_share4,
+        |  round(CAST(count(CASE WHEN turns % 2 = 0 AND turns > 0 THEN 1 END) AS DOUBLE) / count(1), 4) AS ends_asst_rate4
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // Matryoshka truncation recall: per-dim prefix-cosine top-5 vs the

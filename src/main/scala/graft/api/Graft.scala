@@ -5512,23 +5512,33 @@ object Graft {
     * (rank, node, pr6) by rank desc, node asc. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, topK: Int = 20): DataFrame = {
+    // Iteration barriers (the textRank pattern, VERDICT r14 #1): the
+    // degree-annotated edge list and node spine are each derived from a
+    // distinct/groupBy over the caller's edge projection — without a
+    // checkpoint every iteration re-scans and re-aggregates them, and the
+    // loop compiles an iters-deep plan. Checkpoint each ONCE, and each
+    // iteration's rank frame, so iteration i reads only materialized
+    // inputs: at 100 TB that is one edge-list scan total, not iters+1.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-    val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val eDeg = e.join(
+        e.groupBy("__src").agg(count(lit(1)).as("__deg")), "__src")
+      .localCheckpoint(true)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pagerank needs a non-empty graph")
     val baseU = (3L * 1048576L) / (20L * n)
     var pr = nodes.withColumn("__pru", lit(1048576L / n))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(pr.withColumnRenamed("node", "__src"), "__src")
-        .join(deg, "__src")
         .select(col("__dst").as("node"), expr("__pru DIV __deg").as("__c"))
         .groupBy("node").agg(sum("__c").as("__S"))
       pr = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), (lit(baseU)
           + expr("(17L * coalesce(__S, 0L)) DIV 20L")).as("__pru"))
+        .localCheckpoint(true)
     }
     pr.orderBy(col("__pru").desc, col("node").asc).limit(topK)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
@@ -5660,8 +5670,10 @@ object Graft {
     * so every p_n is one divide of exact integer sums. The brevity penalty
     * uses corpus-level token totals (the standard corpus BLEU definition —
     * per-sentence BP would need per-pair closest-ref lengths). n ≥ 2
-    * precisions are add-one smoothed ((O+1)/(C+1), Lin & Och '04 style) so
-    * a zero-overlap stratum stays finite. The only transcendentals (ln of
+    * precisions are add-one smoothed ((O+1)/(C+1), Lin & Och '04 style);
+    * p1 stays raw, and a zero-UNIGRAM-overlap stratum short-circuits to
+    * bleu6 = 0 explicitly (p1 = 0 makes the geometric mean 0; computing
+    * it through log would be engine-dependent — Spark log(0) is NULL). The only transcendentals (ln of
     * the four precisions, exp of the BP exponent and of the mean log
     * precision) run on the k-row STRATUM frame and are floor-quantized to
     * the 2^-20 grid — the repo's libm-determinism idiom — before any
@@ -5716,11 +5728,19 @@ object Graft {
     val bp = when(col("__tc") >= col("__tr"), lit(1.0))
       .otherwise(q(exp(lit(1.0) - col("__tr").cast("double") / col("__tc").cast("double"))))
     val meanLog = (q(log(p(1))) + q(log(p(2))) + q(log(p(3))) + q(log(p(4)))) / lit(4.0)
+    // p1 is unsmoothed (clipping already bounds it; smoothing p1 would
+    // inflate every normal stratum), so a zero-unigram-overlap stratum
+    // must short-circuit: Spark's log(0) is NULL while DuckDB's ln(0)
+    // isn't — without the guard the two engines diverge (ADVICE r14).
+    // BLEU of a candidate set sharing NO unigrams with its references is
+    // 0 by definition (the geometric mean's p1 factor is 0).
+    val bleu = when(col("__O1") === 0L, lit(0.0))
+      .otherwise(bp * q(exp(meanLog)))
     g.select(col("__s").as(strataCol), col("n_pairs"),
       round(p(1), 6).as("p1_6"), round(p(2), 6).as("p2_6"),
       round(p(3), 6).as("p3_6"), round(p(4), 6).as("p4_6"),
       round(bp, 6).as("bp6"),
-      round(bp * q(exp(meanLog)), 6).as("bleu6"))
+      round(bleu, 6).as("bleu6"))
   }
 
   /** chrF (Popović '15) between paired candidate/reference texts: character
@@ -5813,17 +5833,25 @@ object Graft {
     * (2^rel − 1) · w(rank) where w = 1/log2(rank+1) is floor-quantized to
     * the 2^-20 grid so per-query sums are EXACT doubles; per-query NDCG is
     * re-quantized before the cross-query mean so the final aggregation is
-    * order-independent. relThreshold sets the MRR "relevant" bar. Output
-    * per stratum: (stratum, n_queries, n_hit, mrr6, ndcg6). */
+    * order-independent. relThreshold sets the MRR "relevant" bar.
+    *
+    * Score DIRECTION: higher score = better — rank 1 is the HIGHEST score
+    * (the universal MRR/NDCG convention; cosine, BM25, and classifier
+    * scores all rank descending). Ties break by relevance ascending — a
+    * deterministic secondary, conservative for MRR (a tied relevant
+    * candidate never borrows a better rank from the tie). ADVICE r14: the
+    * first cut ranked ASCENDING, which the synthetic md5-score oracle
+    * masked; real callers would have gotten inverted-ranking metrics.
+    * Output per stratum: (stratum, n_queries, n_hit, mrr6, ndcg6). */
   def retrievalMetrics(run: DataFrame, qidCol: String, scoreCol: String,
       relCol: String, strataCol: String, k: Int = 10,
       relThreshold: Int = 2): DataFrame = {
     def q(c: Column): Column = floor(c * lit(1048576.0)).cast("double") / lit(1048576.0)
     def w(rankCol: Column): Column = q(lit(1.0) / log2(rankCol.cast("double") + lit(1.0)))
     val byScore = Window.partitionBy(col(qidCol))
-      .orderBy(col(scoreCol).asc, col(relCol).asc)
+      .orderBy(col(scoreCol).desc, col(relCol).asc)
     val byRel = Window.partitionBy(col(qidCol))
-      .orderBy(col(relCol).desc, col(scoreCol).asc)
+      .orderBy(col(relCol).desc, col(scoreCol).desc)
     val ranked = run
       .withColumn("__rank", row_number().over(byScore))
       .withColumn("__irank", row_number().over(byRel))
@@ -5918,14 +5946,22 @@ object Graft {
         0L, (a, t) -> a + size(split(t.content, ' ')))""").as("__atok"),
       expr("""aggregate(__turns, 0L,
         (a, t) -> a + size(split(t.content, ' ')))""").as("__tok"),
-      (element_at(col("__turns"), -1).getField("role") === "assistant")
-        .as("__ends_asst"))
+      // a ZERO-TURN dialog has no last turn: element_at on the empty
+      // array is NULL, which must read as "does not end on the
+      // assistant", not as an unknown that silently drops out of the
+      // rate's numerator only (ADVICE r14 — the oracle's closed form and
+      // this flag now agree on turns = 0)
+      coalesce(element_at(col("__turns"), -1).getField("role") === "assistant",
+        lit(false)).as("__ends_asst"))
     perDialog.groupBy("__s")
       .agg(count(lit(1)).as("n_dialogs"),
         sum("__nt").as("n_turns"),
         round(sum("__nt").cast("double") / count(lit(1)).cast("double"), 4)
           .as("avg_turns4"),
-        round(sum("__atok").cast("double") / sum("__tok").cast("double"), 4)
+        // all-empty stratum: 0/0 would be NaN (double ÷ ignores ANSI) —
+        // define the share as 0 instead of shipping a NaN readout
+        round(when(sum("__tok") === 0L, lit(0.0))
+          .otherwise(sum("__atok").cast("double") / sum("__tok").cast("double")), 4)
           .as("asst_token_share4"),
         round(sum(when(col("__ends_asst"), 1L).otherwise(0L)).cast("double")
           / count(lit(1)).cast("double"), 4).as("ends_asst_rate4"))
@@ -6199,11 +6235,22 @@ object Graft {
         max(when(col(convertedCol), 1L).otherwise(0L)).as("__c"))
     val counts = perUser.groupBy("__v")
       .agg(count(lit(1)).as("__n"), sum("__c").as("__k"))
+    // Variant values are DERIVED, not assumed (ADVICE r14: the first cut
+    // hardcoded 0/1 and any other encoding — strings, 1/2 — yielded
+    // all-NULL counts silently): A = the lowest variant value, B = the
+    // highest, and anything other than exactly two distinct variants
+    // fails loudly at evaluation time instead of fabricating a readout.
     val wide = counts.agg(
-      sum(when(col("__v") === 0, col("__n"))).as("n_a"),
-      sum(when(col("__v") === 0, col("__k"))).as("conv_a"),
-      sum(when(col("__v") === 1, col("__n"))).as("n_b"),
-      sum(when(col("__v") === 1, col("__k"))).as("conv_b"))
+      count(lit(1)).as("__nv"),
+      expr("min_by(__n, __v)").as("__na"),
+      expr("min_by(__k, __v)").as("conv_a"),
+      expr("max_by(__n, __v)").as("n_b"),
+      expr("max_by(__k, __v)").as("conv_b"))
+      // the guard rides an OUTPUT column (a detached assert column would
+      // be pruned by Catalyst and never evaluate)
+      .withColumn("n_a", when(col("__nv") === 2, col("__na")).otherwise(expr(
+        "raise_error('abTest requires exactly 2 distinct variant values')")
+        .cast("long")))
     val pa = col("conv_a").cast("double") / col("n_a").cast("double")
     val pb = col("conv_b").cast("double") / col("n_b").cast("double")
     val pool = (col("conv_a") + col("conv_b")).cast("double") /

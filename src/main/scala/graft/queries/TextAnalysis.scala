@@ -782,9 +782,10 @@ object TextAnalysis {
   }
 
   /** Registry `chrf_score`: chrF (Graft.chrfScore) between deterministic
-    * candidate/reference pairs — every fifth document truncates to the
-    * first 70% of characters, the rest drop every 'a' (character-level
-    * noise that token metrics can't see). */
+    * candidate/reference pairs over the doc_id % 19 ≠ 1 split — every
+    * SEVENTH document (doc_id % 7 == 0) truncates to the first 70% of
+    * characters, the rest drop every 'a' (character-level noise that
+    * token metrics can't see). */
   def chrfScore(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") % 19 =!= 1)
     val pairs = docs.select(col("doc_id"), col("source"),

@@ -1106,10 +1106,11 @@ class Round14Spec extends SparkSpec {
 
   test("retrievalMetrics: hand-worked single query; grid-quantized readouts") {
     import spark.implicits._
-    // one query, 3 candidates; score ordering "a" < "b" < "c" fixes ranks.
+    // one query, 3 candidates; DESCENDING score order "c" > "b" > "a"
+    // fixes ranks (higher score = better, the r14-ADVICE convention fix).
     // rels by rank: [0, 2, 3] → first rel>=2 at rank 2 → MRR = 0.5;
     // DCG = 3*w(2) + 7*w(3); ideal rels [3,2,0] → IDCG = 7*w(1) + 3*w(2)
-    val run = Seq((1L, "a", 0, 0L), (1L, "b", 2, 0L), (1L, "c", 3, 0L))
+    val run = Seq((1L, "a", 3, 0L), (1L, "b", 2, 0L), (1L, "c", 0, 0L))
       .toDF("qid", "score", "rel", "bucket")
     val out = api.Graft.retrievalMetrics(run, "qid", "score", "rel", "bucket")
       .as[(Long, Long, Long, Double, Double)].collect().head
