@@ -809,9 +809,9 @@ object SparkEntry {
        |WHERE est_jaccard >= 0.2 ORDER BY new_id, index_id""".stripMargin
 
   /** DuckDB twin of StreamingQueries.streamOnlineDedup — the whole online
-    * ingest loop is closed-form because batch membership is doc_id % 3 and
-    * the fold makes "screened against" = "every earlier tercile": a pair is
-    * flagged iff the two docs share a band and the new doc's tercile is
+    * ingest loop is closed-form because batch membership is doc_id % 2 and
+    * the fold makes "screened against" = "every earlier batch": a pair is
+    * flagged iff the two docs share a band and the new doc's batch is
     * strictly later. Signatures are row-local, so computing them over the
     * full corpus ≡ per-batch computation. */
   private def streamOnlineDedupOracleSql: String =
@@ -820,7 +820,7 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
        |  FROM ex a JOIN ex b
        |    ON a.i = b.i AND a.band = b.band
-       |   AND a.doc_id % 3 > b.doc_id % 3),
+       |   AND a.doc_id % 2 > b.doc_id % 2),
        |est AS (
        |  SELECT new_id, index_id,
        |    $minhashEstExpr
@@ -832,9 +832,9 @@ object SparkEntry {
        |WHERE est_jaccard >= 0.2 ORDER BY doc_id, dup_of""".stripMargin
 
   /** DuckDB twin of StreamingQueries.streamOnlineCurate — the online
-    * curation loop unrolled: arrival order is the doc_id%3 tercile order,
+    * curation loop unrolled: arrival order is the doc_id%2 order,
     * so the closed form is (1) the Gopher gate over the %17<>0 stream,
-    * (2) keep-first exact dedup = row_number ordered by (tercile, doc_id)
+    * (2) keep-first exact dedup = row_number ordered by (doc_id%2, doc_id)
     * per text hash over GATED docs, (3) the banded eval screen restricted
     * to the kept set, (4) the fixed-point DSIR model fit on the FULL
     * static corpus scoring the clean survivors. Every fragment reuses an
@@ -860,7 +860,7 @@ object SparkEntry {
        |  SELECT doc_id FROM (
        |    SELECT d.doc_id, row_number() OVER (
        |        PARTITION BY md5(lower(trim(d.text)))
-       |        ORDER BY d.doc_id % 3, d.doc_id) AS rn
+       |        ORDER BY d.doc_id % 2, d.doc_id) AS rn
        |    FROM documents d JOIN gp USING (doc_id))
        |  WHERE rn = 1),
        |cand AS (
@@ -5110,13 +5110,13 @@ object SparkEntry {
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
 
     // the stream's packing == the batch cumsum under the ARRIVAL order
-    // (tercile staging → (doc_id % 3, doc_id) — the streamOnlineDedup
+    // (mod-2 staging → (doc_id % 2, doc_id) — the streamOnlineDedup
     // closed-form-arrival convention)
     "stream_pack_sequences" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |        sum(n_tokens) OVER (ORDER BY doc_id % 3, doc_id
+        |        sum(n_tokens) OVER (ORDER BY doc_id % 2, doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
         |      FROM t)
         |SELECT CAST(strt // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs,

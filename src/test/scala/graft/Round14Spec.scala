@@ -1251,13 +1251,13 @@ class Round14Spec extends SparkSpec {
     import spark.implicits._
     val out = streaming.StreamingQueries.streamPackSequences(spark, sf)
       .as[(Long, Long, Long, Long)].collect().toSeq
-    // closed-form twin: one global cumsum under the (tercile, id) arrival
+    // closed-form twin: one global cumsum under the (id % 2, id) arrival
     // order (fine at test scale; the operator itself never does this)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy { case (id, _) => (id % 3, id) }
+      .sortBy { case (id, _) => (id % 2, id) }
     var off = 0L
     val expected = docs.map { case (id, nt) =>
       val s = off / 2048; off += nt; (id, nt, s)
@@ -1265,13 +1265,14 @@ class Round14Spec extends SparkSpec {
       (seq, rows.length.toLong, rows.map(_._2).sum, rows.map(_._1).min)
     }.toSeq.sortBy(_._1)
     assert(out == expected, s"stream packing diverged from arrival cumsum")
-    // conservation + the carry genuinely crossed batch boundaries (a
-    // sequence holding docs from more than one tercile exists)
+    // conservation + the carry genuinely matters: batch 0's token total
+    // must not be a multiple of the sequence length, else batch 1 would
+    // pack identically from a zero carry and the equality above would
+    // pass even with the carry broken
     assert(out.map(_._3).sum == docs.map(_._2).sum)
-    val bySeq = docs.zip(docs.scanLeft(0L)(_ + _._2).dropRight(1))
-      .groupBy { case (_, start) => start / 2048 }
-    assert(bySeq.exists(_._2.map(_._1._1 % 3).distinct.length > 1),
-      "no sequence spans a tercile boundary — carry untested")
+    val batch0Total = docs.filter(_._1 % 2 == 0).map(_._2).sum
+    assert(batch0Total % 2048 != 0,
+      s"batch-0 total $batch0Total is seqLen-aligned — carry untested")
   }
 
   test("signalCorrelation: perfect monotone, anti-monotone, and tie cases") {
