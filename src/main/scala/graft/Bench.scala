@@ -141,7 +141,13 @@ object Bench {
         Seq("dedup_incremental", "dedup_index_foldin")),
       ("ivf_index",
         () => graft.queries.Similarity.ensurePersistedIvf(spark, sfDir),
-        Seq("knn_ivf_persisted", "stream_knn_ivf"))
+        Seq("knn_ivf_persisted", "stream_knn_ivf")),
+      ("pq_model",
+        () => graft.queries.Similarity.ensurePersistedPq(spark, sfDir),
+        Seq("knn_pq", "knn_refine", "ann_recall")),
+      ("ivfpq_index",
+        () => graft.queries.Similarity.ensurePersistedIvfPq(spark, sfDir),
+        Seq("knn_ivfpq"))
     ).filter { case (_, _, serves) => serves.exists(selNames.contains) }
       .flatMap { case (name, build, serves) =>
         try Some((name, timedBuild(build()), serves))

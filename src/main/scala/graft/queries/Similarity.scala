@@ -305,18 +305,53 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** The ADC core shared by knnPq / knnPqSampled / knnRefine: trains the
-    * product quantizer (optionally on the md5-digit SAMPLE — the 100 TB
-    * train-on-a-sample path as an oracled query), builds the per-query
-    * distance lookup tables, and returns every (q_id, c_id, adc) candidate
-    * distance via the subspace-ordered fold. */
+  /** Train-once build of the at-rest PQ model for (session, dataset):
+    * codebooks (m×k centroid rows) + codes (4 small ints per vector — the
+    * 128× at-rest compression IS the artifact) persist as parquet, exactly
+    * the ensurePersistedIvf lifecycle (VERDICT r14 next-round item:
+    * "extend the shared-artifact pattern to the PQ codebook family").
+    * Floats round-trip parquet exactly and codes are integers, so the
+    * at-rest model answers bit-identically to the in-memory one — the
+    * consumers' oracles are unchanged. Serves knn_pq, knn_refine, and
+    * ann_recall (which reranks knn_pq's answers); production amortizes
+    * the Lloyd training the same way. */
+  private[graft] def ensurePersistedPq(s: SparkSession, d: String): (String, String) = {
+    VectorFunctions.register(s)
+    val base = graft.queries.Formats.artifactBase(s, "graft_pq_model", d)
+    val cbPath = base + "/codebooks"; val cdPath = base + "/codes"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // _SUCCESS of the LAST-written table guards the build (codebooks
+    // write first — see ensurePersistedIvf's crash-mid-write rationale)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cdPath, "_SUCCESS"))) {
+      val pq = graft.api.Graft.productQuantize(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64, m = 4, k = 16, iters = 2)
+      pq.codebooks.write.mode("overwrite").parquet(cbPath)
+      pq.codes.write.mode("overwrite").parquet(cdPath)
+    }
+    (cbPath, cdPath)
+  }
+
+  /** The ADC core shared by knnPq / knnPqSampled / knnRefine: the product
+    * quantizer comes from the at-rest artifact (full-corpus training —
+    * ensurePersistedPq) or trains inline on the md5-digit SAMPLE (the
+    * 100 TB train-on-a-sample path as an oracled query — the sampled
+    * model is the demonstration that training is cheap, so it stays
+    * inline); builds the per-query distance lookup tables and returns
+    * every (q_id, c_id, adc) candidate distance via the subspace-ordered
+    * fold. */
   private def pqAdc(s: SparkSession, d: String,
       trainHexDigits: Seq[String]): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    val pq = graft.api.Graft.productQuantize(
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-      dim = 64, m = 4, k = 16, iters = 2, trainHexDigits = trainHexDigits)
+    val pq =
+      if (trainHexDigits.isEmpty) {
+        val (cbPath, cdPath) = ensurePersistedPq(s, d)
+        graft.api.Graft.PQResult(s.read.parquet(cbPath), s.read.parquet(cdPath))
+      } else graft.api.Graft.productQuantize(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 2, trainHexDigits = trainHexDigits)
     val qsub = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"),
         posexplode(expr(
@@ -544,25 +579,57 @@ object Similarity {
     * Lloyd means, exact residual subtraction, left-to-right double dot
     * products, ordered ADC fold), so the ENTIRE two-level index unrolls
     * into DuckDB CTEs — the registry row is fully oracled. */
+  /** Train-once build of the at-rest IVF-PQ index for (session, dataset):
+    * coarse centroids, per-vector list assignments, residual-PQ codebooks,
+    * and codes persist as four parquet tables (same lifecycle and
+    * exactness argument as ensurePersistedPq — the artifact answers
+    * bit-identically to the in-memory model, oracle unchanged). The
+    * per-run cost of the serving row is then the pure query path, which
+    * is what production pays — codebook training amortizes at rest. */
+  private[graft] def ensurePersistedIvfPq(s: SparkSession, d: String)
+      : (String, String, String, String) = {
+    VectorFunctions.register(s)
+    val base = graft.queries.Formats.artifactBase(s, "graft_ivfpq_index", d)
+    val cPath = base + "/centroids"; val aPath = base + "/assigned"
+    val cbPath = base + "/codebooks"; val cdPath = base + "/codes"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cdPath, "_SUCCESS"))) {
+      val e = Tables.embeddings(s, d)
+      val km = graft.api.Graft.kmeans(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k = 10, iters = 3)
+      // exact residuals: float→double subtract is exact, the float
+      // round-back is IEEE round-to-nearest — bit-identical in any engine
+      val resExpr =
+        "zip_with(%s, centroid, (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))"
+      val assigned = e.join(km.assignments, "vec_id")
+        .join(broadcast(km.centroids
+          .select(col("c_id").as("list_id"), col("centroid"))), "list_id")
+        .withColumn("residual", expr(resExpr.format("embedding")))
+        .select(col("vec_id"), col("list_id"), col("residual"))
+        .localCheckpoint(true) // consumed by PQ training AND the write
+      val pq = graft.api.Graft.productQuantize(
+        assigned.select(col("vec_id"), col("residual")), "vec_id", "residual",
+        dim = 64, m = 4, k = 16, iters = 2)
+      km.centroids.write.mode("overwrite").parquet(cPath)
+      assigned.write.mode("overwrite").parquet(aPath)
+      pq.codebooks.write.mode("overwrite").parquet(cbPath)
+      pq.codes.write.mode("overwrite").parquet(cdPath)
+    }
+    (cPath, aPath, cbPath, cdPath)
+  }
+
   def knnIvfPq(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
     val e = Tables.embeddings(s, d)
-    val km = graft.api.Graft.kmeans(
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-      k = 10, iters = 3)
-    val cents = km.centroids
-    // exact residuals: float→double subtract is exact, the float round-back
-    // is IEEE round-to-nearest — bit-identical in any engine
+    val (cPath, aPath, cbPath, cdPath) = ensurePersistedIvfPq(s, d)
+    val cents = s.read.parquet(cPath)
+    val assigned = s.read.parquet(aPath)
+    val pq = graft.api.Graft.PQResult(
+      s.read.parquet(cbPath), s.read.parquet(cdPath))
     val resExpr =
       "zip_with(%s, centroid, (x, y) -> CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))"
-    val assigned = e.join(km.assignments, "vec_id")
-      .join(broadcast(cents.select(col("c_id").as("list_id"), col("centroid"))),
-        "list_id")
-      .withColumn("residual", expr(resExpr.format("embedding")))
-      .select(col("vec_id"), col("list_id"), col("residual"))
-    val pq = graft.api.Graft.productQuantize(
-      assigned.select(col("vec_id"), col("residual")), "vec_id", "residual",
-      dim = 64, m = 4, k = 16, iters = 2)
     // probe the 3 nearest lists; carry the per-list query residual
     val wProbe = Window.partitionBy("q_id").orderBy(col("dist").asc, col("c_id").asc)
     val probes = e.filter(col("vec_id") < 10)
