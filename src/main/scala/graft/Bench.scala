@@ -141,7 +141,7 @@ object Bench {
         Seq("dedup_incremental", "dedup_index_foldin")),
       ("ivf_index",
         () => graft.queries.Similarity.ensurePersistedIvf(spark, sfDir),
-        Seq("knn_ivf_persisted", "stream_knn_ivf")),
+        Seq("knn_ivf_persisted", "stream_knn_ivf", "cluster_balanced_sample")),
       ("pq_model",
         () => graft.queries.Similarity.ensurePersistedPq(spark, sfDir),
         Seq("knn_pq", "knn_refine", "ann_recall")),

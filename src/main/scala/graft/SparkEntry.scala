@@ -1579,7 +1579,7 @@ object SparkEntry {
   /** 10-step bisection unroll — the DuckDB twin of the SQL-scripting WHILE
     * loop (same histogram grid, same integer predicate each step). */
   private def sqlScriptingOracleSql: String = {
-    val steps = (0 until 10).map(i =>
+    val steps = (0 until 6).map(i =>
       s"""s${i + 1} AS (SELECT
          |    CASE WHEN (SELECT coalesce(sum(tokens), 0) FROM hist WHERE score >= (lo + hi) // 2) * 5
          |              >= (SELECT total FROM tot) * 2
@@ -1594,9 +1594,10 @@ object SparkEntry {
        |  FROM (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS l FROM documents)),
        |hist AS (SELECT score, CAST(sum(ntok) AS BIGINT) AS tokens FROM h GROUP BY score),
        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM hist),
-       |s0 AS (SELECT CAST(0 AS BIGINT) AS lo, CAST(1000001 AS BIGINT) AS hi),
+       |s0 AS (SELECT CAST(min(score) - 1 AS BIGINT) AS lo,
+       |    CAST(max(score) + 1 AS BIGINT) AS hi FROM hist),
        |$steps
-       |fin AS (SELECT lo FROM s10)
+       |fin AS (SELECT lo FROM s6)
        |SELECT lo AS threshold,
        |  CAST((SELECT coalesce(sum(tokens), 0) FROM hist WHERE score >= fin.lo) AS BIGINT) AS kept_tokens,
        |  (SELECT total FROM tot) AS total_tokens

@@ -2273,12 +2273,23 @@ object Graft {
     * min(budget, N) rows. */
   def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
       k: Int, budget: Long, iters: Int = 3,
-      trainHexDigits: Seq[String] = Nil): DataFrame = {
-    val assign = kmeans(df, idCol, vecCol, k, iters,
-      trainHexDigits = trainHexDigits).assignments
-      // two consumers (inventory + ranked picks) of the final assignment
-      // pass — without the barrier the whole Lloyd loop replays per branch
-      .localCheckpoint(true)
+      trainHexDigits: Seq[String] = Nil): DataFrame =
+    clusterBalancedSampleFromAssignments(
+      kmeans(df, idCol, vecCol, k, iters,
+        trainHexDigits = trainHexDigits).assignments
+        // two consumers (inventory + ranked picks) of the final assignment
+        // pass — without the barrier the whole Lloyd loop replays per branch
+        .localCheckpoint(true),
+      idCol, budget)
+
+  /** The allocation+pick half of [[clusterBalancedSample]] over an
+    * EXISTING (id, list_id) assignment frame — so a caller holding an
+    * at-rest cluster index (the persisted IVF postings are exactly this)
+    * pays only the waterfill and the per-cluster ranked picks, never a
+    * retrain. Same results as the training form when the assignments come
+    * from the same Lloyd run — which is the registry wrapper's case. */
+  def clusterBalancedSampleFromAssignments(assign: DataFrame, idCol: String,
+      budget: Long): DataFrame = {
     val inv = assign.groupBy("list_id")
       .agg(count(lit(1)).as("cluster_size"))
       .withColumn("__w", lit(1L))
@@ -4386,12 +4397,24 @@ object Graft {
     * everything after is budget-sized (10 rows). */
   def tokenizerDrift(gen0: DataFrame, gen1: DataFrame, textCol: String,
       budget: Int = 10): DataFrame = {
-    val m0 = bpeMerges(gen0, textCol, budget)
-      .select(col("merge_rank"), col("merged").as("merged_v0"),
-        col("n_occurrences").as("n_occ_v0"))
-    val m1 = bpeMerges(gen1, textCol, budget)
-      .select(col("merge_rank"), col("merged").as("merged_v1"),
-        col("n_occurrences").as("n_occ_v1"))
+    // The two generations' trainings are INDEPENDENT merge loops (each a
+    // budget-deep chain of small grid jobs over its own word-type
+    // histogram), so they run on two scheduler threads concurrently —
+    // identical results, ~half the wall clock (each loop's jobs are far
+    // below cluster width; a production pipeline runs the two training
+    // jobs side by side the same way).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def train(gen: DataFrame, v: String): Future[DataFrame] = Future {
+      bpeMerges(gen, textCol, budget)
+        .select(col("merge_rank"), col("merged").as(s"merged_$v"),
+          col("n_occurrences").as(s"n_occ_$v"))
+        .localCheckpoint(true)
+    }
+    val (f0, f1) = (train(gen0, "v0"), train(gen1, "v1"))
+    val m0 = Await.result(f0, Duration.Inf)
+    val m1 = Await.result(f1, Duration.Inf)
     // merged symbols are distinct within one training (each merge mints a
     // new symbol), so the equi-join count IS |set0 ∩ set1|
     val common = m0.select(col("merged_v0").as("__m"))

@@ -324,16 +324,25 @@ object Modern {
     val prev = s.conf.get(confKey, "false")
     s.conf.set(confKey, "true")
     try {
+      // 6 bisection steps over GRID-DERIVED bounds (VERDICT r14 #8: this
+      // was the heaviest relational row at 4.1 s, and the cost is the
+      // scripting interpreter's per-statement floor × statement count —
+      // measured, not the grid jobs): [min−1, max+1] anchors the same
+      // invariant (lo always keeps ≥40%, hi never does) at 4 fewer
+      // WHILE rounds ≈ 20 fewer interpreted statements; the oracle
+      // unrolls the same 6 steps from the same derived bounds.
       val out = s.sql(
         s"""BEGIN
-          |  DECLARE lo BIGINT DEFAULT 0;
-          |  DECLARE hi BIGINT DEFAULT 1000001;
+          |  DECLARE lo BIGINT;
+          |  DECLARE hi BIGINT;
           |  DECLARE mid BIGINT;
           |  DECLARE kept BIGINT;
           |  DECLARE total BIGINT;
           |  DECLARE i INT DEFAULT 0;
           |  SET total = (SELECT sum(tokens) FROM $view);
-          |  WHILE i < 10 DO
+          |  SET lo = (SELECT min(score) - 1 FROM $view);
+          |  SET hi = (SELECT max(score) + 1 FROM $view);
+          |  WHILE i < 6 DO
           |    SET mid = (lo + hi) DIV 2;
           |    SET kept = (SELECT coalesce(sum(tokens), 0)
           |                FROM $view WHERE score >= mid);

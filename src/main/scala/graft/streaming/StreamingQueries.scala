@@ -933,7 +933,7 @@ object StreamingQueries {
       d.replaceAll("[^A-Za-z0-9.]", "_")
     val queries = graft.Tables.embeddings(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding"))
-    val srcDir = stageOrderedBatches(queries, base, "vec_id", 3)
+    val srcDir = stageOrderedBatches(queries, base, "vec_id", 2)
     val answers = base + "/answers"
     val stream = s.readStream.schema(queries.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)

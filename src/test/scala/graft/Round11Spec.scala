@@ -236,12 +236,14 @@ class Round11Spec extends SparkSpec {
     val want = queries.Similarity.knnIvfPersisted(spark, sf).collect().toSeq
     assert(got.map(_.toSeq) == want.map(_.toSeq))
     assert(got.nonEmpty)
-    // the firehose really ran as 3 micro-batches (one staged file each)
+    // the firehose really ran as 2 micro-batches (one staged file each —
+    // r15 trimmed the third: per-answer union is batching-invariant and
+    // one boundary exercises the per-batch probe path identically)
     val base = s"/tmp/graft_stream_knn_ivf/${spark.sparkContext.applicationId}/" +
       sf.replaceAll("[^A-Za-z0-9.]", "_")
     val commits = new java.io.File(base + "/ckpt/commits").listFiles()
       .count(f => f.getName.forall(_.isDigit))
-    assert(commits == 3, s"expected 3 committed micro-batches, saw $commits")
+    assert(commits == 2, s"expected 2 committed micro-batches, saw $commits")
   }
 
   test("a replayed ingest batch is exactly-once: flags and index unchanged") {
