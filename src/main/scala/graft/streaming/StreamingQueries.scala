@@ -735,10 +735,12 @@ object StreamingQueries {
     * new×index screen as the batch query, so the flagged set hash-matches
     * the batch oracle verbatim. */
   def streamDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val evalSigs = graft.api.Graft.minhashSignatures(
-      docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
-      numHashes = 32, baseHash = graft.api.Graft.md5Hash60)
+    // the eval index is the SHARED at-rest signature table filter-pruned
+    // to the eval split (a static artifact is exactly what the screen's
+    // contract says the index side is)
+    val evalSigs = s.read.parquet(
+        graft.queries.Dedup.ensureSignatureTable(s, d))
+      .filter(col("doc_id") % 17 === 0)
     val sigState = graft.api.Graft.minhashSignatures(
       readStreamTable(s, d, "documents")
         .filter(col("doc_id") % 17 =!= 0)
@@ -989,10 +991,20 @@ object StreamingQueries {
   private[graft] def streamDecontaminateStateless(s: SparkSession, d: String,
       gramHashSql: String => String,
       baseHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val evalSigs = graft.api.Graft.minhashSignatures(
-      docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
-      numHashes = 32, baseHash = baseHash)
+    // eval index = the shared at-rest signature table, filter-pruned —
+    // but ONLY for the oracled md5 hash the table stores; the
+    // production-hash variant recomputes with its own base hash. The
+    // discriminator is the gram-hash VAL (reference equality is sound on
+    // a val; the baseHash def eta-expands to a fresh lambda per call) —
+    // the two hash parameters switch together by this method's contract.
+    val evalSigs =
+      if (gramHashSql eq graft.api.Graft.md5GramSql)
+        s.read.parquet(graft.queries.Dedup.ensureSignatureTable(s, d))
+          .filter(col("doc_id") % 17 === 0)
+      else graft.api.Graft.minhashSignatures(
+        graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 17 === 0), "doc_id", "text",
+        numHashes = 32, baseHash = baseHash)
     val streamSigs = graft.api.Graft.minhashSignatureRowLocal(
       readStreamTable(s, d, "documents")
         .filter(col("doc_id") % 17 =!= 0)
@@ -1191,10 +1203,9 @@ object StreamingQueries {
     val srcDir = stageOrderedBatches(stream0, base, "doc_id", 2)
     // static artifacts, fit ONCE before ingest and reused by every batch:
     // the eval-split signatures and the full-corpus DSIR model
-    val evalSigs = graft.api.Graft.minhashSignatures(
-        all.filter(col("doc_id") % 17 === 0), "doc_id", "text",
-        numHashes = 32, baseHash = graft.api.Graft.md5Hash60,
-        keepEmpty = false)
+    val evalSigs = s.read.parquet(
+        graft.queries.Dedup.ensureSignatureTable(s, d))
+      .filter(col("doc_id") % 17 === 0 && col("sig").isNotNull)
       .localCheckpoint(true)
     val model = graft.api.Graft.dsirModel(all, "text",
         col("lang") === "en", buckets = 256)
