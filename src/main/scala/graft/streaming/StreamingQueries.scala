@@ -133,14 +133,15 @@ object StreamingQueries {
       mode: String): DataFrame = {
     // Local-mode knob: each streaming query initializes one state store per
     // shuffle partition; for the small bounded test tables capping partitions
-    // cuts the fixed startup cost. Round-5 A/B (min-of-3 per query, 14-query
-    // family at sf0.1): 4 partitions = 17.5 s, 8 partitions = 19.8 s — 4
-    // kept (this resolves the r4 comment/code drift that said 8). On a
-    // cluster this stays whatever the session sets — state partitioning is
-    // the scale mechanism.
+    // cuts the fixed startup cost. Round-5 A/B found 4 < 8 (17.5 s vs
+    // 19.8 s over the then-14-query family); the round-15 re-A/B on the
+    // calibration-bracketed bench read the 7-row probe family 8.9 s at 2
+    // partitions vs ~2× that at 4, and 9.3 s at 1 (state work serializes)
+    // — 2 kept. On a cluster this stays whatever the session sets — state
+    // partitioning is the scale mechanism.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    val tuned = math.min(prev.toInt, 4).toString
+    val tuned = math.min(prev.toInt, 2).toString
     s.conf.set(key, tuned)
     try {
       val q = stream.writeStream.outputMode(mode).format("memory").queryName(name).start()
@@ -714,7 +715,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try {
       val q = graft.connectors.KeyValueSink.start(agg, store, "user_id",
         "graft_stream_kv_upsert")
@@ -943,7 +944,7 @@ object StreamingQueries {
     // batch joins a handful of query vectors against the pruned postings
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try {
       val q = stream.writeStream
         .trigger(Trigger.AvailableNow())
@@ -1123,7 +1124,7 @@ object StreamingQueries {
     // is pure task overhead here (on a cluster the session value stands)
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try {
       val q = stream.writeStream
         .trigger(Trigger.AvailableNow())
@@ -1217,7 +1218,7 @@ object StreamingQueries {
     // tercile of a bounded table — cap the shuffle width
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try {
       val q = stream.writeStream
         .trigger(Trigger.AvailableNow())
@@ -1319,7 +1320,7 @@ object StreamingQueries {
     val snapBase = base + "/snap"
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try {
       val stream = s.readStream.schema(log.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -1371,7 +1372,7 @@ object StreamingQueries {
     val asgBase = base + "/asg"; val carryBase = base + "/carry"
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -1452,7 +1453,7 @@ object StreamingQueries {
     val stateBase = base + "/state"
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    s.conf.set(key, math.min(prev.toInt, 4).toString)
     try {
       val stream = s.readStream.schema(bucketed.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
