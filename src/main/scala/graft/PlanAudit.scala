@@ -479,9 +479,10 @@ object PlanAudit {
           "block keys (never cartesian); the native DL kernel sits " +
           "inside the joined projection"),
       ("graph_pagerank", p => !p.contains("CartesianProduct")
-        && p.contains("partial_sum"),
-        "pagerank: each iteration shuffles edge contributions with a " +
-          "map-side partial integer sum; no cartesian anywhere"),
+        && p.contains("ExistingRDD"),
+        "pagerank: iterations run eagerly behind localCheckpoint barriers " +
+          "(r15 — one edge-list scan total), so the final plan is the " +
+          "top-k over the LAST checkpointed rank frame; no cartesian"),
       ("uncertainty_sample", p => p.contains("ObjectHashAggregate")
         && !p.contains("Window"),
         "uncertainty sampling: fused min-k typed aggregate (O(k) state " +
@@ -593,6 +594,11 @@ object PlanAudit {
         && !p.contains("Window"),
         "winsorize: one percentile aggregate per group broadcast onto " +
           "one clamp pass — no window, no second scan of raw values"),
+      // round-15 pins
+      ("image_dedup", p => !p.contains("CartesianProduct")
+        && !p.contains("Window"),
+        "perceptual image dedup: codegen'd scalar pixel samples, block-key " +
+          "equi-joins only — no all-pairs, no rank window"),
     )
 
     var failed = 0

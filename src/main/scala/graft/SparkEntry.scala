@@ -181,6 +181,7 @@ object SparkEntry {
     // multimodal columns
     "multimodal_join"   -> Multimodal.multimodalJoin _,
     "multimodal_decode" -> Multimodal.multimodalDecode _,
+    "image_dedup"       -> Multimodal.imageDedup _,
     // batch event-time windows + typed rolling state
     "tumbling_windows"  -> EventTime.tumblingWindows _,
     "sliding_windows"   -> EventTime.slidingWindows _,
@@ -6029,6 +6030,82 @@ object SparkEntry {
     // fixture uses (Multimodal.gi01Assets), then aggregates the hex pairs as
     // integers — DuckDB never sees the container, only the closed-form pixel
     // bytes, which is all the stats depend on.
+    // dHash fingerprints rebuilt from the same md5 pixel formula as
+    // multimodal_decode; the pigeonhole blocks' recall guarantee makes the
+    // semantics the exact all-pairs Hamming <= 3 join, run directly here
+    "image_dedup" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, n_chars % 8 + 4 AS w,
+        |    md5(text || '-0') || md5(text || '-1') || md5(text || '-2') ||
+        |      md5(text || '-3') || md5(text || '-4') AS hp
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w,
+        |    list_transform(range(0, w * 6),
+        |      j -> ('0x' || substring(hp, CAST(2 * j + 1 AS INTEGER), 2))::BIGINT) AS p
+        |  FROM b0),
+        |assets AS (
+        |  SELECT doc_id * 2 AS img_id, w, p FROM px
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1, w, [(p[1] + 96) % 256] || p[2:] FROM px
+        |  WHERE doc_id % 13 = 4),
+        |sig AS (
+        |  SELECT img_id,
+        |    CAST(CASE WHEN p[0 * w + ((1 * w) // 9) + 1] > p[0 * w + ((0 * w) // 9) + 1] THEN 1 ELSE 0 END +
+        |      CASE WHEN p[0 * w + ((2 * w) // 9) + 1] > p[0 * w + ((1 * w) // 9) + 1] THEN 2 ELSE 0 END +
+        |      CASE WHEN p[0 * w + ((3 * w) // 9) + 1] > p[0 * w + ((2 * w) // 9) + 1] THEN 4 ELSE 0 END +
+        |      CASE WHEN p[0 * w + ((4 * w) // 9) + 1] > p[0 * w + ((3 * w) // 9) + 1] THEN 8 ELSE 0 END +
+        |      CASE WHEN p[0 * w + ((5 * w) // 9) + 1] > p[0 * w + ((4 * w) // 9) + 1] THEN 16 ELSE 0 END +
+        |      CASE WHEN p[0 * w + ((6 * w) // 9) + 1] > p[0 * w + ((5 * w) // 9) + 1] THEN 32 ELSE 0 END +
+        |      CASE WHEN p[0 * w + ((7 * w) // 9) + 1] > p[0 * w + ((6 * w) // 9) + 1] THEN 64 ELSE 0 END +
+        |      CASE WHEN p[0 * w + ((8 * w) // 9) + 1] > p[0 * w + ((7 * w) // 9) + 1] THEN 128 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((1 * w) // 9) + 1] > p[1 * w + ((0 * w) // 9) + 1] THEN 256 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((2 * w) // 9) + 1] > p[1 * w + ((1 * w) // 9) + 1] THEN 512 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((3 * w) // 9) + 1] > p[1 * w + ((2 * w) // 9) + 1] THEN 1024 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((4 * w) // 9) + 1] > p[1 * w + ((3 * w) // 9) + 1] THEN 2048 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((5 * w) // 9) + 1] > p[1 * w + ((4 * w) // 9) + 1] THEN 4096 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((6 * w) // 9) + 1] > p[1 * w + ((5 * w) // 9) + 1] THEN 8192 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((7 * w) // 9) + 1] > p[1 * w + ((6 * w) // 9) + 1] THEN 16384 ELSE 0 END +
+        |      CASE WHEN p[1 * w + ((8 * w) // 9) + 1] > p[1 * w + ((7 * w) // 9) + 1] THEN 32768 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((1 * w) // 9) + 1] > p[2 * w + ((0 * w) // 9) + 1] THEN 65536 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((2 * w) // 9) + 1] > p[2 * w + ((1 * w) // 9) + 1] THEN 131072 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((3 * w) // 9) + 1] > p[2 * w + ((2 * w) // 9) + 1] THEN 262144 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((4 * w) // 9) + 1] > p[2 * w + ((3 * w) // 9) + 1] THEN 524288 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((5 * w) // 9) + 1] > p[2 * w + ((4 * w) // 9) + 1] THEN 1048576 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((6 * w) // 9) + 1] > p[2 * w + ((5 * w) // 9) + 1] THEN 2097152 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((7 * w) // 9) + 1] > p[2 * w + ((6 * w) // 9) + 1] THEN 4194304 ELSE 0 END +
+        |      CASE WHEN p[2 * w + ((8 * w) // 9) + 1] > p[2 * w + ((7 * w) // 9) + 1] THEN 8388608 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((1 * w) // 9) + 1] > p[3 * w + ((0 * w) // 9) + 1] THEN 16777216 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((2 * w) // 9) + 1] > p[3 * w + ((1 * w) // 9) + 1] THEN 33554432 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((3 * w) // 9) + 1] > p[3 * w + ((2 * w) // 9) + 1] THEN 67108864 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((4 * w) // 9) + 1] > p[3 * w + ((3 * w) // 9) + 1] THEN 134217728 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((5 * w) // 9) + 1] > p[3 * w + ((4 * w) // 9) + 1] THEN 268435456 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((6 * w) // 9) + 1] > p[3 * w + ((5 * w) // 9) + 1] THEN 536870912 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((7 * w) // 9) + 1] > p[3 * w + ((6 * w) // 9) + 1] THEN 1073741824 ELSE 0 END +
+        |      CASE WHEN p[3 * w + ((8 * w) // 9) + 1] > p[3 * w + ((7 * w) // 9) + 1] THEN 2147483648 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((1 * w) // 9) + 1] > p[4 * w + ((0 * w) // 9) + 1] THEN 4294967296 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((2 * w) // 9) + 1] > p[4 * w + ((1 * w) // 9) + 1] THEN 8589934592 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((3 * w) // 9) + 1] > p[4 * w + ((2 * w) // 9) + 1] THEN 17179869184 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((4 * w) // 9) + 1] > p[4 * w + ((3 * w) // 9) + 1] THEN 34359738368 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((5 * w) // 9) + 1] > p[4 * w + ((4 * w) // 9) + 1] THEN 68719476736 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((6 * w) // 9) + 1] > p[4 * w + ((5 * w) // 9) + 1] THEN 137438953472 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((7 * w) // 9) + 1] > p[4 * w + ((6 * w) // 9) + 1] THEN 274877906944 ELSE 0 END +
+        |      CASE WHEN p[4 * w + ((8 * w) // 9) + 1] > p[4 * w + ((7 * w) // 9) + 1] THEN 549755813888 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((1 * w) // 9) + 1] > p[5 * w + ((0 * w) // 9) + 1] THEN 1099511627776 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((2 * w) // 9) + 1] > p[5 * w + ((1 * w) // 9) + 1] THEN 2199023255552 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((3 * w) // 9) + 1] > p[5 * w + ((2 * w) // 9) + 1] THEN 4398046511104 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((4 * w) // 9) + 1] > p[5 * w + ((3 * w) // 9) + 1] THEN 8796093022208 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((5 * w) // 9) + 1] > p[5 * w + ((4 * w) // 9) + 1] THEN 17592186044416 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((6 * w) // 9) + 1] > p[5 * w + ((5 * w) // 9) + 1] THEN 35184372088832 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((7 * w) // 9) + 1] > p[5 * w + ((6 * w) // 9) + 1] THEN 70368744177664 ELSE 0 END +
+        |      CASE WHEN p[5 * w + ((8 * w) // 9) + 1] > p[5 * w + ((7 * w) // 9) + 1] THEN 140737488355328 ELSE 0 END AS BIGINT) AS dhash
+        |  FROM assets)
+        |SELECT a.img_id AS id_a, z.img_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, z.dhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig z ON a.img_id < z.img_id
+        |WHERE bit_count(xor(a.dhash, z.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "multimodal_decode" ->
       """WITH px AS (
         |  SELECT doc_id, n_chars % 8 + 4 AS w, 6 AS h,

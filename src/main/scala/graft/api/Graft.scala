@@ -5969,12 +5969,12 @@ object Graft {
         0L, (a, t) -> a + size(split(t.content, ' ')))""").as("__atok"),
       expr("""aggregate(__turns, 0L,
         (a, t) -> a + size(split(t.content, ' ')))""").as("__tok"),
-      // a ZERO-TURN dialog has no last turn: element_at on the empty
-      // array is NULL, which must read as "does not end on the
-      // assistant", not as an unknown that silently drops out of the
-      // rate's numerator only (ADVICE r14 — the oracle's closed form and
-      // this flag now agree on turns = 0)
-      coalesce(element_at(col("__turns"), -1).getField("role") === "assistant",
+      // a ZERO-TURN dialog has no last turn: try_element_at on the empty
+      // array is NULL (plain element_at THROWS under ANSI), and the NULL
+      // must read as "does not end on the assistant", not as an unknown
+      // that silently drops out of the rate's numerator only (ADVICE r14
+      // — the oracle's closed form and this flag now agree on turns = 0)
+      coalesce(expr("try_element_at(__turns, -1)").getField("role") === "assistant",
         lit(false)).as("__ends_asst"))
     perDialog.groupBy("__s")
       .agg(count(lit(1)).as("n_dialogs"),
