@@ -150,7 +150,10 @@ object Bench {
         Seq("knn_pq", "knn_refine", "ann_recall")),
       ("ivfpq_index",
         () => graft.queries.Similarity.ensurePersistedIvfPq(spark, sfDir),
-        Seq("knn_ivfpq"))
+        Seq("knn_ivfpq")),
+      ("dsir_model",
+        () => graft.queries.TextAnalysis.ensureDsirModel(spark, sfDir),
+        Seq("dsir_select", "stream_dsir", "stream_online_curate"))
     ).filter { case (_, _, serves) => serves.exists(selNames.contains) }
       .flatMap { case (name, build, serves) =>
         try Some((name, timedBuild(build()), serves))

@@ -413,12 +413,35 @@ object TextAnalysis {
     * hash-exact in DuckDB. */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    graft.api.Graft.dsirWeights(docs, "doc_id", "text",
-        isTarget = col("lang") === "en", buckets = 256)
+    graft.api.Graft.dsirScore(docs, "doc_id", "text",
+        s.read.parquet(ensureDsirModel(s, d)), buckets = 256)
+      .select(col("doc_id"), col("n_tokens"), col("llr"))
       .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
       .orderBy(col("llr").desc, col("doc_id").asc)
       .limit(50)
   }
+
+  private val dsirBuildLock = new Object
+
+  /** Train-once build of the at-rest DSIR model for (session, dataset):
+    * the 256-row (bucket, integer log-ratio) table — a versioned artifact
+    * in production (the fit-once/apply-anywhere seam streamDsir's scaladoc
+    * already names), persisted with the ensureSignatureTable lifecycle.
+    * Integer columns round-trip parquet exactly, so the at-rest model
+    * scores bit-identically and every consumer's oracle is unchanged.
+    * Serves dsir_select, stream_dsir, and stream_online_curate. */
+  private[graft] def ensureDsirModel(s: SparkSession, d: String): String =
+    dsirBuildLock.synchronized {
+      val path = Formats.artifactBase(s, "graft_dsir_model", d) + "/model"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+        graft.api.Graft.dsirModel(Tables.documents(s, d), "text",
+            col("lang") === "en", buckets = 256)
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
 
   /** Per-document novelty (Graft.docNovelty): share of each document's
     * distinct 8-token grams that no other document contains — the

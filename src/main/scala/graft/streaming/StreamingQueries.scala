@@ -496,8 +496,8 @@ object StreamingQueries {
     * whole flow (model fit + stream inference + rollup) hash-matches the
     * batch oracle. */
   def streamDsir(s: SparkSession, d: String): DataFrame = {
-    val model = graft.api.Graft.dsirModel(
-      graft.Tables.documents(s, d), "text", col("lang") === "en", buckets = 256)
+    val model = s.read.parquet(
+      graft.queries.TextAnalysis.ensureDsirModel(s, d))
     val scored = graft.api.Graft.dsirScore(
       readStreamTable(s, d, "documents"), "doc_id", "text", model, buckets = 256)
     runToMemory(s, scored, "graft_stream_dsir", "complete")
@@ -1208,9 +1208,8 @@ object StreamingQueries {
         graft.queries.Dedup.ensureSignatureTable(s, d))
       .filter(col("doc_id") % 17 === 0 && col("sig").isNotNull)
       .localCheckpoint(true)
-    val model = graft.api.Graft.dsirModel(all, "text",
-        col("lang") === "en", buckets = 256)
-      .localCheckpoint(true)
+    val model = s.read.parquet(
+      graft.queries.TextAnalysis.ensureDsirModel(s, d))
     val indexPath = base + "/index"; val keptPath = base + "/kept"
     val stream = s.readStream.schema(stream0.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
