@@ -530,11 +530,15 @@ object PipelineOps {
         graft.api.Graft.dedupExact(gated, "doc_id", "text")
           .select(col("keep_id").as("doc_id")), "doc_id")
       .localCheckpoint(true) // consumed by sigs, cluster join, DSIR fit+apply
-    // 3. MinHash signatures of the kept docs — ONE shuffle reused by the
-    //    near-dup self-candidates AND the decontamination screen
-    val sigs = graft.api.Graft.minhashSignatures(kept, "doc_id", "text",
-        numHashes = 32, baseHash = graft.api.Graft.md5Hash60,
-        keepEmpty = false)
+    // 3. MinHash signatures of the kept docs from the SHARED at-rest
+    //    signature table, semi-joined to the kept ids (signatures are a
+    //    pure function of the unmodified text — value-identical to the
+    //    fresh pass this used to run; keepEmpty=false ≡ isNotNull). One
+    //    materialized frame still serves the near-dup self-candidates AND
+    //    the decontamination screen.
+    val sigs = s.read.parquet(Dedup.ensureSignatureTable(s, d))
+      .join(kept.select("doc_id"), "doc_id")
+      .filter(col("sig").isNotNull)
       .localCheckpoint(true)
     val pairs = graft.api.Graft.minhashCandidates(sigs, "doc_id",
         bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
