@@ -29,6 +29,14 @@ object Bench {
     * host changes. */
   private val calRefSec = 0.698
 
+  /** Median of the SAME 5 frozen readings — the reference for the MEDIAN
+    * estimator. Each estimator divides by its own-statistic reference
+    * (median/median, min/min): dividing the pass median by the idle MIN
+    * made an uncontended pass read factor ≈ idle-median/idle-min ≈ 1.05,
+    * a built-in ~5% favorable bias in calibrated_value (ADVICE r15). With
+    * matched references a truly idle pass yields both factors ≈ 1.0. */
+  private val calRefMedianSec = 0.730
+
   private def calibrate(spark: SparkSession, cpus: Int): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, calRows, 1L, cpus)
@@ -144,7 +152,8 @@ object Bench {
           "stream_online_curate", "pipeline_end_to_end")),
       ("ivf_index",
         () => graft.queries.Similarity.ensurePersistedIvf(spark, sfDir),
-        Seq("knn_ivf_persisted", "stream_knn_ivf", "cluster_balanced_sample")),
+        Seq("knn_ivf_persisted", "stream_knn_ivf", "cluster_balanced_sample",
+          "ann_index_stats")),
       ("pq_model",
         () => graft.queries.Similarity.ensurePersistedPq(spark, sfDir),
         Seq("knn_pq", "knn_refine", "ann_recall")),
@@ -208,7 +217,14 @@ object Bench {
     // and the calibrated total factors ambient contention OUT so the judge
     // can rule on the artifact alone instead of re-running the registry.
     val calReadings = scala.collection.mutable.ArrayBuffer[Double]()
-    def probe(): Unit = calReadings += calibrate(spark, cpus.toInt)
+    // re-time-round probes land in their own buffer (ADVICE r15): the
+    // factors are computed from the IN-PASS readings alone, and the
+    // artifact ships the two sets under separate keys so an auditor
+    // recomputing median/min from `readings` reproduces the shipped
+    // factors exactly.
+    val retimeReadings = scala.collection.mutable.ArrayBuffer[Double]()
+    def probe(buf: scala.collection.mutable.ArrayBuffer[Double] = calReadings): Unit =
+      buf += calibrate(spark, cpus.toInt)
     val inPass = (1 to passes).map { p =>
       if (p > 1) Thread.sleep(2000) // spaced passes (AB mode): escape bursts
       probe()
@@ -221,7 +237,7 @@ object Bench {
     }.reduce((a, b) => a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) })
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      if (s.isEmpty) calRefSec
+      if (s.isEmpty) calRefMedianSec
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
@@ -232,10 +248,12 @@ object Bench {
     // contention (the r14 scenario — every probe inflates together) but
     // over-corrects bursty load the queries mostly missed; the MIN is
     // immune to bursts but one quiet probe under sustained load
-    // under-corrects. The artifact ships both, so the true clean-machine
-    // total lies in [raw/medianFactor, raw/minFactor] and a judge can
-    // rule from the bracket without re-running.
-    val machineFactor = math.max(1.0, medianCal / calRefSec)
+    // under-corrects. Each divides by its OWN-statistic idle reference
+    // (median/median, min/min — ADVICE r15). The artifact ships both, so
+    // the true clean-machine total lies in [raw/medianFactor,
+    // raw/minFactor] and a judge can rule from the bracket without
+    // re-running.
+    val machineFactor = math.max(1.0, medianCal / calRefMedianSec)
     val machineFactorMin = math.max(1.0,
       (if (calReadings.isEmpty) calRefSec else calReadings.min) / calRefSec)
     // SELF-RULING full pass (VERDICT r11 task 2): a single full pass has
@@ -294,7 +312,20 @@ object Bench {
     // re-times INTO the same contention window (r14 driver pass: min3 >
     // inpass on 30 rulings — wall time burned, nothing adjudicated); a
     // genuinely regressed query still exceeds factor × 1.5 × profile.
-    val trigFactor = 1.5 * math.min(machineFactor, 2.0)
+    // BURST SELF-ADJUDICATION (VERDICT r15 task 2): when the two factor
+    // estimators diverge, the window was BURSTY — probes that happened to
+    // land inside a steal burst read high while quiet-moment probes read
+    // near idle. In exactly that regime the factor-scaled trigger is
+    // wrong twice over: the scaled threshold lets 2-3× readings ship
+    // unruled (r15 driver pass: 25 rows at 2-2.9× profile, e.g.
+    // pipeline_curate_multimodal 16.14 s vs 6.16 clean), and re-times are
+    // CHEAP because the burst has usually passed by end-of-pass. So on
+    // divergence the trigger drops to the unscaled 1.5× profile; only
+    // under agreeing factors (sustained, uniform contention) does it
+    // scale, where re-timing into the same load would adjudicate nothing.
+    val bursty = machineFactor / machineFactorMin > 1.15
+    val trigFactor =
+      if (bursty) 1.5 else 1.5 * math.min(machineFactor, 2.0)
     val flagged = inPass.filter { case (n, dt) =>
       !failures.contains(n) &&
         profiles.get(n).exists(p => dt > math.max(1.5, trigFactor * p))
@@ -309,7 +340,7 @@ object Bench {
       else {
         val rounds = (1 to 3).map { r =>
           if (r > 1) Thread.sleep(2000)
-          probe()
+          probe(retimeReadings)
           flagged.map(n => n -> timeOnce(n, byNameSel(n))).toMap
         }
         flagged.map(n => n -> rounds.map(_(n)).min).toMap
@@ -362,7 +393,8 @@ object Bench {
     val calibratedFloor = total / machineFactorMin
     val calJson = {
       val readings = calReadings.map(fmt).mkString("[", ",", "]")
-      s""","cal":{"ref_sec":${fmt(calRefSec)},"median_sec":${fmt(medianCal)},"machine_factor":${fmt(machineFactor)},"machine_factor_min":${fmt(machineFactorMin)},"calibrated_total":${fmt(calibratedTotal)},"calibrated_conservative":${fmt(calibratedFloor)},"readings":$readings}"""
+      val retimes = retimeReadings.map(fmt).mkString("[", ",", "]")
+      s""","cal":{"ref_sec":${fmt(calRefSec)},"ref_median_sec":${fmt(calRefMedianSec)},"median_sec":${fmt(medianCal)},"machine_factor":${fmt(machineFactor)},"machine_factor_min":${fmt(machineFactorMin)},"bursty":$bursty,"calibrated_total":${fmt(calibratedTotal)},"calibrated_conservative":${fmt(calibratedFloor)},"readings":$readings,"retime_readings":$retimes}"""
     }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${dict(results)}$calJson$rulings$buildsJson$failuresJson,"sf":"$sfDir"}"""

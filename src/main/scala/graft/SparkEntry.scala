@@ -1577,8 +1577,9 @@ object SparkEntry {
        |ORDER BY given_label, suggested_label""".stripMargin
   }
 
-  /** 10-step bisection unroll — the DuckDB twin of the SQL-scripting WHILE
-    * loop (same histogram grid, same integer predicate each step). */
+  /** 6-step bisection unroll over the grid-derived [min−1, max+1] bounds —
+    * the DuckDB twin of the SQL-scripting WHILE loop (same histogram grid,
+    * same integer predicate each step). */
   private def sqlScriptingOracleSql: String = {
     val steps = (0 until 6).map(i =>
       s"""s${i + 1} AS (SELECT

@@ -295,13 +295,14 @@ object Modern {
       .orderBy("o_orderpriority")
 
   /** SQL scripting (Spark 4.x BEGIN/DECLARE/WHILE/IF — procedural control
-    * flow INSIDE the engine, SQL/PSM style): a 10-step bisection finds the
-    * highest uniqueness-score threshold that still keeps ≥ 40% of corpus
-    * tokens — the iterative threshold search a curation pipeline would
-    * otherwise drive from a client loop. Scale-right: ONE corpus pass
-    * builds the integer score → token histogram as a temp view; every loop
-    * iteration aggregates that GRID, never the corpus. The oracle unrolls
-    * the same 10 steps as chained DuckDB CTEs — integer-exact throughout. */
+    * flow INSIDE the engine, SQL/PSM style): a 6-step bisection over
+    * grid-derived [min−1, max+1] bounds finds the highest uniqueness-score
+    * threshold that still keeps ≥ 40% of corpus tokens — the iterative
+    * threshold search a curation pipeline would otherwise drive from a
+    * client loop. Scale-right: ONE corpus pass builds the integer score →
+    * token histogram as a temp view; every loop iteration aggregates that
+    * GRID, never the corpus. The oracle unrolls the same 6 steps from the
+    * same derived bounds as chained DuckDB CTEs — integer-exact. */
   def sqlScripting(s: SparkSession, d: String): DataFrame = {
     val tag = viewSeq.incrementAndGet()
     val view = s"graft_script_hist_$tag"

@@ -189,7 +189,17 @@ object Similarity {
     * (`knnIvfPersisted`) and the streaming probe row
     * (`StreamingQueries.streamKnnIvf`) — the index is one artifact with two
     * consumers, which is the production relationship. */
-  private[graft] def ensurePersistedIvf(s: SparkSession, d: String): (String, String) = {
+  /** One lock for every at-rest index builder in this object (ADVICE r15):
+    * the _SUCCESS check-then-build is a same-session race — two threads
+    * (e.g. parallel suite cases) could both miss the marker and run
+    * overlapping overwrite jobs into one path. Same pattern as
+    * Dedup.ensureSignatureTable / TextAnalysis.ensureDsirModel; a single
+    * coarse lock is fine because builds are per-(session, dataset)
+    * one-offs and consumers only read. */
+  private val indexBuildLock = new Object
+
+  private[graft] def ensurePersistedIvf(s: SparkSession, d: String): (String, String) =
+    indexBuildLock.synchronized {
     VectorFunctions.register(s)
     val base = graft.queries.Formats.artifactBase(s, "graft_ivf_index", d)
     val cPath = base + "/centroids"; val pPath = base + "/postings"
@@ -212,7 +222,7 @@ object Similarity {
         .write.mode("overwrite").partitionBy("list_id").parquet(pPath)
     }
     (cPath, pPath)
-  }
+    }
 
   /** At-rest IVF index REFRESH (VERDICT r10 task 6, ANN side): the
     * lifecycle step knnIvfPersisted leaves open — new vectors should join
@@ -315,7 +325,8 @@ object Similarity {
     * consumers' oracles are unchanged. Serves knn_pq, knn_refine, and
     * ann_recall (which reranks knn_pq's answers); production amortizes
     * the Lloyd training the same way. */
-  private[graft] def ensurePersistedPq(s: SparkSession, d: String): (String, String) = {
+  private[graft] def ensurePersistedPq(s: SparkSession, d: String): (String, String) =
+    indexBuildLock.synchronized {
     VectorFunctions.register(s)
     val base = graft.queries.Formats.artifactBase(s, "graft_pq_model", d)
     val cbPath = base + "/codebooks"; val cdPath = base + "/codes"
@@ -331,7 +342,7 @@ object Similarity {
       pq.codes.write.mode("overwrite").parquet(cdPath)
     }
     (cbPath, cdPath)
-  }
+    }
 
   /** The ADC core shared by knnPq / knnPqSampled / knnRefine: the product
     * quantizer comes from the at-rest artifact (full-corpus training —
@@ -435,15 +446,25 @@ object Similarity {
     * integers, one divide at the end) so it is independent of partial-
     * aggregation order and cross-engine exact — the same recipe as the
     * Lloyd means. The audit is what a 100 TB index build checks before
-    * committing: a skewed list map means salting the coarse assignment. */
+    * committing: a skewed list map means salting the coarse assignment.
+    *
+    * The audit reads the AT-REST index (`ensurePersistedIvf` — the same
+    * artifact its serving siblings knn_ivf_persisted / stream_knn_ivf /
+    * cluster_balanced_sample consume) instead of retraining the coarse
+    * quantizer per run: an index health check that trains its own model
+    * audits the wrong object, and at 100 TB the training pass costs more
+    * than the audit. The fixed-point Lloyd loop is deterministic and
+    * floats round-trip parquet exactly, so the persisted
+    * centroids/assignments are bit-identical to a fresh training run and
+    * the closed-form k-means oracle is unchanged (VERDICT r15 task 1).
+    * The postings' partition column `list_id` reads back as INT (hive
+    * partition-dir inference) — cast to the trained c_id's BIGINT. */
   def annIndexStats(s: SparkSession, d: String): DataFrame = {
     VectorFunctions.register(s)
-    val e = Tables.embeddings(s, d)
-    val km = graft.api.Graft.kmeans(
-      e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
-      k = 10, iters = 3)
-    e.join(km.assignments, "vec_id")
-      .join(broadcast(km.centroids.select(col("c_id").as("list_id"),
+    val (cPath, pPath) = ensurePersistedIvf(s, d)
+    s.read.parquet(pPath)
+      .select(col("list_id").cast("bigint").as("list_id"), col("embedding"))
+      .join(broadcast(s.read.parquet(cPath).select(col("c_id").as("list_id"),
         col("centroid"))), "list_id")
       .withColumn("res_norm", expr(
         """sqrt(vec_dot(zip_with(embedding, centroid,
@@ -587,7 +608,7 @@ object Similarity {
     * per-run cost of the serving row is then the pure query path, which
     * is what production pays — codebook training amortizes at rest. */
   private[graft] def ensurePersistedIvfPq(s: SparkSession, d: String)
-      : (String, String, String, String) = {
+      : (String, String, String, String) = indexBuildLock.synchronized {
     VectorFunctions.register(s)
     val base = graft.queries.Formats.artifactBase(s, "graft_ivfpq_index", d)
     val cPath = base + "/centroids"; val aPath = base + "/assigned"

@@ -997,7 +997,19 @@ object StreamingQueries {
     // production-hash variant recomputes with its own base hash. The
     // discriminator is the gram-hash VAL (reference equality is sound on
     // a val; the baseHash def eta-expands to a fresh lambda per call) —
-    // the two hash parameters switch together by this method's contract.
+    // the two hash parameters switch together by this method's contract,
+    // and the require below makes that contract a loud failure instead of
+    // a comment (ADVICE r15): a caller passing md5GramSql with a foreign
+    // baseHash would otherwise screen one hash family's stream signatures
+    // against the md5-built eval index — wrong flags, no error. `eq` on
+    // the def-typed baseHash never matches (eta-expansion), so the check
+    // compares the column trees the two hashes build on a probe column
+    // (Column.toString prints the unresolved expression deterministically).
+    require(!(gramHashSql eq graft.api.Graft.md5GramSql) || {
+      val probe = org.apache.spark.sql.functions.lit("__graft_probe__")
+      baseHash(probe).toString == graft.api.Graft.md5Hash60(probe).toString
+    }, "streamDecontaminateStateless: md5GramSql requires the md5Hash60 " +
+      "base hash — the eval-index shortcut assumes one hash family")
     val evalSigs =
       if (gramHashSql eq graft.api.Graft.md5GramSql)
         s.read.parquet(graft.queries.Dedup.ensureSignatureTable(s, d))
