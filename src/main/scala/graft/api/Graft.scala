@@ -1534,28 +1534,30 @@ object Graft {
     val mins = (0 until numHashes).map(i =>
       s"array_min(transform(__hs, h -> (${as(i)}L * h + ${bs(i)}L) % ${P}L))")
       .mkString("array(", ", ", ")")
-    // The two canonical gram hashes route through the NATIVE array
-    // expressions (md5h60_array / xx63_array — graft.functions): a lambda
-    // body evaluates interpreted per element, and the per-gram digest was
-    // the dominant cost of this operator's stateless-streaming users.
-    // Value-identical to the lambda form (suite-pinned); an unrecognized
-    // custom fragment keeps the general lambda path. Only the BASE hash
-    // moves out of the lambda — the (a·h+b) mod P permutation arithmetic
-    // stays a 2-node lambda body, which is noise next to the digest.
-    val hashedArr =
+    // The two canonical gram hashes route through the NATIVE expressions
+    // (graft.functions): md5h60_array / xx63_array for the per-gram digest
+    // (round 11), and minhash_sigs for the permutation minima (round 16) —
+    // the lambda form paid numHashes+1 interpreted array traversals per
+    // document (one mod-P transform + one array_min per permutation),
+    // which after the digest moved native became THE residual cost of the
+    // streaming ingest rows (stream_online_dedup 5.7 s profile). Both
+    // natives are value-identical to the lambda form (minhash_sigs bakes
+    // the same aᵢ/bᵢ/P family — suite-pinned), so no oracle moves. An
+    // unrecognized custom hash fragment keeps the general lambda path.
+    val sigCol =
       if (gramHashSql eq md5GramSql) {
         graft.functions.VectorFunctions.register(df.sparkSession)
-        s"transform(md5h60_array(__sh), h0 -> h0 % ${P}L)"
+        expr(s"minhash_sigs(md5h60_array(__sh), $numHashes)")
       } else if (gramHashSql eq xx63GramSql) {
         graft.functions.VectorFunctions.register(df.sparkSession)
-        s"transform(xx63_array(__sh), h0 -> h0 % ${P}L)"
-      } else s"transform(__sh, g -> ${gramHashSql("g")} % ${P}L)"
+        expr(s"minhash_sigs(xx63_array(__sh), $numHashes)")
+      } else expr(mins)
     df.select(col(idCol), col(textCol))
       .withColumn("__toks", split(col(textCol), " ", -1))
       .withColumn("__sh", expr(shingleExpr))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__hs", expr(hashedArr))
-      .select(col(idCol), expr(mins).as("sig"))
+      .withColumn("__hs", expr(s"transform(__sh, g -> ${gramHashSql("g")} % ${P}L)"))
+      .select(col(idCol), sigCol.as("sig"))
   }
 
   /** Banded-LSH candidate pairs from MinHash signatures, with the estimated

@@ -312,6 +312,80 @@ object NgramFps {
   }
 }
 
+/** All-`n` MinHash permutation minima over a base-hash array in ONE
+  * compiled pass: `minhash_sigs(hs, n)` is value-identical to
+  * `array_min(transform(hs, h -> (aᵢ·(h % P) + bᵢ) % P))` stacked for
+  * i < n with the engine's frozen permutation family aᵢ = 2i²+3i+1,
+  * bᵢ = 7i²+5i+3, P = 2³¹−1 (the constants Graft.minhashSignatureRowLocal
+  * and every minhash oracle bake). The lambda form costs n+1 interpreted
+  * array traversals per document (the mod-P reduce plus one array_min per
+  * permutation — 33 HOF passes at n=32), which dominated the streaming
+  * ingest rows' per-batch signature cost; this is one O(n·grams) compiled
+  * loop producing the BYTE-IDENTICAL signature, so no consumer's oracle
+  * moves. Base hashes reduce by floorMod — plain % for the nonneg
+  * md5h60/xx63 families, pmod semantics for any signed fingerprint
+  * family. Null elements are skipped (array_min's convention); an empty
+  * or all-null input yields an EMPTY array — unreachable through the
+  * callers, which filter empty gram sets first (the lambda form would
+  * give [null,…]; returning empty keeps codegen on the default
+  * null-handling path and still joins/bands to nothing).
+  * aᵢ·h' < 2142·2³¹ ≈ 2⁴², so the Long arithmetic never wraps. */
+case class MinhashSigs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs requires (ARRAY<BIGINT>, foldable INT), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  override def nullSafeEval(arr: Any, n: Any): Any =
+    MinhashSigs.sigs(arr.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, n) => s"graft.functions.MinhashSigs.sigs($a, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashSigs {
+  val P = 2147483647L
+  // called from generated code
+  def sigs(arr: ArrayData, n: Int): ArrayData = {
+    val as = new Array[Long](n); val bs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      as(i) = 2L * i * i + 3L * i + 1L
+      bs(i) = 7L * i * i + 5L * i + 3L
+      i += 1
+    }
+    val out = new Array[Long](n)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val m = arr.numElements()
+    var any = false
+    var k = 0
+    while (k < m) {
+      if (!arr.isNullAt(k)) {
+        any = true
+        val hp = java.lang.Math.floorMod(arr.getLong(k), P)
+        var j = 0
+        while (j < n) {
+          val v = (as(j) * hp + bs(j)) % P
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+      }
+      k += 1
+    }
+    if (!any) ArrayData.toArrayData(Array.emptyLongArray)
+    else ArrayData.toArrayData(out)
+  }
+}
+
 /** Per-element abs(xxhash64) over a string array — the production-default
   * twin of md5h60_array (`xx63_array(arr)` ≡ `transform(arr, g ->
   * abs(xxhash64(g)))`, Graft.xxHash63's value). Same rationale: one native
@@ -491,6 +565,8 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => Md5Hash60Array(exprs.head)),
     ("ngram_fps", classOf[NgramFps],
       (exprs: Seq[Expression]) => NgramFps(exprs(0), exprs(1))),
+    ("minhash_sigs", classOf[MinhashSigs],
+      (exprs: Seq[Expression]) => MinhashSigs(exprs(0), exprs(1))),
     ("xx63_array", classOf[XxHash63Array],
       (exprs: Seq[Expression]) => XxHash63Array(exprs.head)),
     ("xx64_array", classOf[XxHash64Array],

@@ -137,8 +137,12 @@ object StreamingQueries {
     // 19.8 s over the then-14-query family); the round-15 re-A/B on the
     // calibration-bracketed bench read the 7-row probe family 8.9 s at 2
     // partitions vs ~2× that at 4, and 9.3 s at 1 (state work serializes)
-    // — 2 kept. On a cluster this stays whatever the session sets — state
-    // partitioning is the scale mechanism.
+    // — 2 kept. (r16 negative result: widening stream_decontaminate_
+    // stateless's single batch to 8 partitions for its banded-screen
+    // shuffle showed no calibrated win — the state-store init cost
+    // dominates the extra parallelism even on that row's ~0.5M exploded
+    // rows; SCALE.md Round-16.) On a cluster this stays whatever the
+    // session sets — state partitioning is the scale mechanism.
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val tuned = math.min(prev.toInt, 2).toString
@@ -1170,19 +1174,28 @@ object StreamingQueries {
       flagsPath: String,
       gramHashSql: String => String = graft.api.Graft.md5GramSql)(
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val sigs = graft.api.Graft.minhashSignatureRowLocal(batch,
       "doc_id", "text", numHashes = 32,
       gramHashSql = gramHashSql)
-    if (id > 0 && fs.exists(new org.apache.hadoop.fs.Path(indexPath))) {
-      val earlier = s.read.parquet(indexPath)
-        .filter(col("batch_id") < id).drop("batch_id")
-      graft.api.Graft.minhashCandidatesAgainst(sigs, earlier, "doc_id",
+    // Index fold-in FIRST, screen from the re-read artifact: the screen's
+    // new side reads this batch's just-committed partition back instead of
+    // recomputing the shingle→digest→minima pass a second time (the sig
+    // plan had two actions — flags and fold-in — so the screened batch
+    // paid the signature pass twice; r16 measured the re-read at ~40% off
+    // the row). Exactly-once is unchanged: both writes stay batch_id-keyed
+    // overwrites, the screen still reads strictly-earlier partitions
+    // (never its own — no self-matches), and a retry rewrites both
+    // partitions byte-for-byte whether the crash hit before or between
+    // the writes.
+    sigs.write.mode("overwrite").parquet(indexPath + s"/batch_id=$id")
+    if (id > 0) {
+      val all = s.read.parquet(indexPath)
+      graft.api.Graft.minhashCandidatesAgainst(
+          all.filter(col("batch_id") === id).drop("batch_id"),
+          all.filter(col("batch_id") < id).drop("batch_id"), "doc_id",
           bands = 8, rowsPerBand = 4, minEstJaccard = 0.2)
         .write.mode("overwrite").parquet(flagsPath + s"/batch_id=$id")
     }
-    sigs.write.mode("overwrite").parquet(indexPath + s"/batch_id=$id")
   }
 
   /** The ONLINE CURATION LOOP — pipeline_end_to_end's gates running AT

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 additions: the `minhash_sigs` native expression (all 32
+  * permutation minima in one compiled pass) pinned byte-identical to the
+  * stacked array_min(transform(...)) lambda form it replaced, including
+  * the signed-fingerprint (floorMod) and null-element paths the callers
+  * never exercise; plus the online-dedup loop's index-first screen
+  * (signatures computed once, screened from the re-read artifact) pinned
+  * against the r15 flags output shape.
+  */
+class Round16Spec extends AnyFunSuite {
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .appName("graft-round16")
+    .getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lambdaSigs(n: Int): String = {
+    val P = 2147483647L
+    (0 until n).map { i =>
+      val a = 2L * i * i + 3L * i + 1L
+      val b = 7L * i * i + 5L * i + 3L
+      // pmod matches MinhashSigs' floorMod on negative base hashes; for
+      // the nonneg md5h60/xx63 families it is plain %
+      s"array_min(transform(hs, h -> (${a}L * pmod(h, ${P}L) + ${b}L) % ${P}L))"
+    }.mkString("array(", ", ", ")")
+  }
+
+  test("minhash_sigs equals the stacked lambda form on random long arrays " +
+      "(positive, negative, and null elements; n=32 and n=8)") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    // deterministic pseudo-random rows: xxhash64 of the row id seeds both
+    // positive and signed values; every 7th element is NULL
+    val df = spark.range(200).selectExpr(
+      """transform(sequence(0, CAST(id % 40 AS INT)),
+        |  j -> CASE WHEN j % 7 = 3 THEN CAST(NULL AS BIGINT)
+        |            ELSE xxhash64(id * 1000 + j) END) AS hs""".stripMargin)
+    for (n <- Seq(8, 32)) {
+      val both = df.selectExpr(
+        s"minhash_sigs(hs, $n) AS native", s"${lambdaSigs(n)} AS lam")
+        .as[(Seq[Long], Seq[Long])].collect()
+      both.foreach { case (nat, lam) =>
+        assert(nat == lam, s"n=$n: native $nat != lambda $lam")
+      }
+    }
+  }
+
+  test("minhash_sigs: empty and all-null inputs yield an empty array; " +
+      "null input stays null") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT minhash_sigs(CAST(array() AS ARRAY<BIGINT>), 4) AS e,
+        |  minhash_sigs(array(CAST(NULL AS BIGINT)), 4) AS an,
+        |  minhash_sigs(CAST(NULL AS ARRAY<BIGINT>), 4) AS nn""".stripMargin)
+      .collect()(0)
+    assert(r.getSeq[Long](0).isEmpty)
+    assert(r.getSeq[Long](1).isEmpty)
+    assert(r.isNullAt(2))
+  }
+
+  test("minhash_sigs matches the md5 oracle family end to end: row-local " +
+      "signatures are unchanged by the native rewrite") {
+    // the strongest pin: the signature of a REAL document through the
+    // native path equals the hand-computed permutation minima over the
+    // md5h60 gram hashes of its distinct 3-token shingles
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(20)
+    val sigs = api.Graft.minhashSignatureRowLocal(docs, "doc_id", "text",
+        numHashes = 32, gramHashSql = api.Graft.md5GramSql)
+      .as[(Long, Seq[Long])].collect().toMap
+    val hand = docs.selectExpr("doc_id",
+      """CASE WHEN size(split(text, ' ', -1)) >= 3 THEN
+        |  array_distinct(transform(sequence(1, size(split(text, ' ', -1)) - 2),
+        |    i -> array_join(slice(split(text, ' ', -1), i, 3), ' ')))
+        |ELSE array() END AS sh""".stripMargin)
+      .filter("size(sh) > 0")
+      .selectExpr("doc_id", s"""${lambdaSigs(32).replace("hs,", "md5h60_array(sh),")} AS sig""")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs == hand)
+  }
+
+  test("onlineDedupBatch index-first screen: replay of a batch is " +
+      "byte-idempotent and never self-matches") {
+    import spark.implicits._
+    val base = s"/tmp/graft_r16_dedup_${System.nanoTime()}"
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally unrelated content words here now")).toDF("doc_id", "text")
+    val idx = s"$base/index"; val flags = s"$base/flags"
+    streaming.StreamingQueries.onlineDedupBatch(spark, idx, flags)(b0, 0L)
+    streaming.StreamingQueries.onlineDedupBatch(spark, idx, flags)(b1, 1L)
+    val first = spark.read.parquet(flags)
+      .select("new_id", "index_id", "est_jaccard").collect().toSet
+    assert(first.map(r => (r.getLong(0), r.getLong(1))) == Set((3L, 1L)),
+      s"expected exactly the cross-batch dup, got $first")
+    // REPLAY batch 1 (the foreachBatch retry contract): output unchanged
+    streaming.StreamingQueries.onlineDedupBatch(spark, idx, flags)(b1, 1L)
+    val replay = spark.read.parquet(flags)
+      .select("new_id", "index_id", "est_jaccard").collect().toSet
+    assert(replay == first, "replayed batch changed the flags output")
+  }
+}
