@@ -293,6 +293,7 @@ object SparkEntry {
     "skyline_select"    -> PipelineOps.skylineSelect _,
     "incremental_view"  -> PipelineOps.incrementalView _,
     "knn_graph"         -> Similarity.knnGraph _,
+    "knn_graph_search"  -> Similarity.knnGraphSearch _,
     "stream_skyline"    -> StreamingQueries.streamSkyline _,
     "ab_test"           -> PipelineOps.abTest _,
     "ewma_monitor"      -> PipelineOps.ewmaMonitor _,
@@ -653,6 +654,69 @@ object SparkEntry {
        |LEFT JOIN top b ON a.s = b.t AND a.t = b.s
        |JOIN lab e ON e.vec_id = a.s
        |GROUP BY e.label ORDER BY e.label""".stripMargin
+
+  /** DuckDB twin of Similarity.knnGraphSearch — the greedy graph descent
+    * unrolled: the SAME edge CTEs as knn_graph (banded candidates, per-
+    * source top-3 by 4dp-cosine DESC / id ASC), a `step` CTE holding every
+    * (query, source)'s best non-self neighbor by (6dp cosine DESC, id
+    * ASC), the fixed entry node (lowest id ≥ the probe cutoff), and three
+    * chained hop CTEs each moving iff the step strictly improves the
+    * current 6dp score (NULL step — a node with no non-self edges — keeps
+    * the current node, matching Spark's null-false `when`). */
+  private def knnGraphSearchOracleSql: String = {
+    val qCos =
+      """round(list_dot_product(q.qv::DOUBLE[], e2.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+        |     sqrt(list_dot_product(e2.embedding::DOUBLE[], e2.embedding::DOUBLE[]))), 6)"""
+        .stripMargin
+    def hop(h: Int): String =
+      s"""h$h AS (
+         |  SELECT p.q_id,
+         |    CASE WHEN st.nxt_s6 > p.s6 THEN st.nxt ELSE p.node END AS node,
+         |    CASE WHEN st.nxt_s6 > p.s6 THEN st.nxt_s6 ELSE p.s6 END AS s6
+         |  FROM h${h - 1} p
+         |  LEFT JOIN step st ON st.q_id = p.q_id AND st.node = p.node)"""
+        .stripMargin
+    s"""WITH ${embedCandidateCtes(8)},
+       |p0 AS (
+       |  SELECT id_a, id_b, round($embedCos, 4) AS c
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = id_a
+       |  JOIN embeddings eb ON eb.vec_id = id_b
+       |  WHERE $embedCos >= 0.0),
+       |dir AS (SELECT id_a AS s, id_b AS t, c FROM p0
+       |  UNION ALL SELECT id_b AS s, id_a AS t, c FROM p0),
+       |top AS (SELECT s, t FROM (SELECT s, t,
+       |    row_number() OVER (PARTITION BY s ORDER BY c DESC, t) AS rn FROM dir)
+       |  WHERE rn <= 3),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 10),
+       |stepc AS (
+       |  SELECT q.q_id, top.s, top.t, $qCos AS s6
+       |  FROM top CROSS JOIN q JOIN embeddings e2 ON e2.vec_id = top.t
+       |  WHERE top.t <> q.q_id),
+       |step AS (
+       |  SELECT q_id, s AS node, t AS nxt, s6 AS nxt_s6 FROM (
+       |    SELECT q_id, s, t, s6, row_number() OVER (
+       |      PARTITION BY q_id, s ORDER BY s6 DESC, t ASC) AS rn
+       |    FROM stepc)
+       |  WHERE rn = 1),
+       |ent AS (SELECT min(vec_id) AS e FROM embeddings WHERE vec_id >= 10),
+       |h0 AS (
+       |  SELECT q.q_id, ent.e AS node, $qCos AS s6
+       |  FROM q CROSS JOIN ent JOIN embeddings e2 ON e2.vec_id = ent.e),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT q_id, CAST(hop AS INTEGER) AS hop, node AS node_id,
+       |  round(s6, 4) AS cos4
+       |FROM (
+       |  SELECT q_id, 0 AS hop, node, s6 FROM h0
+       |  UNION ALL SELECT q_id, 1, node, s6 FROM h1
+       |  UNION ALL SELECT q_id, 2, node, s6 FROM h2
+       |  UNION ALL SELECT q_id, 3, node, s6 FROM h3)
+       |ORDER BY q_id, hop""".stripMargin
+  }
 
   /** DuckDB twin of Similarity.knnLsh, generated from the SAME discretized
     * plane constants (Similarity.knnPlanes — the machinery
@@ -4970,6 +5034,7 @@ object SparkEntry {
     "incremental_view" -> cdcApplyOracleSql,
 
     "knn_graph" -> knnGraphOracleSql,
+    "knn_graph_search" -> knnGraphSearchOracleSql,
 
     // 2-D skyline on the (source, x) grid: max-y columns, strictly-greater
     // prefix max over the GRID, survivors rejoin for multiplicity

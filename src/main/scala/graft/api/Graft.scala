@@ -828,7 +828,14 @@ object Graft {
     * occupancy ~D/2^4.6 goes quadratic in D). At 100 TB either widen the
     * signature (128/256-bit SimHash keeps the SAME code path: blocks of
     * 128/13 ≈ 9.8 bits) or tighten maxHamming so each block holds ≥
-    * log2(D) bits; both are parameter changes, not plan changes. */
+    * log2(D) bits; both are parameter changes, not plan changes.
+    * (r16 negative result: the other recall-preserving layout —
+    * GPH/HmSearch ball enumeration over FEWER, WIDER blocks, e.g. 6×10
+    * bits with the ≤2-error ball's 56 XOR probes — examines ~26M unordered
+    * candidate pairs at sf0.1 vs this cover's 28.6M: no cut, because the
+    * signature bits are CORRELATED on this corpus and the skewed wide
+    * buckets absorb the enumeration's probes; SCALE.md Round-16. The
+    * occupancy knob stays signature width, i.e. dedupSimhashWide.) */
   def simhashCandidates(sig: DataFrame, idCol: String,
       sigCol: String = "simhash", maxHamming: Int = 12,
       bits: Int = 60): DataFrame = {
@@ -6498,9 +6505,15 @@ object Graft {
     * counts and RECIPROCITY (the standard kNN-graph quality signal — a low
     * reciprocal-edge share marks hubness/asymmetry). Band width is the
     * documented LSH knob (bits ∝ log N holds occupancy constant). */
-  def knnGraphStats(vecs: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, planes: Array[Array[Double]], bitsPerBand: Int,
-      k: Int): DataFrame = {
+  /** Directed top-`k` edge set of the LSH-banded k-NN graph — the
+    * construction step of knnGraphStats, factored out so graph-NAVIGATED
+    * search (graphGreedySearch) and graph health share one build: LSH
+    * candidate pairs (never all-pairs), both directions, each source's
+    * top-k by (4dp cosine DESC, id ASC) through the fused O(k) aggregate.
+    * Returns (__src, __dst), localCheckpointed — every caller consumes
+    * the edge set more than once. */
+  def knnGraphEdges(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Double]], bitsPerBand: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
     val pairs = cosineDedupLsh(vecs, idCol, vecCol, planes, bitsPerBand,
       tau = 0.0)
@@ -6510,12 +6523,80 @@ object Graft {
         col("id_a").as("__dst"), col("cos_sim")))
     val topk = udaf(new graft.functions.TopKNeighbors(k),
       Encoders.product[graft.functions.Neighbor])
-    val edges = directed
+    directed
       .groupBy("__src")
       .agg(topk(col("__dst"), lit(0), col("cos_sim")).as("__topk"))
       .select(col("__src"), explode(col("__topk.items")).as("__nb"))
       .select(col("__src"), col("__nb.c_id").as("__dst"))
-      .localCheckpoint(true) // consumed twice by the reciprocity self-join
+      .localCheckpoint(true)
+  }
+
+  /** GRAPH-NAVIGATED ANN (the NSW/HNSW search family, Malkov '14/'16, as a
+    * deterministic oracled query): greedy best-first descent over the k-NN
+    * graph's edges — start every query at one fixed entry node (the lowest
+    * id OUTSIDE the probe set), and at each of `hops` unrolled steps move
+    * to the current node's best-scoring neighbor iff it strictly improves
+    * on the current node (6dp cosine, ties to the lowest neighbor id; a
+    * query's own node is never a move target). Output is the full hop
+    * TRACE — (q_id, hop, node_id, cos4) — the auditable navigation path,
+    * not just the endpoint.
+    *
+    * Scale shape: the move table materializes ONCE as the per-(query,
+    * source-node) argmax over queries × edges — |Q|·k·N rows reduced by a
+    * struct-min aggregate to |Q|·N, LINEAR in corpus size for a fixed
+    * probe set (the production layout: transitions are an index-side
+    * artifact, queries replay them) — and each hop is then one broadcast
+    * lookup join, so hop count changes wall time, not shuffle structure.
+    * Determinism end to end (fixed entry, integer ids, 6dp scores with id
+    * tie-breaks) is what makes a CTE-unrolled DuckDB twin possible where
+    * real HNSW's randomized layer assignment would not be. */
+  def graphGreedySearch(vecs: DataFrame, idCol: String, vecCol: String,
+      edges: DataFrame, queries: DataFrame, hops: Int): DataFrame = {
+    VectorFunctions.register(vecs.sparkSession)
+    val v = vecs.select(col(idCol).as("__vid"), col(vecCol).as("__vv"))
+    def s6(q: String, c: String): Column = round(
+      expr(s"vec_dot($q, $c) / (sqrt(vec_dot($q, $q)) * sqrt(vec_dot($c, $c)))"),
+      6)
+    // fixed entry: the lowest id not in the probe set — one broadcast row
+    val entry = vecs.join(queries.select(col("q_id")),
+        col(idCol) === col("q_id"), "left_anti")
+      .agg(min(col(idCol)).as("__vid"))
+      .join(v, "__vid")
+    val cur0 = broadcast(queries).crossJoin(broadcast(entry))
+      .select(col("q_id"), col("__vid").as("node"),
+        s6("qv", "__vv").as("s6"))
+      .localCheckpoint(true)
+    // the move table: for every (query, source node), the best neighbor
+    // by (score6 DESC, id ASC) — queries × edges scored once, argmax via
+    // the lexicographic struct-min (exact double negation)
+    val step = edges.join(v, col("__dst") === col("__vid"))
+      .crossJoin(broadcast(queries))
+      .filter(col("__dst") =!= col("q_id"))
+      .withColumn("__s6", s6("qv", "__vv"))
+      .groupBy(col("q_id").as("__q"), col("__src"))
+      .agg(min(struct((-col("__s6")).as("ns"), col("__dst").as("nd"))).as("__b"))
+      .select(col("__q"), col("__src"), col("__b.nd").as("nxt"),
+        (-col("__b.ns")).as("nxt_s6"))
+      .localCheckpoint(true) // one lookup join per hop
+    val trace = (1 to hops).scanLeft(cur0) { (cur, _) =>
+      cur.join(broadcast(step),
+          cur("q_id") === step("__q") && cur("node") === step("__src"), "left")
+        .select(col("q_id"),
+          when(col("nxt_s6") > col("s6"), col("nxt"))
+            .otherwise(col("node")).as("node"),
+          when(col("nxt_s6") > col("s6"), col("nxt_s6"))
+            .otherwise(col("s6")).as("s6"))
+    }
+    trace.zipWithIndex.map { case (df, h) =>
+      df.select(col("q_id"), lit(h).cast("int").as("hop"),
+        col("node").as("node_id"), round(col("s6"), 4).as("cos4"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def knnGraphStats(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, planes: Array[Array[Double]], bitsPerBand: Int,
+      k: Int): DataFrame = {
+    val edges = knnGraphEdges(vecs, idCol, vecCol, planes, bitsPerBand, k)
     val recip = edges.join(
       edges.select(col("__src").as("__dst"), col("__dst").as("__src")),
       Seq("__src", "__dst"), "left_semi")

@@ -1025,6 +1025,25 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Registry `knn_graph_search` (Graft.graphGreedySearch): NSW-style
+    * greedy best-first navigation over the SAME banded k-NN graph
+    * knn_graph builds (shared knnGraphEdges construction, shared
+    * occupancy-derived band width) — the graph-navigated ANN family's
+    * representative beside the IVF/PQ/LSH tiers (VERDICT r15 #7). Ten
+    * probes descend 3 unrolled hops from the fixed entry node; output is
+    * the hop trace (q_id, hop, node_id, cos4). */
+  def knnGraphSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val edges = graft.api.Graft.knnGraphEdges(emb, "vec_id", "embedding",
+      graft.queries.Dedup.embedPlanes,
+      bitsPerBand = knnGraphBits(emb.count()), k = 3)
+    graft.api.Graft.graphGreedySearch(emb, "vec_id", "embedding", edges,
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+        hops = 3)
+      .orderBy("q_id", "hop")
+  }
+
   /** Registry `embedding_drift` (Graft.embeddingDrift): per-label cosine
     * between the vec_id-parity generations' quantized centroids — the
     * representation-drift check beside psi/ks distribution drift. */

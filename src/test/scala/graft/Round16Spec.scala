@@ -90,6 +90,30 @@ class Round16Spec extends AnyFunSuite {
     assert(sigs == hand)
   }
 
+  test("graphGreedySearch: hand-worked descent — moves only on strict " +
+      "improvement, stalls at a local optimum, never targets the query") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    def v(x: Double, y: Double): Array[Float] = Array(x.toFloat, y.toFloat)
+    // query 0 points at [1, 0]; entry 10 is orthogonal; the chain
+    // 10 -> 11 -> 12 improves monotonically; 12's only edge goes BACK to
+    // 11 (worse — must stall); 13 is query 0 itself as a decoy edge target
+    val vecs = Seq(
+      (0L, v(1, 0)), (10L, v(0, 1)), (11L, v(0.6, 0.8)),
+      (12L, v(0.9, 0.435890)), (13L, v(1, 0))).toDF("vec_id", "embedding")
+    val edges = Seq((10L, 11L), (10L, 0L), (11L, 12L), (12L, 11L))
+      .toDF("__src", "__dst")
+    val queries = Seq((0L, v(1, 0))).toDF("q_id", "qv")
+    val out = api.Graft.graphGreedySearch(vecs, "vec_id", "embedding",
+        edges, queries, hops = 3)
+      .orderBy("hop").select("hop", "node_id", "cos4")
+      .as[(Int, Long, Double)].collect().toSeq
+    // 10 -> 11 (0.6 beats 0.0; the 0-target edge is excluded) -> 12
+    // (0.9 beats 0.6) -> stall (12's best neighbor 11 scores 0.6 < 0.9)
+    assert(out == Seq((0, 10L, 0.0), (1, 11L, 0.6), (2, 12L, 0.9),
+      (3, 12L, 0.9)), s"unexpected trace: $out")
+  }
+
   test("onlineDedupBatch index-first screen: replay of a batch is " +
       "byte-idempotent and never self-matches") {
     import spark.implicits._
