@@ -564,6 +564,10 @@ object PlanAudit {
       ("knn_graph", p => !p.contains("CartesianProduct"),
         "kNN graph: slim band join for candidates, fused O(k) top-k " +
           "aggregate, reciprocity as a semi join"),
+      ("knn_graph_search", p => !p.contains("CartesianProduct")
+        && p.contains("BroadcastHashJoin"),
+        "graph search: move-table argmax partial-agg'd, every hop a " +
+          "broadcast lookup join — no cartesian anywhere in the descent"),
       ("ab_test", p => !p.contains("Window") && !p.contains("CartesianProduct")
         && p.contains("partial_max"),
         "A/B: one partial-agg'd shuffle on user, then two-row frames"),
