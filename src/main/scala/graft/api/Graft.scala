@@ -1398,29 +1398,35 @@ object Graft {
     * no float boundary can flake the boolean. */
   def gopherRules(df: DataFrame, textCol: String,
       minWords: Long = 20L, maxWords: Long = 100000L): DataFrame = {
+    // gopher_stats is the native one-pass twin of the four stacked
+    // higher-order-function signals this gate used to compute (token
+    // filter + size, aggregate sum of lengths, RLIKE-per-token filter,
+    // stopword membership filter) — four INTERPRETED array traversals per
+    // document, paid by every consumer that filters on `passes` (the gate
+    // can't be column-pruned there). Field-identical values (suite-pinned:
+    // n_words/sum_len/n_alpha/n_stop vs the lambda forms on real docs and
+    // edge cases), so the ratio4 columns, the passes rule, and every
+    // consumer's oracle are unchanged.
+    graft.functions.VectorFunctions.register(df.sparkSession)
     df
-      .withColumn("__ts", expr(
-        s"filter(split(`$textCol`, ' ', -1), t -> length(t) > 0)"))
-      .withColumn("n_words", size(col("__ts")).cast("long"))
+      .withColumn("__gs", expr(
+        s"gopher_stats(split(`$textCol`, ' ', -1), array('the','a','of','and','is'))"))
+      .withColumn("n_words", col("__gs.n_words"))
       .filter(col("n_words") >= 1L)
       // mean token length in [3,10] ⇔ 3·n ≤ Σlen ≤ 10·n (integer compare)
-      .withColumn("__sumlen", expr(
-        "aggregate(__ts, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("__sumlen", col("__gs.sum_len"))
       .withColumn("mean_word_len", expr(
         "CAST((20000L * __sumlen + n_words) DIV (2L * n_words) AS DOUBLE) / 10000.0"))
-      .withColumn("__alpha", expr(
-        "CAST(size(filter(__ts, t -> t RLIKE '[a-z]')) AS BIGINT)"))
+      .withColumn("__alpha", col("__gs.n_alpha"))
       .withColumn("alpha_share", expr(
         "CAST((20000L * __alpha + n_words) DIV (2L * n_words) AS DOUBLE) / 10000.0"))
-      .withColumn("n_stopwords", expr(
-        """CAST(size(filter(array('the','a','of','and','is'),
-          |  s -> array_contains(__ts, s))) AS BIGINT)""".stripMargin))
+      .withColumn("n_stopwords", col("__gs.n_stop"))
       .withColumn("passes",
         col("n_words").between(minWords, maxWords) &&
         expr("3L * n_words <= __sumlen AND __sumlen <= 10L * n_words") &&
         expr("5L * __alpha >= 4L * n_words") &&
         col("n_stopwords") >= 2L)
-      .drop("__ts", "__sumlen", "__alpha")
+      .drop("__gs", "__sumlen", "__alpha")
   }
 
   /** Edit-distance near-dup with parameterized blocking: pairs must agree on
@@ -3129,6 +3135,14 @@ object Graft {
     // same cross-engine class as the q9 money sums the Exact helper fixed).
     def ratio4(p: String, q: String): String =
       s"CAST((20000L * ($p) + ($q)) DIV (2L * ($q)) AS DOUBLE) / 10000.0"
+    // top_token_count is the native one-pass twin of the lambda pyramid
+    // array_max(transform(array_distinct(__toks), t -> size(filter(__toks,
+    // x -> x = t)))) — that form cost O(distinct·n) INTERPRETED evaluations
+    // per document (HOFs don't codegen) and dominated every gate that
+    // filters on top_token_frac (r16: ~0.5 s of the curate pipelines'
+    // quality stage at sf0.1). Value-identical (suite-pinned), so the
+    // integer ratio4 and every consumer's oracle are unchanged.
+    graft.functions.VectorFunctions.register(df.sparkSession)
     df.withColumn("__toks", toks)
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("__toks"))).cast("long"))
@@ -3136,8 +3150,7 @@ object Graft {
       .withColumn("mean_tok_len", expr(
         ratio4(s"length(`$textCol`) - (n_tokens - 1)", "n_tokens")))
       .withColumn("top_token_frac", expr(ratio4(
-        "CAST(array_max(transform(array_distinct(__toks), t -> size(filter(__toks, x -> x = t)))) AS BIGINT)",
-        "n_tokens")))
+        "top_token_count(__toks)", "n_tokens")))
       .drop("__toks")
   }
 

@@ -386,6 +386,176 @@ object MinhashSigs {
   }
 }
 
+/** Most-frequent-token COUNT over a string array in ONE compiled pass:
+  * `top_token_count(toks)` is value-identical to
+  * `CAST(array_max(transform(array_distinct(toks), t ->
+  *    size(filter(toks, x -> x = t)))) AS BIGINT)`
+  * — the O(distinct·n) interpreted-lambda pyramid the C4/Gopher repetition
+  * gate (Graft.repetitionMetrics top_token_frac) paid per document,
+  * replaced by one O(n) hash-count loop. Exact parity (suite-pinned):
+  * NULL array → NULL; EMPTY array → NULL (array_max over no elements);
+  * null ELEMENTS are zero-candidates (the lambda's `x = t` predicate drops
+  * them from every token's filter, and the distinct null contributes a
+  * size-0 entry), so an all-null array yields 0. */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_token_count requires ARRAY<STRING>, got ${t.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "top_token_count"
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null else TopTokenCount.top(a)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($c.numElements() == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = graft.functions.TopTokenCount.top($c);
+       |}
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopTokenCount {
+  // called from generated code; caller guarantees numElements > 0
+  def top(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]]()
+    var max = 0 // a null element's filter-count is 0 — the floor candidate
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var c = counts.get(t)
+        if (c == null) { c = new Array[Int](1); counts.put(t, c) }
+        c(0) += 1
+        if (c(0) > max) max = c(0)
+      }
+      i += 1
+    }
+    max.toLong
+  }
+}
+
+/** The Gopher quality gate's four token-array signals in ONE compiled
+  * pass: `gopher_stats(toks, stopwords)` returns
+  * STRUCT<n_words BIGINT, sum_len BIGINT, n_alpha BIGINT, n_stop BIGINT>
+  * over the length>0 tokens of `toks`, value-identical (suite-pinned) to
+  * the four higher-order-function expressions Graft.gopherRules stacked —
+  *   __ts      = filter(toks, t -> length(t) > 0)
+  *   n_words   = size(__ts)
+  *   sum_len   = aggregate(__ts, 0L, (acc, t) -> acc + length(t))
+  *   n_alpha   = size(filter(__ts, t -> t RLIKE '[a-z]'))
+  *   n_stop    = size(filter(stopwords, s -> array_contains(__ts, s)))
+  * — which cost four interpreted array traversals per document (plus a
+  * regex find per token). Parity notes: length() counts CODE POINTS
+  * (UTF8String.numChars); RLIKE '[a-z]' is an unanchored find of one
+  * ASCII lowercase letter, and in UTF-8 the bytes 0x61–0x7a only ever
+  * encode those letters, so the byte scan is exact; null tokens drop
+  * exactly like the lambda filter (length(null) > 0 → null → dropped);
+  * stopword membership tests the same filtered token set (each stopword
+  * counted once). `stopwords` must be a foldable ARRAY<STRING>; null
+  * stopword elements never match (array_contains' null semantics fold to
+  * dropped-from-count here because a null never equals a token). */
+case class GopherStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  /** VALUE-deterministic (pure function of its inputs — task retries are
+    * safe), but declared non-deterministic as the documented optimizer
+    * fence (guide §4.4, the asNondeterministic trick): predicate pushdown
+    * substitutes projection aliases into filter conditions, and a consumer
+    * filtering on `passes` inlined this struct once PER FIELD REFERENCE
+    * (~12 copies); FilterExec does no subexpression elimination, so each
+    * row paid ~6 evaluations after short-circuiting (measured: the gate
+    * count read SLOWER than the lambda form it replaced). With the flag,
+    * the struct is computed once in its own Project and every consumer
+    * reads attributes. The cost: other predicates can't push past the
+    * gate's projection — the gate is a terminal row-local screen in every
+    * consumer, so nothing real is lost. */
+  override lazy val deterministic: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gopher_stats requires (ARRAY<STRING>, foldable ARRAY<STRING>), " +
+            s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = GopherStats.schema
+  override def prettyName: String = "gopher_stats"
+  override def nullSafeEval(toks: Any, stops: Any): Any =
+    GopherStats.stats(toks.asInstanceOf[ArrayData], stops.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.GopherStats.stats($t, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GopherStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  // called from generated code
+  def stats(toks: ArrayData, stops: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        val chars = t.numChars()
+        if (chars > 0) {
+          nWords += 1
+          sumLen += chars
+          val nb = t.numBytes()
+          var j = 0
+          var alpha = false
+          while (j < nb && !alpha) {
+            val b = t.getByte(j)
+            if (b >= 'a'.toByte && b <= 'z'.toByte) alpha = true
+            j += 1
+          }
+          if (alpha) nAlpha += 1
+        }
+      }
+      i += 1
+    }
+    var nStop = 0L
+    val m = stops.numElements()
+    var s = 0
+    while (s < m) {
+      if (!stops.isNullAt(s)) {
+        val sw = stops.getUTF8String(s)
+        if (sw.numChars() > 0) {
+          var k = 0
+          var found = false
+          while (k < n && !found) {
+            if (!toks.isNullAt(k) && toks.getUTF8String(k).equals(sw)) found = true
+            k += 1
+          }
+          if (found) nStop += 1
+        }
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumLen, nAlpha, nStop))
+  }
+}
+
 /** Per-element abs(xxhash64) over a string array — the production-default
   * twin of md5h60_array (`xx63_array(arr)` ≡ `transform(arr, g ->
   * abs(xxhash64(g)))`, Graft.xxHash63's value). Same rationale: one native
@@ -567,6 +737,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => NgramFps(exprs(0), exprs(1))),
     ("minhash_sigs", classOf[MinhashSigs],
       (exprs: Seq[Expression]) => MinhashSigs(exprs(0), exprs(1))),
+    ("top_token_count", classOf[TopTokenCount],
+      (exprs: Seq[Expression]) => TopTokenCount(exprs.head)),
+    ("gopher_stats", classOf[GopherStats],
+      (exprs: Seq[Expression]) => GopherStats(exprs(0), exprs(1))),
     ("xx63_array", classOf[XxHash63Array],
       (exprs: Seq[Expression]) => XxHash63Array(exprs.head)),
     ("xx64_array", classOf[XxHash64Array],

@@ -135,4 +135,114 @@ class Round16Spec extends AnyFunSuite {
       .select("new_id", "index_id", "est_jaccard").collect().toSet
     assert(replay == first, "replayed batch changed the flags output")
   }
+
+  test("top_token_count equals the lambda pyramid on real docs and edge " +
+      "cases (ties, all-null, empty, null input, empty-string tokens)") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("split(text, ' ', -1) AS toks")
+      .unionByName(Seq(
+        Seq("a", "b", "a", "b"),          // tie at 2
+        Seq("x"),                          // singleton
+        Seq("", "", "y"),                  // empty-string tokens count
+        Seq.empty[String]                  // empty array -> NULL
+      ).toDF("toks"))
+      .unionByName(spark.sql(
+        """SELECT array(CAST(NULL AS STRING), CAST(NULL AS STRING)) AS toks
+          |UNION ALL SELECT array(CAST(NULL AS STRING), 'z', 'z') AS toks
+          |UNION ALL SELECT CAST(NULL AS ARRAY<STRING>) AS toks""".stripMargin))
+    val cmp = docs.selectExpr(
+      "top_token_count(toks) AS native",
+      """CAST(array_max(transform(array_distinct(toks),
+        |  t -> size(filter(toks, x -> x = t)))) AS BIGINT) AS lam""".stripMargin)
+    assert(cmp.filter(not(col("native") <=> col("lam"))).count() == 0,
+      cmp.filter(not(col("native") <=> col("lam"))).collect().mkString("; "))
+  }
+
+  test("gopher_stats fields equal the four lambda signals on real docs " +
+      "and edge cases (empty tokens, no-alpha, unicode, null elements)") {
+    graft.functions.VectorFunctions.register(spark)
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("split(text, ' ', -1) AS toks")
+      .unionByName(Seq(
+        Seq("THE", "OF", "123", "!!!"),           // no lowercase ascii
+        Seq("", "the", "", "a"),                  // empties dropped, 2 stops
+        Seq("héllo", "wörld", "日本語"),           // multibyte; é/ö are not [a-z] but h/l/o/w/r/d are
+        Seq("ß", "ÀÉ", "ZY"),                     // zero [a-z] bytes
+        Seq("is", "is", "is")                     // repeated stopword counts once
+      ).toDF("toks"))
+      .unionByName(spark.sql(
+        "SELECT array(CAST(NULL AS STRING), 'and', '') AS toks"))
+    val cmp = docs
+      .withColumn("__ts", expr("filter(toks, t -> length(t) > 0)"))
+      .withColumn("g", expr(
+        "gopher_stats(toks, array('the','a','of','and','is'))"))
+      .selectExpr(
+        "g.n_words AS nw", "CAST(size(__ts) AS BIGINT) AS nw0",
+        "g.sum_len AS sl",
+        "aggregate(__ts, 0L, (acc, t) -> acc + length(t)) AS sl0",
+        "g.n_alpha AS al",
+        "CAST(size(filter(__ts, t -> t RLIKE '[a-z]')) AS BIGINT) AS al0",
+        "g.n_stop AS st",
+        """CAST(size(filter(array('the','a','of','and','is'),
+          |  s -> array_contains(__ts, s))) AS BIGINT) AS st0""".stripMargin)
+    val bad = cmp.filter(not(col("nw") <=> col("nw0") &&
+      col("sl") <=> col("sl0") && col("al") <=> col("al0") &&
+      col("st") <=> col("st0")))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+  }
+
+  test("gopherRules and repetitionMetrics outputs are unchanged by the " +
+      "native rewrites (full-row compare on sf0.001) and the gate plan " +
+      "holds ONE gopher_stats") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // old gopherRules formulation, inline
+    val oldGopher = docs
+      .withColumn("__ts", expr("filter(split(`text`, ' ', -1), t -> length(t) > 0)"))
+      .withColumn("n_words", size(col("__ts")).cast("long"))
+      .filter(col("n_words") >= 1L)
+      .withColumn("__sumlen", expr("aggregate(__ts, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("mean_word_len", expr(
+        "CAST((20000L * __sumlen + n_words) DIV (2L * n_words) AS DOUBLE) / 10000.0"))
+      .withColumn("__alpha", expr("CAST(size(filter(__ts, t -> t RLIKE '[a-z]')) AS BIGINT)"))
+      .withColumn("alpha_share", expr(
+        "CAST((20000L * __alpha + n_words) DIV (2L * n_words) AS DOUBLE) / 10000.0"))
+      .withColumn("n_stopwords", expr(
+        """CAST(size(filter(array('the','a','of','and','is'),
+          |  s -> array_contains(__ts, s))) AS BIGINT)""".stripMargin))
+      .withColumn("passes",
+        col("n_words").between(20L, 100000L) &&
+        expr("3L * n_words <= __sumlen AND __sumlen <= 10L * n_words") &&
+        expr("5L * __alpha >= 4L * n_words") &&
+        col("n_stopwords") >= 2L)
+      .drop("__ts", "__sumlen", "__alpha")
+    val newGopher = graft.api.Graft.gopherRules(docs, "text")
+    assert(newGopher.columns.toSeq == oldGopher.columns.toSeq,
+      s"schema drift: ${newGopher.columns.toSeq} vs ${oldGopher.columns.toSeq}")
+    assert(newGopher.exceptAll(oldGopher).count() == 0 &&
+      oldGopher.exceptAll(newGopher).count() == 0,
+      "gopherRules output changed")
+    // old repetitionMetrics top_token_frac, inline
+    val oldRep = docs.withColumn("__toks", split(col("text"), " ", -1))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("top_token_frac", expr(
+        """CAST((20000L * (CAST(array_max(transform(array_distinct(__toks),
+          |  t -> size(filter(__toks, x -> x = t)))) AS BIGINT)) + (n_tokens))
+          |  DIV (2L * (n_tokens)) AS DOUBLE) / 10000.0""".stripMargin))
+      .select("doc_id", "n_tokens", "top_token_frac")
+    val newRep = graft.api.Graft.repetitionMetrics(docs, "text")
+      .select("doc_id", "n_tokens", "top_token_frac")
+    assert(newRep.exceptAll(oldRep).count() == 0 &&
+      oldRep.exceptAll(newRep).count() == 0,
+      "repetitionMetrics top_token_frac changed")
+    // the optimizer fence (deterministic=false) holds: a consumer filtering
+    // on `passes` evaluates the struct once — not once per field reference
+    val plan = newGopher.filter(col("passes")).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("gopher_stats", -1).length == 2,
+      s"expected exactly one gopher_stats in the gate plan:\n$plan")
+  }
 }
